@@ -1,38 +1,909 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each entry in ``_REGISTRY`` is one operator/query from SURVEY.md §2 (or an
+engine extension: dedup / ANN / text analysis), implemented through the
+``vector_search_optimization_spark`` package, with an equivalent DuckDB SQL
+oracle where the semantics are SQL-expressible. Aggregate/computed columns
+are aliased identically on both sides; floats are rounded on both sides so
+cross-engine summation-order noise doesn't break the value hash.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_search_optimization_spark.functions import text as TX
+from vector_search_optimization_spark.functions import vector as V
+from vector_search_optimization_spark.operators import ann, dedup, islands, topk, upsert
+from vector_search_optimization_spark.operators import nearest_centroid as NC
+from vector_search_optimization_spark.operators import similarity as SIM
+from vector_search_optimization_spark.operators import vector_agg as VA
+from vector_search_optimization_spark.sources import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped rollup (A1/A4/A8 + O2): the canonical partial-agg
+    plan — one shuffle of tiny partial states, whole-stage codegen'd."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       round(avg(l_quantity), 4)                            AS avg_qty,
+       round(avg(l_extendedprice), 4)                       AS avg_price,
+       round(avg(l_discount), 6)                            AS avg_disc,
+       count(*)                                             AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+def a1_a3_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 group count + A3 distinct count per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("l_quantity").alias("n_lines"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+_A1_SQL = """
+SELECT l_returnflag,
+       count(l_quantity)          AS n_lines,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_partkey)  AS n_parts
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def a5_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6 — lines per (flag, order), then mean/std (ddof=1, pandas
+    convention per SURVEY A4) per flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_returnflag", "l_orderkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_order.groupBy("l_returnflag").agg(
+        F.round(F.avg("n"), 6).alias("mean_lines"),
+        F.round(F.stddev_samp("n"), 6).alias("std_lines"),
+    )
+
+
+_A5_SQL = """
+WITH per_order AS (
+  SELECT l_returnflag, l_orderkey, count(*) AS n
+  FROM lineitem GROUP BY l_returnflag, l_orderkey
+)
+SELECT l_returnflag,
+       round(avg(n), 6)         AS mean_lines,
+       round(stddev_samp(n), 6) AS std_lines
+FROM per_order GROUP BY l_returnflag
+"""
+
+
+def a9_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — value_counts (count + sort desc)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "o_orderpriority")
+    )
+
+
+_A9_SQL = """
+SELECT o_orderpriority, count(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def a10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — binned histogram of l_quantity (width-5 buckets)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.floor(F.col("l_quantity") / 5).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_A10_SQL = """
+SELECT CAST(floor(l_quantity / 5) AS BIGINT) AS bucket, count(*) AS n
+FROM lineitem GROUP BY bucket
+"""
+
+
+def a11_a13_buckets_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 conditional buckets + A13 ratio of aggregates (one row)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    above = F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+    total = F.count(F.lit(1))
+    return li.agg(
+        above.cast("long").alias("n_above"),
+        (total - above).cast("long").alias("n_below"),
+        F.round(above / total * 100, 4).alias("pct_above"),
+        F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 4).alias(
+            "price_per_unit"
+        ),
+    )
+
+
+_A11_SQL = """
+SELECT CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       CAST(count(*) - sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       round(100.0 * sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) / count(*), 4) AS pct_above,
+       round(sum(l_extendedprice) / sum(l_quantity), 4) AS price_per_unit
+FROM lineitem
+"""
+
+
+def a12_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — deterministic first-row-per-group (earliest order per customer)."""
+    o = load_table(spark, sf_dir, "orders")
+    first = topk.first_row_per_group(
+        o, "o_custkey", F.struct("o_orderdate", "o_orderkey")
+    )
+    # dates exported as ISO strings: engine-neutral for the value hash
+    return first.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_order_date"),
+    )
+
+
+_A12_SQL = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS first_order_date FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def a14_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — exact percentiles (continuous interpolation) per group."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+_A14_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+def j1_inner_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — inner equi-join + aggregate (orders x customer)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+_J1_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def j2_left_join_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — left join + null-tolerant flag: order-count histogram over ALL
+    customers (zero-order customers included)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("n", F.lit(0)).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_J2_SQL = """
+WITH per_cust AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+SELECT coalesce(n, 0) AS n_orders, count(*) AS n_customers
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY coalesce(n, 0)
+"""
+
+
+def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/P7 — semi-join filter: parts that appear in lineitem, by brand."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+_J4_SQL = """
+SELECT p_brand, count(*) AS n_parts
+FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+GROUP BY p_brand
+"""
+
+
+def j5_lookup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — dim-table lookup chain (customer -> nation -> region), both dims
+    broadcast: zero shuffle on the fact side before the final agg."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+_J5_SQL = """
+SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# windows / sorts / top-k (SURVEY §2.5, §2.6)
+# ---------------------------------------------------------------------------
+
+def w1_w2_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 — windowed partition total + proportion-of-partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag")
+    return counts.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w) * 100, 4).alias("pct"),
+    )
+
+
+_W1_SQL = """
+WITH counts AS (
+  SELECT l_returnflag, l_linestatus, count(*) AS n
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, n,
+       round(100.0 * n / sum(n) OVER (PARTITION BY l_returnflag), 4) AS pct
+FROM counts
+"""
+
+
+def w3_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — cumulative sum along ordered categories within a partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_linestatus")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return counts.select(
+        "l_returnflag", "l_linestatus", F.sum("n").over(w).alias("cum_n")
+    )
+
+
+_W3_SQL = """
+WITH counts AS (
+  SELECT l_returnflag, l_linestatus, count(*) AS n
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       sum(n) OVER (PARTITION BY l_returnflag ORDER BY l_linestatus
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+FROM counts
+"""
+
+
+def w5_dense_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — dense 0-based label numbering (lexicographic, SURVEY §4.3)."""
+    o = load_table(spark, sf_dir, "orders")
+    return topk.dense_label_numbering(
+        o.select("o_orderpriority").distinct(), "o_orderpriority"
+    )
+
+
+_W5_SQL = """
+SELECT o_orderpriority,
+       dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS etiqueta_numero
+FROM (SELECT DISTINCT o_orderpriority FROM orders)
+"""
+
+
+def w6_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — gaps & islands: consecutive same-event_type runs per user
+    (ocr.py:47-59 _get_prediction_ranges semantics)."""
+    e = load_table(spark, sf_dir, "events")
+    return islands.consecutive_runs(e, "event_id", "event_type", ["user_id"])
+
+
+_W6_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+               OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS new_run
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+), islands AS (
+  SELECT *, sum(new_run) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT user_id, event_type, min(event_id) AS start, max(event_id) AS "end",
+       count(*) AS run_len
+FROM islands GROUP BY user_id, event_type, island
+"""
+
+
+def o5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 — top-3 events by value per user (window rank-limit pushdown)."""
+    e = load_table(spark, sf_dir, "events")
+    t = topk.top_k_per_group(
+        e, "user_id", [F.col("value").desc(), F.col("event_id").asc()], k=3
+    )
+    return t.select("user_id", "event_id", "value", "rank")
+
+
+_O5_SQL = """
+SELECT user_id, event_id, value, rn AS rank FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def u_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2 — union-all of two slices + distinct."""
+    c = load_table(spark, sf_dir, "customer")
+    lo = c.where(F.col("c_acctbal") < 0).select("c_mktsegment")
+    hi = c.where(F.col("c_acctbal") >= 0).select("c_mktsegment")
+    return lo.unionByName(hi).distinct()
+
+
+_U_SQL = """
+SELECT DISTINCT c_mktsegment FROM (
+  SELECT c_mktsegment FROM customer WHERE c_acctbal < 0
+  UNION ALL
+  SELECT c_mktsegment FROM customer WHERE c_acctbal >= 0
+)
+"""
+
+
+def p_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4-P7 — equality / range / IN-list predicates pushed to the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(
+            (F.col("o_totalprice") > 50000)
+            & (F.col("o_totalprice") <= 200000)
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_orderstatus") != "P")
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_P_SQL = """
+SELECT o_orderstatus, count(*) AS n
+FROM orders
+WHERE o_totalprice > 50000 AND o_totalprice <= 200000
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_orderstatus <> 'P'
+GROUP BY o_orderstatus
+"""
+
+
+def pivot_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 + pivot — groupBy(flag).pivot(status).count()
+    (pivot_table at main-script1.ipynb:1141 c41)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .withColumnRenamed("O", "n_open")
+        .withColumnRenamed("F", "n_finished")
+        .na.fill(0, ["n_open", "n_finished"])
+    )
+
+
+_PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# vector operators (SURVEY §2.8, §2.3 J7-J9) over the embeddings table
+# ---------------------------------------------------------------------------
+
+def f1_f2_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 — l2 norm + unit-norm invariant after normalisation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(V.l2_norm("embedding"), 6).alias("norm"),
+        F.round(V.l2_norm(V.l2_normalize("embedding")), 6).alias("unit_norm"),
+    )
+
+
+_F1_SQL = """
+SELECT vec_id,
+       round(sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             (a, b) -> a + b)), 6) AS norm,
+       round(1.0, 6) AS unit_norm
+FROM embeddings
+"""
+
+
+def j7_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/W4/M12/A7 — vector-mean centroids per label, then nearest-centroid
+    assignment (broadcast BLAS path), audited as counts + mean distance."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = VA.group_vector_mean(e, "label", "embedding").withColumnRenamed(
+        "label", "cluster_label"
+    )
+    assigned = NC.nearest_centroid(e, cents, vector_col="embedding")
+    return assigned.groupBy("assigned_label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("assigned_dist"), 6).alias("avg_dist"),
+    )
+
+
+_J7_SQL = """
+WITH cent AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, avg(val) AS m FROM (
+      SELECT label, CAST(unnest(embedding) AS DOUBLE) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ) GROUP BY label, pos
+  ) GROUP BY label
+), dist AS (
+  SELECT e.vec_id, c.label AS cl,
+         sqrt(list_reduce(list_transform(list_zip(e.embedding, c.centroid),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) ** 2),
+              (x, y) -> x + y)) AS d
+  FROM embeddings e CROSS JOIN cent c
+), best AS (
+  SELECT vec_id, cl, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+  FROM dist
+)
+SELECT cl AS assigned_label, count(*) AS n, round(avg(d), 6) AS avg_dist
+FROM best WHERE rn = 1 GROUP BY cl
+"""
+
+
+def j9_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — all-pairs euclidean distance matrix over the label centroids
+    (squareform(pdist(centroids)), main-script1.ipynb:1009 c35)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = VA.group_vector_mean(e, "label", "embedding")
+    m = SIM.distance_matrix(cents, "label", "centroid", metric="euclidean")
+    return m.select("id_a", "id_b", F.round("dist", 6).alias("dist"))
+
+
+_J9_SQL = """
+WITH cent AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, avg(val) AS m FROM (
+      SELECT label, CAST(unnest(embedding) AS DOUBLE) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ) GROUP BY label, pos
+  ) GROUP BY label
+)
+SELECT a.label AS id_a, b.label AS id_b,
+       round(sqrt(list_reduce(list_transform(list_zip(a.centroid, b.centroid),
+             p -> (p[1] - p[2]) ** 2), (x, y) -> x + y)), 6) AS dist
+FROM cent a CROSS JOIN cent b
+"""
+
+
+def j8_similarity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/A11 — all-pairs cosine within each label group (upper triangle),
+    bucketed at 0.8 (chunk_similarities.ipynb:447 c21 report shape)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.intra_group_pairs(e, "label", "vec_id", "embedding")
+    return SIM.similarity_buckets(pairs, "sim", threshold=0.8)
+
+
+_J8_SQL = """
+WITH pairs AS (
+  SELECT list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))
+          * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))) AS sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT count(*) AS n_pairs,
+       CAST(sum(CASE WHEN sim > 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       CAST(count(*) - sum(CASE WHEN sim > 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       round(100.0 * sum(CASE WHEN sim > 0.8 THEN 1 ELSE 0 END) / count(*), 2) AS pct_above
+FROM pairs
+"""
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN baseline — exact top-10 by cosine to the vec_id=0 vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann.brute_force_topk(e, q, k=10)
+
+
+_ANN_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_reduce(list_transform(list_zip(embedding, qv),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+       / (sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))
+        * sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))), 6) AS score
+FROM embeddings, q
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def emb_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup (rank form): 20 globally most-similar pairs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_duplicates(e, threshold=-1.0)
+    return pairs.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(20)
+
+
+_EMB_TOP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+       / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))
+        * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, id_a, id_b
+LIMIT 20
+"""
+
+
+# random-projection LSH: plane literals are seeded numpy constants, so the
+# oracle SQL is *generated* with the identical literals.
+_RP_PLANES = np.random.RandomState(42).normal(size=(8, 64))
+
+
+def rp_bucket_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucket histogram (the blocking stage for embedding dedup)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = ann.random_projection_buckets(e, num_planes=8, seed=42)
+    return b.groupBy("rp_bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _rp_sql() -> str:
+    bits = []
+    for i in range(8):
+        lits = ", ".join(f"{x!r}" for x in _RP_PLANES[i])
+        dot = (
+            "list_reduce(list_transform(list_zip(embedding, "
+            f"[{lits}]), p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    expr = " + ".join(bits)
+    return (
+        f"SELECT CAST({expr} AS BIGINT) AS rp_bucket, count(*) AS n "
+        "FROM embeddings GROUP BY rp_bucket"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup over the documents table
+# ---------------------------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features per document (pretraining-filter style)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.whitespace_token_count("text").alias("n_tokens"),
+        TX.char_count("text").alias("n_chars_actual"),
+        TX.mean_word_length("text").alias("mean_word_len"),
+        TX.digit_ratio("text").alias("digit_ratio"),
+    )
+
+
+_TEXT_QUALITY_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+       length(text) AS n_chars_actual,
+       CASE WHEN trim(text) = '' THEN NULL
+            ELSE round(list_reduce(list_transform(string_split_regex(trim(text), '\s+'),
+                 w -> CAST(length(w) AS DOUBLE)), (a, b) -> a + b)
+                 / len(string_split_regex(trim(text), '\s+')), 6) END AS mean_word_len,
+       CASE WHEN length(text) = 0 THEN NULL
+            ELSE round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) END AS digit_ratio
+FROM documents
+"""
+
+
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup audit: total docs vs distinct canonical texts, and the
+    row count surviving dedup_exact (must equal n_distinct)."""
+    d = load_table(spark, sf_dir, "documents")
+    survivors = dedup.dedup_exact(d, "text", "doc_id").count()
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(norm).alias("n_distinct"),
+        F.lit(survivors).cast("long").alias("n_survivors"),
+    )
+
+
+_DEDUP_EXACT_SQL = r"""
+SELECT count(*) AS n_docs,
+       count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_distinct,
+       count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_survivors
+FROM documents
+"""
+
+
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style quality gate + per-lang survivor counts."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        TX.whitespace_token_count("text").alias("n_tokens"),
+        TX.mean_word_length("text").alias("mwl"),
+    )
+    return (
+        scored.where((F.col("n_tokens") >= 10) & (F.col("mwl") >= 2.0))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_DOC_FILTER_SQL = r"""
+WITH scored AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         CASE WHEN trim(text) = '' THEN NULL
+              ELSE list_reduce(list_transform(string_split_regex(trim(text), '\s+'),
+                   w -> CAST(length(w) AS DOUBLE)), (a, b) -> a + b)
+                   / len(string_split_regex(trim(text), '\s+')) END AS mwl
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs
+FROM scored WHERE n_tokens >= 10 AND mwl >= 2.0
+GROUP BY lang
+"""
+
+
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates (no SQL oracle: xxhash64-based
+    signature family is engine-specific; invariants are pytest-verified)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(d, jaccard_threshold=0.2)
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-ball near-duplicate pairs (no SQL oracle: xxhash64)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(d, max_hamming=12)
+
+
+# ---------------------------------------------------------------------------
+# events: windowed / sessionized analytics (streaming-parity batch plans)
+# ---------------------------------------------------------------------------
+
+def evt_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type (batch twin of the streaming
+    plan in streaming/windows.py; window start exported as epoch seconds)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_EVT_WINDOW_SQL = """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def evt_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap, per-user session count + the
+    longest session's event count (lag + cumsum islands)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+_EVT_SESSIONS_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM gaps
+), per_sess AS (
+  SELECT user_id, sess_id, count(*) AS n_events FROM sess GROUP BY user_id, sess_id
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+FROM per_sess GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# upsert (S11)
+# ---------------------------------------------------------------------------
+
+def s11_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 — merge_documents-style keyed partial update, audited by lang
+    counts (ChunkLabelingProcesor.py:47-50 semantics)."""
+    d = load_table(spark, sf_dir, "documents")
+    updates = d.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.lit("relabeled").alias("lang")
+    )
+    merged = upsert.upsert_fields(d, updates, "doc_id", ["lang"])
+    return merged.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+_S11_SQL = """
+SELECT CASE WHEN doc_id % 10 = 0 THEN 'relabeled' ELSE lang END AS lang,
+       count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry / driver contract
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
+    "a1_a3_counts": (a1_a3_counts, _A1_SQL),
+    "a5_two_level": (a5_two_level, _A5_SQL),
+    "a9_value_counts": (a9_value_counts, _A9_SQL),
+    "a10_histogram": (a10_histogram, _A10_SQL),
+    "a11_a13_buckets_ratio": (a11_a13_buckets_ratio, _A11_SQL),
+    "a12_first_per_group": (a12_first_per_group, _A12_SQL),
+    "a14_percentiles": (a14_percentiles, _A14_SQL),
+    "j1_inner_join_agg": (j1_inner_join_agg, _J1_SQL),
+    "j2_left_join_flags": (j2_left_join_flags, _J2_SQL),
+    "j4_semi_join": (j4_semi_join, _J4_SQL),
+    "j5_lookup_chain": (j5_lookup_chain, _J5_SQL),
+    "w1_w2_proportion": (w1_w2_proportion, _W1_SQL),
+    "w3_cumsum": (w3_cumsum, _W3_SQL),
+    "w5_dense_numbering": (w5_dense_numbering, _W5_SQL),
+    "w6_islands": (w6_islands, _W6_SQL),
+    "o5_topk_per_group": (o5_topk_per_group, _O5_SQL),
+    "u_set_ops": (u_set_ops, _U_SQL),
+    "p_filters": (p_filters, _P_SQL),
+    "pivot_categories": (pivot_categories, _PIVOT_SQL),
+    "f1_f2_norms": (f1_f2_norms, _F1_SQL),
+    "j7_nearest_centroid": (j7_nearest_centroid, _J7_SQL),
+    "j9_distance_matrix": (j9_distance_matrix, _J9_SQL),
+    "j8_similarity_buckets": (j8_similarity_buckets, _J8_SQL),
+    "ann_topk": (ann_topk, _ANN_SQL),
+    "emb_top_pairs": (emb_top_pairs, _EMB_TOP_SQL),
+    "rp_bucket_hist": (rp_bucket_hist, _rp_sql()),
+    "text_quality": (text_quality, _TEXT_QUALITY_SQL),
+    "dedup_exact_stats": (dedup_exact_stats, _DEDUP_EXACT_SQL),
+    "doc_quality_filter": (doc_quality_filter, _DOC_FILTER_SQL),
+    "minhash_near_dup": (minhash_near_dup, None),
+    "simhash_near_dup": (simhash_near_dup, None),
+    "evt_tumbling_window": (evt_tumbling_window, _EVT_WINDOW_SQL),
+    "evt_sessions": (evt_sessions, _EVT_SESSIONS_SQL),
+    "s11_upsert": (s11_upsert, _S11_SQL),
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query."""
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

@@ -1,0 +1,98 @@
+"""Dedup suite: planted duplicates must be found; estimators sane."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_optimization_spark.operators import ann, dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into the woods "
+    "while the hunter watches quietly from behind an old oak tree near the river"
+)
+NEAR = BASE.replace("quietly", "silently")  # one-word edit → high jaccard
+FAR = "completely different content about spark query engines and shuffle costs"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                      # exact dup of 0
+        (2, "  " + BASE.upper() + " "), # canonical-form dup of 0
+        (3, NEAR),                      # near dup of 0
+        (4, FAR),
+        (5, "unrelated tiny text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates_groups(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert sorted(groups[0].members) == [0, 1, 2]
+    assert groups[0].keeper == 0
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    kept = {r.doc_id for r in dedup.dedup_exact(docs).collect()}
+    assert kept == {0, 3, 4, 5}
+
+
+def test_minhash_finds_near_dup(docs):
+    pairs = dedup.minhash_near_duplicates(
+        docs, num_hashes=128, num_bands=32, jaccard_threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found          # identical docs
+    assert (0, 3) in found or (1, 3) in found  # near dup
+    assert all({a, b} & {4, 5} == set() or a == b for a, b in found)
+
+
+def test_minhash_estimate_close_to_true_jaccard(docs, spark):
+    sigs = dedup.minhash_signatures(docs, num_hashes=256)
+    pdf = sigs.toPandas().set_index("doc_id")
+    est = sum(
+        x == y for x, y in zip(pdf.loc[0, "signature"], pdf.loc[3, "signature"])
+    ) / 256
+    a = set(zip(BASE.split(), BASE.split()[1:], BASE.split()[2:]))
+    b = set(zip(NEAR.split(), NEAR.split()[1:], NEAR.split()[2:]))
+    true_j = len(a & b) / len(a | b)
+    assert est == pytest.approx(true_j, abs=0.15)
+
+
+def test_simhash_identical_and_near(docs):
+    pairs = dedup.simhash_near_duplicates(docs, max_hamming=10).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert found.get((0, 1)) == 0          # identical text → identical simhash
+    assert (0, 3) in found                  # near dup inside the hamming ball
+
+
+def test_ngram_jaccard_verification(docs, spark):
+    cands = spark.createDataFrame(
+        [(0, 1), (0, 3), (0, 4)], "id_a long, id_b long"
+    )
+    rows = dedup.ngram_jaccard_pairs(docs, cands, threshold=0.0).collect()
+    j = {(r.id_a, r.id_b): r.jaccard for r in rows}
+    assert j[(0, 1)] == pytest.approx(1.0)
+    assert j[(0, 3)] > 0.8
+    assert j[(0, 4)] < 0.2
+
+
+def test_embedding_near_duplicates_with_rp_blocking(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=32)
+    rows = [
+        (0, (base / np.linalg.norm(base)).tolist()),
+        (1, (base / np.linalg.norm(base) + 1e-3).tolist()),   # near dup
+        (2, rng.normal(size=32).tolist()),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bucketed = ann.random_projection_buckets(df, num_planes=4)
+    pairs = dedup.embedding_near_duplicates(
+        bucketed, threshold=0.99, group_col="rp_bucket"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}

@@ -1,0 +1,63 @@
+"""Fast oracle-parity gate: every registry query vs DuckDB at sf0.001.
+
+The driver runs the same comparison at sf0.01 (CORRECTNESS_r{N}.json); this
+keeps the contract green during development.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_query_matches_oracle(spark, duck, name):
+    fn = entrymod.queries()[name]
+    sdf = _canon(fn(spark, SF_SMALL).toPandas())
+    sql = entrymod.oracle_sql().get(name)
+    if sql is None:
+        assert len(sdf) >= 0  # rows-only contract
+        return
+    ddf = _canon(duck.sql(sql).df())
+    assert list(sdf.columns) == list(ddf.columns)
+    assert len(sdf) == len(ddf)
+    for c in sdf.columns:
+        a, b = sdf[c], ddf[c]
+        if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+            af = pd.to_numeric(a, errors="coerce").to_numpy(dtype=float)
+            bf = pd.to_numeric(b, errors="coerce").to_numpy(dtype=float)
+            assert (
+                np.isclose(af, bf, rtol=1e-9, atol=1e-9) | (np.isnan(af) & np.isnan(bf))
+            ).all(), f"col {c}"
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), f"col {c}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0

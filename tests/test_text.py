@@ -1,0 +1,84 @@
+"""functions.text — token counts, shingles, fingerprint, language ID."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_optimization_spark.functions import text as TX
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    rows = [
+        (0, "the cat and the dog sat on the mat"),
+        (1, "El perro y el gato que corren por la casa para comer"),
+        (2, "der Hund und die Katze sind nicht mit dem Auto auf der Strasse"),
+        (3, "le chat est dans la maison pour manger les croissants pas mal"),
+        (4, "你好 世界 这是 中文 文本"),
+        (5, ""),
+        (6, "   "),
+        (7, "xyzzy plugh qwerty"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string").cache()
+
+
+def test_whitespace_token_count(tdf):
+    got = {r.id: r.n for r in tdf.select("id", TX.whitespace_token_count("text").alias("n")).collect()}
+    assert got[0] == 9
+    assert got[5] == 0
+    assert got[6] == 0
+
+
+def test_language_id(tdf):
+    got = {r.id: r.lang for r in tdf.select("id", TX.language_id("text").alias("lang")).collect()}
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "zh"
+    assert got[7] == "und"
+
+
+def test_fingerprint_canonicalizes(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello,  World!"), (1, "hello world"), (2, "HELLO    WORLD"), (3, "other")],
+        "id long, text string",
+    )
+    fps = {r.id: r.fp for r in df.select("id", TX.fingerprint("text").alias("fp")).collect()}
+    assert fps[0] == fps[1] == fps[2]
+    assert fps[3] != fps[0]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    rows = df.select(TX.word_shingles("text", 3).alias("s")).collect()
+    assert sorted(rows[0].s) == ["a b c", "b c d"]
+    assert rows[1].s == ["a b"]  # shorter than n → whole text
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame([("abcde",), ("ab",)], "text string")
+    rows = df.select(TX.char_ngrams("text", 3).alias("g")).collect()
+    assert sorted(rows[0].g) == ["abc", "bcd", "cde"]
+    assert rows[1].g == ["ab"]
+
+
+def test_quality_ratios(spark):
+    df = spark.createDataFrame([("ab12, cd!",), ("",)], "text string")
+    rows = df.select(
+        TX.digit_ratio("text").alias("d"),
+        TX.punct_ratio("text").alias("p"),
+        TX.mean_word_length("text").alias("m"),
+    ).collect()
+    assert rows[0].d == pytest.approx(2 / 9, abs=1e-6)
+    assert rows[0].p == pytest.approx(2 / 9, abs=1e-6)
+    assert rows[0].m == pytest.approx((5 + 3) / 2, abs=1e-6)
+    assert rows[1].d is None and rows[1].p is None and rows[1].m is None
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([("hello world, foo!",)], "text string")
+    n = df.select(TX.bpe_ish_token_count("text").alias("n")).first().n
+    # hello / world / , / foo / ! → 5 (whitespace dropped)
+    assert n == 5

@@ -1,0 +1,160 @@
+"""Text-analysis kernels for large-scale training-data pipelines.
+
+Engine extensions beyond the reference's surface (the reference counts
+tokens with tiktoken for its LLM budget, update-etiquetas.ipynb:171 c9 F10;
+everything else here is the standard corpus-curation toolkit). All built
+from JVM-side expressions so they run inside whole-stage codegen over
+billions of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --- token counting (F10-adjacent) ------------------------------------------
+
+def whitespace_token_count(text: Column | str) -> Column:
+    """Token count by whitespace splitting; '' counts as 0 tokens."""
+    t = F.trim(_c(text))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Cheap proxy for BPE token counts without a tokenizer dependency.
+
+    Counts maximal runs of word chars, digits, or single punctuation —
+    the pre-tokenization regex family GPT-style BPEs use. Deterministic,
+    pure-SQL, so it can gate token budgets (F11) at scan time.
+    """
+    t = _c(text)
+    return F.size(
+        F.filter(
+            F.split(t, r"(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"),
+            lambda s: (s != "") & (s != " "),
+        )
+    )
+
+
+def truncate_by_token_budget(text: Column | str, budget_tokens: int, chars_per_token: float = 4.0) -> Column:
+    """F11 — token-budget truncation (update-etiquetas.ipynb:171 c9 caps the
+    labeling prompt at 125,000 tokens). Char-budget approximation; exact
+    budgets belong in the (driver-side) LLM stage."""
+    return F.substring(_c(text), 1, int(budget_tokens * chars_per_token))
+
+
+# --- quality scoring ---------------------------------------------------------
+
+def char_count(text: Column | str) -> Column:
+    return F.length(_c(text))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are punctuation (NULL for empty text)."""
+    t = _c(text)
+    n = F.length(t).cast("double")
+    punct = (n - F.length(F.regexp_replace(t, r"[\p{Punct}]", ""))).cast("double")
+    return F.when(n == 0, F.lit(None)).otherwise(F.round(punct / n, 6))
+
+
+def upper_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    n = F.length(t).cast("double")
+    upper = (n - F.length(F.regexp_replace(t, r"[A-Z]", ""))).cast("double")
+    return F.when(n == 0, F.lit(None)).otherwise(F.round(upper / n, 6))
+
+
+def digit_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    n = F.length(t).cast("double")
+    digit = (n - F.length(F.regexp_replace(t, r"[0-9]", ""))).cast("double")
+    return F.when(n == 0, F.lit(None)).otherwise(F.round(digit / n, 6))
+
+
+def mean_word_length(text: Column | str) -> Column:
+    t = F.trim(_c(text))
+    words = F.split(t, r"\s+")
+    total = F.aggregate(words, F.lit(0.0), lambda acc, w: acc + F.length(w))
+    return F.when(t == "", F.lit(None)).otherwise(F.round(total / F.size(words), 6))
+
+
+# stopword tables for the n-gram language-ID heuristic. Tiny, broadcast as
+# literal arrays — no shuffle, no dim-table join.
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "for", "with", "was"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por", "con", "para"],
+    "de": ["der", "die", "das", "und", "ist", "von", "nicht", "mit", "ein", "auf"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour", "que", "pas"],
+}
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """Number of tokens that are stopwords of `lang` (lowercased match)."""
+    words = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+    return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+
+
+def language_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts.
+
+    Latin-script langs scored by stopword hits; CJK detected by codepoint
+    range first (stopword lists are useless there). Returns 'und' when no
+    signal. Pure column expression — runs at scan speed.
+    """
+    t = _c(text)
+    han = F.length(F.regexp_replace(t, r"[^一-鿿]", ""))
+    scored = F.array(
+        *[
+            F.struct(stopword_hits(t, lang).alias("hits"), F.lit(lang).alias("lang"))
+            for lang in sorted(_STOPWORDS)
+        ]
+    )
+    best = F.array_max(scored)  # struct compare: hits first, lang tiebreak
+    return (
+        F.when(han > 0, F.lit("zh"))
+        .when(best["hits"] > 0, best["lang"])
+        .otherwise(F.lit("und"))
+    )
+
+
+# --- fingerprinting / shingling ----------------------------------------------
+
+def fingerprint(text: Column | str) -> Column:
+    """64-bit document fingerprint of normalized text (xxhash64).
+
+    Normalization: lowercase, collapse whitespace, strip punctuation — the
+    usual exact-dup canonical form.
+    """
+    t = F.regexp_replace(F.lower(_c(text)), r"[\p{Punct}]", "")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return F.xxhash64(t)
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Array of word n-gram shingles (distinct), the MinHash input."""
+    words = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    k = F.size(words) - (n - 1)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return F.when(k <= 0, F.array(F.array_join(words, " "))).otherwise(
+        F.array_distinct(shingles)
+    )
+
+
+def char_ngrams(text: Column | str, n: int = 5) -> Column:
+    """Array of distinct character n-grams (for n-gram Jaccard)."""
+    t = F.lower(F.trim(_c(text)))
+    k = F.length(t) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: t.substr(i, F.lit(n)),
+    )
+    return F.when(k <= 0, F.array(t)).otherwise(F.array_distinct(grams))

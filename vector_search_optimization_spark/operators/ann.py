@@ -1,0 +1,210 @@
+"""Similarity search over embedding columns.
+
+Engine extension (the reference's vector search is delegated to Azure AI
+Search; its local analog is the brute-force nearest-centroid scan,
+nuevo-kmeans-pre.ipynb:16 c1). Three tiers:
+
+- ``brute_force_topk``       : exact top-k for a single query vector — one
+                               scan + TakeOrdered, the correctness baseline.
+- ``brute_force_topk_batch`` : exact top-k for a query *table* — broadcast
+                               the queries, one window over (query, dist).
+- ``ivf_topk`` / ``random_projection_buckets``: the scale paths. IVF
+                               partitions the corpus by nearest centroid
+                               (coarse quantizer) and probes only the
+                               closest nprobe cells; RP-LSH buckets sign
+                               patterns for near-dup blocking.
+
+Scale notes: the corpus table never shuffles for brute force (map-side
+distance + partial top-k, AQE merges); IVF turns a full scan into a
+partition-pruned scan when the corpus is *written* partitioned by cell id
+(df.write.partitionBy("cell")), which is the intended layout at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+from .nearest_centroid import nearest_centroid
+
+_SIMS = ("cosine", "dot")
+
+
+def _score(vector_col: str, query: Sequence[float], sim: str) -> F.Column:
+    q = F.array(*[F.lit(float(x)) for x in query])
+    if sim == "cosine":
+        return V.cosine_similarity(F.col(vector_col), q)
+    if sim == "dot":
+        return V.dot(F.col(vector_col), q)
+    raise ValueError(f"unknown similarity {sim!r}; one of {_SIMS}")
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    sim: str = "cosine",
+) -> DataFrame:
+    """Exact top-k rows by similarity to one query vector.
+
+    The query is a plan literal — the scan computes the score map-side and
+    Spark's TakeOrderedAndProject keeps k rows per partition, so the
+    shuffle is k*num_partitions rows regardless of corpus size.
+    """
+    return (
+        df.select(F.col(id_col), F.round(_score(vector_col, query, sim), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def brute_force_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "query_vec",
+    sim: str = "cosine",
+) -> DataFrame:
+    """Exact top-k per query for a table of queries.
+
+    Broadcast the (small) query table against the corpus — the corpus does
+    not shuffle; the window's rank-limit pushdown keeps k rows per query per
+    map task before the single (query_id-keyed) shuffle.
+    """
+    from pyspark.sql import Window
+
+    scored = corpus.crossJoin(
+        F.broadcast(queries.select(query_id_col, query_vector_col))
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            V.cosine_similarity(vector_col, query_vector_col)
+            if sim == "cosine"
+            else V.dot(vector_col, query_vector_col),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    num_cells: int = 64,
+    vector_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Coarse quantizer for IVF: k-means cells over (a sample of) the corpus.
+
+    Returns a small DataFrame (cell int, centroid array<float>). Uses MLlib
+    KMeans on a sampled, driver-bounded training set — the standard IVF
+    recipe (train on a sample, assign the full corpus with the broadcast
+    matrix).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = df.select(vector_col)
+    if sample_fraction:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    train = sample.select(array_to_vector(F.col(vector_col)).alias("features"))
+    model = KMeans(k=num_cells, seed=seed, maxIter=max_iter).fit(train)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        schema="cell int, centroid array<float>",
+    )
+
+
+def assign_ivf_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Attach the IVF cell id to every corpus row (no shuffle — broadcast
+    matrix argmin via the nearest-centroid operator)."""
+    return nearest_centroid(
+        df,
+        centroids,
+        vector_col=vector_col,
+        centroid_col="centroid",
+        label_col="cell",
+        metric="sqeuclidean",
+        out_label="cell",
+        out_dist="cell_dist",
+    ).drop("cell_dist")
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    sim: str = "cosine",
+) -> DataFrame:
+    """Approximate top-k: probe only the nprobe nearest IVF cells.
+
+    ``indexed`` must carry the ``cell`` column from assign_ivf_cells. The
+    cell filter is an IN-list literal → partition pruning when the corpus
+    is stored partitionBy("cell"); otherwise it's still a pushed-down scan
+    filter that skips (1 - nprobe/num_cells) of the data.
+    """
+    cents = centroids.collect()
+    q = np.array(query, dtype=np.float64)
+    order = sorted(
+        cents, key=lambda r: float(np.sum((np.array(r["centroid"]) - q) ** 2))
+    )
+    probe = [r["cell"] for r in order[:nprobe]]
+    return brute_force_topk(
+        indexed.where(F.col("cell").isin(probe)),
+        query,
+        k=k,
+        id_col=id_col,
+        vector_col=vector_col,
+        sim=sim,
+    )
+
+
+def random_projection_buckets(
+    df: DataFrame,
+    num_planes: int = 12,
+    vector_col: str = "embedding",
+    seed: int = 42,
+    out_col: str = "rp_bucket",
+) -> DataFrame:
+    """Sign-pattern LSH bucket id (SRP-LSH, Charikar '02) as a long.
+
+    num_planes seeded random hyperplanes; bit i = sign(<v, plane_i>).
+    Cosine-similar vectors collide with probability 1 - theta/pi per bit.
+    Pure column expressions over plan-literal plane vectors — scan-speed,
+    no UDF. Output feeds dedup.embedding_near_duplicates(group_col=...).
+    """
+    dim = len(df.select(vector_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(num_planes, dim))
+    bucket = F.lit(0).cast("long")
+    for i in range(num_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = (V.dot(F.col(vector_col), plane) > 0).cast("long")
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return df.withColumn(out_col, bucket)

@@ -1,0 +1,352 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Engine extension beyond the reference (its closest analog is the
+intra-document similarity audit, chunk_similarities.ipynb:447 c21). Five
+strategies, cheapest to richest:
+
+- exact:          hash-groupBy on a canonical fingerprint. One shuffle.
+- minhash LSH:    shingle → minhash signature → band buckets → bucket join.
+                  Near-dup candidates without the O(n^2) self-join; the
+                  standard web-corpus dedup (Broder '97).
+- simhash:        64-bit similarity-preserving signature; hamming-ball
+                  candidate pairs via rotated prefix buckets.
+- n-gram jaccard: exact jaccard on char n-grams for candidate verification.
+- embedding:      cosine near-dup over an embedding column (see
+                  operators.ann for the LSH-bucketed scale path).
+
+Scale notes: every strategy is one or two hash-partition shuffles; nothing
+materializes pairs outside a bucket. Bucket skew (a viral boilerplate
+string) is handled by AQE skew-join plus the per-bucket pair cap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions import vector as V
+
+# --- exact -------------------------------------------------------------------
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact duplicates (by normalized-text fingerprint).
+
+    Returns one row per duplicate group: fingerprint, size, member ids,
+    and the keeper (min id). Only groups with >1 member.
+    """
+    return (
+        df.select(F.col(id_col), TX.fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min(id_col).alias("keeper"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one row (min id) per normalized-text fingerprint.
+
+    min_by-based: one partial-aggregating shuffle on the fingerprint, no
+    window, no sort.
+    """
+    keep = (
+        df.select(F.col(id_col).alias("__id"), TX.fingerprint(text_col).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min("__id").alias(id_col))
+        .drop("__fp")
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# --- minhash + LSH -----------------------------------------------------------
+
+# Universal-hash prime: Mersenne 2^31-1 keeps every a*h+b product inside a
+# 64-bit long (Spark 4 runs ANSI mode — long overflow is an error, not a wrap)
+_MERSENNE = (1 << 31) - 1
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>) — minhash over word-shingle sets.
+
+    Universal-hash family h_i(x) = (a_i * x + b_i) mod p over the shingle's
+    xxhash64. Built entirely from Catalyst expressions: the per-row cost is
+    num_hashes * |shingles| multiply-mods inside codegen; no UDF, no
+    shuffle. a_i/b_i are seeded driver-side constants (deterministic plan).
+    """
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+
+    shingle_hashes = F.transform(
+        TX.word_shingles(text_col, shingle_n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__sh"),
+                    lambda h: F.pmod(
+                        h * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(_MERSENNE)
+                    ),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return (
+        df.select(F.col(id_col), shingle_hashes.alias("__sh"))
+        .select(id_col, sig.alias("signature"))
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+    sig_col: str = "signature",
+) -> DataFrame:
+    """LSH banding: equal band-slices → candidate pairs (id_a < id_b).
+
+    Rows per band = num_hashes / num_bands. Explode to (band, band_hash)
+    keys, self-join per bucket, distinct pairs. Two shuffles (explode-agg,
+    pair-distinct); candidate volume is bucket-bounded.
+    """
+    n_hashes_col = F.size(F.col(sig_col))
+    rows_per_band = (n_hashes_col / num_bands).cast("int")
+    bands = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col(sig_col), band * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: candidates verified by signature-estimated
+    jaccard (fraction of agreeing minhashes). Returns (id_a, id_b, est_jaccard).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    cands = minhash_lsh_candidates(sigs, id_col, num_bands)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("__sa"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("__sb"))
+    est = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.size("__sa")
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= jaccard_threshold)
+    )
+
+
+# --- simhash ------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
+) -> DataFrame:
+    """64-bit SimHash over word shingles (Charikar '02).
+
+    For each of the 64 bit positions, sum +1/-1 votes of each shingle's
+    xxhash64 bit; the sign becomes the output bit. Explode + groupBy with 64
+    unrolled sum expressions: one pass over the shingles, map-side partial
+    aggregation, bit positions are plan literals (shiftright needs them).
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(TX.word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+        ).alias("__h"),
+    )
+    votes = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"__b{b}")
+            for b in range(64)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for b in range(64):
+        packed = packed.bitwiseOR(
+            F.shiftleft((F.col(f"__b{b}") > 0).cast("long"), b)
+        )
+    return votes.select(F.col(id_col), packed.alias("simhash"))
+
+
+def hamming_distance(a, b):
+    """Popcount of XOR via bit_count (Spark >= 3.5)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Candidate pairs with simhash hamming distance <= max_hamming.
+
+    Bucketing: split the 64-bit hash into (max_hamming + 1) segments — a
+    pair within the hamming ball must agree exactly on >= 1 segment
+    (pigeonhole), so joining on (segment_idx, segment_value) finds all true
+    pairs while only comparing within buckets.
+    """
+    n_seg = max_hamming + 1
+    seg_bits = 64 // n_seg
+    hashed = simhash(df, text_col, id_col, shingle_n)
+    mask = (1 << seg_bits) - 1
+    segs = hashed.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg"),
+                        F.shiftright(F.col("simhash"), i * seg_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("segval"),
+                    )
+                    for i in range(n_seg)
+                ]
+            )
+        ).alias("s"),
+    ).select(id_col, "simhash", "s.seg", "s.segval")
+
+    a = segs.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("__ha"), "seg", "segval"
+    )
+    b = segs.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("__hb"), "seg", "segval"
+    )
+    return (
+        a.join(b, ["seg", "segval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", hamming_distance("__ha", "__hb").alias("hamming")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# --- n-gram jaccard ------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact char-n-gram jaccard for a candidate pair table (id_a, id_b).
+
+    The verification stage after LSH: joins the n-gram sets onto the
+    (small) candidate table and computes |A∩B| / |A∪B| with array
+    intersect/union expressions.
+    """
+    grams = df.select(
+        F.col(id_col), TX.char_ngrams(text_col, ngram_n).alias("__g")
+    )
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
+    union = F.size(F.array_union("__ga", "__gb")).cast("double")
+    return (
+        candidates.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.when(union == 0, 0.0).otherwise(inter / union), 6).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --- embedding near-dup ----------------------------------------------------------
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    threshold: float = 0.95,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column.
+
+    With ``group_col`` (e.g. an LSH bucket or cluster label) the self-join
+    is confined within groups; without it this is a full O(n^2) cross join —
+    correctness baseline only, use operators.ann.random_projection_buckets
+    to produce the group at scale.
+    """
+    a = df.select(
+        *( [F.col(group_col)] if group_col else [] ),
+        F.col(id_col).alias("id_a"),
+        F.col(vector_col).alias("__va"),
+    )
+    b = df.select(
+        *( [F.col(group_col)] if group_col else [] ),
+        F.col(id_col).alias("id_b"),
+        F.col(vector_col).alias("__vb"),
+    )
+    joined = a.join(b, group_col) if group_col else a.crossJoin(b)
+    return (
+        joined.where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(V.cosine_similarity("__va", "__vb"), 6).alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,96 @@
+"""Readers (SURVEY §2.1 S1-S7).
+
+The reference loads CSV with a runtime column-presence check
+(main-script1.ipynb:161 c8), JSON dumps via json.load (main-script1.ipynb:190
+c9), and parquet snapshots (nuevo-kmeans-pre.ipynb:33 c2). Spark equivalents
+pin explicit schemas so scans prune columns and push predicates; schema
+drift fails loudly at plan time instead of silently at chart time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import schemas
+from ..functions import vector as V
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver test table (TESTDATA.md) as a DataFrame.
+
+    events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark reads
+    as long (session sets spark.sql.legacy.parquet.nanosAsLong); convert to
+    a real timestamp at microsecond precision — the same truncation DuckDB
+    applies, so oracle comparisons line up.
+    """
+    if name == "events":
+        # both confs are dynamic — safe to pin on a caller-provided session
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_chunks(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """S2/S3 — chunk fact table with the pinned schema (SURVEY §1.2)."""
+    reader = spark.read.schema(schemas.CHUNKS)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "json":
+        return reader.json(path)
+    raise ValueError(f"unsupported chunks format {fmt!r}")
+
+
+def read_centroids_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1 — centroid table from CSV with the string→vector cast (F6).
+
+    cluster_centroids.csv serializes the centroid as "[f, f, ...]"
+    (main-script1.ipynb:310 c15 parses it with np.fromstring); the Spark
+    read applies functions.vector.parse_vector so downstream operators see
+    array<float>, and fails the plan if required columns are missing
+    (mirroring the reference's runtime check at main-script1.ipynb:161 c8,
+    but at analysis time).
+    """
+    raw = spark.read.option("header", True).schema(schemas.CENTROIDS_CSV).csv(path)
+    return raw.select(
+        "cluster_label", V.parse_vector("centroid").alias("centroid"), "etiqueta"
+    )
+
+
+def read_json_index_dump(spark: SparkSession, path: str) -> DataFrame:
+    """S2/S4 — full search-index dump (documentos_pre.json shape): chunk
+    columns plus document_path and the writeback target etiqueta_cluster.
+    Null vectors are kept — the null-drop filter (P8) is the caller's
+    explicit step, as in get_all_embeddings (update-etiquetas.ipynb:171 c9).
+    """
+    schema = T.StructType(
+        list(schemas.CHUNKS.fields)
+        + [
+            T.StructField("document_path", T.StringType(), True),
+            T.StructField("etiqueta_cluster", T.StringType(), True),
+        ]
+    )
+    return spark.read.schema(schema).json(path)

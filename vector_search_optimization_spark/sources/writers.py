@@ -1,0 +1,79 @@
+"""Sinks (SURVEY §2.1 S8-S11).
+
+CSV sink mirrors cluster_creator.py:57-59 (centroid table with the vector
+serialized as "[f, f, ...]"); JSON sink nuevo-kmeans-pre.ipynb:136 c9;
+the upsert sink is merge_documents (ChunkLabelingProcesor.py:47-50)
+re-expressed as join+overwrite (see operators.upsert for the join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..functions import vector as V
+from ..operators.upsert import upsert_fields
+
+
+def _stringify_vectors(df: DataFrame) -> DataFrame:
+    """CSV can't hold arrays: serialize array columns to "[f, f, ...]"."""
+    out = df
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.ArrayType):
+            out = out.withColumn(field.name, V.vector_to_string(field.name))
+    return out
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S8 — CSV sink (df_final.to_csv, cluster_creator.py:57-59)."""
+    _stringify_vectors(df).write.mode(mode).option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S10 — JSON sink (json.dump, nuevo-kmeans-pre.ipynb:136 c9)."""
+    df.write.mode(mode).json(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """S3 — parquet sink; partition_by is the 100 TB layout lever (e.g.
+    partition the ANN corpus by IVF cell for partition-pruned probes)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_upsert(
+    base_path: str,
+    updates: DataFrame,
+    key_col: str,
+    update_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """S11 — keyed upsert sink: read base, merge_documents-style partial
+    update, atomic rewrite via staging path + rename.
+
+    Plain parquet has no MERGE INTO; on Delta/Iceberg this becomes a real
+    MERGE and only touched files rewrite. The staging dance keeps the
+    read-your-writes failure mode (never a half-written base).
+    """
+    spark = updates.sparkSession
+    base = spark.read.format(fmt).load(base_path)
+    merged = upsert_fields(base, updates, key_col, update_cols)
+    staging = base_path.rstrip("/") + ".__staging__"
+    merged.write.mode("overwrite").format(fmt).save(staging)
+
+    # commit: swap staging into place (local/posix semantics; object stores
+    # would use a manifest or table format instead)
+    from py4j.java_gateway import java_import
+
+    jvm = spark._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+        spark._jsc.hadoopConfiguration()
+    )
+    base_p = jvm.Path(base_path)
+    fs.delete(base_p, True)
+    fs.rename(jvm.Path(staging), base_p)
