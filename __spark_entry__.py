@@ -488,10 +488,18 @@ FROM lineitem GROUP BY l_returnflag
 def f1_f2_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2 — l2 norm + unit-norm invariant after normalisation."""
     e = load_table(spark, sf_dir, "embeddings")
-    return e.select(
+    # two projections: materializing the normalized array once keeps the
+    # norm-of-normalized expression from re-expanding the whole normalize
+    # (nested HOF would be O(d^2) per row)
+    staged = e.select(
         "vec_id",
-        F.round(V.l2_norm("embedding"), 6).alias("norm"),
-        F.round(V.l2_norm(V.l2_normalize("embedding")), 6).alias("unit_norm"),
+        F.col("embedding").alias("v"),
+        V.l2_normalize("embedding").alias("u"),
+    )
+    return staged.select(
+        "vec_id",
+        F.round(V.l2_norm("v"), 6).alias("norm"),
+        F.round(V.l2_norm("u"), 6).alias("unit_norm"),
     )
 
 
@@ -573,7 +581,7 @@ def j8_similarity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8/A11 — all-pairs cosine within each label group (upper triangle),
     bucketed at 0.8 (chunk_similarities.ipynb:447 c21 report shape)."""
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = SIM.intra_group_pairs(e, "label", "vec_id", "embedding")
+    pairs = SIM.intra_group_pairs_kernel(e, "label", "vec_id", "embedding")
     return SIM.similarity_buckets(pairs, "sim", threshold=0.8)
 
 
@@ -615,10 +623,10 @@ LIMIT 10
 
 
 def emb_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup (rank form): 20 globally most-similar pairs."""
+    """Embedding near-dup (rank form): 20 globally most-similar pairs
+    (BLAS broadcast-matrix kernel; declarative crossjoin is the pytest oracle)."""
     e = load_table(spark, sf_dir, "embeddings")
-    pairs = dedup.embedding_near_duplicates(e, threshold=-1.0)
-    return pairs.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(20)
+    return ann.all_pairs_topk(e, k=20)
 
 
 _EMB_TOP_SQL = """
@@ -754,9 +762,15 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-ball near-duplicate pairs (no SQL oracle: xxhash64)."""
+    """SimHash hamming-ball near-duplicate audit (no SQL oracle: engine-
+    specific hash). max_hamming=3 → 4 x 16-bit segments. The synthetic
+    corpus draws from a ~30-word vocabulary, so most documents ARE
+    simhash-near-duplicates — returned as a hamming histogram rather than
+    the multi-million-row pair list; pytest covers pair-level recall on
+    planted duplicates."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_duplicates(d, max_hamming=12)
+    pairs = dedup.simhash_near_duplicates(d, max_hamming=3)
+    return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,59 @@
+"""BLAS kernel paths must match their declarative twins exactly
+(same math in double precision; rounding applied after)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_optimization_spark.operators import ann, dedup
+from vector_search_optimization_spark.operators import similarity as SIM
+from vector_search_optimization_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    return load_table(spark, sf_small, "embeddings").cache()
+
+
+def test_intra_group_pairs_kernel_matches_join(emb):
+    join_pairs = (
+        SIM.intra_group_pairs(emb, "label", "vec_id", "embedding")
+        .select("label", "id_a", "id_b", F.round("sim", 9).alias("sim"))
+        .toPandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    kern_pairs = (
+        SIM.intra_group_pairs_kernel(emb, "label", "vec_id", "embedding")
+        .select("label", "id_a", "id_b", F.round("sim", 9).alias("sim"))
+        .toPandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    assert len(join_pairs) == len(kern_pairs)
+    assert (join_pairs.id_a == kern_pairs.id_a).all()
+    assert (join_pairs.id_b == kern_pairs.id_b).all()
+    assert np.allclose(join_pairs.sim, kern_pairs.sim, rtol=1e-9)
+
+
+def test_all_pairs_topk_matches_crossjoin(emb):
+    kern = ann.all_pairs_topk(emb, k=15).toPandas()
+    decl = (
+        dedup.embedding_near_duplicates(emb, threshold=-1.0)
+        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
+        .limit(15)
+        .toPandas()
+    )
+    assert list(kern.id_a) == list(decl.id_a)
+    assert list(kern.id_b) == list(decl.id_b)
+    assert np.allclose(kern.cos_sim, decl.cos_sim, atol=1e-6)
+
+
+def test_intra_group_kernel_single_row_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0]), (2, "b", [0.0, 1.0]), (3, "b", [1.0, 1.0])],
+        "vec_id long, label string, embedding array<float>",
+    )
+    out = SIM.intra_group_pairs_kernel(df, "label", "vec_id", "embedding").collect()
+    assert len(out) == 1  # singleton group 'a' emits nothing
+    assert (out[0].id_a, out[0].id_b) == (2, 3)

@@ -103,6 +103,72 @@ def brute_force_topk_batch(
     )
 
 
+def all_pairs_topk(
+    df: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Global top-k most-similar pairs (cosine), BLAS formulation.
+
+    The corpus matrix is collected once (n x d floats) and shipped to
+    executors in the UDF closure; each Arrow batch does one GEMM against it
+    and keeps its per-row top-k (a superset of the global top-k pairs,
+    since a global-top pair must rank top-k within its own row). Final
+    global sort is over <= n*k candidate rows.
+
+    The collect bounds this path to corpora whose matrix fits the driver
+    (~1M x 128 floats = 512 MB); beyond that, block with
+    random_projection_buckets + dedup.embedding_near_duplicates, or IVF.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = df.select(id_col, vector_col).orderBy(id_col).collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = np.nan
+    unit = mat / norms[:, None]
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_field.dataType),
+            T.StructField("id_b", id_field.dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bm = np.asarray(pdf[vector_col].tolist(), dtype=np.float64)
+            bn = np.linalg.norm(bm, axis=1)
+            bn[bn == 0.0] = np.nan
+            sims = (bm / bn[:, None]) @ unit.T                  # (b, n)
+            bids = pdf[id_col].to_numpy()
+            mask = ids[None, :] <= bids[:, None]                 # keep id_a < id_b
+            sims[mask] = -np.inf
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_a, out_b, out_s = [], [], []
+            for r in range(len(bids)):
+                cols = idx[r][np.isfinite(sims[r, idx[r]])]
+                out_a.extend([bids[r]] * len(cols))
+                out_b.extend(ids[cols])
+                out_s.extend(sims[r, cols])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos_sim": out_s})
+
+    cands = df.mapInPandas(kernel, schema=out_schema)
+    return (
+        cands.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
+        .limit(k)
+    )
+
+
 def train_ivf_centroids(
     df: DataFrame,
     num_cells: int = 64,
