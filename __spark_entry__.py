@@ -774,6 +774,336 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# prologue slice + outlier suite (SURVEY §7.3, §2.9 M6-M9)
+# ---------------------------------------------------------------------------
+
+def _label_centroids(e: DataFrame, normalized: bool = False) -> DataFrame:
+    src = e.withColumn("embedding", V.l2_normalize("embedding")) if normalized else e
+    return VA.group_vector_mean(src, "label", "embedding").withColumnRenamed(
+        "label", "cluster_label"
+    )
+
+
+_CENT_SQL = """
+  SELECT label, list(m ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, avg(val) AS m FROM (
+      SELECT label, CAST(unnest(embedding) AS DOUBLE) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ) GROUP BY label, pos
+  ) GROUP BY label
+"""
+
+_NORM_EMB_SQL = """
+  SELECT vec_id, label,
+         CASE WHEN sqrt(list_reduce(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y)) = 0
+              THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+              ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)
+                   / sqrt(list_reduce(list_transform(embedding,
+                         y -> CAST(y AS DOUBLE) ** 2), (x, y) -> x + y))) END
+         AS embedding
+  FROM embeddings
+"""
+
+
+def prologue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7.3 minimum slice: normalise → nearest-centroid assign →
+    per-(assigned, true-label) counts with proportion window — the shared
+    notebook-prologue query (main-script1.ipynb c13-c17 + c41) on the
+    embeddings table."""
+    from vector_search_optimization_spark.plans import analytics_prologue
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids(e, normalized=True)
+    report = analytics_prologue(
+        e,
+        cents,
+        vector_col="embedding",
+        category_col="label",
+        id_col="vec_id",
+        doc_col="vec_id",
+    )
+    return report.withColumnRenamed("label", "true_label")
+
+
+_PROLOGUE_SQL = f"""
+WITH norm AS ({_NORM_EMB_SQL}),
+cent AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, avg(val) AS m FROM (
+      SELECT label, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM norm
+    ) GROUP BY label, pos
+  ) GROUP BY label
+), dist AS (
+  SELECT n.vec_id, n.label AS true_label, c.label AS cl,
+         sqrt(list_reduce(list_transform(list_zip(n.embedding, c.centroid),
+              p -> (p[1] - p[2]) ** 2), (x, y) -> x + y)) AS d
+  FROM norm n CROSS JOIN cent c
+), best AS (
+  SELECT vec_id, true_label, cl,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+  FROM dist
+), rep AS (
+  SELECT cl AS assigned_label, true_label,
+         count(*) AS n_chunks, count(DISTINCT vec_id) AS n_docs
+  FROM best WHERE rn = 1 GROUP BY cl, true_label
+)
+SELECT assigned_label, true_label, n_chunks, n_docs,
+       round(100.0 * n_chunks / sum(n_chunks) OVER (PARTITION BY assigned_label), 1) AS pct
+FROM rep
+"""
+
+
+def m6_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 — per-cluster z-score outliers on distance-to-own-centroid
+    (z > 3, population std — main-script1.ipynb:3767 c64 semantics)."""
+    from vector_search_optimization_spark.operators import outliers as OUT
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids(e)
+    with_dist = e.join(
+        F.broadcast(cents), e.label == cents.cluster_label
+    ).withColumn("dist", V.euclidean("embedding", "centroid"))
+    flagged = OUT.zscore_outliers(with_dist, "label", "dist", threshold=3.0)
+    return flagged.groupBy("label").agg(
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_M6_SQL = f"""
+WITH cent AS ({_CENT_SQL}),
+d AS (
+  SELECT e.vec_id, e.label,
+         sqrt(list_reduce(list_transform(list_zip(e.embedding, c.centroid),
+              p -> (CAST(p[1] AS DOUBLE) - p[2]) ** 2), (x, y) -> x + y)) AS dist
+  FROM embeddings e JOIN cent c ON e.label = c.label
+), s AS (
+  SELECT label, avg(dist) AS m, stddev_pop(dist) AS sd
+  FROM d GROUP BY label
+)
+SELECT d.label,
+       CAST(sum(CASE WHEN s.sd > 0 AND abs((d.dist - s.m) / s.sd) > 3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       count(*) AS n
+FROM d JOIN s ON d.label = s.label
+GROUP BY d.label
+"""
+
+
+def m7_percentile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 — cosine distance to own centroid > 95th percentile per cluster
+    (nuevo-kmeans-pre.ipynb:636 c29)."""
+    from vector_search_optimization_spark.operators import outliers as OUT
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids(e)
+    with_dist = e.join(
+        F.broadcast(cents), e.label == cents.cluster_label
+    ).withColumn("dist", V.cosine_distance("embedding", "centroid"))
+    flagged = OUT.percentile_outliers(with_dist, "label", "dist", pct=0.95)
+    return flagged.groupBy("label").agg(
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_M7_SQL = f"""
+WITH cent AS ({_CENT_SQL}),
+d AS (
+  SELECT e.vec_id, e.label,
+         1.0 - list_reduce(list_transform(list_zip(e.embedding, c.centroid),
+               p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))
+          * sqrt(list_reduce(list_transform(c.centroid, x -> x ** 2), (x, y) -> x + y))) AS dist
+  FROM embeddings e JOIN cent c ON e.label = c.label
+), thr AS (
+  SELECT label, quantile_cont(dist, 0.95) AS t FROM d GROUP BY label
+)
+SELECT d.label,
+       CAST(sum(CASE WHEN d.dist > thr.t THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       count(*) AS n
+FROM d JOIN thr ON d.label = thr.label
+GROUP BY d.label
+"""
+
+
+def m8_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 — per-cluster Local Outlier Factor (numpy kernel via
+    applyInPandas; no SQL oracle — LOF isn't SQL-expressible)."""
+    from vector_search_optimization_spark.operators import outliers as OUT
+
+    e = load_table(spark, sf_dir, "embeddings")
+    flagged = OUT.lof_outliers(
+        e, "label", "embedding", "vec_id", n_neighbors_frac=0.05, contamination=0.02
+    )
+    return flagged.groupBy("label").agg(
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        F.round(F.max("lof"), 4).alias("max_lof"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def m9_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 — per-cluster Mahalanobis > 95th pct (empirical covariance kernel;
+    no SQL oracle — matrix inversion isn't SQL-expressible)."""
+    from vector_search_optimization_spark.operators import outliers as OUT
+
+    e = load_table(spark, sf_dir, "embeddings")
+    flagged = OUT.mahalanobis_outliers(e, "label", "embedding", "vec_id", pct=95.0)
+    return flagged.groupBy("label").agg(
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def m1_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 — MLlib KMeans (k=8, seeded, 2 restarts): cluster-size histogram
+    (rows-only check: k-means|| init depends on data partitioning, so
+    exact sizes aren't cross-engine reproducible; invariants live in
+    tests/test_clustering.py)."""
+    from vector_search_optimization_spark.operators import clustering as C
+
+    e = load_table(spark, sf_dir, "embeddings")
+    res = C.kmeans_fit(e, k=8, n_init=2, max_iter=50, seed=42, vector_col="embedding")
+    assigned = res.assign(e, "embedding")
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "cluster")
+    )
+
+
+def m10_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 — PCA explained-variance ratios (3 components; rows-only:
+    distributed eigendecomposition isn't DuckDB-expressible)."""
+    from vector_search_optimization_spark.operators import reduction as R
+
+    e = load_table(spark, sf_dir, "embeddings")
+    _, ratios = R.pca_project(e, n_components=3, vector_col="embedding")
+    return spark.createDataFrame(
+        [(i, round(r, 4)) for i, r in enumerate(ratios)],
+        schema="component int, variance_ratio double",
+    )
+
+
+def m4_dbscan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — DBSCAN cluster-size histogram (exact numpy kernel; rows-only)."""
+    from vector_search_optimization_spark.operators import dbscan as DB
+
+    e = load_table(spark, sf_dir, "embeddings")
+    lab = DB.dbscan_kernel(e, eps=0.9, min_samples=5)
+    return (
+        lab.groupBy("dbscan_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "dbscan_label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph stage (SURVEY §2.10) over events (user ~ document, event_type ~ cluster)
+# ---------------------------------------------------------------------------
+
+def g1_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/J10 — weighted co-occurrence edges: #users in which each pair of
+    event_types co-occurs (analisis-informe.ipynb:2558 c76 shape)."""
+    e = load_table(spark, sf_dir, "events")
+    return SIM.cooccurrence_edges(e, "user_id", "event_type")
+
+
+_G1_SQL = """
+WITH nodes AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS src, b.event_type AS dst, count(*) AS weight
+FROM nodes a JOIN nodes b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+"""
+
+
+def g2_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 — greedy-modularity communities + modularity on the co-occurrence
+    graph (driver-side networkx over the Spark-built edge list; rows-only)."""
+    from vector_search_optimization_spark.operators import graph as G
+
+    e = load_table(spark, sf_dir, "events")
+    verts, edges = G.build_cluster_graph(e, "user_id", "event_type")
+    res = G.detect_communities(edges, weighted=True, vertices_df=verts)
+    rows = [
+        (i, len(c), ",".join(map(str, c)), round(res["modularity"], 4))
+        for i, c in enumerate(res["communities"])
+    ]
+    return spark.createDataFrame(
+        rows, schema="community int, size int, members string, modularity double"
+    )
+
+
+def ep3_label_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1/EP3 — cluster → near/far sample → (fake) LLM label → upsert →
+    audit (update-etiquetas.ipynb:171 c9 end-to-end; rows-only: KMeans)."""
+    from vector_search_optimization_spark.plans import (
+        FakeChatModel,
+        cluster_label_pipeline,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.concat(F.lit("doc "), F.col("vec_id")).alias("content"),
+        F.col("embedding").alias("content_vector"),
+    )
+    res = cluster_label_pipeline(e, k=8, llm=FakeChatModel(), sample_k=20)
+    return res["audit"].orderBy("etiqueta_cluster")
+
+
+def o7_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 — interleave 2 nearest + 2 farthest events per user by value
+    (the labeling-prompt sampling pattern, update-etiquetas.ipynb:171 c9)."""
+    e = load_table(spark, sf_dir, "events")
+    out = topk.interleave_near_far(e, "user_id", "value", k=2)
+    return out.select("user_id", "event_id", "side", "ord")
+
+
+_O7_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY value ASC, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rf
+  FROM events
+)
+SELECT user_id, event_id, 'near' AS side, rn * 2 - 1 AS ord FROM ranked WHERE rn <= 2
+UNION ALL
+SELECT user_id, event_id, 'far' AS side, rf * 2 AS ord FROM ranked WHERE rf <= 2
+"""
+
+
+def f7_string_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — capitalize + first-char-upper predicate
+    (nuevo-kmeans-pre.ipynb:63 c5)."""
+    d = load_table(spark, sf_dir, "documents")
+    cap = F.concat(
+        F.upper(F.substring("source", 1, 1)), F.lower(F.expr("substring(source, 2)"))
+    )
+    return (
+        d.select(
+            cap.alias("source_cap"),
+            F.substring("source", 1, 1).rlike("[A-Z]").alias("was_upper"),
+        )
+        .groupBy("source_cap", "was_upper")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_F7_SQL = """
+SELECT upper(substr(source, 1, 1)) || lower(substr(source, 2)) AS source_cap,
+       regexp_matches(substr(source, 1, 1), '[A-Z]') AS was_upper,
+       count(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # events: windowed / sessionized analytics (streaming-parity batch plans)
 # ---------------------------------------------------------------------------
 
@@ -905,6 +1235,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_tumbling_window": (evt_tumbling_window, _EVT_WINDOW_SQL),
     "evt_sessions": (evt_sessions, _EVT_SESSIONS_SQL),
     "s11_upsert": (s11_upsert, _S11_SQL),
+    "prologue_report": (prologue_report, _PROLOGUE_SQL),
+    "m6_zscore_outliers": (m6_zscore_outliers, _M6_SQL),
+    "m7_percentile_outliers": (m7_percentile_outliers, _M7_SQL),
+    "m8_lof_outliers": (m8_lof_outliers, None),
+    "m9_mahalanobis_outliers": (m9_mahalanobis_outliers, None),
+    "m1_kmeans_clusters": (m1_kmeans_clusters, None),
+    "m10_pca_variance": (m10_pca_variance, None),
+    "m4_dbscan_stats": (m4_dbscan_stats, None),
+    "g1_cooccurrence_edges": (g1_cooccurrence_edges, _G1_SQL),
+    "g2_communities": (g2_communities, None),
+    "ep3_label_pipeline": (ep3_label_pipeline, None),
+    "o7_interleave": (o7_interleave, _O7_SQL),
+    "f7_string_caps": (f7_string_caps, _F7_SQL),
 }
 
 

@@ -1,0 +1,201 @@
+"""G1-G2 graph stage, EP1/EP3 pipeline, streaming windows, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_optimization_spark.operators import graph, multimodal
+from vector_search_optimization_spark.plans import (
+    FakeChatModel,
+    analytics_prologue,
+    cluster_label_pipeline,
+)
+from vector_search_optimization_spark.sources import load_table
+
+
+# --- graph -------------------------------------------------------------------
+
+def test_two_clique_communities(spark):
+    # two 3-cliques joined by one weak edge → 2 communities, positive Q
+    rows = [
+        ("d1", 1), ("d1", 2), ("d1", 3),
+        ("d2", 1), ("d2", 2), ("d2", 3),
+        ("d3", 4), ("d3", 5), ("d3", 6),
+        ("d4", 4), ("d4", 5), ("d4", 6),
+        ("d5", 3), ("d5", 4),  # weak bridge
+    ]
+    df = spark.createDataFrame(rows, "doc string, cluster int")
+    verts, edges = graph.build_cluster_graph(df, "doc", "cluster")
+    assert verts.count() == 6
+    res = graph.detect_communities(edges, weighted=True)
+    assert res["n_communities"] == 2
+    assert sorted(map(sorted, res["communities"])) == [[1, 2, 3], [4, 5, 6]]
+    assert res["modularity"] > 0.3
+
+
+def test_modularity_helper_agrees_with_networkx(spark):
+    import networkx as nx
+    from networkx.algorithms import community as nxc
+
+    edges = [(1, 2, 3.0), (2, 3, 1.0), (3, 4, 2.0), (4, 1, 1.0)]
+    comms = [{1, 2}, {3, 4}]
+    g = nx.Graph()
+    for s, d, w in edges:
+        g.add_edge(s, d, weight=w)
+    expect = nxc.modularity(g, comms, weight="weight")
+    assert graph.modularity(edges, comms) == pytest.approx(expect, abs=1e-9)
+
+
+def test_greedy_fallback_partitions_cliques():
+    edges = [(a, b, 1.0) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+    edges += [(a, b, 1.0) for a in (4, 5, 6) for b in (4, 5, 6) if a < b]
+    edges += [(3, 4, 0.1)]
+    comms = graph._greedy_modularity_fallback({1, 2, 3, 4, 5, 6}, edges, True)
+    assert sorted(sorted(c) for c in comms) == [[1, 2, 3], [4, 5, 6]]
+
+
+# --- pipelines ----------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def chunk_like(spark):
+    """documents+embeddings zipped into the reference's chunk-table shape."""
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(120):
+        c = i % 4
+        vec = (np.eye(4)[c] * 5 + rng.normal(scale=0.3, size=4)).tolist()
+        rows.append(
+            (f"chk-{i:04d}", f"doc-{i // 3:03d}", f"text {i} " * 5,
+             ["document", "site", "calendar", "table"][i % 4], vec)
+        )
+    return spark.createDataFrame(
+        rows, "id string, document_id string, content string, category string, "
+              "content_vector array<float>"
+    ).cache()
+
+
+def test_analytics_prologue(chunk_like, spark):
+    from vector_search_optimization_spark.operators import vector_agg as VA
+    from vector_search_optimization_spark.functions import vector as V
+
+    from pyspark.sql import Window
+
+    normalized = chunk_like.withColumn("nv", V.l2_normalize("content_vector"))
+    cents = VA.group_vector_mean(normalized, "category", "nv").select(
+        (F.dense_rank().over(Window.orderBy("category")) - 1).alias("cluster_label"),
+        "centroid",
+    )
+    report = analytics_prologue(chunk_like, cents)
+    pdf = report.toPandas()
+    assert set(pdf.columns) == {"assigned_label", "category", "n_chunks", "n_docs", "pct"}
+    assert pdf.n_chunks.sum() == 120
+    # pct sums to 100 within each assigned cluster
+    sums = pdf.groupby("assigned_label").pct.sum()
+    assert ((sums - 100.0).abs() < 0.5).all()
+
+
+def test_cluster_label_pipeline_end_to_end(chunk_like):
+    llm = FakeChatModel()
+    res = cluster_label_pipeline(chunk_like, k=4, llm=llm, sample_k=10)
+    assert len(res["labels"]) == 4
+    assert len(llm.calls) == 4
+    labeled = res["labeled"]
+    assert labeled.where(F.col("etiqueta_cluster").isNull()).count() == 0
+    audit = {r.etiqueta_cluster: r.n_docs for r in res["audit"].collect()}
+    assert sum(audit.values()) == 120
+    assert set(audit) == set(res["labels"].values())
+
+
+def test_pipeline_null_vectors_stay_unlabeled(chunk_like, spark):
+    with_null = chunk_like.union(
+        spark.createDataFrame(
+            [("chk-null", "doc-x", "t", "document", None)],
+            chunk_like.schema,
+        )
+    )
+    res = cluster_label_pipeline(with_null, k=4, sample_k=5)
+    nulls = res["labeled"].where(F.col("etiqueta_cluster").isNull())
+    assert [r.id for r in nulls.collect()] == ["chk-null"]
+
+
+# --- streaming -----------------------------------------------------------------
+
+def test_streaming_matches_batch_tumbling(spark, sf_small):
+    from vector_search_optimization_spark import streaming as S
+    import __spark_entry__ as m
+
+    ev = S.read_events_stream(spark, sf_small)
+    # complete mode: append would (correctly) withhold windows the
+    # watermark hasn't closed when the bounded backlog ends
+    got = S.run_stream_to_memory(
+        S.tumbling_window_agg(ev), "t_tumbling", output_mode="complete"
+    ).toPandas()
+    want = m.queries()["evt_tumbling_window"](spark, sf_small).toPandas()
+    g = got.sort_values(["window_start", "event_type"], ignore_index=True)
+    w = want.sort_values(["window_start", "event_type"], ignore_index=True)
+    assert len(g) == len(w)
+    assert (g.n.values == w.n.values).all()
+    assert np.allclose(g.sum_value, w.sum_value)
+
+
+def test_streaming_session_windows(spark, sf_small):
+    from vector_search_optimization_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_small)
+    got = S.run_stream_to_memory(
+        S.sessionized_counts_stream(ev, gap="30 minutes"),
+        "t_sessions",
+        output_mode="complete",
+    )
+    per_user = got.groupBy("user_id").agg(F.sum("n_events").alias("n")).toPandas()
+    total = per_user.n.sum()
+    assert total == 1000  # every event lands in exactly one session
+
+
+# --- multimodal -----------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [
+        ("a1", "image", "image/png", bytearray(b"\x89PNG" + b"x" * 400), 1024, 768, None),
+        ("a2", "image", "image/png", bytearray(b"\x89PNG" + b"y" * 100), 200, 100, None),
+        ("a3", "video", "video/mp4", bytearray(b"mp4" + b"z" * 50), 1920, 1080, 3500),
+        ("a4", "audio", "audio/wav", None, None, None, 2000),
+    ]
+    from vector_search_optimization_spark import schemas
+
+    return spark.createDataFrame(rows, schemas.ASSETS)
+
+
+def test_extract_features_stub(assets):
+    out = multimodal.extract_features(assets).toPandas().set_index("asset_id")
+    assert len(out) == 4
+    assert all(len(v) == 16 for v in out.feature_vec)
+    assert out.loc["a1", "n_bytes"] == 404
+    assert out.loc["a4", "n_bytes"] == 0
+    # deterministic: same payload → same sha/features
+    again = multimodal.extract_features(assets).toPandas().set_index("asset_id")
+    assert (out.sha_prefix == again.sha_prefix).all()
+
+
+def test_resize_plan_caps_at_768(assets):
+    out = multimodal.resize_plan(assets).toPandas().set_index("asset_id")
+    assert out.loc["a1", "needs_resize"]
+    assert out.loc["a1", "target_width"] == 768
+    assert not out.loc["a2", "needs_resize"]
+
+
+def test_frame_sample_plan(assets):
+    frames = multimodal.frame_sample_plan(assets, every_ms=1000).collect()
+    assert [(r.frame_idx, r.frame_ts_ms) for r in frames] == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
+
+
+def test_not_implemented_decoder_raises(assets):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        multimodal.extract_features(
+            assets, decoder=multimodal.not_implemented_decode
+        ).collect()

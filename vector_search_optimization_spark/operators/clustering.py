@@ -1,0 +1,209 @@
+"""Clustering operators (SURVEY §2.9 M1-M5).
+
+Reference:
+- KMeans fit/predict with n_init restarts, inertia, centers
+  (``cluster_kmeans``, nuevo-kmeans-pre.ipynb:381 c18; production config
+  n_clusters=37, N_ITER_KMEANS=25, max_iter=300, cluster_creator.py:17-18).
+- silhouette score, full & sampled (sample_size=2000)
+  (nuevo-kmeans-pre.ipynb:284 c14; silhouettes.ipynb:441 c23).
+- k-sweep model selection, k in [2,100) (nuevo-kmeans-pre.ipynb:400 c19).
+- ``fit_and_evaluate`` timing harness, mean±std seconds over n seeded runs
+  (nuevo-kmeans-pre.ipynb:284 c14).
+
+Spark mapping: MLlib KMeans (k-means|| init). sklearn-identical centers are
+impossible (different init/RNG — SURVEY §4.3), so tests assert invariants:
+inertia tolerance, label-permutation equivalence, silhouette ±0.02.
+n_init restarts = driver loop over seeds keeping min training cost.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _to_features(df: DataFrame, vector_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn(
+        "features", array_to_vector(F.col(vector_col).cast("array<double>"))
+    )
+
+
+@dataclass
+class KMeansResult:
+    k: int
+    seed: int
+    inertia: float
+    centers: list[list[float]]
+    model: object = field(repr=False)
+
+    def centroids_df(self, spark: SparkSession) -> DataFrame:
+        """Centers as the engine's centroid-table shape (SURVEY §1.2)."""
+        return spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centers)],
+            schema="cluster_label int, centroid array<float>",
+        )
+
+    def assign(self, df: DataFrame, vector_col: str, out_col: str = "cluster") -> DataFrame:
+        """Attach predicted cluster (MLlib transform — distributed, no shuffle)."""
+        out = self.model.transform(_to_features(df, vector_col))
+        return out.withColumnRenamed("prediction", out_col).drop("features")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    n_init: int = 1,
+    max_iter: int = 300,
+    seed: int = 42,
+    vector_col: str = "embedding",
+) -> KMeansResult:
+    """M1 — KMeans with n_init seeded restarts, keeping the min-inertia fit.
+
+    sklearn's n_init re-runs k-means++ with fresh seeds; MLlib's k-means||
+    init is already more robust, but we honor the restart protocol for
+    parity with the reference's best-of-N runs (silhouettes.ipynb:526 c26).
+    """
+    from pyspark.ml.clustering import KMeans
+
+    feats = _to_features(df, vector_col).select("features")
+    feats.cache()
+    try:
+        best: KMeansResult | None = None
+        for i in range(n_init):
+            m = KMeans(k=k, maxIter=max_iter, seed=seed + i).fit(feats)
+            cost = m.summary.trainingCost  # = sklearn inertia_ (sum sq dist)
+            if best is None or cost < best.inertia:
+                best = KMeansResult(
+                    k=k,
+                    seed=seed + i,
+                    inertia=float(cost),
+                    centers=[c.tolist() for c in m.clusterCenters()],
+                    model=m,
+                )
+        assert best is not None
+        return best
+    finally:
+        feats.unpersist()
+
+
+def silhouette_mllib(
+    assigned: DataFrame,
+    vector_col: str = "embedding",
+    cluster_col: str = "cluster",
+    distance: str = "squaredEuclidean",
+) -> float:
+    """M2 — distributed silhouette via ClusteringEvaluator.
+
+    NOTE: supports squaredEuclidean (default) and cosine only; for parity
+    with sklearn's euclidean silhouette use silhouette_exact on a sample.
+    """
+    from pyspark.ml.evaluation import ClusteringEvaluator
+
+    feats = _to_features(assigned, vector_col)
+    ev = ClusteringEvaluator(
+        predictionCol=cluster_col, featuresCol="features", distanceMeasure=distance
+    )
+    return float(ev.evaluate(feats))
+
+
+def silhouette_exact(
+    assigned: DataFrame,
+    vector_col: str = "embedding",
+    cluster_col: str = "cluster",
+    sample_size: int | None = 2000,
+    seed: int = 42,
+) -> float:
+    """M2 — euclidean silhouette, numpy, on a (seeded) sample.
+
+    Matches sklearn.silhouette_score(metric='euclidean', sample_size=...):
+    the reference bounds the O(n^2) cost the same way
+    (nuevo-kmeans-pre.ipynb:284 c14). Distances from the sampled rows to
+    ALL rows are required by the definition; sampling keeps this a
+    (s x n) matrix. Collect is bounded to the sample + corpus vectors —
+    use only at reference scale (<=1e5 rows); at lake scale use
+    silhouette_mllib.
+    """
+    pdf = assigned.select(cluster_col, vector_col).toPandas()
+    X = np.asarray(pdf[vector_col].tolist(), dtype=np.float64)
+    labels = pdf[cluster_col].to_numpy()
+    n = len(X)
+    idx = np.arange(n)
+    if sample_size is not None and sample_size < n:
+        idx = np.random.RandomState(seed).choice(n, sample_size, replace=False)
+    sil = []
+    uniq = np.unique(labels)
+    # (s, n) distance block, chunked
+    for i in idx:
+        d = np.linalg.norm(X - X[i], axis=1)
+        own = labels[i]
+        mask_own = labels == own
+        n_own = mask_own.sum()
+        if n_own <= 1:
+            sil.append(0.0)
+            continue
+        a = d[mask_own].sum() / (n_own - 1)
+        b = min(
+            d[labels == other].mean() for other in uniq if other != own
+        )
+        sil.append((b - a) / max(a, b))
+    return float(np.mean(sil))
+
+
+def k_sweep(
+    df: DataFrame,
+    ks: range,
+    n_init: int = 1,
+    max_iter: int = 100,
+    seed: int = 42,
+    vector_col: str = "embedding",
+    silhouette_sample: int | None = 2000,
+) -> list[dict]:
+    """M3 — model selection sweep: per-k inertia + silhouette.
+
+    Reference sweeps k in [2,100) with N_INIT=25 and picks k=37
+    (nuevo-kmeans-pre.ipynb:400 c19, :481 c23). Driver loop; each fit is
+    distributed. Returns a list of {k, inertia, silhouette} dicts.
+    """
+    out = []
+    for k in ks:
+        res = kmeans_fit(df, k, n_init=n_init, max_iter=max_iter, seed=seed,
+                         vector_col=vector_col)
+        assigned = res.assign(df, vector_col)
+        sil = silhouette_exact(
+            assigned, vector_col, "cluster", sample_size=silhouette_sample, seed=seed
+        )
+        out.append({"k": k, "inertia": res.inertia, "silhouette": sil})
+    return out
+
+
+def fit_and_evaluate(
+    df: DataFrame,
+    k: int,
+    n_runs: int = 5,
+    max_iter: int = 300,
+    seed: int = 42,
+    vector_col: str = "embedding",
+) -> dict:
+    """M5 — the reference's timing harness (nuevo-kmeans-pre.ipynb:284 c14):
+    per-seed wall time mean±std + silhouette of the last fit."""
+    times = []
+    res = None
+    for i in range(n_runs):
+        t0 = time.time()
+        res = kmeans_fit(df, k, n_init=1, max_iter=max_iter, seed=seed + i,
+                         vector_col=vector_col)
+        times.append(time.time() - t0)
+    assigned = res.assign(df, vector_col)
+    return {
+        "k": k,
+        "mean_s": float(np.mean(times)),
+        "std_s": float(np.std(times)),
+        "inertia": res.inertia,
+        "silhouette": silhouette_exact(assigned, vector_col, "cluster"),
+    }

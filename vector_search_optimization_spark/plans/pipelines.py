@@ -1,0 +1,159 @@
+"""End-to-end pipelines — the reference's top entry points (SURVEY §3).
+
+- ``analytics_prologue``: the shared 6-step notebook prologue (EP session
+  setup): load → project → normalise → nearest-centroid assign → dense
+  label numbering → per-(cluster, category) report with proportion window
+  (main-script1.ipynb c13-c17 + c41).
+- ``cluster_label_pipeline``: EP1/EP3 — cluster (KMeans), sample near/far
+  members per cluster, interleave, token-budget concat, LLM label
+  (interface + deterministic fake), keyed-upsert writeback, audit counts
+  (cluster_creator.py:45-59; update-etiquetas.ipynb:171 c9;
+  ChunkLabelingProcesor.py:17-53).
+
+The LLM boundary is a plain callable protocol so tests inject
+``FakeChatModel`` — labels are opaque strings downstream either way
+(SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Protocol
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+from ..operators import topk
+from ..operators.nearest_centroid import nearest_centroid
+from ..operators.upsert import upsert_fields
+
+
+class ChatModel(Protocol):
+    """L1 — chat-completion boundary (update-etiquetas.ipynb:126 c7)."""
+
+    def __call__(self, prompt: str) -> str: ...
+
+
+class FakeChatModel:
+    """Deterministic stand-in: labels are f(cluster_id), no network."""
+
+    def __init__(self, template: str = "label-{n}"):
+        self.template = template
+        self.calls: list[str] = []
+
+    def __call__(self, prompt: str) -> str:
+        self.calls.append(prompt)
+        return self.template.format(n=len(self.calls) - 1)
+
+
+def analytics_prologue(
+    chunks: DataFrame,
+    centroids: DataFrame,
+    vector_col: str = "content_vector",
+    category_col: str = "category",
+    id_col: str = "id",
+    doc_col: str = "document_id",
+    metric: str = "euclidean",
+) -> DataFrame:
+    """§7.3 minimum slice: normalise → assign → report.
+
+    Returns (etiqueta_asignada, category, n_chunks, n_docs, pct) where pct
+    is the within-cluster share — the chunks-per-cluster-and-category
+    report behind main-script1.ipynb:1141 c41.
+    """
+    normalized = chunks.withColumn(vector_col, V.l2_normalize(vector_col))
+    assigned = nearest_centroid(
+        normalized,
+        centroids,
+        vector_col=vector_col,
+        metric=metric,
+        out_label="assigned_label",
+    )
+    report = assigned.groupBy("assigned_label", category_col).agg(
+        F.count(id_col).alias("n_chunks"),
+        F.countDistinct(doc_col).alias("n_docs"),
+    )
+    w = Window.partitionBy("assigned_label")
+    return report.withColumn(
+        "pct", F.round(F.col("n_chunks") / F.sum("n_chunks").over(w) * 100, 1)
+    )
+
+
+def cluster_label_pipeline(
+    docs: DataFrame,
+    k: int,
+    llm: ChatModel | None = None,
+    id_col: str = "id",
+    text_col: str = "content",
+    vector_col: str = "content_vector",
+    sample_k: int = 100,
+    token_budget: int = 125_000,
+    n_init: int = 1,
+    seed: int = 42,
+) -> dict:
+    """EP1/EP3 — the full label-and-writeback ETL.
+
+    1. drop null vectors (P8), KMeans k clusters (M1)
+    2. per cluster: distance to own centroid, k nearest + k farthest,
+       interleaved (O5-O7)
+    3. concat member texts under the token budget (F10/F11), one LLM call
+       per cluster (L2; 37 calls in the reference)
+    4. upsert labels back by id (S11)
+    5. audit: label counts (A16)
+
+    Returns {labeled: DataFrame, labels: {cluster: label}, audit: DataFrame,
+    centroids: DataFrame}.
+    """
+    from ..operators.clustering import kmeans_fit
+
+    llm = llm or FakeChatModel()
+    spark = docs.sparkSession
+
+    clean = docs.where(F.col(vector_col).isNotNull())
+    result = kmeans_fit(clean, k, n_init=n_init, seed=seed, vector_col=vector_col)
+    centroids = result.centroids_df(spark)
+
+    assigned = nearest_centroid(
+        clean,
+        centroids,
+        vector_col=vector_col,
+        out_label="cluster",
+        out_dist="dist",
+    ).persist()
+
+    sampled = topk.interleave_near_far(assigned, "cluster", "dist", sample_k)
+    # token-budget concat per cluster, in interleaved order (F11: ~4 chars
+    # per token heuristic; the reference counts exact tiktoken tokens)
+    member_texts = (
+        sampled.orderBy("cluster", "ord")
+        .groupBy("cluster")
+        .agg(
+            F.substring(
+                F.concat_ws("\n", F.collect_list(text_col)), 1, token_budget * 4
+            ).alias("corpus")
+        )
+        .collect()
+    )
+    labels = {r["cluster"]: llm(r["corpus"]) for r in member_texts}
+
+    label_updates = spark.createDataFrame(
+        [(int(c), str(lbl)) for c, lbl in labels.items()],
+        schema="cluster long, etiqueta_cluster string",
+    )
+    doc_labels = assigned.join(F.broadcast(label_updates), "cluster").select(
+        id_col, "etiqueta_cluster"
+    )
+
+    base = docs.withColumn("etiqueta_cluster", F.lit(None).cast("string"))
+    labeled = upsert_fields(base, doc_labels, id_col, ["etiqueta_cluster"],
+                            broadcast_updates=False)
+
+    audit = labeled.groupBy("etiqueta_cluster").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return {
+        "labeled": labeled,
+        "labels": labels,
+        "audit": audit,
+        "centroids": centroids,
+    }
