@@ -1,0 +1,65 @@
+"""Physical-plan assertions — the 100 TB design contract.
+
+These tests pin the *plan shapes* that make the engine viable at scale:
+filters reach the parquet scan, small dims broadcast, the nearest-centroid
+UDF path shuffles nothing, and scans prune to the referenced columns.
+A regression here is a performance bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as m
+from vector_search_optimization_spark.operators import nearest_centroid as NC
+from vector_search_optimization_spark.operators import vector_agg as VA
+from vector_search_optimization_spark.sources import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filters_push_to_scan(spark, sf_small):
+    plan = _plan(m.queries()["p_filters"](spark, sf_small))
+    assert "PushedFilters: [" in plan
+    assert "o_totalprice" in plan.split("PushedFilters")[1][:400]
+
+
+def test_scan_prunes_columns(spark, sf_small):
+    li = load_table(spark, sf_small, "lineitem")
+    two_cols = li.select("l_orderkey", "l_quantity")
+    plan = _plan(two_cols)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema  # untouched column pruned
+
+
+def test_dim_joins_broadcast(spark, sf_small):
+    plan = _plan(m.queries()["j5_lookup_chain"](spark, sf_small))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation AND region
+    assert "SortMergeJoin" not in plan
+
+
+def test_nearest_centroid_udf_path_no_shuffle(spark, sf_small):
+    e = load_table(spark, sf_small, "embeddings")
+    cents = VA.group_vector_mean(e, "label", "embedding").withColumnRenamed(
+        "label", "cluster_label"
+    )
+    assigned = NC.nearest_centroid(e, cents, vector_col="embedding")
+    plan = _plan(assigned)
+    # map-only: the fact table streams through mapInPandas, no Exchange
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_small):
+    plan = _plan(m.queries()["q1_pricing_summary"](spark, sf_small))
+    # partial + final HashAggregate pair around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_upsert_broadcasts_updates(spark, sf_small):
+    plan = _plan(m.queries()["s11_upsert"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan

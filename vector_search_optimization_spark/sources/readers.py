@@ -80,6 +80,24 @@ def read_centroids_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
+    """S6 — Excel scan (pd.read_excel inside the vendored converter,
+    analisis-informe.ipynb:2806 c82). Excel is a driver-side small-table
+    format: read via pandas + openpyxl when available, else raise with the
+    CSV-parity guidance (SURVEY §2.1 S6). Not a distributed scan by design —
+    config/dimension tables only."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "Excel scan needs openpyxl (not in this container); convert the "
+            "workbook to CSV and use spark.read.csv — S6 is CSV-parity"
+        ) from e
+    import pandas as pd
+
+    return spark.createDataFrame(pd.read_excel(path, sheet_name=sheet))
+
+
 def read_json_index_dump(spark: SparkSession, path: str) -> DataFrame:
     """S2/S4 — full search-index dump (documentos_pre.json shape): chunk
     columns plus document_path and the writeback target etiqueta_cluster.

@@ -45,6 +45,23 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_excel(df: DataFrame, path: str, max_rows: int = 100_000) -> None:
+    """S9 — Excel sink (table.to_excel, analisis-informe.ipynb:1052 c38).
+
+    Driver-side: collect (bounded) + pandas writer; raises without
+    openpyxl. Reporting-table sizes only — use write_csv for data.
+    """
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "Excel sink needs openpyxl (not in this container); "
+            "write_csv is the S9 CSV-parity fallback"
+        ) from e
+    pdf = _stringify_vectors(df).limit(max_rows).toPandas()
+    pdf.to_excel(path, index=False)
+
+
 def write_upsert(
     base_path: str,
     updates: DataFrame,
