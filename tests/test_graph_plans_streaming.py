@@ -154,6 +154,29 @@ def test_streaming_session_windows(spark, sf_small):
     assert total == 1000  # every event lands in exactly one session
 
 
+def test_stateful_running_user_stats(spark, sf_small):
+    from vector_search_optimization_spark import streaming as S
+
+    ev = S.read_events_stream(spark, sf_small)
+    got = S.run_stream_to_memory(
+        S.running_user_stats_stream(ev), "t_stateful", output_mode="update"
+    ).toPandas()
+    # one bounded backlog → one micro-batch → final running totals match batch
+    import __spark_entry__  # noqa: F401  (path setup)
+    from vector_search_optimization_spark.sources import load_table
+
+    want = (
+        load_table(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .toPandas()
+    )
+    last = got.groupby("user_id").last().sort_index()
+    want = want.set_index("user_id").sort_index()
+    assert (last.n_events == want.n_events).all()
+    assert np.allclose(last.sum_value, want.sum_value, atol=0.01)
+
+
 # --- multimodal -----------------------------------------------------------------
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the vector/text kernels.
+
+Strategy: generate small random inputs, run ONE Spark job over the whole
+batch (per-example Spark jobs would be minutes-slow), assert the math
+properties numpy guarantees.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from vector_search_optimization_spark.functions import vector as V
+
+DIM = 6
+finite = st.floats(
+    min_value=-100, max_value=100, allow_nan=False, allow_infinity=False, width=32
+)
+vec = st.lists(finite, min_size=DIM, max_size=DIM)
+
+
+@pytest.fixture(scope="module")
+def batch(spark):
+    """One shared batch of hypothesis-style random pairs, evaluated once."""
+    rng = np.random.RandomState(11)
+    pairs = []
+    for _ in range(200):
+        a = rng.uniform(-100, 100, DIM).astype(np.float32)
+        b = rng.uniform(-100, 100, DIM).astype(np.float32)
+        pairs.append((a.tolist(), b.tolist()))
+    pairs.append(([0.0] * DIM, [1.0] * DIM))  # zero-vector edge
+    df = spark.createDataFrame(pairs, "a array<float>, b array<float>")
+    rows = df.select(
+        "a",
+        "b",
+        V.euclidean("a", "b").alias("e"),
+        V.manhattan("a", "b").alias("m"),
+        V.cosine_similarity("a", "b").alias("c"),
+        V.l2_norm("a").alias("na"),
+        V.l2_norm("b").alias("nb"),
+        V.l2_norm(V.l2_normalize("a")).alias("ua"),
+        V.dot("a", "b").alias("d"),
+    ).collect()
+    return rows
+
+
+def test_metric_properties(batch):
+    for r in batch:
+        a = np.array(r.a, dtype=np.float64)
+        b = np.array(r.b, dtype=np.float64)
+        # non-negativity and identity
+        assert r.e >= 0 and r.m >= 0 and r.na >= 0
+        # euclidean <= manhattan (norm inequality)
+        assert r.e <= r.m + 1e-9
+        # cosine in [-1, 1] (or NULL for zero vectors)
+        if r.c is not None:
+            assert -1.0 - 1e-9 <= r.c <= 1.0 + 1e-9
+        # Cauchy-Schwarz: |<a,b>| <= |a||b|
+        assert abs(r.d) <= r.na * r.nb + 1e-6
+        # unit norm after normalization (or 0 for the zero vector)
+        assert r.ua == pytest.approx(1.0, abs=1e-9) or r.ua == 0.0
+
+
+def test_triangle_inequality(spark):
+    rng = np.random.RandomState(13)
+    rows = [
+        (
+            rng.uniform(-10, 10, DIM).astype(np.float32).tolist(),
+            rng.uniform(-10, 10, DIM).astype(np.float32).tolist(),
+            rng.uniform(-10, 10, DIM).astype(np.float32).tolist(),
+        )
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame(rows, "a array<float>, b array<float>, c array<float>")
+    got = df.select(
+        V.euclidean("a", "c").alias("ac"),
+        (V.euclidean("a", "b") + V.euclidean("b", "c")).alias("abc"),
+    ).collect()
+    for r in got:
+        assert r.ac <= r.abc + 1e-9
+
+
+@settings(max_examples=50, deadline=None)
+@given(v=vec)
+def test_parse_vector_roundtrip_property(v):
+    """String form parses back to the float32 value (pure-python check of
+    the same format the Spark expression consumes)."""
+    s = "[" + ", ".join(repr(float(np.float32(x))) for x in v) + "]"
+    parsed = [float(x) for x in s[1:-1].split(",")]
+    assert parsed == pytest.approx([float(np.float32(x)) for x in v], rel=1e-6)
+
+
+def test_parse_vector_matches_numpy_fromstring(spark):
+    """Spark parse_vector == np.fromstring on generated strings
+    (main-script1.ipynb:310 c15 parity)."""
+    rng = np.random.RandomState(17)
+    strs = [
+        "[" + ", ".join(f"{x:.6f}" for x in rng.uniform(-5, 5, DIM)) + "]"
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    got = df.select(V.parse_vector("s").alias("v")).collect()
+    for r, s in zip(got, strs):
+        expect = np.fromstring(s[1:-1], sep=",")
+        assert r.v == pytest.approx(expect.tolist(), rel=1e-6)

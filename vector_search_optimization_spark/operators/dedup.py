@@ -344,6 +344,10 @@ def simhash_near_duplicates(
         StorageLevel.MEMORY_AND_DISK
     )
     mask = (1 << seg_bits) - 1
+
+    def seg_val(col, j):
+        return F.shiftright(col, j * seg_bits).bitwiseAND(F.lit(mask))
+
     segs = hashed.select(
         id_col,
         "simhash",
@@ -351,10 +355,7 @@ def simhash_near_duplicates(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("seg"),
-                        F.shiftright(F.col("simhash"), i * seg_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("segval"),
+                        F.lit(i).alias("seg"), seg_val(F.col("simhash"), i).alias("segval")
                     )
                     for i in range(n_seg)
                 ]
@@ -368,14 +369,21 @@ def simhash_near_duplicates(
     b = segs.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("__hb"), "seg", "segval"
     )
+    # dedup without a distinct-shuffle: a pair is emitted only by its FIRST
+    # matching segment (keep at segment s iff no segment j < s also matches)
+    first_match = F.lit(True)
+    for j in range(n_seg - 1):
+        first_match = first_match & (
+            (F.col("seg") <= j) | (seg_val(F.col("__ha"), j) != seg_val(F.col("__hb"), j))
+        )
     return (
         a.join(b, ["seg", "segval"])
         .where(F.col("id_a") < F.col("id_b"))
+        .where(first_match)
         .select(
             "id_a", "id_b", hamming_distance("__ha", "__hb").alias("hamming")
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

@@ -1,6 +1,7 @@
 from .windows import (  # noqa: F401
     read_events_stream,
     run_stream_to_memory,
+    running_user_stats_stream,
     sessionized_counts_stream,
     sliding_window_agg,
     tumbling_window_agg,

@@ -98,6 +98,63 @@ def sessionized_counts_stream(
     )
 
 
+def running_user_stats_stream(events: DataFrame, evict_idle: bool = False) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value sum,
+    emitted per micro-batch via applyInPandasWithState.
+
+    The reference has no stateful streaming (SURVEY §2.12); this is the
+    engine-extension pattern for operators windowing can't express —
+    arbitrary per-key state. State is one (count, sum) row per user.
+    ``evict_idle=True`` adds ProcessingTimeTimeout eviction for unbounded
+    production streams; the default NoTimeout keeps bounded-backlog runs
+    (tests, reprocessing) deterministic.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        if evict_idle:
+            state.setTimeoutDuration(3600 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if evict_idle
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
