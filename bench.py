@@ -25,6 +25,12 @@ def main() -> None:
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
 
+    # untimed warmup: JVM/codegen/Arrow spin-up out of the measured path
+    try:
+        entrymod.entry(spark).write.format("noop").mode("overwrite").save()
+    except Exception:  # noqa: BLE001
+        pass
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():

@@ -136,22 +136,28 @@ def silhouette_exact(
     idx = np.arange(n)
     if sample_size is not None and sample_size < n:
         idx = np.random.RandomState(seed).choice(n, sample_size, replace=False)
-    sil = []
-    uniq = np.unique(labels)
-    # (s, n) distance block, chunked
-    for i in idx:
-        d = np.linalg.norm(X - X[i], axis=1)
-        own = labels[i]
-        mask_own = labels == own
-        n_own = mask_own.sum()
-        if n_own <= 1:
-            sil.append(0.0)
-            continue
-        a = d[mask_own].sum() / (n_own - 1)
-        b = min(
-            d[labels == other].mean() for other in uniq if other != own
-        )
-        sil.append((b - a) / max(a, b))
+
+    # vectorized: one (s, n) distance GEMM + one (s, k) per-label mean GEMM
+    S = X[idx]
+    sq_x = (X * X).sum(axis=1)
+    sq_s = (S * S).sum(axis=1)
+    D = np.sqrt(np.maximum(sq_s[:, None] - 2.0 * (S @ X.T) + sq_x[None, :], 0.0))
+
+    uniq, inv = np.unique(labels, return_inverse=True)
+    k = len(uniq)
+    onehot = np.zeros((n, k))
+    onehot[np.arange(n), inv] = 1.0
+    counts = onehot.sum(axis=0)  # (k,)
+    sums = D @ onehot  # (s, k) sum of distances to each label
+
+    own = inv[idx]
+    rows = np.arange(len(idx))
+    own_counts = counts[own]
+    a = np.where(own_counts > 1, sums[rows, own] / np.maximum(own_counts - 1, 1), 0.0)
+    means = sums / counts[None, :]
+    means[rows, own] = np.inf
+    b = means.min(axis=1)
+    sil = np.where(own_counts > 1, (b - a) / np.maximum(a, b), 0.0)
     return float(np.mean(sil))
 
 

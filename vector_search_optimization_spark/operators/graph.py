@@ -69,6 +69,14 @@ def detect_communities(
     if vertices_df is not None:
         nodes |= {r["id"] for r in vertices_df.collect()}
 
+    if not edges:  # edgeless graph: all-singleton partition, Q undefined → 0
+        comms_sorted = sorted([n] for n in nodes)
+        return {
+            "communities": comms_sorted,
+            "modularity": 0.0,
+            "n_communities": len(comms_sorted),
+        }
+
     try:
         import networkx as nx
         from networkx.algorithms import community as nxc
