@@ -622,6 +622,38 @@ LIMIT 10
 """
 
 
+def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN — exact top-5 per query for a 5-vector query table
+    (broadcast queries; corpus never shuffles; window rank-limit pushdown)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries_df = (
+        e.where(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+    )
+    out = ann.brute_force_topk_batch(e, queries_df, k=5)
+    return out.select("query_id", "vec_id", "score", "rank")
+
+
+_ANN_BATCH_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_reduce(list_transform(list_zip(e.embedding, q.qv),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))
+          * sqrt(list_reduce(list_transform(q.qv, x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))), 6) AS score
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def emb_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup (rank form): 20 globally most-similar pairs
     (BLAS broadcast-matrix kernel; declarative crossjoin is the pytest oracle)."""
@@ -1225,6 +1257,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "j9_distance_matrix": (j9_distance_matrix, _J9_SQL),
     "j8_similarity_buckets": (j8_similarity_buckets, _J8_SQL),
     "ann_topk": (ann_topk, _ANN_SQL),
+    "ann_topk_batch": (ann_topk_batch, _ANN_BATCH_SQL),
     "emb_top_pairs": (emb_top_pairs, _EMB_TOP_SQL),
     "rp_bucket_hist": (rp_bucket_hist, _rp_sql()),
     "text_quality": (text_quality, _TEXT_QUALITY_SQL),
