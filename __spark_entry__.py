@@ -786,6 +786,42 @@ GROUP BY lang
 """
 
 
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic histogram: stopword-hit argmax per document
+    (functions.text.language_id), counted per predicted language."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(TX.language_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _langid_sql() -> str:
+    from vector_search_optimization_spark.functions.text import _STOPWORDS
+
+    structs = []
+    for lang in sorted(_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+        hits = (
+            r"len(list_filter(string_split_regex(lower(trim(text)), '\s+'), "
+            f"w -> w IN ({words})))"
+        )
+        structs.append(f"{{'hits': {hits}, 'lang': '{lang}'}}")
+    best = f"list_max([{', '.join(structs)}])"
+    return rf"""
+WITH scored AS (
+  SELECT CASE
+           WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'zh'
+           WHEN {best}.hits > 0 THEN {best}.lang
+           ELSE 'und'
+         END AS lang_pred
+  FROM documents
+)
+SELECT lang_pred, count(*) AS n FROM scored GROUP BY lang_pred
+"""
+
+
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidates (no SQL oracle: xxhash64-based
     signature family is engine-specific; invariants are pytest-verified)."""
@@ -1262,6 +1298,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rp_bucket_hist": (rp_bucket_hist, _rp_sql()),
     "text_quality": (text_quality, _TEXT_QUALITY_SQL),
     "dedup_exact_stats": (dedup_exact_stats, _DEDUP_EXACT_SQL),
+    "text_langid": (text_langid, _langid_sql()),
     "doc_quality_filter": (doc_quality_filter, _DOC_FILTER_SQL),
     "minhash_near_dup": (minhash_near_dup, None),
     "simhash_near_dup": (simhash_near_dup, None),
