@@ -654,6 +654,17 @@ SELECT query_id, vec_id, score, rank FROM (
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (train coarse quantizer → assign cells →
+    probe 4 of 16; rows-only: KMeans-seeded cells aren't SQL-expressible).
+    Recall-vs-exact is pytest-gated (tests/test_ann.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = ann.train_ivf_centroids(e, num_cells=16, vector_col="embedding", seed=42)
+    indexed = ann.assign_ivf_cells(e, cents, "embedding")
+    q = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann.ivf_topk(indexed, cents, q, k=10, nprobe=4)
+
+
 def emb_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup (rank form): 20 globally most-similar pairs
     (BLAS broadcast-matrix kernel; declarative crossjoin is the pytest oracle)."""
@@ -1294,6 +1305,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "j8_similarity_buckets": (j8_similarity_buckets, _J8_SQL),
     "ann_topk": (ann_topk, _ANN_SQL),
     "ann_topk_batch": (ann_topk_batch, _ANN_BATCH_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, None),
     "emb_top_pairs": (emb_top_pairs, _EMB_TOP_SQL),
     "rp_bucket_hist": (rp_bucket_hist, _rp_sql()),
     "text_quality": (text_quality, _TEXT_QUALITY_SQL),
