@@ -105,11 +105,16 @@ def nearest_centroid(
                 continue
             mat = np.asarray(pdf[vector_col].tolist(), dtype=np.float64)
             dists = _pairwise(mat, cents, metric)
-            arg = np.nanargmin(dists, axis=1)
+            # all-NaN rows (e.g. zero vector under cosine) take the first
+            # centroid with a NaN distance instead of raising
+            all_nan = np.isnan(dists).all(axis=1)
+            safe = np.where(all_nan[:, None], 0.0, dists)
+            arg = np.nanargmin(safe, axis=1)
+            out_d = dists[np.arange(len(arg)), arg]
             yield pdf.assign(
                 **{
                     out_label: labels[arg],
-                    out_dist: dists[np.arange(len(arg)), arg],
+                    out_dist: np.where(all_nan, np.nan, out_d),
                 }
             )
 
