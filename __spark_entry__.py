@@ -301,6 +301,101 @@ GROUP BY r_name
 """
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: 3-way join + agg + top-10 by revenue — exercises
+    join ordering with one broadcastable dim and two fact tables."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+              o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: 5-way join through two broadcast dim chains —
+    revenue per region."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_Q5_SQL = """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def j3_group_agg_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — group aggregate joined back onto the fact table as enrichment
+    (per-category centroid onto every row, main-script1.ipynb:990 c34
+    shape): per-status avg price onto orders, flag above-average orders."""
+    o = load_table(spark, sf_dir, "orders")
+    avg_by_status = o.groupBy("o_orderstatus").agg(
+        F.avg("o_totalprice").alias("avg_price")
+    )
+    enriched = o.join(F.broadcast(avg_by_status), "o_orderstatus", "left")
+    return (
+        enriched.withColumn("above_avg", F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderstatus", "above_avg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_J3_SQL = """
+WITH a AS (SELECT o_orderstatus, avg(o_totalprice) AS avg_price
+           FROM orders GROUP BY o_orderstatus)
+SELECT o.o_orderstatus, o.o_totalprice > a.avg_price AS above_avg, count(*) AS n
+FROM orders o LEFT JOIN a ON o.o_orderstatus = a.o_orderstatus
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # windows / sorts / top-k (SURVEY §2.5, §2.6)
 # ---------------------------------------------------------------------------
@@ -1291,6 +1386,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "j2_left_join_flags": (j2_left_join_flags, _J2_SQL),
     "j4_semi_join": (j4_semi_join, _J4_SQL),
     "j5_lookup_chain": (j5_lookup_chain, _J5_SQL),
+    "j3_group_agg_enrichment": (j3_group_agg_enrichment, _J3_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
+    "q5_supplier_volume": (q5_supplier_volume, _Q5_SQL),
     "w1_w2_proportion": (w1_w2_proportion, _W1_SQL),
     "w3_cumsum": (w3_cumsum, _W3_SQL),
     "w5_dense_numbering": (w5_dense_numbering, _W5_SQL),
