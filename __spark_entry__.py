@@ -1307,6 +1307,43 @@ FROM events GROUP BY 1, 2
 """
 
 
+def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length, 15m slide): each event lands in 4
+    overlapping windows (streaming/windows.py sliding_window_agg batch twin)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+_EVT_SLIDING_SQL = """
+WITH expanded AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 900) * 900 - s.off AS BIGINT) AS window_start
+  FROM events
+  CROSS JOIN (SELECT unnest([0, 900, 1800, 2700]) AS off) s
+)
+SELECT window_start, event_type, count(*) AS n
+FROM expanded GROUP BY 1, 2
+"""
+
+
+def minhash_verified_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup pipeline: MinHash-LSH candidates verified by
+    exact char-5-gram jaccard (the standard candidates->verify split;
+    rows-only: signatures are engine-hash-specific)."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures_kernel(d)
+    cands = dedup.minhash_lsh_candidates(sigs)
+    return dedup.ngram_jaccard_pairs(d, cands, ngram_n=5, threshold=0.5)
+
+
 def evt_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min inactivity gap, per-user session count + the
     longest session's event count (lag + cumsum islands)."""
@@ -1413,7 +1450,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "minhash_near_dup": (minhash_near_dup, None),
     "simhash_near_dup": (simhash_near_dup, None),
     "evt_tumbling_window": (evt_tumbling_window, _EVT_WINDOW_SQL),
+    "evt_sliding_window": (evt_sliding_window, _EVT_SLIDING_SQL),
     "evt_sessions": (evt_sessions, _EVT_SESSIONS_SQL),
+    "minhash_verified_dedup": (minhash_verified_dedup, None),
     "s11_upsert": (s11_upsert, _S11_SQL),
     "prologue_report": (prologue_report, _PROLOGUE_SQL),
     "m6_zscore_outliers": (m6_zscore_outliers, _M6_SQL),

@@ -403,7 +403,20 @@ def ngram_jaccard_pairs(
     (small) candidate table and computes |A∩B| / |A∪B| with array
     intersect/union expressions.
     """
-    grams = df.select(
+    # the candidate table feeds the id-set AND the final join: persist it so
+    # an upstream LSH pipeline isn't recomputed per consumer
+    from pyspark import StorageLevel
+
+    candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+    # compute n-grams only for rows that appear in a candidate pair — the
+    # candidate set is tiny next to the corpus, and the HOF n-gram expansion
+    # is the expensive part
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    grams = df.join(F.broadcast(cand_ids), id_col, "left_semi").select(
         F.col(id_col), TX.char_ngrams(text_col, ngram_n).alias("__g")
     )
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
