@@ -1252,6 +1252,49 @@ SELECT user_id, event_id, 'far' AS side, rf * 2 AS ord FROM ranked WHERE rf <= 2
 """
 
 
+def j5_literal_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 (dict-map form) — tiny literal lookup as a map expression, the
+    Spark idiom for pandas .map(color_mapping) (main-script1.ipynb:696 c26)."""
+    e = load_table(spark, sf_dir, "events")
+    color = F.create_map(
+        F.lit("click"), F.lit("blue"),
+        F.lit("view"), F.lit("green"),
+        F.lit("purchase"), F.lit("gold"),
+        F.lit("signup"), F.lit("purple"),
+        F.lit("error"), F.lit("red"),
+    )
+    return (
+        e.select(F.coalesce(color[F.col("event_type")], F.lit("gray")).alias("color"))
+        .groupBy("color")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_J5_MAP_SQL = """
+SELECT CASE event_type
+         WHEN 'click' THEN 'blue' WHEN 'view' THEN 'green'
+         WHEN 'purchase' THEN 'gold' WHEN 'signup' THEN 'purple'
+         WHEN 'error' THEN 'red' ELSE 'gray' END AS color,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def m2_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — euclidean silhouette of the true label clustering (full, no
+    sampling at this scale; rows-only: O(n^2) silhouette isn't reasonably
+    SQL-expressible)."""
+    from vector_search_optimization_spark.operators import clustering as C
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sil = C.silhouette_exact(
+        e, "embedding", "label", sample_size=2000, seed=42
+    )
+    return spark.createDataFrame(
+        [(round(sil, 4),)], schema="silhouette double"
+    )
+
+
 def f7_string_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 — capitalize + first-char-upper predicate
     (nuevo-kmeans-pre.ipynb:63 c5)."""
@@ -1467,6 +1510,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ep3_label_pipeline": (ep3_label_pipeline, None),
     "o7_interleave": (o7_interleave, _O7_SQL),
     "f7_string_caps": (f7_string_caps, _F7_SQL),
+    "j5_literal_map": (j5_literal_map, _J5_MAP_SQL),
+    "m2_silhouette": (m2_silhouette, None),
 }
 
 
