@@ -74,6 +74,15 @@ def test_k_sweep_prefers_true_k(blobs):
     assert all(a >= b - 1e-6 for a, b in zip(inertias, inertias[1:]))  # monotone
 
 
+def test_fit_and_evaluate_harness(blobs):
+    """M5 — the reference's timing harness shape (mean±std over seeded runs
+    + silhouette, nuevo-kmeans-pre.ipynb:284 c14)."""
+    out = C.fit_and_evaluate(blobs, k=3, n_runs=2, max_iter=20, seed=5)
+    assert set(out) == {"k", "mean_s", "std_s", "inertia", "silhouette"}
+    assert out["mean_s"] > 0 and out["std_s"] >= 0
+    assert out["silhouette"] > 0.9  # separated blobs
+
+
 def test_centroids_df_and_assign_roundtrip(blobs, spark):
     res = C.kmeans_fit(blobs, k=3, seed=1)
     cents = res.centroids_df(spark)

@@ -88,6 +88,22 @@ def test_write_upsert_sink(spark, tmp_path):
     assert again == after
 
 
+def test_write_json_roundtrip(spark, tmp_path):
+    """S10 — JSON sink (json.dump, nuevo-kmeans-pre.ipynb:136 c9)."""
+    from vector_search_optimization_spark.sources import write_json
+
+    path = str(tmp_path / "json_sink")
+    df = spark.createDataFrame(
+        [(1, "a", [0.5, 1.5]), (2, "b", None)],
+        "id int, s string, v array<float>",
+    )
+    write_json(df, path)
+    back = spark.read.json(path)
+    rows = {r.id: r for r in back.collect()}
+    assert rows[1].s == "a" and rows[1].v == [0.5, 1.5]
+    assert "v" not in rows[2].asDict() or rows[2].v is None
+
+
 def test_excel_stubs_raise_without_openpyxl(spark, tmp_path):
     try:
         import openpyxl  # noqa: F401
