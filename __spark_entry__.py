@@ -820,6 +820,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.char_count("text").alias("n_chars_actual"),
         TX.mean_word_length("text").alias("mean_word_len"),
         TX.digit_ratio("text").alias("digit_ratio"),
+        TX.stopword_ratio("text", "en").alias("stopword_ratio"),
     )
 
 
@@ -834,7 +835,11 @@ SELECT doc_id,
                  / len(string_split_regex(trim(text), '\s+')), 6) END AS mean_word_len,
        CASE WHEN length(text) = 0 THEN NULL
             ELSE round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-                 / length(text), 6) END AS digit_ratio
+                 / length(text), 6) END AS digit_ratio,
+       CASE WHEN trim(text) = '' THEN NULL
+            ELSE round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 w -> w IN ('the','and','of','to','is','in','that','for','with','was'))) AS DOUBLE)
+                 / len(string_split_regex(lower(trim(text)), '\s+')), 6) END AS stopword_ratio
 FROM documents
 """
 

@@ -100,6 +100,16 @@ def stopword_hits(text: Column | str, lang: str) -> Column:
     return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
 
 
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords (quality signal: natural prose
+    sits around 0.3-0.5; keyword soup and boilerplate sit near 0)."""
+    t = F.trim(_c(text))
+    words = F.split(F.lower(t), r"\s+")
+    return F.when(t == "", F.lit(None)).otherwise(
+        F.round(stopword_hits(text, lang) / F.size(words), 6)
+    )
+
+
 def language_id(text: Column | str) -> Column:
     """Heuristic language ID: argmax of per-language stopword hit counts.
 
