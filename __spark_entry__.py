@@ -1111,8 +1111,10 @@ GROUP BY d.label
 
 
 def m8_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 — per-cluster Local Outlier Factor (numpy kernel via
-    applyInPandas; no SQL oracle — LOF isn't SQL-expressible)."""
+    """M8 — per-cluster Local Outlier Factor (numpy Breunig kernel via
+    applyInPandas; analisis-informe.ipynb c69 semantics). The DuckDB twin
+    spells LOF out relationally — kNN by window rank, reachability via
+    neighbor joins — feasible because clusters are small at oracle scale."""
     from vector_search_optimization_spark.operators import outliers as OUT
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1124,6 +1126,62 @@ def m8_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("lof"), 4).alias("max_lof"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# LOF relational formulation, mirroring operators/outliers._lof_scores:
+# k = max(1, floor(0.05*m)) neighbors per point (deterministic (dist, j)
+# tie-break), k-distance = max neighbor dist, reach(i,j) = max(kdist(j),
+# dist(i,j)), lrd = 1/(mean reach + 1e-12), LOF = mean neighbor lrd / lrd.
+# Threshold = the ceil(0.02*m)-th largest LOF per cluster; flag lof >= thr.
+_M8_SQL = """
+WITH sz AS (
+  SELECT label, count(*) AS m,
+         greatest(1, least(CAST(floor(0.05 * count(*)) AS INT), count(*) - 1)) AS k,
+         CAST(ceil(0.02 * count(*)) AS INT) AS n_out
+  FROM embeddings GROUP BY label
+), d AS (
+  SELECT a.label, a.vec_id AS i, b.vec_id AS j,
+         sqrt(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) ** 2),
+              (x, y) -> x + y)) AS dist
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+), knn AS (
+  SELECT label, i, j, dist,
+         row_number() OVER (PARTITION BY label, i ORDER BY dist, j) AS rn
+  FROM d
+), nbr AS (
+  SELECT knn.label, knn.i, knn.j, knn.dist
+  FROM knn JOIN sz ON knn.label = sz.label
+  WHERE knn.rn <= sz.k
+), kdist AS (
+  SELECT label, i, max(dist) AS kd FROM nbr GROUP BY label, i
+), lrd AS (
+  SELECT n.label, n.i, 1.0 / (avg(greatest(kj.kd, n.dist)) + 1e-12) AS lrd
+  FROM nbr n JOIN kdist kj ON n.label = kj.label AND n.j = kj.i
+  GROUP BY n.label, n.i
+), lof AS (
+  SELECT n.label, n.i, avg(lj.lrd) / any_value(li.lrd) AS lof
+  FROM nbr n
+  JOIN lrd lj ON n.label = lj.label AND n.j = lj.i
+  JOIN lrd li ON n.label = li.label AND n.i = li.i
+  GROUP BY n.label, n.i
+), thr AS (
+  SELECT t.label, min(t.lof) AS thr FROM (
+    SELECT label, lof,
+           row_number() OVER (PARTITION BY label ORDER BY lof DESC) AS rn
+    FROM lof
+  ) t JOIN sz ON t.label = sz.label
+  WHERE t.rn <= sz.n_out
+  GROUP BY t.label
+)
+SELECT l.label,
+       CAST(sum(CASE WHEN l.lof >= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(max(l.lof), 4) AS max_lof,
+       count(*) AS n
+FROM lof l JOIN thr t ON l.label = t.label
+GROUP BY l.label
+"""
 
 
 def m9_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1286,9 +1344,11 @@ FROM events GROUP BY 1
 
 
 def m2_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M2 — euclidean silhouette of the true label clustering (full, no
-    sampling at this scale; rows-only: O(n^2) silhouette isn't reasonably
-    SQL-expressible)."""
+    """M2 — euclidean silhouette of the true label clustering
+    (nuevo-kmeans-pre.ipynb:284 c14; sklearn silhouette_score semantics).
+    sample_size=2000 >= n at oracle/bench scale, so the numpy kernel
+    computes the FULL silhouette and the O(n^2) DuckDB pair formulation
+    is an exact oracle for it."""
     from vector_search_optimization_spark.operators import clustering as C
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1298,6 +1358,31 @@ def m2_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(round(sil, 4),)], schema="silhouette double"
     )
+
+
+# Full euclidean silhouette as pairwise SQL: per point, a = mean distance to
+# own-label others, b = min over other labels of mean distance; singleton
+# clusters score 0 (sklearn convention).
+_M2_SQL = """
+WITH d AS (
+  SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+         sqrt(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) ** 2),
+              (x, y) -> x + y)) AS dist
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), agg AS (
+  SELECT i, li, lj, sum(dist) / count(*) AS mean_d
+  FROM d GROUP BY i, li, lj
+), ab AS (
+  SELECT i,
+         max(CASE WHEN lj = li THEN mean_d END) AS a,
+         min(CASE WHEN lj <> li THEN mean_d END) AS b
+  FROM agg GROUP BY i
+)
+SELECT round(avg(CASE WHEN a IS NULL THEN 0.0
+                      ELSE (b - a) / greatest(a, b) END), 4) AS silhouette
+FROM ab
+"""
 
 
 def f7_string_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1505,7 +1590,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "prologue_report": (prologue_report, _PROLOGUE_SQL),
     "m6_zscore_outliers": (m6_zscore_outliers, _M6_SQL),
     "m7_percentile_outliers": (m7_percentile_outliers, _M7_SQL),
-    "m8_lof_outliers": (m8_lof_outliers, None),
+    "m8_lof_outliers": (m8_lof_outliers, _M8_SQL),
     "m9_mahalanobis_outliers": (m9_mahalanobis_outliers, None),
     "m1_kmeans_clusters": (m1_kmeans_clusters, None),
     "m10_pca_variance": (m10_pca_variance, None),
@@ -1516,7 +1601,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "o7_interleave": (o7_interleave, _O7_SQL),
     "f7_string_caps": (f7_string_caps, _F7_SQL),
     "j5_literal_map": (j5_literal_map, _J5_MAP_SQL),
-    "m2_silhouette": (m2_silhouette, None),
+    "m2_silhouette": (m2_silhouette, _M2_SQL),
 }
 
 
