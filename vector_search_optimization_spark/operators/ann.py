@@ -176,27 +176,80 @@ def train_ivf_centroids(
     seed: int = 42,
     sample_fraction: float | None = None,
     max_iter: int = 20,
+    max_train_rows: int = 100_000,
+    method: str = "sample",
 ) -> DataFrame:
-    """Coarse quantizer for IVF: k-means cells over (a sample of) the corpus.
+    """Coarse quantizer for IVF: k-means cells over a sample of the corpus.
 
-    Returns a small DataFrame (cell int, centroid array<float>). Uses MLlib
-    KMeans on a sampled, driver-bounded training set — the standard IVF
-    recipe (train on a sample, assign the full corpus with the broadcast
-    matrix).
+    Returns a small DataFrame (cell int, centroid array<float>).
+
+    method="sample" (default) is the standard IVF recipe (Faiss trains its
+    quantizer the same way): draw a seeded sample capped at max_train_rows,
+    collect it to the driver, and run Lloyd's k-means in numpy — at 100 TB
+    you still train on ~1e5 vectors, so the training set is driver-bounded
+    by construction and the fit costs no Spark jobs beyond the one sample
+    scan. method="mllib" keeps the fully-distributed fit for callers whose
+    training sample genuinely can't fit on the driver.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if method == "mllib":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    sample = df.select(vector_col)
-    if sample_fraction:
-        sample = sample.sample(fraction=sample_fraction, seed=seed)
-    train = sample.select(array_to_vector(F.col(vector_col)).alias("features"))
-    model = KMeans(k=num_cells, seed=seed, maxIter=max_iter).fit(train)
+        sample = df.select(vector_col)
+        if sample_fraction:
+            sample = sample.sample(fraction=sample_fraction, seed=seed)
+        train = sample.select(array_to_vector(F.col(vector_col)).alias("features"))
+        model = KMeans(k=num_cells, seed=seed, maxIter=max_iter).fit(train)
+        centers = [list(map(float, c)) for c in model.clusterCenters()]
+    else:
+        sample = df.select(vector_col)
+        if sample_fraction:
+            sample = sample.sample(fraction=sample_fraction, seed=seed)
+        rows = sample.limit(max_train_rows).collect()
+        x = np.array([r[0] for r in rows], dtype=np.float64)
+        centers = [list(map(float, c)) for c in _lloyd_kmeans(x, num_cells, seed, max_iter)]
     spark = df.sparkSession
     return spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, c) for i, c in enumerate(centers)],
         schema="cell int, centroid array<float>",
     )
+
+
+def _lloyd_kmeans(x: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
+    """Seeded k-means++ init + Lloyd iterations; returns (k, dim) centers.
+
+    Driver-side kernel for quantizer training only — the training set is
+    already bounded (≤ max_train_rows)."""
+    n = len(x)
+    k = min(k, n)
+    rng = np.random.RandomState(seed)
+    centers = np.empty((k, x.shape[1]))
+    centers[0] = x[rng.randint(n)]
+    d2 = np.sum((x - centers[0]) ** 2, axis=1)
+    for i in range(1, k):
+        tot = d2.sum()
+        probs = d2 / tot if tot > 0 else np.full(n, 1.0 / n)
+        centers[i] = x[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, np.sum((x - centers[i]) ** 2, axis=1))
+    for _ in range(max_iter):
+        # (n, k) squared distances via ||x||^2 - 2 x.c + ||c||^2
+        dist = (
+            np.sum(x * x, axis=1)[:, None]
+            - 2.0 * (x @ centers.T)
+            + np.sum(centers * centers, axis=1)[None, :]
+        )
+        labels = np.argmin(dist, axis=1)
+        new = np.array(
+            [
+                x[labels == j].mean(axis=0) if np.any(labels == j) else centers[j]
+                for j in range(k)
+            ]
+        )
+        if np.allclose(new, centers):
+            centers = new
+            break
+        centers = new
+    return centers
 
 
 def assign_ivf_cells(
