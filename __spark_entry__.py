@@ -448,8 +448,9 @@ WITH counts AS (
   FROM lineitem GROUP BY l_returnflag, l_linestatus
 )
 SELECT l_returnflag, l_linestatus,
-       sum(n) OVER (PARTITION BY l_returnflag ORDER BY l_linestatus
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+       CAST(sum(n) OVER (PARTITION BY l_returnflag ORDER BY l_linestatus
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_n
 FROM counts
 """
 

@@ -44,6 +44,27 @@ def _values_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
         return False, f"columns {list(a.columns)} vs {list(b.columns)}"
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        # The driver's value hash is dtype-strict: an integer column on one
+        # side and a float/decimal on the other (e.g. DuckDB sum(BIGINT) ->
+        # HUGEINT/DECIMAL) hash differently even when values agree. Mirror
+        # that strictness on numeric *kind* so type drift can't pass locally.
+        def _kind(dt):
+            if np.issubdtype(dt, np.floating):
+                return "f"
+            if np.issubdtype(dt, np.integer):
+                return "i"
+            if np.issubdtype(dt, np.bool_):
+                return "b"
+            return "o"
+        ka, kb = _kind(av.dtype), _kind(bv.dtype)
+        if ka != kb and "o" not in (ka, kb):
+            return False, f"col {c}: dtype kind {av.dtype} vs {bv.dtype}"
+        if ka == "o" and kb != "o" and bv.dtype == np.dtype("float64"):
+            # DuckDB HUGEINT/DECIMAL128 surfaces as object on one side —
+            # the driver would hash-fail this; flag it.
+            return False, f"col {c}: dtype kind {av.dtype} vs {bv.dtype}"
+        if kb == "o" and ka != "o" and av.dtype == np.dtype("float64"):
+            return False, f"col {c}: dtype kind {av.dtype} vs {bv.dtype}"
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
             af = pd.to_numeric(a[c], errors="coerce").to_numpy(dtype=float)
             bf = pd.to_numeric(b[c], errors="coerce").to_numpy(dtype=float)
