@@ -762,10 +762,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup (rank form): 20 globally most-similar pairs
-    (BLAS broadcast-matrix kernel; declarative crossjoin is the pytest oracle)."""
+    """Embedding similarity audit: 20 globally most-similar pairs, EXACT,
+    via the 2-D grid-block GEMM (all_pairs_topk_distributed) — no
+    driver-side corpus collect; the O(n^2) work shards into block-pair
+    tasks. The driver-bounded all_pairs_topk kernel survives as the pytest
+    equivalence oracle."""
     e = load_table(spark, sf_dir, "embeddings")
-    return ann.all_pairs_topk(e, k=20)
+    return ann.all_pairs_topk_distributed(e, k=20, num_blocks=8)
 
 
 _EMB_TOP_SQL = """
@@ -775,6 +778,54 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))
         * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))), 6) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, id_a, id_b
+LIMIT 20
+"""
+
+
+def emb_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup blocking (the 100 TB LSH path): multi-table
+    SRP-LSH candidate pairs + cosine, top-20 by similarity. Approximate by
+    construction — the right tool when the workload is near-duplicate
+    pruning (cos >= ~0.95), where multi-table recall is ~1; recall on
+    planted near-dups is pytest-gated (tests/test_ann.py). Bucket planes
+    are seeded literals, so the DuckDB oracle reproduces the exact same
+    candidate set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ann.rp_blocked_top_pairs(e, k=20, num_planes=8, num_tables=4, seed=42)
+
+
+_EMB_DIM = 64  # synthetic embeddings table dimension (TESTDATA.md)
+
+
+def _emb_blocked_sql() -> str:
+    """Oracle twin of emb_near_dup_blocked: same multi-table buckets from
+    the same seeded plane literals, candidate = collide in >= 1 table,
+    exact cosine + top-20."""
+    tables = []
+    for t in range(4):
+        planes = ann.rp_planes(8, _EMB_DIM, seed=42 + t)
+        bits = []
+        for i in range(8):
+            lits = ", ".join(f"{x!r}" for x in planes[i])
+            dot = (
+                "list_reduce(list_transform(list_zip(embedding, "
+                f"[{lits}]), p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
+            )
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+        tables.append("CAST(" + " + ".join(bits) + " AS BIGINT)")
+    bks = "[" + ", ".join(tables) + "]"
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {bks} AS bks FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+       / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))
+        * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))), 6) AS cos_sim
+FROM bucketed a JOIN bucketed b ON a.vec_id < b.vec_id
+WHERE len(list_filter(list_zip(a.bks, b.bks), p -> p[1] = p[2])) > 0
 ORDER BY cos_sim DESC, id_a, id_b
 LIMIT 20
 """
@@ -935,22 +986,104 @@ SELECT lang_pred, count(*) AS n FROM scored GROUP BY lang_pred
 
 
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate candidates (no SQL oracle: xxhash64-based
-    signature family is engine-specific; invariants are pytest-verified)."""
+    """MinHash-LSH near-duplicate candidates. The shingle hash is the
+    SQL-expressible polynomial rolling hash (functions.text.poly_hash), so
+    the full signature->banding->estimate pipeline has an exact DuckDB
+    value oracle (_minhash_sql)."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.minhash_near_duplicates(d, jaccard_threshold=0.2)
 
 
+# The oracle rebuilds the entire MinHash pipeline in SQL: poly-hash each
+# distinct word-3-shingle, take the seeded universal-hash minima (the
+# (a_i, b_i) literals come from dedup.minhash_coeffs — same RNG draw as the
+# Spark side), then all-pairs banding on signature slices. All-pairs is
+# fine for the oracle (sf0.01); the Spark side uses the bucket join.
+_POLY_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length({s}) + 1), i -> CAST(unicode(({s})[i]) AS BIGINT))), "
+    "(acc, x) -> (acc * {base} + x) % 2147483647)"
+)
+
+_MINHASH_SHINGLE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, CASE WHEN len(w) >= {n} THEN
+      list_distinct(list_transform(range(1, len(w) - {nm1} + 1),
+                                   j -> array_to_string(list_slice(w, j, j + {nm1}), ' ')))
+    ELSE [array_to_string(w, ' ')] END AS shingles
+  FROM toks
+)"""
+
+
+def _minhash_sigs_sql(num_hashes: int = 64, seed: int = 42) -> str:
+    a, b = dedup.minhash_coeffs(num_hashes, seed)
+    poly = _POLY_SQL.format(s="s", base=TX.POLY_BASE)
+    return (
+        _MINHASH_SHINGLE_SQL.format(n=3, nm1=2)
+        + f""", hs AS (
+  SELECT doc_id, list_transform(shingles, s -> {poly}) AS h FROM sh
+), sigs AS (
+  SELECT doc_id,
+         list_transform(list_zip([{', '.join(map(str, a))}], [{', '.join(map(str, b))}]),
+                        p -> list_min(list_transform(h, v -> (p[1] * v + p[2]) % 2147483647))) AS sig
+  FROM hs
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+), banded AS (
+  SELECT id_a, id_b,
+         round(CAST(len(list_filter(list_zip(sa, sb), p -> p[1] = p[2])) AS DOUBLE) / {num_hashes}, 6) AS est_jaccard,
+         len(list_filter(range(0, 16), bb -> list_slice(sa, bb*4 + 1, bb*4 + 4) = list_slice(sb, bb*4 + 1, bb*4 + 4))) AS nbands
+  FROM pairs
+)"""
+    )
+
+
+def _minhash_sql() -> str:
+    return (
+        _minhash_sigs_sql()
+        + "\nSELECT id_a, id_b, est_jaccard FROM banded WHERE nbands >= 1 AND est_jaccard >= 0.2"
+    )
+
+
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-ball near-duplicate audit (no SQL oracle: engine-
-    specific hash). max_hamming=3 → 4 x 16-bit segments. The synthetic
-    corpus draws from a ~30-word vocabulary, so most documents ARE
-    simhash-near-duplicates — returned as a hamming histogram rather than
-    the multi-million-row pair list; pytest covers pair-level recall on
-    planted duplicates."""
+    """SimHash hamming-ball near-duplicate audit. max_hamming=3 → 4 x
+    16-bit segments. The synthetic corpus draws from a ~30-word
+    vocabulary, so most documents ARE simhash-near-duplicates — returned
+    as a hamming histogram rather than the multi-million-row pair list;
+    pytest covers pair-level recall on planted duplicates. Poly hash_mode
+    makes the 62-bit simhash reproducible in DuckDB (_simhash_sql)."""
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.simhash_near_duplicates(d, max_hamming=3)
     return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def _simhash_sql() -> str:
+    p1 = _POLY_SQL.format(s="s", base=TX.POLY_BASE)
+    p2 = _POLY_SQL.format(s="s", base=TX.POLY_BASE2)
+    # (h1 << 31) | h2 with h2 < 2^31  ==  h1 * 2^31 + h2
+    h64 = f"(({p1}) * 2147483648 + ({p2}))"
+    # majority vote per bit: bit b set iff ones*2 > m (ties -> 0, matching
+    # the Spark side's strict votes > 0). Bits 62/63 are always 0.
+    bits = " + ".join(
+        f"(CASE WHEN 2*len(list_filter(hs, v -> ((v >> {bb}) & 1) = 1)) > len(hs) THEN {1 << bb} ELSE 0 END)"
+        for bb in range(62)
+    )
+    return (
+        _MINHASH_SHINGLE_SQL.format(n=2, nm1=1)
+        + f""", hs AS (
+  SELECT doc_id, list_transform(shingles, s -> {h64}) AS hs FROM sh
+), sims AS (
+  SELECT doc_id, {bits} AS sim FROM hs
+), ham AS (
+  SELECT CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+)
+SELECT hamming, count(*) AS n_pairs FROM ham WHERE hamming <= 3 GROUP BY hamming"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1347,14 +1480,15 @@ FROM events GROUP BY 1
 def m2_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 — euclidean silhouette of the true label clustering
     (nuevo-kmeans-pre.ipynb:284 c14; sklearn silhouette_score semantics).
-    sample_size=2000 >= n at oracle/bench scale, so the numpy kernel
-    computes the FULL silhouette and the O(n^2) DuckDB pair formulation
-    is an exact oracle for it."""
+    sample_size=2000 >= n at oracle/bench scale, so the distributed
+    kernel computes the FULL silhouette and the O(n^2) DuckDB pair
+    formulation is an exact oracle for it. Scale path: only the sample is
+    collected/broadcast; distance sums accumulate executor-side."""
     from vector_search_optimization_spark.operators import clustering as C
 
     e = load_table(spark, sf_dir, "embeddings")
-    sil = C.silhouette_exact(
-        e, "embedding", "label", sample_size=2000, seed=42
+    sil = C.silhouette_exact_distributed(
+        e, "embedding", "label", sample_size=2000, seed=42, id_cols=["vec_id"]
     )
     return spark.createDataFrame(
         [(round(sil, 4),)], schema="silhouette double"
@@ -1470,12 +1604,40 @@ FROM expanded GROUP BY 1, 2
 
 def minhash_verified_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage near-dup pipeline: MinHash-LSH candidates verified by
-    exact char-5-gram jaccard (the standard candidates->verify split;
-    rows-only: signatures are engine-hash-specific)."""
+    exact char-5-gram jaccard (the standard candidates->verify split).
+    Poly shingle hash → the candidate set and the verification jaccard
+    both have a DuckDB value oracle (_minhash_verified_sql)."""
     d = load_table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures_kernel(d)
     cands = dedup.minhash_lsh_candidates(sigs)
     return dedup.ngram_jaccard_pairs(d, cands, ngram_n=5, threshold=0.5)
+
+
+def _minhash_verified_sql() -> str:
+    # LSH candidates (>=1 agreeing band, no estimate threshold) verified by
+    # exact char-5-gram jaccard on lower(trim(text)), matching
+    # dedup.ngram_jaccard_pairs semantics (distinct grams, short-text
+    # fallback to the whole string, union==0 -> 0.0).
+    return (
+        _minhash_sigs_sql()
+        + r""", grams AS (
+  SELECT doc_id, CASE WHEN length(t) >= 5 THEN
+      list_distinct(list_transform(range(1, length(t) - 3), j -> substring(t, j, 5)))
+    ELSE [t] END AS g
+  FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents)
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(ga.g, gb.g)) AS inter,
+         len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) AS un
+  FROM (SELECT id_a, id_b FROM banded WHERE nbands >= 1) c
+  JOIN grams ga ON ga.doc_id = c.id_a
+  JOIN grams gb ON gb.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+       round(CASE WHEN un = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE) / un END, 6) AS jaccard
+FROM verified
+WHERE round(CASE WHEN un = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE) / un END, 6) >= 0.5"""
+    )
 
 
 def evt_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1576,17 +1738,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_topk_batch": (ann_topk_batch, _ANN_BATCH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, None),
     "emb_top_pairs": (emb_top_pairs, _EMB_TOP_SQL),
+    "emb_near_dup_blocked": (emb_near_dup_blocked, _emb_blocked_sql()),
     "rp_bucket_hist": (rp_bucket_hist, _rp_sql()),
     "text_quality": (text_quality, _TEXT_QUALITY_SQL),
     "dedup_exact_stats": (dedup_exact_stats, _DEDUP_EXACT_SQL),
     "text_langid": (text_langid, _langid_sql()),
     "doc_quality_filter": (doc_quality_filter, _DOC_FILTER_SQL),
-    "minhash_near_dup": (minhash_near_dup, None),
-    "simhash_near_dup": (simhash_near_dup, None),
+    "minhash_near_dup": (minhash_near_dup, _minhash_sql()),
+    "simhash_near_dup": (simhash_near_dup, _simhash_sql()),
     "evt_tumbling_window": (evt_tumbling_window, _EVT_WINDOW_SQL),
     "evt_sliding_window": (evt_sliding_window, _EVT_SLIDING_SQL),
     "evt_sessions": (evt_sessions, _EVT_SESSIONS_SQL),
-    "minhash_verified_dedup": (minhash_verified_dedup, None),
+    "minhash_verified_dedup": (minhash_verified_dedup, _minhash_verified_sql()),
     "s11_upsert": (s11_upsert, _S11_SQL),
     "prologue_report": (prologue_report, _PROLOGUE_SQL),
     "m6_zscore_outliers": (m6_zscore_outliers, _M6_SQL),

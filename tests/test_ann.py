@@ -40,6 +40,61 @@ def test_ivf_recall_at_10(emb):
     assert full == exact
 
 
+def test_all_pairs_distributed_equals_kernel(emb):
+    """The registered emb_top_pairs path (grid-block GEMM, no driver
+    collect) must produce the exact same top-20 as the driver-bounded
+    all_pairs_topk kernel — same values, same tie-breaks."""
+    exact = [
+        (r.id_a, r.id_b, r.cos_sim) for r in ann.all_pairs_topk(emb, k=20).collect()
+    ]
+    dist = [
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in ann.all_pairs_topk_distributed(emb, k=20, num_blocks=4).collect()
+    ]
+    assert dist == exact
+
+
+def test_rp_blocked_recall_on_planted_near_dups(spark):
+    """Multi-table SRP blocking must recover >= 90% of PLANTED near-dup
+    pairs (cos ~0.995) — the workload LSH blocking is for. (On weakly
+    similar pairs, theta ~60deg, sign-LSH recall is structurally low; the
+    exact grid path covers that regime.)"""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    expect = set()
+    for i in range(40):
+        v = rng.normal(size=32)
+        v /= np.linalg.norm(v)
+        rows.append((2 * i, v.tolist()))
+        n = v + rng.normal(scale=0.03, size=32)  # cos ~0.9995
+        rows.append((2 * i + 1, (n / np.linalg.norm(n)).tolist()))
+        expect.add((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in ann.rp_blocked_top_pairs(
+            df, k=40, num_planes=8, num_tables=4, seed=42
+        ).collect()
+    }
+    assert len(got & expect) >= 36
+
+
+def test_rp_blocked_no_driver_collect(emb):
+    """Plan sanity: the blocked path is a pure DataFrame plan — a join on
+    (tbl, bucket), no mapInPandas/UDF stage and no crossJoin."""
+    plan = (
+        ann.rp_blocked_top_pairs(emb, k=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_ivf_partitioned_layout_prunes(spark, emb, tmp_path):
     """The 100 TB layout: corpus written partitionBy(cell) → probing reads
     only the probed cells' files (PartitionFilters in the scan)."""

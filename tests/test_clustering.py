@@ -66,6 +66,40 @@ def test_silhouette_exact_separated_blobs(blobs):
     assert sampled == pytest.approx(sil, abs=0.05)
 
 
+def test_silhouette_distributed_equals_numpy_full(blobs):
+    """Full-silhouette equivalence: the executor-side partial-sum rework
+    must reproduce the collecting numpy kernel to float-sum order."""
+    res = C.kmeans_fit(blobs, k=3, seed=1)
+    assigned = res.assign(blobs, "embedding")
+    ref = C.silhouette_exact(assigned, "embedding", "cluster", sample_size=None)
+    dist = C.silhouette_exact_distributed(
+        assigned, "embedding", "cluster", sample_size=None
+    )
+    assert dist == pytest.approx(ref, abs=1e-9)
+    # n <= s branch must hit the same numbers too
+    dist2 = C.silhouette_exact_distributed(
+        assigned, "embedding", "cluster", sample_size=2000
+    )
+    assert dist2 == pytest.approx(ref, abs=1e-9)
+
+
+def test_silhouette_distributed_sampled_close(blobs):
+    """Hash-sampling is a different seeded sample than the positional one,
+    so demand closeness (sampling noise), determinism, and no full collect
+    of vectors beyond the sample."""
+    res = C.kmeans_fit(blobs, k=3, seed=1)
+    assigned = res.assign(blobs, "embedding")
+    full = C.silhouette_exact(assigned, "embedding", "cluster", sample_size=None)
+    s1 = C.silhouette_exact_distributed(
+        assigned, "embedding", "cluster", sample_size=100, id_cols=["id"]
+    )
+    s2 = C.silhouette_exact_distributed(
+        assigned, "embedding", "cluster", sample_size=100, id_cols=["id"]
+    )
+    assert s1 == s2  # seeded determinism
+    assert s1 == pytest.approx(full, abs=0.05)
+
+
 def test_k_sweep_prefers_true_k(blobs):
     sweep = C.k_sweep(blobs, ks=range(2, 6), max_iter=50, silhouette_sample=None)
     best = max(sweep, key=lambda r: r["silhouette"])

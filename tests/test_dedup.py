@@ -69,6 +69,28 @@ def test_simhash_identical_and_near(docs):
     assert (0, 3) in found                  # near dup inside the hamming ball
 
 
+def test_minhash_expression_and_kernel_poly_identical(docs):
+    """poly hash_mode makes the Catalyst expression path and the Arrow
+    kernel bit-identical (and both equal to the DuckDB oracle family)."""
+    expr = {
+        r.doc_id: list(r.signature)
+        for r in dedup.minhash_signatures(docs, num_hashes=16).collect()
+    }
+    kern = {
+        r.doc_id: list(r.signature)
+        for r in dedup.minhash_signatures_kernel(docs, num_hashes=16).collect()
+    }
+    assert expr == kern
+
+
+def test_simhash_expression_and_kernel_poly_identical(docs):
+    expr = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    kern = {r.doc_id: r.simhash for r in dedup.simhash_kernel(docs).collect()}
+    assert expr == kern
+    # poly mode packs two 31-bit hashes: bits 62/63 are always clear
+    assert all(v >= 0 and v < (1 << 62) for v in expr.values())
+
+
 def test_ngram_jaccard_verification(docs, spark):
     cands = spark.createDataFrame(
         [(0, 1), (0, 3), (0, 4)], "id_a long, id_b long"

@@ -165,6 +165,39 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+#: Mersenne prime 2^31-1 — keeps acc*base + code < 2^39, ANSI-safe in a
+#: long, and small enough for DuckDB BIGINT arithmetic in the oracles.
+POLY_MOD = (1 << 31) - 1
+POLY_BASE = 131
+POLY_BASE2 = 137
+
+
+def poly_hash(text: Column | str, base: int = POLY_BASE, mod: int = POLY_MOD) -> Column:
+    """SQL-expressible polynomial rolling hash (Horner over codepoints).
+
+    ``h = fold(chars, 0, (acc, ch) -> (acc*base + codepoint(ch)) mod p)``
+    — the same value is computable in DuckDB via ``list_reduce`` and in
+    Python via :func:`poly_hash_py`, which is what lets the minhash /
+    simhash dedup queries carry value oracles (xxhash64 has no DuckDB
+    twin). Interpreted HOF: fine for oracles and small fixtures; the hot
+    path uses the Arrow kernels with :func:`poly_hash_py`.
+    """
+    chars = F.filter(F.split(_c(text), ""), lambda c: c != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * F.lit(base) + F.ascii(ch), F.lit(mod)),
+    )
+
+
+def poly_hash_py(s: str, base: int = POLY_BASE, mod: int = POLY_MOD) -> int:
+    """Python twin of :func:`poly_hash` (used by the Arrow dedup kernels)."""
+    h = 0
+    for ch in s:
+        h = (h * base + ord(ch)) % mod
+    return h
+
+
 def char_ngrams(text: Column | str, n: int = 5) -> Column:
     """Array of distinct character n-grams (for n-gram Jaccard)."""
     t = F.lower(F.trim(_c(text)))

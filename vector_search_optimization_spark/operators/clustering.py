@@ -161,6 +161,118 @@ def silhouette_exact(
     return float(np.mean(sil))
 
 
+def silhouette_exact_distributed(
+    assigned: DataFrame,
+    vector_col: str = "embedding",
+    cluster_col: str = "cluster",
+    sample_size: int | None = 2000,
+    seed: int = 42,
+    id_cols: list[str] | None = None,
+) -> float:
+    """M2 — euclidean silhouette (sklearn semantics) with NO full-table
+    collect: the scale rework of silhouette_exact (VERDICT r1 #4).
+
+    Driver footprint is bounded by the sample: only the (s x d) sampled
+    matrix ships (broadcast); per-label partial distance sums accumulate
+    executor-side (mapInPandas GEMM per Arrow batch), reduced by a
+    (label, pos) groupBy with map-side combine, and the final a/b/sil math
+    runs on the (k x s) sum matrix. Full-corpus vectors never leave the
+    executors.
+
+    Sampling is a seeded hash-order sample (smallest s of
+    xxhash64(seed, id_cols or row content)) — deterministic and
+    shuffle-free (TakeOrdered) but a *different* seeded sample than
+    silhouette_exact's positional one, so sampled scores differ within
+    sampling noise; with sample_size >= n (or None) both compute the full
+    silhouette and agree to float-sum order (~1e-12, equivalence-tested).
+    """
+    import pandas as pd
+
+    sdf = assigned.select(
+        F.col(cluster_col).alias("__lbl"), F.col(vector_col).alias("__vec")
+    )
+    n = sdf.count()
+    if sample_size is not None and sample_size < n:
+        hcols = (
+            [F.col(c) for c in id_cols]
+            if id_cols
+            else [F.to_json(F.struct(F.col(cluster_col), F.col(vector_col)))]
+        )
+        sample = (
+            assigned.select(
+                F.col(cluster_col).alias("__lbl"),
+                F.col(vector_col).alias("__vec"),
+                F.xxhash64(F.lit(seed), *hcols).alias("__h"),
+            )
+            .orderBy("__h")
+            .limit(sample_size)
+            .select("__lbl", "__vec")
+            .collect()
+        )
+    else:
+        # sample == corpus (n <= s): the collect stays sample-bounded
+        sample = sdf.collect()
+    S = np.asarray([r["__vec"] for r in sample], dtype=np.float64)
+    s_labels = np.asarray([r["__lbl"] for r in sample])
+    s = len(S)
+    sq_s = (S * S).sum(axis=1)
+    sc = assigned.sparkSession.sparkContext
+    b_sample = sc.broadcast(S)
+
+    def part(batches):
+        Sm = b_sample.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf["__vec"].tolist(), dtype=np.float64)
+            D = np.sqrt(
+                np.maximum(
+                    sq_s[:, None] - 2.0 * (Sm @ X.T) + (X * X).sum(axis=1)[None, :],
+                    0.0,
+                )
+            )
+            lbl = pdf["__lbl"].to_numpy()
+            out_l, out_p, out_v = [], [], []
+            for lab in pd.unique(lbl):
+                mask = lbl == lab
+                sums = D[:, mask].sum(axis=1)
+                out_l.extend([lab] * (s + 1))
+                out_p.extend(range(s))
+                out_p.append(-1)  # pos -1 carries the label's row count
+                out_v.extend(sums.tolist())
+                out_v.append(float(mask.sum()))
+            yield pd.DataFrame({"l": out_l, "p": out_p, "v": out_v})
+
+    lbl_type = assigned.schema[cluster_col].dataType.simpleString()
+    agg = (
+        sdf.mapInPandas(part, schema=f"l {lbl_type}, p int, v double")
+        .groupBy("l", "p")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    b_sample.unpersist()
+
+    labels_u = sorted({r["l"] for r in agg})
+    lidx = {lab: i for i, lab in enumerate(labels_u)}
+    k = len(labels_u)
+    sums = np.zeros((k, s))
+    counts = np.zeros(k)
+    for r in agg:
+        if r["p"] == -1:
+            counts[lidx[r["l"]]] = r["v"]
+        else:
+            sums[lidx[r["l"]], r["p"]] = r["v"]
+    own = np.array([lidx[lab] for lab in s_labels])
+    rows = np.arange(s)
+    own_counts = counts[own]
+    a = np.where(own_counts > 1, sums[own, rows] / np.maximum(own_counts - 1, 1), 0.0)
+    means = sums / counts[:, None]
+    means[own, rows] = np.inf
+    b = means.min(axis=0)
+    sil = np.where(own_counts > 1, (b - a) / np.maximum(a, b), 0.0)
+    return float(np.mean(sil))
+
+
 def k_sweep(
     df: DataFrame,
     ks: range,
@@ -181,7 +293,7 @@ def k_sweep(
         res = kmeans_fit(df, k, n_init=n_init, max_iter=max_iter, seed=seed,
                          vector_col=vector_col)
         assigned = res.assign(df, vector_col)
-        sil = silhouette_exact(
+        sil = silhouette_exact_distributed(
             assigned, vector_col, "cluster", sample_size=silhouette_sample, seed=seed
         )
         out.append({"k": k, "inertia": res.inertia, "silhouette": sil})
@@ -211,5 +323,5 @@ def fit_and_evaluate(
         "mean_s": float(np.mean(times)),
         "std_s": float(np.std(times)),
         "inertia": res.inertia,
-        "silhouette": silhouette_exact(assigned, vector_col, "cluster"),
+        "silhouette": silhouette_exact_distributed(assigned, vector_col, "cluster"),
     }

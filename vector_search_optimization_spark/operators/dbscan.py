@@ -178,7 +178,7 @@ def dbscan_grid_search(
     """M4 — the reference's 10x10 hyperparameter grid with silhouette
     scoring (silhouettes.ipynb:661 c30). Combos yielding < 2 clusters get
     silhouette None, like the reference's skip branch."""
-    from .clustering import silhouette_exact
+    from .clustering import silhouette_exact_distributed
 
     results = []
     for eps in eps_grid:
@@ -189,8 +189,9 @@ def dbscan_grid_search(
             n_clusters = clustered.select("dbscan_label").distinct().count()
             sil = None
             if n_clusters >= 2:
-                sil = silhouette_exact(
-                    clustered, vector_col, "dbscan_label", sample_size=2000
+                sil = silhouette_exact_distributed(
+                    clustered, vector_col, "dbscan_label", sample_size=2000,
+                    id_cols=[id_col],
                 )
             results.append(
                 {"eps": eps, "min_samples": ms, "n_clusters": n_clusters,

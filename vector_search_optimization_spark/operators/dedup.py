@@ -74,6 +74,18 @@ def dedup_exact(
 _MERSENNE = (1 << 31) - 1
 
 
+def minhash_coeffs(num_hashes: int = 64, seed: int = 42) -> tuple[list[int], list[int]]:
+    """The seeded (a_i, b_i) universal-hash coefficients, as plain ints.
+
+    Single source for the Spark expression path, the Arrow kernel, and the
+    generated DuckDB oracle SQL — all three must draw the identical family.
+    """
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return [int(x) for x in a], [int(x) for x in b]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -81,29 +93,34 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_mode: str = "poly",
 ) -> DataFrame:
     """(id, signature array<long>) — minhash over word-shingle sets.
 
-    Universal-hash family h_i(x) = (a_i * x + b_i) mod p over the shingle's
-    xxhash64. Built entirely from Catalyst expressions: the per-row cost is
-    num_hashes * |shingles| multiply-mods inside codegen; no UDF, no
-    shuffle. a_i/b_i are seeded driver-side constants (deterministic plan).
-    """
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    Universal-hash family h_i(x) = (a_i * x + b_i) mod p over the shingle
+    hash. Built entirely from Catalyst expressions: the per-row cost is
+    num_hashes * |shingles| multiply-mods; no UDF, no shuffle. a_i/b_i are
+    seeded driver-side constants (deterministic plan).
 
-    shingle_hashes = F.transform(
-        TX.word_shingles(text_col, shingle_n),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
-    )
+    hash_mode: "poly" (default) hashes shingles with the SQL-expressible
+    polynomial rolling hash (DuckDB-oracle-able, and bit-identical to the
+    kernel path); "xxhash" uses JVM xxhash64 (fastest expression path,
+    engine-specific values).
+    """
+    a, b = minhash_coeffs(num_hashes, seed)
+
+    if hash_mode == "poly":
+        shingle_hash = lambda s: TX.poly_hash(s)  # noqa: E731
+    else:
+        shingle_hash = lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))  # noqa: E731
+    shingle_hashes = F.transform(TX.word_shingles(text_col, shingle_n), shingle_hash)
     sig = F.array(
         *[
             F.array_min(
                 F.transform(
                     F.col("__sh"),
                     lambda h: F.pmod(
-                        h * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(_MERSENNE)
+                        h * F.lit(a[i]) + F.lit(b[i]), F.lit(_MERSENNE)
                     ),
                 )
             )
@@ -123,22 +140,24 @@ def minhash_signatures_kernel(
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_mode: str = "poly",
 ) -> DataFrame:
     """Arrow-batched numpy formulation of minhash_signatures.
 
     Spark's higher-order array functions run interpreted (no codegen), so
     the expression path costs ~2ms/doc at 64 hashes; this kernel flattens a
     batch's shingles once and does the (num_hashes x m) permute-min as two
-    numpy ops — measured ~10x faster at sf0.1. Shingle hashing uses
-    pandas' SipHash (deterministic per pandas version) instead of JVM
-    xxhash64, so signatures differ from the expression path but all
-    jaccard-estimate semantics are identical.
+    numpy ops — measured ~10x faster at sf0.1.
+
+    hash_mode: "poly" (default) — shingle hash is the polynomial rolling
+    hash, bit-identical to minhash_signatures(hash_mode="poly") and to the
+    generated DuckDB oracle; "pandas" — pandas' SipHash (fast, but
+    signatures are engine-specific).
     """
     import pandas as pd
 
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    a_l, b_l = minhash_coeffs(num_hashes, seed)
+    a, b = np.array(a_l, dtype=np.int64), np.array(b_l, dtype=np.int64)
 
     def batches(it):
         for pdf in it:
@@ -152,10 +171,15 @@ def minhash_signatures_kernel(
                     }
                 else:
                     sh = {" ".join(toks)}
-                h = (
-                    pd.util.hash_array(np.array(sorted(sh), dtype=object))
-                    % _MERSENNE
-                ).astype(np.int64)
+                if hash_mode == "poly":
+                    h = np.array(
+                        [TX.poly_hash_py(s) for s in sh], dtype=np.int64
+                    )
+                else:
+                    h = (
+                        pd.util.hash_array(np.array(sorted(sh), dtype=object))
+                        % _MERSENNE
+                    ).astype(np.int64)
                 sig = ((a[:, None] * h[None, :] + b[:, None]) % _MERSENNE).min(axis=1)
                 sigs.append(sig.tolist())
             yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
@@ -246,19 +270,34 @@ def minhash_near_duplicates(
 # --- simhash ------------------------------------------------------------------
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    hash_mode: str = "poly",
 ) -> DataFrame:
     """64-bit SimHash over word shingles (Charikar '02).
 
     For each of the 64 bit positions, sum +1/-1 votes of each shingle's
-    xxhash64 bit; the sign becomes the output bit. Explode + groupBy with 64
+    hash bit; the sign becomes the output bit. Explode + groupBy with 64
     unrolled sum expressions: one pass over the shingles, map-side partial
     aggregation, bit positions are plan literals (shiftright needs them).
+
+    hash_mode: "poly" (default) — shingle hash packs two 31-bit polynomial
+    hashes (bases 131/137) into bits 0..61 (bits 62/63 are always 0), so
+    the value is reproducible in DuckDB and in the Arrow kernel;
+    "xxhash" — full-width JVM xxhash64.
     """
+    if hash_mode == "poly":
+        shingle_hash = lambda s: F.shiftleft(  # noqa: E731
+            TX.poly_hash(s, TX.POLY_BASE), 31
+        ).bitwiseOR(TX.poly_hash(s, TX.POLY_BASE2))
+    else:
+        shingle_hash = lambda s: F.xxhash64(s)  # noqa: E731
     exploded = df.select(
         F.col(id_col),
         F.explode(
-            F.transform(TX.word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+            F.transform(TX.word_shingles(text_col, shingle_n), shingle_hash)
         ).alias("__h"),
     )
     votes = exploded.groupBy(id_col).agg(
@@ -278,11 +317,16 @@ def simhash(
 
 
 def simhash_kernel(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    hash_mode: str = "poly",
 ) -> DataFrame:
     """Arrow-batched numpy formulation of simhash (see
     minhash_signatures_kernel for why: interpreted HOFs lose to one
-    (m x 64) bit-vote matrix per doc)."""
+    (m x 64) bit-vote matrix per doc). hash_mode "poly" is bit-identical
+    to simhash(hash_mode="poly") and the DuckDB oracle."""
     import pandas as pd
 
     shifts = np.arange(64, dtype=np.uint64)
@@ -299,8 +343,22 @@ def simhash_kernel(
                     }
                 else:
                     sh = {" ".join(toks)}
-                h = pd.util.hash_array(np.array(sorted(sh), dtype=object))
-                votes = (((h[:, None] >> shifts[None, :]) & 1) * 2 - 1).sum(axis=0)
+                if hash_mode == "poly":
+                    h = np.array(
+                        [
+                            (TX.poly_hash_py(s, TX.POLY_BASE) << 31)
+                            | TX.poly_hash_py(s, TX.POLY_BASE2)
+                            for s in sh
+                        ],
+                        dtype=np.uint64,
+                    )
+                else:
+                    h = pd.util.hash_array(np.array(sorted(sh), dtype=object))
+                # signed votes: uint64 would wrap the -1 votes and turn the
+                # majority test into votes != 0 (diverging from simhash())
+                votes = (
+                    ((h[:, None] >> shifts[None, :]) & 1).astype(np.int64) * 2 - 1
+                ).sum(axis=0)
                 packed = ((votes > 0).astype(np.uint64) << shifts).sum(
                     dtype=np.uint64
                 )
