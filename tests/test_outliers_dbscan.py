@@ -117,6 +117,44 @@ def test_dbscan_distributed_matches_kernel(spark):
     assert set(k[k.dbscan_label == -1].index) == set(d[d.dbscan_label == -1].index)
 
 
+def test_eps_neighbor_pairs_complete_vs_brute_force(spark):
+    """Grid blocking with 3^L multi-probe must lose no true ε-pair."""
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.normal(size=4).tolist()) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    eps = 1.8
+    got = {
+        (r.src, r.dst)
+        for r in dbscan.eps_neighbor_pairs(df, eps, num_lines=2).collect()
+    }
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    # same GEMM formula as the kernels
+    d = np.sqrt(
+        np.maximum((X**2).sum(1)[:, None] - 2 * X @ X.T + (X**2).sum(1)[None, :], 0)
+    )
+    want = {
+        (i, j)
+        for i in range(len(X))
+        for j in range(len(X))
+        if i != j and d[i, j] <= eps
+    }
+    assert got == want
+    assert len(want) > 50  # fixture actually exercises the join
+
+
+def test_dbscan_distributed_chain_pointer_jumping(spark):
+    """A 40-point chain (diameter 39) must converge in far fewer rounds
+    than its diameter — pointer jumping makes propagation O(log n)."""
+    rows = [(i, [float(i), 0.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lab = (
+        dbscan.dbscan_distributed(df, eps=1.5, min_samples=2, max_iter=10)
+        .select("vec_id", "dbscan_label")
+        .toPandas()
+    )
+    assert set(lab["dbscan_label"]) == {0}  # one cluster, min-member id 0
+
+
 def test_dbscan_grid_search_shape(spark):
     rng = np.random.RandomState(4)
     rows = [(i, rng.normal(size=2).tolist()) for i in range(60)]

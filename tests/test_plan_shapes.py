@@ -63,3 +63,13 @@ def test_q1_partial_aggregation(spark, sf_small):
 def test_upsert_broadcasts_updates(spark, sf_small):
     plan = _plan(m.queries()["s11_upsert"](spark, sf_small))
     assert "BroadcastHashJoin" in plan
+
+
+def test_dbscan_eps_join_has_no_cartesian(spark, sf_small):
+    from vector_search_optimization_spark.operators import dbscan as DB
+
+    e = load_table(spark, sf_small, "embeddings")
+    plan = _plan(DB.eps_neighbor_pairs(e, eps=1.1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan

@@ -354,6 +354,33 @@ def assign_ivf_cells(
     ).drop("cell_dist")
 
 
+def write_ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vector_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout (the SCALING.md design): the corpus
+    written ``partitionBy("cell")`` so a probe's IN-list filter becomes
+    *partition pruning* (whole directories skipped, visible as
+    PartitionFilters in the scan), plus the centroid table alongside.
+
+    At 100 TB this is the index-build job — run once, incrementally
+    refreshed; probes are then cheap scans of nprobe/num_cells of the data.
+    """
+    indexed = assign_ivf_cells(df, centroids, vector_col)
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/corpus")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Open a written IVF index: (cell-partitioned corpus, centroids)."""
+    return (
+        spark.read.parquet(f"{path}/corpus"),
+        spark.read.parquet(f"{path}/centroids"),
+    )
+
+
 def ivf_topk(
     indexed: DataFrame,
     centroids: DataFrame,

@@ -84,6 +84,106 @@ def dbscan_kernel(
     )
 
 
+def _unit_lines(dim: int, num_lines: int, seed: int) -> np.ndarray:
+    """Seeded unit-norm projection lines shared by plan expressions,
+    kernels, and generated DuckDB oracle literals."""
+    lines = np.random.RandomState(seed).normal(size=(num_lines, dim))
+    return lines / np.linalg.norm(lines, axis=1, keepdims=True)
+
+
+def eps_neighbor_pairs(
+    df: DataFrame,
+    eps: float,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_lines: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT directed ε-neighbor pairs (src != dst, ||a-b|| <= eps) with no
+    crossJoin and no per-pair interpreted expression.
+
+    Grid blocking on random 1-D projections: cell_l = floor(<v, u_l> / eps)
+    for num_lines seeded unit lines. ||a-b|| <= eps implies
+    |<a,u_l> - <b,u_l>| <= eps for every line, so adjacent cells (offset in
+    {-1,0,1}^L) cover every true pair — each row is exploded to its 3^L
+    neighbor cells (is_home marks the offset-0 copy) and one applyInPandas
+    task per populated cell runs a chunked numpy GEMM of home rows against
+    the group, emitting directed pairs once (pair (a,b) appears exactly in
+    the task keyed by cell(a)).
+
+    Scale notes: replication is 3^L copies through one hash shuffle; tasks
+    are cell-bounded, so pruning is real whenever eps is small relative to
+    the projection spread (~||v||/sqrt(dim)) — the regime where DBSCAN is
+    meaningful. When eps approaches the data diameter the ε-graph is
+    percolated (one giant cluster) and no metric blocking can prune; see
+    SCALING.md. The GEMM is chunked so task memory is O(chunk x cell), not
+    O(cell^2).
+    """
+    from itertools import product
+
+    import pandas as pd
+
+    dim = len(df.select(vector_col).first()[0])
+    lines = _unit_lines(dim, num_lines, seed)
+    base = df.select(F.col(id_col), F.col(vector_col))
+    for l in range(num_lines):
+        line = F.array(*[F.lit(float(x)) for x in lines[l]])
+        base = base.withColumn(
+            f"__c{l}",
+            F.floor(V.dot(F.col(vector_col), line) / F.lit(float(eps))).cast("long"),
+        )
+    probes = F.array(
+        *[
+            F.struct(
+                *[
+                    (F.col(f"__c{l}") + F.lit(int(d[l]))).alias(f"k{l}")
+                    for l in range(num_lines)
+                ],
+                F.lit(all(x == 0 for x in d)).alias("is_home"),
+            )
+            for d in product((-1, 0, 1), repeat=num_lines)
+        ]
+    )
+    keys = [f"k{l}" for l in range(num_lines)]
+    exploded = base.withColumn("__p", F.explode(probes)).select(
+        F.col(id_col),
+        F.col(vector_col),
+        *[F.col(f"__p.{k}").alias(k) for k in keys],
+        F.col("__p.is_home").alias("is_home"),
+    )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        home = pdf[pdf["is_home"]]
+        if home.empty or len(pdf) < 2:
+            return pd.DataFrame({"src": [], "dst": []})
+        A = np.asarray(home[vector_col].tolist(), dtype=np.float64)
+        Bm = np.asarray(pdf[vector_col].tolist(), dtype=np.float64)
+        ia = home[id_col].to_numpy()
+        ib = pdf[id_col].to_numpy()
+        bsq = (Bm**2).sum(axis=1)
+        out_s, out_d = [], []
+        for s in range(0, len(A), 1024):
+            Ac = A[s : s + 1024]
+            # same formula as _dbscan_numpy so kernel/distributed agree bitwise
+            d = np.sqrt(
+                np.maximum(
+                    (Ac**2).sum(1)[:, None] - 2 * Ac @ Bm.T + bsq[None, :], 0
+                )
+            )
+            r, c = np.where((d <= eps) & (ia[s : s + 1024, None] != ib[None, :]))
+            out_s.append(ia[s + r])
+            out_d.append(ib[c])
+        return pd.DataFrame(
+            {"src": np.concatenate(out_s), "dst": np.concatenate(out_d)}
+        )
+
+    return exploded.groupBy(*keys).applyInPandas(
+        kernel, schema=f"src {id_type}, dst {id_type}"
+    )
+
+
 def dbscan_distributed(
     df: DataFrame,
     eps: float,
@@ -92,31 +192,32 @@ def dbscan_distributed(
     id_col: str = "vec_id",
     out_col: str = "dbscan_label",
     max_iter: int = 50,
+    num_lines: int = 2,
+    seed: int = 42,
 ) -> DataFrame:
-    """Distributed DBSCAN: ε-join → core points → connected components.
+    """Distributed DBSCAN: blocked ε-join → core points → connected
+    components. The registered scale path for M4.
 
-    1. ε-neighbor pairs via self-join on distance <= eps (quadratic
-       candidate space — block with ann.random_projection_buckets first on
-       big corpora; correctness here, blocking is the caller's knob).
+    1. ε-neighbor pairs via eps_neighbor_pairs (grid-blocked GEMM — no
+       crossJoin, no driver collect).
     2. core = points with >= min_samples neighbors (self included).
-    3. label = min reachable core id, by iterative min-propagation over
-       core-core edges (hash-join per iteration, AQE-coalesced; converges
-       in O(graph diameter) rounds).
+    3. label = min reachable core id, by min-propagation over core-core
+       edges PLUS pointer jumping (lbl <- label(lbl)) each round, so
+       convergence is O(log n) rounds, not O(graph diameter) — a chain of
+       1e6 cores converges in ~20 rounds.
     4. border points take the min label of adjacent cores; others -1.
+
+    Each round persists its label frame, materializes it with the
+    convergence check (a changed-flag filter — no extra join), and
+    unpersists the superseded frame.
 
     Cluster ids are min-member-ids (stable, not 0..C-1); use
     dense_label_numbering for compact ids when needed.
     """
-    pts = df.select(F.col(id_col).alias("pid"), F.col(vector_col).alias("v"))
-    a = pts.select(F.col("pid").alias("src"), F.col("v").alias("va"))
-    b = pts.select(F.col("pid").alias("dst"), F.col("v").alias("vb"))
-    pairs = (
-        a.crossJoin(b)
-        .where(F.col("src") != F.col("dst"))
-        .where(V.euclidean("va", "vb") <= eps)
-        .select("src", "dst")
-    )
-    pairs = pairs.persist()
+    pairs = eps_neighbor_pairs(
+        df, eps, vector_col=vector_col, id_col=id_col,
+        num_lines=num_lines, seed=seed,
+    ).persist()
     degree = pairs.groupBy("src").agg((F.count(F.lit(1)) + 1).alias("deg"))
     core = degree.where(F.col("deg") >= min_samples).select(
         F.col("src").alias("pid")
@@ -129,8 +230,11 @@ def dbscan_distributed(
         .persist()
     )
 
-    # iterative min-label propagation over core-core edges
-    labels = core.withColumn("lbl", F.col("pid"))
+    # min-label propagation + pointer jumping over core-core edges.
+    # localCheckpoint each round truncates the logical plan — the jump join
+    # references `labels` twice, so without truncation the plan tree would
+    # double per iteration and planning time would dominate execution.
+    labels = core.withColumn("lbl", F.col("pid")).localCheckpoint(eager=True)
     for _ in range(max_iter):
         neigh_min = (
             core_edges.join(labels.withColumnRenamed("pid", "dst"), "dst")
@@ -138,19 +242,28 @@ def dbscan_distributed(
             .agg(F.min("lbl").alias("nlbl"))
             .withColumnRenamed("src", "pid")
         )
+        stepped = labels.join(neigh_min, "pid", "left").select(
+            "pid",
+            F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+            (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("chg"),
+        )
+        # pointer jumping: follow lbl one hop (label of my label)
+        jump = labels.select(
+            F.col("pid").alias("lbl"), F.col("lbl").alias("jlbl")
+        )
         new_labels = (
-            labels.join(neigh_min, "pid", "left")
-            .select("pid", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
-            .persist()
+            stepped.join(jump, "lbl", "left")
+            .select(
+                "pid",
+                F.least("lbl", F.coalesce("jlbl", "lbl")).alias("lbl"),
+                (
+                    F.col("chg") | (F.coalesce("jlbl", "lbl") < F.col("lbl"))
+                ).alias("chg"),
+            )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "pid")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("chg").limit(1).count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
 
