@@ -104,15 +104,61 @@ def test_write_json_roundtrip(spark, tmp_path):
     assert "v" not in rows[2].asDict() or rows[2].v is None
 
 
-def test_excel_stubs_raise_without_openpyxl(spark, tmp_path):
-    try:
-        import openpyxl  # noqa: F401
+def test_excel_roundtrip(spark, tmp_path):
+    """S9 → S6: stdlib xlsx sink then scan preserves values and types,
+    including the vector→string serialization shared with the CSV sink."""
+    df = spark.createDataFrame(
+        [
+            (1, "hello <world> & \"co\"", 2.5, True, [0.5, 1.5]),
+            (2, "café", -3.0, False, [1.0, 2.0]),
+            (3, None, None, None, None),
+        ],
+        "id long, s string, x double, b boolean, v array<float>",
+    )
+    path = str(tmp_path / "report.xlsx")
+    write_excel(df, path)
+    back = read_excel(spark, path)
+    assert back.columns == ["id", "s", "x", "b", "v"]
+    assert dict(back.dtypes) == {
+        "id": "bigint", "s": "string", "x": "double", "b": "boolean", "v": "string",
+    }
+    rows = {r.id: r for r in back.collect()}
+    assert rows[1].s == 'hello <world> & "co"' and rows[1].x == 2.5 and rows[1].b is True
+    assert rows[1].v == "[0.5, 1.5]"
+    assert rows[2].s == "café"
+    assert rows[3].s is None and rows[3].x is None and rows[3].b is None
 
-        pytest.skip("openpyxl present; stub path not reachable")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="openpyxl"):
-        read_excel(spark, str(tmp_path / "x.xlsx"))
-    df = spark.createDataFrame([(1,)], "a int")
-    with pytest.raises(NotImplementedError, match="openpyxl"):
-        write_excel(df, str(tmp_path / "y.xlsx"))
+
+def test_excel_sheet_selection_and_shared_strings(spark, tmp_path):
+    """Sheet-by-name resolution plus the sharedStrings path (what real
+    Excel/openpyxl emit) parse through the same reader."""
+    from vector_search_optimization_spark.sources import xlsx
+
+    path = str(tmp_path / "manual.xlsx")
+    xlsx.write_xlsx(path, ["k", "val"], [["a", 1], ["b", 2]], sheet_name="metrics")
+    header, rows = xlsx.read_xlsx(path, "metrics")
+    assert header == ["k", "val"] and rows == [["a", 1], ["b", 2]]
+
+    # hand-build a workbook that uses sharedStrings (reader-only path)
+    import zipfile
+
+    shared_path = str(tmp_path / "shared.xlsx")
+    with zipfile.ZipFile(path) as src, zipfile.ZipFile(shared_path, "w") as dst:
+        for name in src.namelist():
+            if name != "xl/worksheets/sheet1.xml":
+                dst.writestr(name, src.read(name))
+        dst.writestr(
+            "xl/sharedStrings.xml",
+            '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><si><t>k</t></si><si><t>shared!</t></si></sst>',
+        )
+        dst.writestr(
+            "xl/worksheets/sheet1.xml",
+            '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>1</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    header2, rows2 = xlsx.read_xlsx(shared_path)
+    assert header2 == ["k"] and rows2 == [["shared!"]]

@@ -83,19 +83,39 @@ def read_centroids_csv(spark: SparkSession, path: str) -> DataFrame:
 def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFrame:
     """S6 — Excel scan (pd.read_excel inside the vendored converter,
     analisis-informe.ipynb:2806 c82). Excel is a driver-side small-table
-    format: read via pandas + openpyxl when available, else raise with the
-    CSV-parity guidance (SURVEY §2.1 S6). Not a distributed scan by design —
-    config/dimension tables only."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "Excel scan needs openpyxl (not in this container); convert the "
-            "workbook to CSV and use spark.read.csv — S6 is CSV-parity"
-        ) from e
-    import pandas as pd
+    format — config/dimension tables only, never a distributed scan.
 
-    return spark.createDataFrame(pd.read_excel(path, sheet_name=sheet))
+    Parsed by the stdlib zip+XML codec (sources.xlsx), so no openpyxl
+    dependency; handles inline and shared strings, numbers, bools.
+    Column types are inferred per column from the cell values (all-numeric
+    → double/long, else string), mirroring pd.read_excel inference.
+    """
+    from . import xlsx
+
+    header, rows = xlsx.read_xlsx(path, sheet)
+    fields = []
+    for i, name in enumerate(header):
+        vals = [r[i] for r in rows if r[i] is not None]
+        if vals and all(isinstance(v, bool) for v in vals):
+            tp: T.DataType = T.BooleanType()
+        elif vals and all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+            tp = T.LongType()
+        elif vals and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals
+        ):
+            tp = T.DoubleType()
+            rows = [
+                r[:i] + [float(r[i]) if r[i] is not None else None] + r[i + 1 :]
+                for r in rows
+            ]
+        else:
+            tp = T.StringType()
+            rows = [
+                r[:i] + [str(r[i]) if r[i] is not None else None] + r[i + 1 :]
+                for r in rows
+            ]
+        fields.append(T.StructField(name, tp, True))
+    return spark.createDataFrame(rows, T.StructType(fields))
 
 
 def read_json_index_dump(spark: SparkSession, path: str) -> DataFrame:

@@ -48,18 +48,15 @@ def write_parquet(
 def write_excel(df: DataFrame, path: str, max_rows: int = 100_000) -> None:
     """S9 — Excel sink (table.to_excel, analisis-informe.ipynb:1052 c38).
 
-    Driver-side: collect (bounded) + pandas writer; raises without
-    openpyxl. Reporting-table sizes only — use write_csv for data.
+    Driver-side: bounded collect + the stdlib zip+XML codec
+    (sources.xlsx) — no openpyxl dependency. Reporting-table sizes only;
+    use write_csv / write_parquet for data.
     """
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "Excel sink needs openpyxl (not in this container); "
-            "write_csv is the S9 CSV-parity fallback"
-        ) from e
-    pdf = _stringify_vectors(df).limit(max_rows).toPandas()
-    pdf.to_excel(path, index=False)
+    from . import xlsx
+
+    collected = _stringify_vectors(df).limit(max_rows).collect()
+    header = _stringify_vectors(df).columns
+    xlsx.write_xlsx(path, header, [list(r) for r in collected])
 
 
 def write_upsert(
