@@ -1355,17 +1355,151 @@ GROUP BY l.label
 """
 
 
+_M9_DIM = 3
+_M9_SEED = 42
+_M9_SAMPLE_CAP = 100_000
+
+
+def _fold_dot(vec, coef) -> float:
+    """Sequential left-fold double dot product — replicates bit-for-bit
+    what Spark's aggregate(zip_with(...)) fold and DuckDB's list_reduce
+    compute, so the oracle generator feeds the SAME projected values into
+    the shared FastMCD as the Spark kernel receives."""
+    acc = 0.0
+    for a, b in zip(vec, coef):
+        acc += float(a) * float(b)
+    return acc
+
+
+def _m9_basis(X) -> tuple[np.ndarray, list[float]]:
+    """Deterministic PCA-3D basis + fold-exact center offsets, shared by
+    the Spark query and the oracle generator (reduction.pca_components_numpy
+    is seeded-free and deterministic on identical input)."""
+    from vector_search_optimization_spark.operators.reduction import (
+        pca_components_numpy,
+    )
+
+    mu, comps = pca_components_numpy(X, _M9_DIM)
+    offs = [_fold_dot(mu, comps[i]) for i in range(_M9_DIM)]
+    return comps, offs
+
+
 def m9_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M9 — per-cluster Mahalanobis > 95th pct (empirical covariance kernel;
-    no SQL oracle — matrix inversion isn't SQL-expressible)."""
+    """M9 — per-cluster robust (FastMCD) Mahalanobis > 95th pct, applied
+    in a PCA-3D projection like the reference (UMAP->3D->MinCovDet,
+    main-script1.ipynb:4140 c70; PCA stands in for UMAP — documented
+    deviation, SURVEY §4.3). The basis comes from a driver-bounded
+    deterministic sample (IVF-quantizer pattern) and is applied as
+    plan-literal expressions — the big table never collects; FastMCD runs
+    per cluster inside applyInPandas. Value oracle: _m9_sql() re-derives
+    the identical basis + MCD fits and inlines them as SQL literals."""
     from vector_search_optimization_spark.operators import outliers as OUT
 
     e = load_table(spark, sf_dir, "embeddings")
-    flagged = OUT.mahalanobis_outliers(e, "label", "embedding", "vec_id", pct=95.0)
-    return flagged.groupBy("label").agg(
-        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
-        F.count(F.lit(1)).alias("n"),
+    sample = (
+        e.select("vec_id", "embedding").orderBy("vec_id").limit(_M9_SAMPLE_CAP).collect()
     )
+    X = np.asarray([r[1] for r in sample], dtype=np.float64)
+    comps, offs = _m9_basis(X)
+    p3 = F.array(
+        *[
+            V.dot("embedding", F.array(*[F.lit(float(c)) for c in comps[i]]))
+            - F.lit(offs[i])
+            for i in range(_M9_DIM)
+        ]
+    )
+    e2 = e.withColumn("p3", p3)
+    flagged = OUT.mahalanobis_outliers(
+        e2, "label", "p3", "vec_id", pct=95.0, method="mcd", seed=_M9_SEED
+    )
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("mahal"), 5).alias("avg_mahal"),
+        )
+        .orderBy("label")
+    )
+
+
+def _m9_sql() -> str:
+    """Generated oracle for m9: recompute the PCA-3D basis and the seeded
+    per-cluster FastMCD fits from the sf0.01 parquet (the driver's oracle
+    scale) via the SAME shared numpy code, inline location/precision as
+    literals, and let DuckDB recompute projection, Mahalanobis, the 95th
+    percentile threshold (quantile_cont = np.percentile linear), flags,
+    and the per-cluster rollup."""
+    import duckdb
+
+    from vector_search_optimization_spark.operators.outliers import (
+        location_covariance,
+    )
+
+    pdf = duckdb.sql(
+        "SELECT vec_id, label, embedding FROM "
+        "'/root/testdata/sf0.01/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    comps, offs = _m9_basis(X)
+    P = np.array(
+        [[_fold_dot(row, comps[i]) - offs[i] for i in range(_M9_DIM)] for row in X]
+    )
+    labels = pdf["label"].to_numpy()
+    par_rows = []
+    for lbl in sorted(set(labels.tolist())):
+        Pl = P[labels == lbl]  # already vec_id-ordered
+        assert len(Pl) >= 3, "oracle assumes every sf0.01 cluster has >= 3 rows"
+        mu_c, cov_c = location_covariance(Pl, method="mcd", seed=_M9_SEED)
+        prec = np.linalg.pinv(cov_c)
+        q = [prec[0, 0], prec[1, 1], prec[2, 2],
+             prec[0, 1] + prec[1, 0], prec[0, 2] + prec[2, 0],
+             prec[1, 2] + prec[2, 1]]
+        par_rows.append(
+            "(" + ", ".join(
+                [str(int(lbl))] + [f"{v!r}" for v in list(mu_c) + q]
+            ) + ")"
+        )
+
+    def proj(i: int) -> str:
+        lits = ", ".join(f"{c!r}" for c in comps[i])
+        return (
+            "list_reduce(list_transform(list_zip(embedding, "
+            f"[{lits}]), p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
+            f" - {offs[i]!r}"
+        )
+
+    values = ",\n".join(par_rows)
+    return f"""
+WITH base AS (
+  SELECT label,
+         {proj(0)} AS p1,
+         {proj(1)} AS p2,
+         {proj(2)} AS p3
+  FROM embeddings
+),
+par AS (
+  SELECT * FROM (VALUES
+{values}
+  ) t(label, m1, m2, m3, q11, q22, q33, q12, q13, q23)
+),
+scored AS (
+  SELECT b.label,
+         sqrt(greatest(
+             (p1-m1)*(p1-m1)*q11 + (p2-m2)*(p2-m2)*q22 + (p3-m3)*(p3-m3)*q33
+           + (p1-m1)*(p2-m2)*q12 + (p1-m1)*(p3-m3)*q13 + (p2-m2)*(p3-m3)*q23,
+           0)) AS mahal
+  FROM base b JOIN par USING (label)
+),
+thr AS (SELECT label, quantile_cont(mahal, 0.95) AS thr FROM scored GROUP BY label)
+SELECT s.label,
+       CAST(sum(CASE WHEN s.mahal > t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       count(*) AS n,
+       round(avg(s.mahal), 5) AS avg_mahal
+FROM scored s JOIN thr t USING (label)
+GROUP BY s.label
+ORDER BY s.label
+"""
 
 
 def m1_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1844,7 +1978,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "m6_zscore_outliers": (m6_zscore_outliers, _M6_SQL),
     "m7_percentile_outliers": (m7_percentile_outliers, _M7_SQL),
     "m8_lof_outliers": (m8_lof_outliers, _M8_SQL),
-    "m9_mahalanobis_outliers": (m9_mahalanobis_outliers, None),
+    "m9_mahalanobis_outliers": (m9_mahalanobis_outliers, _m9_sql()),
     "m1_kmeans_clusters": (m1_kmeans_clusters, None),
     "m10_pca_variance": (m10_pca_variance, None),
     "m4_dbscan_stats": (m4_dbscan_stats, _M4_SQL),

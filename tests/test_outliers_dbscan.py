@@ -71,6 +71,36 @@ def test_mahalanobis_flags_planted(clustered):
     assert {60, 121} <= flagged
 
 
+def test_fast_mcd_resists_masking(spark):
+    """Clustered contamination (10 tight planted outliers in 70 points)
+    inflates the empirical covariance enough to mask itself; FastMCD's
+    robust scatter keeps the planted points cleanly separated — the
+    MinCovDet behavior the reference relies on (main-script1.ipynb:4140)."""
+    rng = np.random.RandomState(5)
+    X_in = rng.normal(scale=0.5, size=(60, 3))
+    X_out = np.array([6.0, 6.0, 6.0]) + rng.normal(scale=0.05, size=(10, 3))
+    rows = [
+        (i, 0, x.tolist()) for i, x in enumerate(np.vstack([X_in, X_out]))
+    ]
+    df = spark.createDataFrame(rows, "id long, cluster int, v array<double>")
+
+    def scores(method):
+        out = outliers.mahalanobis_outliers(
+            df, "cluster", "v", "id", pct=95.0, method=method
+        ).toPandas().set_index("id").sort_index()
+        return out["mahal"]
+
+    mcd = scores("mcd")
+    assert mcd[60:].min() > mcd[:60].max()  # complete separation
+    emp = scores("empirical")
+    assert emp[60:].min() < emp[:60].max()  # empirical masks the cluster
+    # and the registered default (mcd) flags only planted points at 95th pct
+    flagged = outliers.mahalanobis_outliers(
+        df, "cluster", "v", "id", pct=95.0, method="mcd"
+    ).where("is_outlier").toPandas()
+    assert set(flagged["id"]) <= set(range(60, 70))
+
+
 def test_dbscan_kernel_blobs_and_noise(spark):
     rng = np.random.RandomState(2)
     rows = []

@@ -151,6 +151,75 @@ def lof_outliers(
     )
 
 
+def fast_mcd(
+    X: np.ndarray,
+    seed: int = 42,
+    n_trials: int = 30,
+    c_steps: int = 20,
+) -> tuple[np.ndarray, np.ndarray]:
+    """FastMCD (Rousseeuw & Van Driessen 1999) — the estimator behind
+    sklearn MinCovDet, which the reference uses for M9
+    (main-script1.ipynb:4140 c70). Plain numpy, fully seeded.
+
+    n_trials elemental (d+1)-subsets, each refined by C-steps (keep the
+    h = (m+d+1)//2 smallest Mahalanobis points, refit, repeat while the
+    determinant drops); the minimum-determinant fit wins. The covariance
+    is rescaled by median(d²)/chi²_median(d) for consistency under
+    normality — chi² median via the Wilson-Hilferty cube approximation
+    (no scipy in this container); the factor cancels in percentile-based
+    flagging anyway.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    m, d = X.shape
+    h = (m + d + 1) // 2
+    rng = np.random.RandomState(seed)
+    ridge = 1e-12 * np.eye(d)
+    best: tuple[float, np.ndarray, np.ndarray] | None = None
+    for _ in range(n_trials):
+        idx = rng.choice(m, size=min(d + 1, m), replace=False)
+        mu = X[idx].mean(axis=0)
+        cov = np.atleast_2d(np.cov(X[idx], rowvar=False)) + ridge
+        prev_det = np.inf
+        for _ in range(c_steps):
+            prec = np.linalg.pinv(cov)
+            c = X - mu
+            d2 = np.einsum("ij,jk,ik->i", c, prec, c)
+            keep = np.argsort(d2, kind="stable")[:h]
+            mu = X[keep].mean(axis=0)
+            cov = np.atleast_2d(np.cov(X[keep], rowvar=False)) + ridge
+            sign, logdet = np.linalg.slogdet(cov)
+            det = logdet if sign > 0 else np.inf
+            if det >= prev_det - 1e-12:
+                break
+            prev_det = det
+        if best is None or prev_det < best[0]:
+            best = (prev_det, mu, cov)
+    _, mu, cov = best
+    prec = np.linalg.pinv(cov)
+    c = X - mu
+    d2 = np.einsum("ij,jk,ik->i", c, prec, c)
+    chi2_median = d * (1.0 - 2.0 / (9.0 * d)) ** 3  # Wilson-Hilferty
+    cov = cov * (np.median(d2) / chi2_median)
+    return mu, cov
+
+
+def location_covariance(
+    X: np.ndarray, method: str = "mcd", seed: int = 42
+) -> tuple[np.ndarray, np.ndarray]:
+    """(location, covariance) for Mahalanobis scoring. method='mcd' runs
+    FastMCD when the group is big enough to support it (m > 2(d+1)),
+    falling back to the empirical estimator on tiny groups; 'empirical'
+    always uses mean/cov. Shared by the M9 kernel and its DuckDB oracle
+    generator so both sides branch identically."""
+    X = np.asarray(X, dtype=np.float64)
+    m, d = X.shape
+    if method == "mcd" and m > 2 * (d + 1):
+        return fast_mcd(X, seed=seed)
+    if method not in ("mcd", "empirical"):
+        raise ValueError(f"unknown method {method!r}")
+    return X.mean(axis=0), np.atleast_2d(np.cov(X, rowvar=False))
+
+
 def mahalanobis_outliers(
     df: DataFrame,
     cluster_col: str,
@@ -158,14 +227,19 @@ def mahalanobis_outliers(
     id_col: str,
     pct: float = 95.0,
     out_col: str = "is_outlier",
+    method: str = "mcd",
+    seed: int = 42,
 ) -> DataFrame:
-    """M9 — per-cluster Mahalanobis distance > pct-th percentile.
+    """M9 — per-cluster robust Mahalanobis distance > pct-th percentile.
 
-    Deviation from the reference (documented, SURVEY §4.3): MinCovDet's
-    FastMCD has no dependency here, so the empirical covariance (with
-    pseudo-inverse for rank-deficient clusters) stands in. The reference
-    applies this after a UMAP->3D projection; the operator takes whatever
-    vector column it is given.
+    method='mcd' (default) matches the reference's MinCovDet via the
+    numpy FastMCD above — robust location/scatter, so clustered
+    contamination can't mask itself by inflating the empirical
+    covariance; method='empirical' keeps the prior behavior. Groups are
+    sorted by id before fitting so the seeded estimator is reproducible
+    regardless of shuffle order. The reference applies this after a
+    UMAP->3D projection; the operator takes whatever vector column it is
+    given (the registered query feeds a PCA-3D projection).
     """
     id_field = df.schema[id_col]
     c_field = df.schema[cluster_col]
@@ -179,6 +253,7 @@ def mahalanobis_outliers(
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, ignore_index=True)
         X = np.asarray(pdf[vector_col].tolist(), dtype=np.float64)
         m = len(X)
         if m < 3:
@@ -190,11 +265,10 @@ def mahalanobis_outliers(
                     out_col: np.zeros(m, dtype=bool),
                 }
             )
-        mu = X.mean(axis=0)
-        cov = np.cov(X, rowvar=False)
-        prec = np.linalg.pinv(np.atleast_2d(cov))
+        mu, cov = location_covariance(X, method=method, seed=seed)
+        prec = np.linalg.pinv(cov)
         c = X - mu
-        mahal = np.sqrt(np.einsum("ij,jk,ik->i", c, prec, c))
+        mahal = np.sqrt(np.maximum(np.einsum("ij,jk,ik->i", c, prec, c), 0.0))
         thr = np.percentile(mahal, pct)
         return pd.DataFrame(
             {

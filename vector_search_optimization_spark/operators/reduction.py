@@ -10,8 +10,32 @@
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def pca_components_numpy(
+    X: np.ndarray, n_components: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic PCA basis from a (bounded) sample: eigh of the
+    covariance, eigenvalue-descending, each component's sign fixed so its
+    largest-|coordinate| entry is positive.
+
+    Shared by the m9 query's plan-literal projection and its DuckDB
+    oracle generator — both sides must produce the *same* basis, which
+    MLlib's SVD-based PCA can't guarantee across engines. Returns
+    (mean, components) with projection = (x - mean) @ components.T.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    mu = X.mean(axis=0)
+    w, v = np.linalg.eigh(np.atleast_2d(np.cov(X, rowvar=False)))
+    order = np.argsort(w, kind="stable")[::-1][:n_components]
+    comps = v[:, order].T.copy()
+    for i in range(len(comps)):
+        if comps[i, np.argmax(np.abs(comps[i]))] < 0:
+            comps[i] = -comps[i]
+    return mu, comps
 
 
 def pca_project(
