@@ -28,6 +28,16 @@ from vector_search_optimization_spark.sources import load_table
 SF0001 = "/root/testdata/sf0.001"
 
 
+def _oracle_sf_dir() -> str:
+    """The sf dir the *generated* oracles read to derive their literals.
+
+    Data-dependent oracle SQL (seeded quantizers, PCA bases, MCD fits) must
+    be generated from the SAME table the oracle will be evaluated against.
+    The driver evaluates at sf0.01 (the default); tools/check_correctness.py
+    and tests/test_oracle_parity.py point this at whatever sf they run."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -764,12 +774,14 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
     key = os.path.abspath(sf_dir.rstrip("/"))
     path = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_ivf16_s42_{os.path.basename(key)}",
+        f"spark_graft_ivf16v2_s42_{os.path.basename(key)}",
     )
     if not os.path.exists(os.path.join(path, "centroids", "_SUCCESS")):
         e = load_table(spark, sf_dir, "embeddings")
+        # vec_id-ordered training sample: the seeded quantizer is then a
+        # pure function of the data, reproducible by the oracle generator
         cents = ann.train_ivf_centroids(
-            e, num_cells=16, vector_col="embedding", seed=42
+            e.orderBy("vec_id"), num_cells=16, vector_col="embedding", seed=42
         )
         ann.write_ivf_index(e, cents, path, vector_col="embedding")
     return path
@@ -788,14 +800,73 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     opens the materialized cell-partitioned corpus (built once per sf by
     _ivf_index_dir / prepare) and scans only the nprobe=4 nearest cells;
     the IN-list filter prunes partitions at the parquet source
-    (PartitionFilters — pinned in tests/test_plan_shapes.py). Rows-only:
-    KMeans-seeded cells aren't SQL-expressible; recall-vs-exact and the
-    nprobe→recall curve are pytest-gated (tests/test_ann.py)."""
+    (PartitionFilters — pinned in tests/test_plan_shapes.py). Value
+    oracle: the seeded quantizer is a pure function of the vec_id-ordered
+    data, so _ivf_sql() re-derives identical centroids through the shared
+    _lloyd_kmeans and DuckDB recomputes assignment (struct-min argmin),
+    the probe filter, and the cosine top-10. The nprobe→recall curve is
+    pytest-gated (tests/test_ann.py)."""
     path = _ivf_index_dir(spark, sf_dir)
     indexed, cents = ann.load_ivf_index(spark, path)
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
     return ann.ivf_topk(indexed, cents, q, k=10, nprobe=4)
+
+
+def _ivf_sql() -> str:
+    """Generated oracle for ann_ivf_topk at the oracle sf (driver: sf0.01):
+    re-run the seeded quantizer on the identically-ordered data
+    (shared _lloyd_kmeans; centroids round-tripped through float32 like
+    the written index), compute the probed cells the way ivf_topk does,
+    and let DuckDB recompute per-row cell assignment and the probed
+    cosine top-10."""
+    import duckdb
+
+    from vector_search_optimization_spark.operators.ann import _lloyd_kmeans
+
+    pdf = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        f"'{_oracle_sf_dir()}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    centers = _lloyd_kmeans(X[:100_000], 16, seed=42, max_iter=20)
+    # the index stores centroids as array<float>: round-trip through f32
+    cents = np.asarray(
+        [list(map(float, c)) for c in centers], dtype=np.float32
+    ).astype(np.float64)
+    q = X[pdf["vec_id"].to_numpy() == 0][0]
+    order = sorted(
+        range(len(cents)), key=lambda i: float(np.sum((cents[i] - q) ** 2))
+    )
+    probe = ", ".join(str(i) for i in order[:4])
+
+    def cell_dist(i: int) -> str:
+        lits = ", ".join(f"{float(x)!r}" for x in cents[i])
+        return (
+            "list_reduce(list_transform(list_zip(embedding, "
+            f"[{lits}]), p -> (CAST(p[1] AS DOUBLE) - p[2]) "
+            "* (CAST(p[1] AS DOUBLE) - p[2])), (x, y) -> x + y)"
+        )
+
+    structs = ", ".join(
+        "{'d': " + cell_dist(i) + f", 'c': {i}}}" for i in range(len(cents))
+    )
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, list_min([{structs}])['c'] AS cell
+  FROM embeddings
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT a.vec_id,
+       round(list_reduce(list_transform(list_zip(a.embedding, qv),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+       / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))
+        * sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))), 6) AS score
+FROM assigned a, q
+WHERE a.cell IN ({probe})
+ORDER BY score DESC, a.vec_id ASC
+LIMIT 10
+"""
 
 
 def emb_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1425,8 +1496,8 @@ def m9_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _m9_sql() -> str:
     """Generated oracle for m9: recompute the PCA-3D basis and the seeded
-    per-cluster FastMCD fits from the sf0.01 parquet (the driver's oracle
-    scale) via the SAME shared numpy code, inline location/precision as
+    per-cluster FastMCD fits from the oracle-sf parquet (driver: sf0.01)
+    via the SAME shared numpy code, inline location/precision as
     literals, and let DuckDB recompute projection, Mahalanobis, the 95th
     percentile threshold (quantile_cont = np.percentile linear), flags,
     and the per-cluster rollup."""
@@ -1438,7 +1509,7 @@ def _m9_sql() -> str:
 
     pdf = duckdb.sql(
         "SELECT vec_id, label, embedding FROM "
-        "'/root/testdata/sf0.01/embeddings.parquet' ORDER BY vec_id"
+        f"'{_oracle_sf_dir()}/embeddings.parquet' ORDER BY vec_id"
     ).df()
     X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
     comps, offs = _m9_basis(X)
@@ -1449,7 +1520,7 @@ def _m9_sql() -> str:
     par_rows = []
     for lbl in sorted(set(labels.tolist())):
         Pl = P[labels == lbl]  # already vec_id-ordered
-        assert len(Pl) >= 3, "oracle assumes every sf0.01 cluster has >= 3 rows"
+        assert len(Pl) >= 3, "oracle assumes every cluster has >= 3 rows at the oracle sf"
         mu_c, cov_c = location_covariance(Pl, method="mcd", seed=_M9_SEED)
         prec = np.linalg.pinv(cov_c)
         q = [prec[0, 0], prec[1, 1], prec[2, 2],
@@ -1503,33 +1574,162 @@ ORDER BY s.label
 
 
 def m1_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1 — MLlib KMeans (k=8, seeded, 2 restarts): cluster-size histogram
-    (rows-only check: k-means|| init depends on data partitioning, so
-    exact sizes aren't cross-engine reproducible; invariants live in
-    tests/test_clustering.py)."""
-    from vector_search_optimization_spark.operators import clustering as C
-
+    """M1 — seeded k-means cluster-size histogram (k=8): the centers are
+    trained on a driver-bounded vec_id-ordered sample (shared
+    _lloyd_kmeans — the Faiss-style quantizer recipe, a pure function of
+    the data) and applied as a broadcast argmin over the full table (no
+    shuffle; one partial-agg shuffle for the histogram). MLlib kmeans_fit
+    (n_init restarts, inertia, k-means||) remains the operator API —
+    invariants in tests/test_clustering.py; k-means|| init depends on
+    data partitioning, so THIS registered formulation trades it for the
+    sample-trained quantizer to be cross-engine reproducible: _m1_sql()
+    re-derives identical centers and DuckDB recomputes the assignment
+    histogram (reference: main-script1.ipynb KMeans(n_clusters, seed)
+    cluster-size table)."""
     e = load_table(spark, sf_dir, "embeddings")
-    res = C.kmeans_fit(e, k=8, n_init=2, max_iter=50, seed=42, vector_col="embedding")
-    assigned = res.assign(e, "embedding")
+    cents = ann.train_ivf_centroids(
+        e.orderBy("vec_id"), num_cells=8, vector_col="embedding", seed=42
+    )
+    assigned = ann.assign_ivf_cells(e, cents)
     return (
-        assigned.groupBy("cluster")
+        assigned.groupBy(F.col("cell").alias("cluster"))
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "cluster")
     )
 
 
+def _m1_sql() -> str:
+    """Generated oracle for m1 (at the oracle sf, driver: sf0.01):
+    re-derive the seeded centers via the shared _lloyd_kmeans on the
+    identically-ordered data (float32 round-trip like the centroid
+    DataFrame), then DuckDB recomputes per-row argmin assignment
+    (struct-min: ties → lowest cluster id, matching np.argmin) and the
+    size histogram."""
+    import duckdb
+
+    from vector_search_optimization_spark.operators.ann import _lloyd_kmeans
+
+    pdf = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        f"'{_oracle_sf_dir()}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    centers = _lloyd_kmeans(X[:100_000], 8, seed=42, max_iter=20)
+    cents = np.asarray(
+        [list(map(float, c)) for c in centers], dtype=np.float32
+    ).astype(np.float64)
+
+    def cell_dist(i: int) -> str:
+        lits = ", ".join(f"{float(x)!r}" for x in cents[i])
+        return (
+            "list_reduce(list_transform(list_zip(embedding, "
+            f"[{lits}]), p -> (CAST(p[1] AS DOUBLE) - p[2]) "
+            "* (CAST(p[1] AS DOUBLE) - p[2])), (x, y) -> x + y)"
+        )
+
+    structs = ", ".join(
+        "{'d': " + cell_dist(i) + f", 'c': {i}}}" for i in range(len(cents))
+    )
+    return f"""
+WITH assigned AS (
+  SELECT list_min([{structs}])['c'] AS cluster FROM embeddings
+)
+SELECT cluster, count(*) AS n FROM assigned
+GROUP BY cluster
+ORDER BY n DESC, cluster
+"""
+
+
 def m10_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M10 — PCA explained-variance ratios (3 components; rows-only:
-    distributed eigendecomposition isn't DuckDB-expressible)."""
-    from vector_search_optimization_spark.operators import reduction as R
+    """M10 — PCA explained-variance ratios (3 components), verifiable
+    formulation: the deterministic eigh basis (same driver-bounded sample
+    helper as m9) is applied as plan-literal projections and the ratio is
+    computed DISTRIBUTEDLY as var_pop(projection) / total variance, with
+    total variance = E||x||² - ||E x||² in one pass over the table.
+    MLlib's pca_project stays the operator API (same math, SVD-based —
+    pytest-equivalence in tests/test_reduction_graph_multimodal.py); this
+    declarative form is what DuckDB can recompute independently."""
+    from vector_search_optimization_spark.operators import vector_agg as VA
 
     e = load_table(spark, sf_dir, "embeddings")
-    _, ratios = R.pca_project(e, n_components=3, vector_col="embedding")
-    return spark.createDataFrame(
-        [(i, round(r, 4)) for i, r in enumerate(ratios)],
-        schema="component int, variance_ratio double",
+    sample = (
+        e.select("vec_id", "embedding").orderBy("vec_id").limit(_M9_SAMPLE_CAP).collect()
     )
+    X = np.asarray([r[1] for r in sample], dtype=np.float64)
+    comps, offs = _m9_basis(X)
+    e2 = e.select(
+        *[
+            (
+                V.dot("embedding", F.array(*[F.lit(float(c)) for c in comps[i]]))
+                - F.lit(offs[i])
+            ).alias(f"p{i}")
+            for i in range(_M9_DIM)
+        ],
+        V.dot("embedding", "embedding").alias("sq"),
+    )
+    agg = e2.agg(
+        *[F.var_pop(f"p{i}").alias(f"v{i}") for i in range(_M9_DIM)],
+        F.avg("sq").alias("msq"),
+    ).first()
+    mu_full = VA.group_vector_mean(
+        e.withColumn("__g", F.lit(1)), "__g", "embedding"
+    ).first()["centroid"]
+    total = agg["msq"] - _fold_dot(mu_full, mu_full)
+    return spark.createDataFrame(
+        [(i, float(agg[f"v{i}"]), float(total)) for i in range(_M9_DIM)],
+        schema="component int, v double, t double",
+    ).select(
+        "component", F.round(F.col("v") / F.col("t"), 4).alias("variance_ratio")
+    ).orderBy("component")
+
+
+def _m10_sql() -> str:
+    """Generated oracle for m10 (at the oracle sf, driver: sf0.01): inline
+    the shared deterministic basis as
+    literals; DuckDB independently recomputes the projection variances,
+    the total variance (per-coordinate means via generate_subscripts +
+    unnest), and the ratios."""
+    import duckdb
+
+    pdf = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        f"'{_oracle_sf_dir()}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    comps, offs = _m9_basis(X)
+
+    def proj(i: int) -> str:
+        lits = ", ".join(f"{c!r}" for c in comps[i])
+        return (
+            "list_reduce(list_transform(list_zip(embedding, "
+            f"[{lits}]), p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
+            f" - {offs[i]!r}"
+        )
+
+    var_sel = ", ".join(f"var_pop({proj(i)}) AS v{i}" for i in range(_M9_DIM))
+    return f"""
+WITH coord AS (
+  SELECT pos, avg(CAST(val AS DOUBLE)) AS m
+  FROM (
+    SELECT unnest(embedding) AS val,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+  )
+  GROUP BY pos
+),
+totals AS (
+  SELECT avg(list_reduce(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+         - (SELECT sum(m * m) FROM coord) AS total
+  FROM embeddings
+),
+vars AS (SELECT {var_sel} FROM embeddings)
+SELECT t.component,
+       round(CASE t.component WHEN 0 THEN v.v0 WHEN 1 THEN v.v1 ELSE v.v2 END
+             / totals.total, 4) AS variance_ratio
+FROM (VALUES (0), (1), (2)) t(component), vars v, totals
+ORDER BY t.component
+"""
 
 
 _M4_EPS = 1.1
@@ -1619,7 +1819,12 @@ GROUP BY a.event_type, b.event_type
 
 def g2_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2 — greedy-modularity communities + modularity on the co-occurrence
-    graph (driver-side networkx over the Spark-built edge list; rows-only)."""
+    graph (Spark builds the edge list at scale — the J10 self-join; the
+    37-node graph algorithm runs driver-side, SURVEY §2.10). Value oracle:
+    _g2_sql() re-derives the partition with the same order-deterministic
+    kernel and inlines ONLY the assignment as literals — DuckDB
+    independently rebuilds the edge list from events and recomputes sizes,
+    sorted member lists, and the Newman modularity Q."""
     from vector_search_optimization_spark.operators import graph as G
 
     e = load_table(spark, sf_dir, "events")
@@ -1630,8 +1835,82 @@ def g2_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, c in enumerate(res["communities"])
     ]
     return spark.createDataFrame(
-        rows, schema="community int, size int, members string, modularity double"
+        rows, schema="community int, size bigint, members string, modularity double"
     )
+
+
+def _g2_sql() -> str:
+    """Generated oracle for g2 (at the oracle sf, driver: sf0.01): run the
+    shared Spark-free kernel over the DuckDB-rebuilt G1 edge list, inline
+    the (node, community) assignment as literals, and let DuckDB recompute
+    everything derivable: community sizes, ','-joined sorted members, and
+    Q = Σ_intra 2w/2m − Σ_c (deg_c/2m)²."""
+    import duckdb
+
+    from vector_search_optimization_spark.operators.graph import (
+        detect_communities_kernel,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{_oracle_sf_dir()}/events.parquet'"
+    )
+    epdf = con.sql(_G1_SQL).df()
+    vpdf = con.sql("SELECT DISTINCT event_type AS id FROM events").df()
+    con.close()
+    edges = list(
+        zip(epdf["src"].tolist(), epdf["dst"].tolist(), epdf["weight"].tolist())
+    )
+    nodes = set(vpdf["id"].tolist())
+    res = detect_communities_kernel(nodes, edges, weighted=True)
+    assign = ",\n".join(
+        f"('{n}', {i})"
+        for i, c in enumerate(res["communities"])
+        for n in c
+    )
+    return f"""
+WITH nodes AS (SELECT DISTINCT user_id, event_type FROM events),
+edges AS (
+  SELECT a.event_type AS src, b.event_type AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM nodes a JOIN nodes b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+assign AS (SELECT * FROM (VALUES
+{assign}
+) t(id, community)),
+two_m AS (SELECT 2.0 * sum(w) AS m2 FROM edges),
+intra AS (
+  SELECT coalesce(sum(2.0 * e.w), 0.0) AS s
+  FROM edges e
+  JOIN assign ca ON ca.id = e.src
+  JOIN assign cb ON cb.id = e.dst
+  WHERE ca.community = cb.community
+),
+deg AS (
+  SELECT id, sum(w) AS d
+  FROM (SELECT src AS id, w FROM edges UNION ALL SELECT dst AS id, w FROM edges)
+  GROUP BY id
+),
+ctot AS (
+  SELECT a.community, sum(coalesce(deg.d, 0.0)) AS dc
+  FROM assign a LEFT JOIN deg ON deg.id = a.id
+  GROUP BY a.community
+),
+q AS (
+  SELECT round((SELECT s FROM intra) / (SELECT m2 FROM two_m)
+       - (SELECT sum((dc / (SELECT m2 FROM two_m)) ** 2) FROM ctot), 4) AS modularity
+)
+SELECT CAST(a.community AS INTEGER) AS community,
+       count(*) AS size,
+       string_agg(a.id, ',' ORDER BY a.id) AS members,
+       q.modularity
+FROM assign a, q
+GROUP BY a.community, q.modularity
+ORDER BY community
+"""
 
 
 def ep3_label_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1959,7 +2238,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "j8_similarity_buckets": (j8_similarity_buckets, _J8_SQL),
     "ann_topk": (ann_topk, _ANN_SQL),
     "ann_topk_batch": (ann_topk_batch, _ANN_BATCH_SQL),
-    "ann_ivf_topk": (ann_ivf_topk, None),
+    "ann_ivf_topk": (ann_ivf_topk, _ivf_sql),
     "emb_top_pairs": (emb_top_pairs, _EMB_TOP_SQL),
     "emb_near_dup_blocked": (emb_near_dup_blocked, _emb_blocked_sql()),
     "rp_bucket_hist": (rp_bucket_hist, _rp_sql()),
@@ -1978,12 +2257,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "m6_zscore_outliers": (m6_zscore_outliers, _M6_SQL),
     "m7_percentile_outliers": (m7_percentile_outliers, _M7_SQL),
     "m8_lof_outliers": (m8_lof_outliers, _M8_SQL),
-    "m9_mahalanobis_outliers": (m9_mahalanobis_outliers, _m9_sql()),
-    "m1_kmeans_clusters": (m1_kmeans_clusters, None),
-    "m10_pca_variance": (m10_pca_variance, None),
+    "m9_mahalanobis_outliers": (m9_mahalanobis_outliers, _m9_sql),
+    "m1_kmeans_clusters": (m1_kmeans_clusters, _m1_sql),
+    "m10_pca_variance": (m10_pca_variance, _m10_sql),
     "m4_dbscan_stats": (m4_dbscan_stats, _M4_SQL),
     "g1_cooccurrence_edges": (g1_cooccurrence_edges, _G1_SQL),
-    "g2_communities": (g2_communities, None),
+    "g2_communities": (g2_communities, _g2_sql),
     "ep3_label_pipeline": (ep3_label_pipeline, None),
     "o7_interleave": (o7_interleave, _O7_SQL),
     "f7_string_caps": (f7_string_caps, _F7_SQL),
@@ -2003,5 +2282,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query."""
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    """DuckDB-equivalent SQL for every SQL-expressible query.
+
+    Data-dependent oracles are stored as generator callables and resolved
+    here, so their literals come from the sf the caller will evaluate
+    against (see _oracle_sf_dir)."""
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (_, sql) in _REGISTRY.items()
+        if sql is not None
+    }

@@ -6,13 +6,20 @@ keeps the contract green during development.
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import numpy as np
 import pandas as pd
 import pytest
 
-import __spark_entry__ as entrymod
 from tests.conftest import SF_SMALL
+
+# generated (data-dependent) oracles must derive their literals from the
+# sf this gate evaluates against — set before oracle_sql() is called
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_SMALL
+
+import __spark_entry__ as entrymod  # noqa: E402
 
 
 @pytest.fixture(scope="module")

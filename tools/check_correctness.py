@@ -24,6 +24,9 @@ import __spark_entry__ as entrymod
 from vector_search_optimization_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+# generated (data-dependent) oracles must derive their literals from the
+# same sf this gate evaluates against
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

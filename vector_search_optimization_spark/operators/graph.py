@@ -68,7 +68,14 @@ def detect_communities(
     nodes = {r["src"] for r in rows} | {r["dst"] for r in rows}
     if vertices_df is not None:
         nodes |= {r["id"] for r in vertices_df.collect()}
+    return detect_communities_kernel(nodes, edges, weighted)
 
+
+def detect_communities_kernel(nodes, edges, weighted: bool = True) -> dict:
+    """Driver-side greedy-modularity kernel (Spark-free; shared with the
+    g2 oracle generator). Input is fed to networkx in sorted order so the
+    partition is a pure function of the (node, edge) SETS — collection
+    order and set-iteration order can't perturb tie-breaking."""
     if not edges:  # edgeless graph: all-singleton partition, Q undefined → 0
         comms_sorted = sorted([n] for n in nodes)
         return {
@@ -77,21 +84,23 @@ def detect_communities(
             "n_communities": len(comms_sorted),
         }
 
+    nodes_sorted = sorted(nodes)
+    edges_sorted = sorted(edges)
     try:
         import networkx as nx
         from networkx.algorithms import community as nxc
 
         g = nx.Graph()
-        g.add_nodes_from(nodes)
-        for s, d, w in edges:
+        g.add_nodes_from(nodes_sorted)
+        for s, d, w in edges_sorted:
             g.add_edge(s, d, weight=float(w) if weighted else 1.0)
         comms = [set(c) for c in nxc.greedy_modularity_communities(
             g, weight="weight" if weighted else None
         )]
         q = nxc.modularity(g, comms, weight="weight" if weighted else None)
     except ImportError:  # pragma: no cover - networkx is present here
-        comms = _greedy_modularity_fallback(nodes, edges, weighted)
-        q = modularity(edges, comms, weighted)
+        comms = _greedy_modularity_fallback(nodes_sorted, edges_sorted, weighted)
+        q = modularity(edges_sorted, comms, weighted)
 
     comms_sorted = sorted(
         (sorted(c) for c in comms), key=lambda c: (-len(c), c)
