@@ -118,3 +118,46 @@ def test_embedding_near_duplicates_with_rp_blocking(spark):
         bucketed, threshold=0.99, group_col="rp_bucket"
     ).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+def test_poly_hash_shingles_np_matches_scalar_twin():
+    """The vectorized window hasher must be bit-identical to poly_hash_py
+    over every word shingle, including the <n-tokens join, non-ASCII
+    codepoints, and the row-chunked long-document path."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vector_search_optimization_spark.functions import text as TX
+
+    tok = st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Zs", "Cc", "Cs")
+        ),
+        min_size=0,
+        max_size=8,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(tok, max_size=24), st.integers(1, 5), st.sampled_from(
+        [TX.POLY_BASE, TX.POLY_BASE2]
+    ))
+    def check(toks, n, base):
+        got = TX.poly_hash_shingles_np(toks, n, base).tolist()
+        if len(toks) < n:
+            want = [TX.poly_hash_py(" ".join(toks), base)]
+        else:
+            want = [
+                TX.poly_hash_py(" ".join(toks[i : i + n]), base)
+                for i in range(len(toks) - n + 1)
+            ]
+        assert got == want
+
+    check()
+
+    # chunked path: force several sub-4096 row chunks and a wide window
+    toks = [str(i) for i in range(5000)] + ["x" * 3000]
+    got = TX.poly_hash_shingles_np(toks, 3).tolist()
+    want = [
+        TX.poly_hash_py(" ".join(toks[i : i + 3])) for i in range(len(toks) - 2)
+    ]
+    assert got == want

@@ -198,6 +198,77 @@ def poly_hash_py(s: str, base: int = POLY_BASE, mod: int = POLY_MOD) -> int:
     return h
 
 
+_POW_CACHE: dict[tuple[int, int], "np.ndarray"] = {}
+
+
+def _poly_pows(base: int, mod: int, n: int) -> "np.ndarray":
+    """base^k mod p for k < n (cached, grown geometrically)."""
+    import numpy as np
+
+    pw = _POW_CACHE.get((base, mod))
+    if pw is None or len(pw) < n:
+        size = max(n, 256, 0 if pw is None else 2 * len(pw))
+        pw = np.empty(size, dtype=np.int64)
+        pw[0] = 1
+        for i in range(1, size):
+            pw[i] = (pw[i - 1] * base) % mod
+        _POW_CACHE[(base, mod)] = pw
+    return pw
+
+
+def poly_hash_shingles_np(
+    toks: list[str],
+    shingle_n: int,
+    base: int = POLY_BASE,
+    mod: int = POLY_MOD,
+) -> "np.ndarray":
+    """Vectorized :func:`poly_hash_py` of every word ``shingle_n``-gram of
+    ``toks`` — bit-identical to
+    ``[poly_hash_py(" ".join(toks[i:i+n])) for i in range(len(toks)-n+1)]``
+    (one element, the whole join, when there are fewer than n tokens).
+
+    Each shingle is a contiguous substring of ``" ".join(toks)``, so the
+    per-character Horner fold factors into ``sum(code_j * base^(L-1-j))``
+    — one (windows × max_window_len) gather + row-wise dot against the
+    cached power table, all C-speed. Row-chunked so the scratch matrix
+    stays under ~4M cells even on pathological token lengths."""
+    import numpy as np
+
+    if len(toks) < shingle_n:
+        return np.array(
+            [poly_hash_py(" ".join(toks), base, mod)], dtype=np.int64
+        )
+    full = " ".join(toks)
+    codes = np.frombuffer(full.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    tl = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+    off = np.zeros(len(toks) + 1, dtype=np.int64)
+    np.cumsum(tl + 1, out=off[1:])  # token i starts at off[i]
+    m = len(toks) - shingle_n + 1
+    starts = off[:m]
+    last = np.arange(shingle_n - 1, shingle_n - 1 + m)
+    ends = off[last] + tl[last]
+    length = ends - starts
+    out = np.empty(m, dtype=np.int64)
+    lo = 0
+    while lo < m:
+        hi = min(m, lo + 4096)
+        maxw = int(length[lo:hi].max())
+        while (hi - lo) * maxw > 4_000_000 and hi - lo > 1:
+            hi = lo + max(1, (hi - lo) // 2)
+            maxw = int(length[lo:hi].max())
+        j = np.arange(maxw, dtype=np.int64)[None, :]
+        ls, ll = starts[lo:hi, None], length[lo:hi, None]
+        valid = j < ll
+        sub = codes[np.where(valid, ls + j, 0)]
+        pw = _poly_pows(base, mod, maxw)
+        p = pw[np.where(valid, ll - 1 - j, 0)]
+        out[lo:hi] = ((sub * p) % mod * valid).sum(axis=1) % mod
+        lo = hi
+    return out
+
+
 def char_ngrams(text: Column | str, n: int = 5) -> Column:
     """Array of distinct character n-grams (for n-gram Jaccard)."""
     t = F.lower(F.trim(_c(text)))

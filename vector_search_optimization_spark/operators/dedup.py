@@ -164,18 +164,19 @@ def minhash_signatures_kernel(
             sigs = []
             for text in pdf[text_col]:
                 toks = (text or "").lower().split()
-                if len(toks) >= shingle_n:
-                    sh = {
-                        " ".join(toks[i : i + shingle_n])
-                        for i in range(len(toks) - shingle_n + 1)
-                    }
-                else:
-                    sh = {" ".join(toks)}
                 if hash_mode == "poly":
-                    h = np.array(
-                        [TX.poly_hash_py(s) for s in sh], dtype=np.int64
-                    )
+                    # distinct-shingle min == all-windows min, so the
+                    # vectorized window hash needs no string set; unique
+                    # just shrinks the permute-min matrix
+                    h = np.unique(TX.poly_hash_shingles_np(toks, shingle_n))
                 else:
+                    if len(toks) >= shingle_n:
+                        sh = {
+                            " ".join(toks[i : i + shingle_n])
+                            for i in range(len(toks) - shingle_n + 1)
+                        }
+                    else:
+                        sh = {" ".join(toks)}
                     h = (
                         pd.util.hash_array(np.array(sorted(sh), dtype=object))
                         % _MERSENNE
@@ -336,23 +337,25 @@ def simhash_kernel(
             out = []
             for text in pdf[text_col]:
                 toks = (text or "").lower().split()
-                if len(toks) >= shingle_n:
-                    sh = {
-                        " ".join(toks[i : i + shingle_n])
-                        for i in range(len(toks) - shingle_n + 1)
-                    }
-                else:
-                    sh = {" ".join(toks)}
                 if hash_mode == "poly":
-                    h = np.array(
-                        [
-                            (TX.poly_hash_py(s, TX.POLY_BASE) << 31)
-                            | TX.poly_hash_py(s, TX.POLY_BASE2)
-                            for s in sh
-                        ],
-                        dtype=np.uint64,
+                    # votes are per DISTINCT shingle (word_shingles is
+                    # array_distinct): dedupe on the packed 62-bit pair,
+                    # which identifies the shingle string up to a 2^-62
+                    # collision
+                    h1 = TX.poly_hash_shingles_np(toks, shingle_n, TX.POLY_BASE)
+                    h2 = TX.poly_hash_shingles_np(toks, shingle_n, TX.POLY_BASE2)
+                    h = np.unique(
+                        (h1.astype(np.uint64) << np.uint64(31))
+                        | h2.astype(np.uint64)
                     )
                 else:
+                    if len(toks) >= shingle_n:
+                        sh = {
+                            " ".join(toks[i : i + shingle_n])
+                            for i in range(len(toks) - shingle_n + 1)
+                        }
+                    else:
+                        sh = {" ".join(toks)}
                     h = pd.util.hash_array(np.array(sorted(sh), dtype=object))
                 # signed votes: uint64 would wrap the -1 votes and turn the
                 # majority test into votes != 0 (diverging from simhash())
