@@ -2115,30 +2115,75 @@ def minhash_verified_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, cands, ngram_n=5, threshold=0.5)
 
 
-def _minhash_verified_sql() -> str:
-    # LSH candidates (>=1 agreeing band, no estimate threshold) verified by
-    # exact char-5-gram jaccard on lower(trim(text)), matching
-    # dedup.ngram_jaccard_pairs semantics (distinct grams, short-text
-    # fallback to the whole string, union==0 -> 0.0).
-    return (
-        _minhash_sigs_sql()
-        + r""", grams AS (
+# LSH candidates (>=1 agreeing band, no estimate threshold) verified by
+# exact char-5-gram jaccard on lower(trim(text)), matching
+# dedup.ngram_jaccard_pairs semantics (distinct grams, short-text
+# fallback to the whole string, union==0 -> 0.0). Appended after
+# _minhash_sigs_sql(); exposes the `vpairs` CTE.
+_VERIFIED_PAIRS_CTES = r""", grams AS (
   SELECT doc_id, CASE WHEN length(t) >= 5 THEN
       list_distinct(list_transform(range(1, length(t) - 3), j -> substring(t, j, 5)))
     ELSE [t] END AS g
   FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents)
-), verified AS (
-  SELECT c.id_a, c.id_b,
-         len(list_intersect(ga.g, gb.g)) AS inter,
-         len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) AS un
-  FROM (SELECT id_a, id_b FROM banded WHERE nbands >= 1) c
-  JOIN grams ga ON ga.doc_id = c.id_a
-  JOIN grams gb ON gb.doc_id = c.id_b
+), vpairs AS (
+  SELECT id_a, id_b,
+         round(CASE WHEN un = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE) / un END, 6) AS jaccard
+  FROM (
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(ga.g, gb.g)) AS inter,
+           len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) AS un
+    FROM (SELECT id_a, id_b FROM banded WHERE nbands >= 1) c
+    JOIN grams ga ON ga.doc_id = c.id_a
+    JOIN grams gb ON gb.doc_id = c.id_b
+  )
+  WHERE round(CASE WHEN un = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE) / un END, 6) >= 0.5
+)"""
+
+
+def _minhash_verified_sql() -> str:
+    return (
+        _minhash_sigs_sql()
+        + _VERIFIED_PAIRS_CTES
+        + "\nSELECT id_a, id_b, jaccard FROM vpairs"
+    )
+
+
+def dedup_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization end-to-end: MinHash-LSH candidates →
+    exact 5-gram jaccard verify → connected components over the verified
+    pair graph (graph.connected_components: min-label propagation +
+    pointer jumping, O(log n) rounds) → one canonical survivor (min
+    doc_id) per duplicate group with the group size. The "keep one copy
+    per dup cluster" step of a training-data pipeline; transitive dups
+    (A~B, B~C, A!~C) land in ONE group, which pairwise output can't
+    express. Oracle: same pair graph, DuckDB recursive-CTE closure."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures_kernel(d)
+    cands = dedup.minhash_lsh_candidates(sigs)
+    verified = dedup.ngram_jaccard_pairs(d, cands, ngram_n=5, threshold=0.5)
+    return dedup.canonical_duplicate_groups(verified)
+
+
+def _dedup_canonical_sql() -> str:
+    head = (_minhash_sigs_sql() + _VERIFIED_PAIRS_CTES).replace(
+        "WITH toks", "WITH RECURSIVE toks", 1
+    )
+    return (
+        head
+        + r""", cedges AS (
+  SELECT id_a AS a, id_b AS b FROM vpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM vpairs
+), reach(a, b) AS (
+  SELECT a, b FROM cedges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a
+), lbls AS (
+  SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a
 )
-SELECT id_a, id_b,
-       round(CASE WHEN un = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE) / un END, 6) AS jaccard
-FROM verified
-WHERE round(CASE WHEN un = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE) / un END, 6) >= 0.5"""
+SELECT CAST(comp AS BIGINT) AS canonical_id, CAST(count(*) AS BIGINT) AS group_size
+FROM lbls GROUP BY comp HAVING count(*) >= 2
+ORDER BY group_size DESC, canonical_id"""
     )
 
 
@@ -2252,6 +2297,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_sliding_window": (evt_sliding_window, _EVT_SLIDING_SQL),
     "evt_sessions": (evt_sessions, _EVT_SESSIONS_SQL),
     "minhash_verified_dedup": (minhash_verified_dedup, _minhash_verified_sql()),
+    "dedup_canonical_groups": (dedup_canonical_groups, _dedup_canonical_sql),
     "s11_upsert": (s11_upsert, _S11_SQL),
     "prologue_report": (prologue_report, _PROLOGUE_SQL),
     "m6_zscore_outliers": (m6_zscore_outliers, _M6_SQL),

@@ -120,6 +120,33 @@ def test_embedding_near_duplicates_with_rp_blocking(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
 
 
+def test_canonical_groups_merge_transitive_chain(spark):
+    """A~B and B~C without A~C must land in ONE group keyed by the min id,
+    and disjoint pairs stay separate groups."""
+    pairs = spark.createDataFrame(
+        [(3, 9), (9, 17), (40, 41)], "id_a long, id_b long"
+    )
+    got = {
+        (r.canonical_id, r.group_size)
+        for r in dedup.canonical_duplicate_groups(pairs).collect()
+    }
+    assert got == {(3, 3), (40, 2)}
+
+
+def test_connected_components_isolated_nodes_and_min_label(spark):
+    from vector_search_optimization_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(5, 2), (2, 8)], "src long, dst long")
+    nodes = spark.createDataFrame([(2,), (5,), (8,), (99,)], "pid long")
+    comp = {
+        r.pid: r.component
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert comp == {2: 2, 5: 2, 8: 2, 99: 99}
+
+
 def test_poly_hash_shingles_np_matches_scalar_twin():
     """The vectorized window hasher must be bit-identical to poly_hash_py
     over every word shingle, including the <n-tokens join, non-ASCII

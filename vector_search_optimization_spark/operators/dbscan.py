@@ -230,42 +230,14 @@ def dbscan_distributed(
         .persist()
     )
 
-    # min-label propagation + pointer jumping over core-core edges.
-    # localCheckpoint each round truncates the logical plan — the jump join
-    # references `labels` twice, so without truncation the plan tree would
-    # double per iteration and planning time would dominate execution.
-    labels = core.withColumn("lbl", F.col("pid")).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        neigh_min = (
-            core_edges.join(labels.withColumnRenamed("pid", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("lbl").alias("nlbl"))
-            .withColumnRenamed("src", "pid")
-        )
-        stepped = labels.join(neigh_min, "pid", "left").select(
-            "pid",
-            F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
-            (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("chg"),
-        )
-        # pointer jumping: follow lbl one hop (label of my label)
-        jump = labels.select(
-            F.col("pid").alias("lbl"), F.col("lbl").alias("jlbl")
-        )
-        new_labels = (
-            stepped.join(jump, "lbl", "left")
-            .select(
-                "pid",
-                F.least("lbl", F.coalesce("jlbl", "lbl")).alias("lbl"),
-                (
-                    F.col("chg") | (F.coalesce("jlbl", "lbl") < F.col("lbl"))
-                ).alias("chg"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.where("chg").limit(1).count()
-        labels = new_labels.drop("chg")
-        if changed == 0:
-            break
+    # min-label propagation + pointer jumping over core-core edges — the
+    # shared connected-components primitive (ε-pairs are already symmetric)
+    from .graph import connected_components
+
+    labels = connected_components(
+        core_edges, nodes=core, id_col="pid", max_iter=max_iter,
+        symmetrize=False,
+    ).withColumnRenamed("component", "lbl")
 
     # border points: non-core with a core neighbor → min core label
     border = (

@@ -498,6 +498,38 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- canonicalization ---------------------------------------------------------
+
+def canonical_duplicate_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    min_group_size: int = 2,
+) -> DataFrame:
+    """Near-duplicate canonicalization: connected components over the
+    verified pair graph, keeping the min doc id as each group's canonical
+    representative — the "pick one survivor per dup cluster" step that
+    follows candidate verification in a training-data dedup pipeline.
+
+    Returns (canonical_id, group_size) per duplicate group, largest first.
+
+    Scale: the pair graph is sparse (bucket-bounded candidates, verified),
+    so the component propagation shuffles only edges + labels per round,
+    O(log n) rounds — the corpus itself never enters the loop. The final
+    keep-set is then ``df.join(groups_members, id, "left_anti")`` on ids
+    minus canonicals, never a full-text comparison.
+    """
+    from .graph import connected_components
+
+    comps = connected_components(pairs, src=id_a, dst=id_b, id_col="doc_id")
+    return (
+        comps.groupBy(F.col("component").alias("canonical_id"))
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") >= min_group_size)
+        .orderBy(F.desc("group_size"), "canonical_id")
+    )
+
+
 # --- embedding near-dup ----------------------------------------------------------
 
 def embedding_near_duplicates(

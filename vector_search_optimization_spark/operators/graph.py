@@ -112,6 +112,79 @@ def detect_communities_kernel(nodes, edges, weighted: bool = True) -> dict:
     }
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    id_col: str = "pid",
+    max_iter: int = 50,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """Distributed connected components by min-label propagation with
+    pointer jumping (label <- label(label) each round), so convergence is
+    O(log n) rounds, not O(component diameter) — a chain of 1e6 nodes
+    converges in ~20 rounds. The corpus-scale building block shared by
+    DBSCAN core clustering and near-duplicate canonicalization.
+
+    Edges are undirected; pass ``symmetrize=False`` when the input already
+    contains both directions (e.g. an ε-neighbor pair table). Returns
+    (id_col, component) with component = min member id. Isolated nodes
+    appear only when supplied via ``nodes`` (single-column DataFrame).
+
+    Scale: each round shuffles the (sparse) edge table once for the
+    neighbor-min and the label table once for the jump; every round
+    localCheckpoints eagerly, which both truncates the doubling plan tree
+    and serves as the convergence materialization. Superseded label frames
+    are plain checkpointed RDDs — no persist leaks.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if symmetrize:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.persist()
+    pts = e.select(F.col("src").alias(id_col)).distinct()
+    if nodes is not None:
+        pts = pts.unionByName(
+            nodes.select(F.col(nodes.columns[0]).alias(id_col))
+        ).distinct()
+    labels = pts.withColumn("lbl", F.col(id_col)).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh_min = (
+            e.join(labels.withColumnRenamed(id_col, "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+            .withColumnRenamed("src", id_col)
+        )
+        stepped = labels.join(neigh_min, id_col, "left").select(
+            id_col,
+            F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+            (F.coalesce("nlbl", "lbl") < F.col("lbl")).alias("chg"),
+        )
+        # pointer jumping: follow lbl one hop (label of my label)
+        jump = labels.select(
+            F.col(id_col).alias("lbl"), F.col("lbl").alias("jlbl")
+        )
+        new_labels = (
+            stepped.join(jump, "lbl", "left")
+            .select(
+                id_col,
+                F.least("lbl", F.coalesce("jlbl", "lbl")).alias("lbl"),
+                (
+                    F.col("chg") | (F.coalesce("jlbl", "lbl") < F.col("lbl"))
+                ).alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.where("chg").limit(1).count()
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels.withColumnRenamed("lbl", "component")
+
+
 def _greedy_modularity_fallback(nodes, edges, weighted: bool) -> list[set]:
     """CNM-style greedy merge: start singleton, merge the pair with max
     modularity gain until no positive gain remains."""
