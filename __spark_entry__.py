@@ -2192,7 +2192,11 @@ def evt_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest session's event count (lag + cumsum islands)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # unix_timestamp (not cast-to-long): ANSI mode rejects TIMESTAMP_NTZ→BIGINT
+    # casts, and the session TZ is pinned UTC by load_table so the epoch
+    # matches DuckDB's floor(epoch(ts)) exactly
+    sec = F.unix_timestamp(F.col("ts"))
+    gap = sec - F.lag(sec).over(w)
     sess = (
         e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
         .withColumn(
@@ -2212,7 +2216,8 @@ _EVT_SESSIONS_SQL = """
 WITH gaps AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+               OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id,

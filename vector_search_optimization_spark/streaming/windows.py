@@ -13,34 +13,53 @@ state per window/session is finite regardless of stream length.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources.readers)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
     """File-source stream of the events table (one parquet = bounded
-    backlog; in production this is the kafka/delta source)."""
+    backlog; in production this is the kafka/delta source).
+
+    ts encoding is detected from the parquet footer (a cheap batch-schema
+    peek), matching sources.readers.load_table: TIMESTAMP(NANOS) footers
+    surface as long under nanosAsLong and are truncated to micros; plain
+    TIMESTAMP(MICROS) footers stream through as-is.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch_ts = dict(
+        spark.read.parquet(os.path.join(dir_path, "events.parquet")).dtypes
+    ).get("ts")
+    nanos = batch_ts == "bigint"
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(
+            _events_schema(T.LongType() if nanos else T.TimestampType())
+        )
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir_path)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    if nanos:
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return raw
 
 
 def tumbling_window_agg(
