@@ -147,6 +147,35 @@ def test_connected_components_isolated_nodes_and_min_label(spark):
     assert comp == {2: 2, 5: 2, 8: 2, 99: 99}
 
 
+def test_connected_components_loop_path_matches_driver_path(spark):
+    """driver_edge_limit=0 forces the iterative min-label loop; it must
+    produce the identical labeling the small-forest driver union-find
+    gives on a graph with chains, a cycle, disjoint parts, and isolates."""
+    from vector_search_optimization_spark.operators.graph import (
+        connected_components,
+    )
+
+    raw = [(i, i + 1) for i in range(0, 20)]          # chain 0..20
+    raw += [(30, 31), (31, 32), (32, 30)]             # cycle
+    raw += [(50, 40), (41, 50)]                       # out-of-order merge
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    nodes = spark.createDataFrame([(n,) for n in range(0, 60)], "pid long")
+
+    want = {
+        r.pid: r.component
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    got = {
+        r.pid: r.component
+        for r in connected_components(
+            edges, nodes=nodes, driver_edge_limit=0
+        ).collect()
+    }
+    assert got == want
+    assert want[20] == 0 and want[32] == 30 and want[50] == 40
+    assert want[59] == 59
+
+
 def test_poly_hash_shingles_np_matches_scalar_twin():
     """The vectorized window hasher must be bit-identical to poly_hash_py
     over every word shingle, including the <n-tokens join, non-ASCII

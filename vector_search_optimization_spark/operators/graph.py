@@ -14,8 +14,10 @@ does the tiny graph algorithm."
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .similarity import cooccurrence_edges
 
@@ -112,6 +114,49 @@ def detect_communities_kernel(nodes, edges, weighted: bool = True) -> dict:
     }
 
 
+def _contract_partitions(edges: DataFrame) -> DataFrame:
+    """Partition-local union-find contraction: every edge partition is
+    collapsed to a star forest (node → partition-local min root) in one
+    Arrow pass. The union of per-partition spanning forests preserves the
+    exact connectivity of the input, so this is a lossless edge rewrite
+    that removes all intra-partition path structure.
+
+    Per-task memory is one dict entry per distinct node in that partition's
+    edges — the same order of memory as the hash side of the label join the
+    iterative loop would otherwise run, so the 100 TB bound is unchanged
+    (size spark.sql.files.maxPartitionBytes / shuffle partitions so a
+    partition's node set fits a task, as for every other hash op)."""
+
+    def contract(it):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in it:
+            for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra  # union by min → roots are local minima
+        if not parent:
+            return
+        nodes = list(parent)
+        yield pd.DataFrame({"src": nodes, "dst": [find(n) for n in nodes]})
+
+    return edges.mapInPandas(contract, schema=edges.schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -120,30 +165,113 @@ def connected_components(
     id_col: str = "pid",
     max_iter: int = 50,
     symmetrize: bool = True,
+    driver_edge_limit: int = 2_000_000,
 ) -> DataFrame:
-    """Distributed connected components by min-label propagation with
-    pointer jumping (label <- label(label) each round), so convergence is
-    O(log n) rounds, not O(component diameter) — a chain of 1e6 nodes
-    converges in ~20 rounds. The corpus-scale building block shared by
-    DBSCAN core clustering and near-duplicate canonicalization.
+    """Distributed connected components: two partition-local union-find
+    contraction passes (edge partitions collapse to star forests, then a
+    hash repartition on node co-locates each node's roots and the second
+    pass stitches them) followed by min-label propagation with pointer
+    jumping (label <- label(label) each round) on the contracted forest.
+    Contraction does the heavy merging in two Arrow passes; the loop only
+    reconciles cross-partition chains, which pointer jumping finishes in
+    O(log n) rounds. When the contracted forest is small
+    (≤ driver_edge_limit rows) the union-find finishes on the driver in a
+    single bounded collect instead — the same small-side/large-side split
+    Spark applies to broadcast vs shuffle joins. The corpus-scale building
+    block shared by DBSCAN core clustering and near-duplicate
+    canonicalization.
 
     Edges are undirected; pass ``symmetrize=False`` when the input already
     contains both directions (e.g. an ε-neighbor pair table). Returns
     (id_col, component) with component = min member id. Isolated nodes
     appear only when supplied via ``nodes`` (single-column DataFrame).
 
-    Scale: each round shuffles the (sparse) edge table once for the
-    neighbor-min and the label table once for the jump; every round
-    localCheckpoints eagerly, which both truncates the doubling plan tree
-    and serves as the convergence materialization. Superseded label frames
-    are plain checkpointed RDDs — no persist leaks.
+    Scale: contraction shrinks the edge table to ≤ one edge per distinct
+    node before any iteration, so each round shuffles the (small) forest
+    once for the neighbor-min and the label table once for the jump; every
+    round localCheckpoints eagerly, which both truncates the doubling plan
+    tree and serves as the convergence materialization. Superseded label
+    frames are plain checkpointed RDDs — no persist leaks.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    if symmetrize:
-        e = e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # lossless pre-contraction (see _contract_partitions); star forests are
+    # connectivity-equivalent, so everything downstream sees ≤ one edge per
+    # distinct node per partition instead of the raw edge table. Union-find
+    # is direction-blind, so the input is never symmetrized — symmetrizing
+    # here would evaluate uncached upstream lineage twice for zero benefit
+    # (the ``symmetrize`` flag is kept for API compatibility; only the
+    # loop's propagation needs both directions, added below on the tiny
+    # contracted forest).
+    f1 = (
+        _contract_partitions(e0)
+        .where(F.col("src") != F.col("dst"))
+        .persist()
+    )
+
+    # small-forest fast path — the broadcast-join analogy: once contraction
+    # has shrunk the graph to ≤ driver_edge_limit (node, root) rows, finish
+    # the union-find on the driver in one collect instead of paying per-round
+    # shuffle/checkpoint overhead. Memory is bounded (2 longs per non-isolated
+    # node, ~32 MB at the default limit); beyond it the loop engages. The
+    # size probe is a parallel count on the persisted forest (NOT
+    # limit().collect(), whose incremental partition scale-up would re-run
+    # the upstream pipeline serially batch by batch); the collect then
+    # reads the cache.
+    n_f1 = f1.count() if driver_edge_limit > 0 else driver_edge_limit + 1
+    if n_f1 <= driver_edge_limit:
+        probe = f1.collect()
+        spark = edges.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in ((r[0], r[1]) for r in probe):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        mapping = [(n, find(n)) for n in parent]
+        f1.unpersist()
+        id_type = edges.schema[src].dataType
+        schema = T.StructType(
+            [
+                T.StructField(id_col, id_type),
+                T.StructField("component", id_type),
+            ]
         )
-    e = e.persist()
+        assigned = spark.createDataFrame(mapping, schema=schema)
+        if nodes is None:
+            return assigned
+        allpts = nodes.select(F.col(nodes.columns[0]).alias(id_col)).distinct()
+        return (
+            allpts.join(F.broadcast(assigned), id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("component", F.col(id_col)).alias("component"),
+            )
+        )
+
+    # loop path: a second contraction after repartitioning on node stitches
+    # cross-partition chains first, then min-label propagation reconciles
+    # what remains (the loop needs both edge directions, added here on the
+    # contracted forest — tiny relative to the input edge table)
+    forest = (
+        _contract_partitions(f1.repartition("src"))
+        .where(F.col("src") != F.col("dst"))
+        .persist()
+    )
+    e = forest.unionByName(
+        forest.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
     pts = e.select(F.col("src").alias(id_col)).distinct()
     if nodes is not None:
         pts = pts.unionByName(
@@ -182,6 +310,8 @@ def connected_components(
         if changed == 0:
             break
     e.unpersist()
+    forest.unpersist()
+    f1.unpersist()
     return labels.withColumnRenamed("lbl", "component")
 
 
