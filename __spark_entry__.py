@@ -2255,6 +2255,320 @@ FROM documents GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# source/sink roundtrips (S1/S2/S6/S8/S9/S10 + F6) — each query pushes a
+# table through a real sink+scan pair and aggregates the readback, so the
+# DuckDB oracle (reading the parquet directly) value-checks serialization
+# losslessness end to end
+# ---------------------------------------------------------------------------
+
+def _roundtrip_path(sf_dir: str, leaf: str) -> str:
+    """Per-sf scratch path so sf0.001 parity runs and sf0.01 driver runs
+    can't clobber each other's files."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join("/tmp/spark_graft_roundtrip", tag)
+    os.makedirs(path, exist_ok=True)
+    return os.path.join(path, leaf)
+
+
+def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 CSV sink → S1 CSV scan → F6 string→vector parse, verified by
+    value: per-label count and mean L2 norm must survive the
+    float→"[f, ...]"→float roundtrip bit-exactly (Java shortest-repr
+    float strings reparse to the identical float32)."""
+    from vector_search_optimization_spark.sources import writers
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _roundtrip_path(sf_dir, "csv_embeddings")
+    writers.write_csv(e, path)
+    back = (
+        spark.read.option("header", True)
+        .schema("vec_id long, embedding string, label int")
+        .csv(path)
+        .select("vec_id", V.parse_vector("embedding").alias("embedding"), "label")
+    )
+    return (
+        back.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(V.l2_norm("embedding")), 4).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+_S1_SQL = """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def s2_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 JSON sink → S2 JSON scan roundtrip on documents (projection to
+    doc_id/lang/text), verified per-lang: unicode text must survive JSON
+    escaping with identical character counts."""
+    from vector_search_optimization_spark.sources import writers
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    path = _roundtrip_path(sf_dir, "json_documents")
+    writers.write_json(d, path)
+    back = spark.read.schema("doc_id long, lang string, text string").json(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+_S2_SQL = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       max(doc_id) AS max_doc
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def s6_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 Excel sink → S6 Excel scan roundtrip on the nation dim table
+    through the stdlib zip+XML xlsx codec, verified by per-region counts
+    and the lexicographic first name."""
+    from vector_search_optimization_spark.sources import readers, writers
+
+    n = load_table(spark, sf_dir, "nation")
+    path = _roundtrip_path(sf_dir, "nation.xlsx")
+    writers.write_excel(n, path)
+    back = readers.read_excel(spark, path)
+    return (
+        back.groupBy(F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+_S6_SQL = """
+SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n,
+       min(n_name) AS first_name
+FROM nation GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# F5 manhattan distance (seeded reference vector, plan-literal both sides)
+# ---------------------------------------------------------------------------
+
+_F5_SEED = 7
+
+
+def _f5_ref_vector(dim: int) -> np.ndarray:
+    """Seeded reference vector shared by the Spark plan literals and the
+    generated DuckDB literals (pure function of dim+seed, like the RP
+    planes)."""
+    return np.random.RandomState(_F5_SEED).normal(size=dim)
+
+
+def f5_manhattan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — L1/manhattan distance (manhattan_distances,
+    main-script1.ipynb:79 c5) of every embedding to a seeded reference
+    vector; 20 farthest rows. Pure column expressions (zip_with/aggregate),
+    no shuffle before the top-k sort."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    ref = F.array(*[F.lit(float(x)) for x in _f5_ref_vector(dim)])
+    return (
+        e.select(
+            "vec_id",
+            F.round(V.manhattan("embedding", ref), 4).alias("l1_dist"),
+        )
+        .orderBy(F.desc("l1_dist"), "vec_id")
+        .limit(20)
+    )
+
+
+def _f5_sql() -> str:
+    import duckdb
+
+    dim = duckdb.sql(
+        f"SELECT len(embedding) FROM '{_oracle_sf_dir()}/embeddings.parquet' LIMIT 1"
+    ).fetchone()[0]
+    lits = ", ".join(f"{float(x)!r}" for x in _f5_ref_vector(dim))
+    return f"""
+SELECT vec_id,
+       round(list_sum(list_transform(list_zip(embedding, [{lits}]),
+             p -> abs(CAST(p[1] AS DOUBLE) - p[2]))), 4) AS l1_dist
+FROM embeddings ORDER BY l1_dist DESC, vec_id LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# M3 k-sweep (seeded quantizer per k; inertia + occupancy, generated oracle)
+# ---------------------------------------------------------------------------
+
+_M3_KS = (2, 4, 8)
+
+
+def m3_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 — the reference's k-selection sweep (inertia per candidate k,
+    silhouettes.ipynb elbow loop) over the seeded sample-trained Lloyd
+    quantizer (same recipe as m1, reproducible cross-engine). Inertia is
+    computed distributedly: broadcast argmin assignment (no shuffle), one
+    partial-agg reduction per k."""
+    e = load_table(spark, sf_dir, "embeddings")
+    per_k = []
+    for k in _M3_KS:
+        cents = ann.train_ivf_centroids(
+            e.orderBy("vec_id"), num_cells=k, vector_col="embedding", seed=42
+        )
+        assigned = NC.nearest_centroid(
+            e,
+            cents,
+            vector_col="embedding",
+            centroid_col="centroid",
+            label_col="cell",
+            metric="sqeuclidean",
+            out_label="cell",
+            out_dist="sqdist",
+        )
+        per_k.append(
+            assigned.agg(
+                F.lit(k).cast("int").alias("k"),
+                F.round(F.sum("sqdist"), 2).alias("inertia"),
+                F.countDistinct("cell").alias("clusters_used"),
+            )
+        )
+    out = per_k[0]
+    for nxt in per_k[1:]:
+        out = out.unionByName(nxt)
+    return out.orderBy("k")
+
+
+def _m3_sql() -> str:
+    """Generated oracle: re-derive each k's centers with the shared
+    _lloyd_kmeans (float32 round-trip like the centroid DataFrame), then
+    DuckDB recomputes min squared distance per row, its sum (inertia) and
+    the distinct argmin cells per k."""
+    import duckdb
+
+    from vector_search_optimization_spark.operators.ann import _lloyd_kmeans
+
+    pdf = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        f"'{_oracle_sf_dir()}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+
+    selects = []
+    for k in _M3_KS:
+        centers = _lloyd_kmeans(X[:100_000], k, seed=42, max_iter=20)
+        cents = np.asarray(
+            [list(map(float, c)) for c in centers], dtype=np.float32
+        ).astype(np.float64)
+
+        def cell_dist(i: int) -> str:
+            lits = ", ".join(f"{float(x)!r}" for x in cents[i])
+            return (
+                "list_reduce(list_transform(list_zip(embedding, "
+                f"[{lits}]), p -> (CAST(p[1] AS DOUBLE) - p[2]) "
+                "* (CAST(p[1] AS DOUBLE) - p[2])), (x, y) -> x + y)"
+            )
+
+        structs = ", ".join(
+            "{'d': " + cell_dist(i) + f", 'c': {i}}}" for i in range(len(cents))
+        )
+        selects.append(
+            f"""
+SELECT {k} AS k, round(sum(d), 2) AS inertia,
+       count(DISTINCT c) AS clusters_used
+FROM (SELECT list_min([{structs}])['d'] AS d,
+             list_min([{structs}])['c'] AS c FROM embeddings)"""
+        )
+    return " UNION ALL ".join(selects) + " ORDER BY k"
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (engine extension) — binary payloads through the
+# extract/resize/frame-sample stages with a full value oracle
+# ---------------------------------------------------------------------------
+
+def mm_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal asset pipeline over real binary columns: documents.text
+    encoded to utf-8 payload bytes (the container has no media codecs —
+    the bytes are the asset), modality/width/height/duration derived
+    deterministically from doc_id. Exercises extract_features
+    (mapInPandas binary→features), frame_sample_plan (sequence explode)
+    and resize_plan (geometry expressions); sha/byte-length/frame/resize
+    outputs are all value-checked by the DuckDB oracle."""
+    from vector_search_optimization_spark.operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    assets = d.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.lit(400) + (F.col("doc_id") % 7) * 100).cast("int").alias("width"),
+        (F.lit(300) + (F.col("doc_id") % 5) * 150).cast("int").alias("height"),
+        ((F.col("doc_id") % 5) * 1000 + 500).cast("long").alias("duration_ms"),
+    )
+    feats = MM.extract_features(assets)
+    frames = (
+        MM.frame_sample_plan(assets)
+        .groupBy("asset_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    resize = MM.resize_plan(assets.where(F.col("modality") == "image")).select(
+        "asset_id", "target_width"
+    )
+    return (
+        feats.join(frames, "asset_id", "left")
+        .join(resize, "asset_id", "left")
+        .select(
+            "asset_id",
+            "modality",
+            "n_bytes",
+            "sha_prefix",
+            F.coalesce("n_frames", F.lit(0).cast("long")).alias("n_frames"),
+            F.coalesce("target_width", F.lit(0).cast("int")).alias("target_width"),
+        )
+        .orderBy(F.desc("n_bytes"), "asset_id")
+        .limit(50)
+    )
+
+
+_MM_SQL = """
+WITH assets AS (
+  SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+         text,
+         400 + (doc_id % 7) * 100 AS width,
+         300 + (doc_id % 5) * 150 AS height,
+         (doc_id % 5) * 1000 + 500 AS duration_ms
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT asset_id, modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       substring(sha256(text), 1, 16) AS sha_prefix,
+       CASE WHEN modality = 'video'
+            THEN CAST(floor((duration_ms - 1) / 1000.0) AS BIGINT) + 1
+            ELSE 0 END AS n_frames,
+       CAST(CASE WHEN modality = 'image' AND greatest(width, height) > 768
+            THEN floor(width * (768.0 / greatest(width, height)))
+            WHEN modality = 'image' THEN width
+            ELSE 0 END AS INTEGER) AS target_width
+FROM assets ORDER BY n_bytes DESC, asset_id LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
 
@@ -2319,6 +2633,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "f7_string_caps": (f7_string_caps, _F7_SQL),
     "j5_literal_map": (j5_literal_map, _J5_MAP_SQL),
     "m2_silhouette": (m2_silhouette, _M2_SQL),
+    "s1_csv_roundtrip": (s1_csv_roundtrip, _S1_SQL),
+    "s2_json_roundtrip": (s2_json_roundtrip, _S2_SQL),
+    "s6_excel_roundtrip": (s6_excel_roundtrip, _S6_SQL),
+    "f5_manhattan": (f5_manhattan, _f5_sql),
+    "m3_k_sweep": (m3_k_sweep, _m3_sql),
+    "mm_asset_features": (mm_asset_features, _MM_SQL),
 }
 
 
