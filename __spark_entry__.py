@@ -2569,6 +2569,170 @@ FROM assets ORDER BY n_bytes DESC, asset_id LIMIT 50
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline: deterministic split / batch packing /
+# benchmark decontamination (engine extensions, all value-oracled)
+# ---------------------------------------------------------------------------
+
+_SPLIT_A = 2654435761  # Knuth multiplicative constant (< 2^32; products stay < 2^63)
+_SPLIT_B = 40503
+
+
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (98/1/1) by a multiplicative
+    hash of doc_id — reproducible across engines and runs, no sampling
+    state. The split column is a pure projection (no shuffle); the audit
+    aggregates split × lang occupancy."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(_SPLIT_A) + F.lit(_SPLIT_B), F.lit(1000))
+    split = (
+        F.when(h < 980, "train").when(h < 990, "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+_SPLIT_SQL = f"""
+SELECT CASE WHEN (doc_id * {_SPLIT_A} + {_SPLIT_B}) % 1000 < 980 THEN 'train'
+            WHEN (doc_id * {_SPLIT_A} + {_SPLIT_B}) % 1000 < 990 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1, 2 ORDER BY split, lang
+"""
+
+
+_PACK_BUDGET = 1024
+
+
+def pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget batch packing: documents stream into batches per lang
+    in doc_id order, a new batch opening when the running token total
+    crosses the budget (batch_id = floor(cumulative_tokens_before /
+    budget) — the one-pass streaming pack). One window shuffle on
+    (lang, doc_id), one agg shuffle; at 100 TB the window partitions by
+    (lang, shard) so no single partition holds a language's full corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tok = TX.whitespace_token_count("text")
+    return (
+        d.select("lang", "doc_id", tok.alias("n_tok"))
+        .withColumn(
+            "batch_id",
+            F.floor(
+                F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / _PACK_BUDGET
+            ),
+        )
+        .groupBy("lang", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+        .orderBy("lang", "batch_id")
+    )
+
+
+_PACK_SQL = rf"""
+WITH toks AS (
+  SELECT lang, doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+  FROM documents
+), packed AS (
+  SELECT lang, doc_id, n_tok,
+         CAST(floor(coalesce(sum(n_tok) OVER (
+              PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {_PACK_BUDGET}.0) AS BIGINT) AS batch_id
+  FROM toks
+)
+SELECT lang, batch_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+FROM packed GROUP BY lang, batch_id ORDER BY lang, batch_id
+"""
+
+
+_DECON_MOD = 97
+
+
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit: word-3-shingle fingerprints of a
+    held-out benchmark slice (doc_id % 97 == 0) broadcast-semi-joined
+    against the training slice's fingerprints; a training doc sharing ANY
+    shingle is flagged. Per-lang counts + contamination rate. Scale: the
+    benchmark fingerprint set is small by construction (benchmarks are),
+    fingerprints are map-side (no shuffle before the semi-join), flagged
+    ids collapse via distinct before the final count."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = dedup.shingle_hash_rows(d)
+    is_bench = F.col("doc_id") % _DECON_MOD == 0
+    bench_grams = grams.where(is_bench).select("g").distinct()
+    train = d.where(~is_bench)
+    hit_ids = (
+        grams.where(~is_bench)
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    flagged = (
+        train.join(hit_ids, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_train"))
+    return (
+        totals.join(flagged, "lang", "left")
+        .select(
+            "lang",
+            "n_train",
+            F.coalesce("n_contaminated", F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0).cast("long"))
+                / F.col("n_train"),
+                6,
+            ).alias("contaminated_pct"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _decon_sql() -> str:
+    poly = _POLY_SQL.format(s="s", base=TX.POLY_BASE)
+    return (
+        _MINHASH_SHINGLE_SQL.format(n=3, nm1=2)
+        + f""", hs AS (
+  SELECT doc_id, list_transform(shingles, s -> {poly}) AS h FROM sh
+), bench AS (
+  SELECT DISTINCT unnest(h) AS g FROM hs WHERE doc_id % {_DECON_MOD} = 0
+), hits AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, unnest(h) AS g FROM hs WHERE doc_id % {_DECON_MOD} <> 0) t
+  JOIN bench b ON t.g = b.g
+)
+SELECT lang, count(*) AS n_train,
+       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       round(CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
+                THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS contaminated_pct
+FROM documents WHERE doc_id % {_DECON_MOD} <> 0
+GROUP BY lang ORDER BY lang
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
 
@@ -2639,6 +2803,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "f5_manhattan": (f5_manhattan, _f5_sql),
     "m3_k_sweep": (m3_k_sweep, _m3_sql),
     "mm_asset_features": (mm_asset_features, _MM_SQL),
+    "split_assign": (split_assign, _SPLIT_SQL),
+    "pack_batches": (pack_batches, _PACK_SQL),
+    "decontaminate_overlap": (decontaminate_overlap, _decon_sql),
 }
 
 

@@ -176,6 +176,33 @@ def test_connected_components_loop_path_matches_driver_path(spark):
     assert want[59] == 59
 
 
+def test_shingle_hash_rows_flags_planted_contamination(spark):
+    """A train doc copying a benchmark doc's text must share every
+    fingerprint; an unrelated doc must share none."""
+    from vector_search_optimization_spark.operators.dedup import shingle_hash_rows
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, bench_text),                      # benchmark (0 % 97 == 0)
+        (1, "completely different words entirely unrelated content here"),
+        (2, "prefix words then " + bench_text + " then suffix words"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    g = shingle_hash_rows(d)
+    import pyspark.sql.functions as SF
+
+    bench = g.where(SF.col("doc_id") == 0).select("g").distinct()
+    hits = {
+        r.doc_id
+        for r in g.where(SF.col("doc_id") != 0)
+        .join(SF.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert hits == {2}
+
+
 def test_poly_hash_shingles_np_matches_scalar_twin():
     """The vectorized window hasher must be bit-identical to poly_hash_py
     over every word shingle, including the <n-tokens join, non-ASCII

@@ -450,6 +450,42 @@ def simhash_near_duplicates(
 
 # --- n-gram jaccard ------------------------------------------------------------
 
+def shingle_hash_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exploded (id, g) rows of the distinct word-shingle poly hashes per
+    document — the fingerprint table for decontamination / overlap joins.
+
+    Same tokenization and hash as minhash_signatures_kernel (lower +
+    whitespace split, vectorized polynomial rolling hash), so the DuckDB
+    shingle CTE reproduces the values exactly. Scale: map-side explode
+    (no shuffle); the downstream overlap join broadcasts the (small)
+    benchmark fingerprint set.
+    """
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def batches(it):
+        for pdf in it:
+            ids: list = []
+            gs: list = []
+            for i, text in zip(pdf[id_col].tolist(), pdf[text_col]):
+                h = np.unique(
+                    TX.poly_hash_shingles_np((text or "").lower().split(), shingle_n)
+                )
+                ids.extend([i] * len(h))
+                gs.extend(h.tolist())
+            yield pd.DataFrame({id_col: ids, "g": gs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema=f"{id_col} {id_type}, g long"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidates: DataFrame,
