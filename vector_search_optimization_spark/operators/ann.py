@@ -144,7 +144,7 @@ def all_pairs_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            bm = np.asarray(pdf[vector_col].tolist(), dtype=np.float64)
+            bm = V.stack_vectors(pdf[vector_col])
             bn = np.linalg.norm(bm, axis=1)
             bn[bn == 0.0] = np.nan
             sims = (bm / bn[:, None]) @ unit.T                  # (b, n)
@@ -214,8 +214,8 @@ def all_pairs_topk_distributed(
         right = pdf[pdf["__blk"] == j]
         if len(left) == 0 or len(right) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
-        A = np.asarray(left[vector_col].tolist(), dtype=np.float64)
-        Bm = np.asarray(right[vector_col].tolist(), dtype=np.float64)
+        A = V.stack_vectors(left[vector_col])
+        Bm = V.stack_vectors(right[vector_col])
         an = np.linalg.norm(A, axis=1)
         bn = np.linalg.norm(Bm, axis=1)
         an[an == 0.0] = np.nan

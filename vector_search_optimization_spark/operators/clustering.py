@@ -25,6 +25,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import vector as V
+
 
 def _to_features(df: DataFrame, vector_col: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
@@ -130,7 +132,7 @@ def silhouette_exact(
     silhouette_mllib.
     """
     pdf = assigned.select(cluster_col, vector_col).toPandas()
-    X = np.asarray(pdf[vector_col].tolist(), dtype=np.float64)
+    X = V.stack_vectors(pdf[vector_col])
     labels = pdf[cluster_col].to_numpy()
     n = len(X)
     idx = np.arange(n)
@@ -224,7 +226,7 @@ def silhouette_exact_distributed(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.asarray(pdf["__vec"].tolist(), dtype=np.float64)
+            X = V.stack_vectors(pdf["__vec"])
             D = np.sqrt(
                 np.maximum(
                     sq_s[:, None] - 2.0 * (Sm @ X.T) + (X * X).sum(axis=1)[None, :],

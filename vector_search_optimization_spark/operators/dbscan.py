@@ -74,7 +74,7 @@ def dbscan_kernel(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, ignore_index=True)
-        X = np.asarray(pdf[vector_col].tolist(), dtype=np.float64)
+        X = V.stack_vectors(pdf[vector_col])
         return pd.DataFrame({id_col: pdf[id_col], out_col: _dbscan_numpy(X, eps, min_samples)})
 
     return (
@@ -158,8 +158,8 @@ def eps_neighbor_pairs(
         home = pdf[pdf["is_home"]]
         if home.empty or len(pdf) < 2:
             return pd.DataFrame({"src": [], "dst": []})
-        A = np.asarray(home[vector_col].tolist(), dtype=np.float64)
-        Bm = np.asarray(pdf[vector_col].tolist(), dtype=np.float64)
+        A = V.stack_vectors(home[vector_col])
+        Bm = V.stack_vectors(pdf[vector_col])
         ia = home[id_col].to_numpy()
         ib = pdf[id_col].to_numpy()
         bsq = (Bm**2).sum(axis=1)

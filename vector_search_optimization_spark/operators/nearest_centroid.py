@@ -103,7 +103,7 @@ def nearest_centroid(
             if len(pdf) == 0:
                 yield pdf.assign(**{out_label: [], out_dist: []})
                 continue
-            mat = np.asarray(pdf[vector_col].tolist(), dtype=np.float64)
+            mat = V.stack_vectors(pdf[vector_col])
             dists = _pairwise(mat, cents, metric)
             # all-NaN rows (e.g. zero vector under cosine) take the first
             # centroid with a NaN distance instead of raising

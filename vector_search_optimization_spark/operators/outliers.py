@@ -121,7 +121,7 @@ def lof_outliers(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
-        X = np.asarray(pdf[vector_col].tolist(), dtype=np.float64)
+        X = V.stack_vectors(pdf[vector_col])
         if m < 3:
             return pd.DataFrame(
                 {
@@ -254,7 +254,7 @@ def mahalanobis_outliers(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, ignore_index=True)
-        X = np.asarray(pdf[vector_col].tolist(), dtype=np.float64)
+        X = V.stack_vectors(pdf[vector_col])
         m = len(X)
         if m < 3:
             return pd.DataFrame(

@@ -14,6 +14,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import vector as V
+
 
 def pca_components_numpy(
     X: np.ndarray, n_components: int
@@ -83,7 +85,7 @@ def umap_project(
     pdf = df.select(id_col, vector_col).limit(max_rows).toPandas()
     import numpy as np
 
-    X = np.asarray(pdf[vector_col].tolist(), dtype=np.float64)
+    X = V.stack_vectors(pdf[vector_col])
     emb = umap.UMAP(n_components=n_components, **umap_kwargs).fit_transform(X)
     out = pdf[[id_col]].copy()
     out["umap"] = [row.tolist() for row in emb]

@@ -102,7 +102,7 @@ def intra_group_pairs_kernel(
                 }
             )
         pdf = pdf.sort_values(id_col, ignore_index=True)
-        mat = np.asarray(pdf[vector_col].tolist(), dtype=np.float64)
+        mat = V.stack_vectors(pdf[vector_col])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0.0] = np.nan
         sims = (mat @ mat.T) / np.outer(norms, norms)
