@@ -65,6 +65,23 @@ def test_upsert_broadcasts_updates(spark, sf_small):
     assert "BroadcastHashJoin" in plan
 
 
+def test_decontaminate_benchmark_set_broadcasts(spark, sf_small):
+    """The benchmark fingerprint side of the overlap semi-join must
+    broadcast — shuffling the exploded training fingerprints on g would
+    be the 100 TB bottleneck."""
+    plan = _plan(m.queries()["decontaminate_overlap"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_split_assign_is_single_agg_shuffle(spark, sf_small):
+    """The split column is a pure projection: exactly one exchange (the
+    groupBy) and no join in the plan."""
+    plan = _plan(m.queries()["split_assign"](spark, sf_small))
+    assert "Join" not in plan
+    # one partial+final agg pair around a single shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_dbscan_eps_join_has_no_cartesian(spark, sf_small):
     from vector_search_optimization_spark.operators import dbscan as DB
 
