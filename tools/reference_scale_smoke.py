@@ -61,25 +61,31 @@ def synthesize(spark):
     # pairs > 0.8)
     sigma = 0.25 / np.sqrt(DIM)
 
-    def rows():
-        for i in range(N_CHUNKS):
-            d = int(doc_of_chunk[i])
-            # 80% chunks on the doc's home cluster, 20% elsewhere — documents
-            # straddle clusters, which is what the co-occurrence graph measures
-            if rng.rand() < 0.8:
-                c = int(doc_cluster[d])
-            else:
-                c = int(rng.randint(0, K))
-            v = centers[c] + rng.normal(scale=sigma, size=DIM).astype(np.float32)
-            yield (
-                f"chk-{i:05d}",
-                f"doc-{d:04d}",
-                str(cat_of_doc[d]),
-                v.tolist(),
-            )
+    # 80% chunks on the doc's home cluster, 20% elsewhere — documents
+    # straddle clusters, which is what the co-occurrence graph measures.
+    # All draws are vectorized (seeded, deterministic): one uniform + one
+    # alternate-cluster vector + one (n, dim) gaussian block, then a single
+    # Arrow-path createDataFrame — the boxed per-row generator cost ~14s of
+    # the smoke total for pure driver-side python.
+    import pandas as pd
 
+    home = doc_cluster[doc_of_chunk]
+    alt = rng.randint(0, K, size=N_CHUNKS)
+    c_of_chunk = np.where(rng.rand(N_CHUNKS) < 0.8, home, alt)
+    vecs = (
+        centers[c_of_chunk]
+        + rng.normal(scale=sigma, size=(N_CHUNKS, DIM)).astype(np.float32)
+    ).astype(np.float32)
+    pdf = pd.DataFrame(
+        {
+            "id": [f"chk-{i:05d}" for i in range(N_CHUNKS)],
+            "document_id": [f"doc-{d:04d}" for d in doc_of_chunk],
+            "category": [str(c) for c in cat_of_doc[doc_of_chunk]],
+            "content_vector": list(vecs),
+        }
+    )
     chunks = spark.createDataFrame(
-        rows(), "id string, document_id string, category string, content_vector array<float>"
+        pdf, "id string, document_id string, category string, content_vector array<float>"
     ).repartition(32).persist()
     chunks.count()
     cents = spark.createDataFrame(
