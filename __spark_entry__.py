@@ -2733,6 +2733,135 @@ GROUP BY lang ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# temporal joins (engine extension): as-of (point-in-time) and banded
+# range joins — operators Spark lacks natively, re-expressed scale-safe
+# ---------------------------------------------------------------------------
+
+def evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase picks the same user's most recent
+    prior-or-simultaneous click. Scale pattern: union the two event
+    streams, ONE shuffle on user_id, time-ordered window with
+    last(ignorenulls) carry-forward — never a range crossJoin, state per
+    user is one row. The DuckDB oracle is an INDEPENDENT formulation
+    (native ASOF LEFT JOIN), so agreement is strong evidence of the
+    point-in-time semantics (ties: a click at the exact purchase
+    timestamp counts, hence the is_buy sort tiebreak)."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts"))
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.count(F.lit(1)).alias("__dummy"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_buy"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    buys = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("is_buy"), "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_buy")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = clicks.unionByName(buys).withColumn(
+        "last_click_sec",
+        F.last(F.when(F.col("is_buy") == 0, sec), ignorenulls=True).over(w),
+    )
+    matched = filled.where(F.col("is_buy") == 1).select(
+        "user_id",
+        "event_id",
+        (sec - F.col("last_click_sec")).alias("lag_s"),
+    )
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("lag_s").alias("n_matched"),
+        F.round(F.avg("lag_s"), 2).alias("avg_lag_s"),
+        F.max("lag_s").alias("max_lag_s"),
+    )
+
+
+_ASOF_SQL = """
+WITH clicks AS (
+  SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'click'
+), buys AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), joined AS (
+  SELECT b.user_id, b.event_id,
+         floor(epoch(b.ts)) - floor(epoch(c.ts)) AS lag_s
+  FROM buys b ASOF LEFT JOIN clicks c
+    ON b.user_id = c.user_id AND b.ts >= c.ts
+)
+SELECT count(*) AS n_purchases,
+       count(lag_s) AS n_matched,
+       round(avg(lag_s), 2) AS avg_lag_s,
+       CAST(max(lag_s) AS BIGINT) AS max_lag_s
+FROM joined
+"""
+
+
+_RANGE_WINDOW_S = 3600
+
+
+def evt_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: click→purchase pairs of the same user within a
+    1-hour forward window. Scale pattern: band each side to
+    floor(ts/W) buckets, probe bucket b and b+1 (every |Δt| ≤ W pair
+    spans at most adjacent buckets), filter exactly — an equi-join the
+    planner can hash-partition, never an inequality crossJoin."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts"))
+    w = _RANGE_WINDOW_S
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .select("user_id", sec.alias("c_sec"))
+        .withColumn("bucket", F.explode(F.array(
+            F.floor(F.col("c_sec") / w),
+            F.floor(F.col("c_sec") / w) + 1,
+        )))
+    )
+    buys = e.where(F.col("event_type") == "purchase").select(
+        "user_id", sec.alias("b_sec"), F.floor(F.col("b_sec") / w).alias("bucket")
+    )
+    pairs = (
+        clicks.join(buys, ["user_id", "bucket"])
+        .where(
+            (F.col("b_sec") >= F.col("c_sec"))
+            & (F.col("b_sec") - F.col("c_sec") <= w)
+        )
+        # distinct collapses same-second duplicate events into one pair,
+        # mirroring the oracle's DISTINCT over floored-second triples
+        .select("user_id", "c_sec", "b_sec")
+        .distinct()
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg(F.col("b_sec") - F.col("c_sec")), 2).alias("avg_gap_s"),
+    )
+
+
+_RANGE_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT c.user_id,
+         floor(epoch(c.ts)) AS c_sec, floor(epoch(b.ts)) AS b_sec
+  FROM events c JOIN events b
+    ON c.user_id = b.user_id
+   AND c.event_type = 'click' AND b.event_type = 'purchase'
+   AND floor(epoch(b.ts)) >= floor(epoch(c.ts))
+   AND floor(epoch(b.ts)) - floor(epoch(c.ts)) <= {_RANGE_WINDOW_S}
+)
+SELECT count(*) AS n_pairs,
+       count(DISTINCT user_id) AS n_users,
+       round(avg(b_sec - c_sec), 2) AS avg_gap_s
+FROM pairs
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
 
@@ -2806,6 +2935,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "split_assign": (split_assign, _SPLIT_SQL),
     "pack_batches": (pack_batches, _PACK_SQL),
     "decontaminate_overlap": (decontaminate_overlap, _decon_sql),
+    "evt_asof_join": (evt_asof_join, _ASOF_SQL),
+    "evt_range_join": (evt_range_join, _RANGE_SQL),
 }
 
 

@@ -82,6 +82,15 @@ def test_split_assign_is_single_agg_shuffle(spark, sf_small):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_range_join_is_bucketed_equi_join(spark, sf_small):
+    """The banded range join must plan as a hash equi-join on
+    (user_id, bucket) — an inequality-only join would go
+    BroadcastNestedLoop/Cartesian and die at scale."""
+    plan = _plan(m.queries()["evt_range_join"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dbscan_eps_join_has_no_cartesian(spark, sf_small):
     from vector_search_optimization_spark.operators import dbscan as DB
 
