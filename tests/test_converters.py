@@ -43,12 +43,86 @@ def test_convert_payload_dispatch():
     assert convert_payload("HTML", HTML) is not None
 
 
+def _mini_docx() -> bytes:
+    import io
+    import zipfile
+
+    doc = (
+        '<?xml version="1.0"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+        'wordprocessingml/2006/main"><w:body>'
+        "<w:p><w:r><w:t>First paragraph.</w:t></w:r>"
+        "<w:r><w:t> Second run.</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>Second paragraph.</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def _mini_pptx() -> bytes:
+    import io
+    import zipfile
+
+    def slide(text):
+        return (
+            '<?xml version="1.0"?>'
+            '<p:sld xmlns:p="http://schemas.openxmlformats.org/'
+            'presentationml/2006/main" '
+            'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">'
+            f"<p:cSld><a:t>{text}</a:t></p:cSld></p:sld>"
+        )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("ppt/slides/slide2.xml", slide("slide two"))
+        z.writestr("ppt/slides/slide1.xml", slide("slide one"))
+        z.writestr("ppt/slides/slide10.xml", slide("slide ten"))
+    return buf.getvalue()
+
+
+def test_docx_paragraphs_and_runs():
+    from vector_search_optimization_spark.sources.converters import docx_to_text
+
+    assert docx_to_text(_mini_docx()) == (
+        "First paragraph. Second run.\nSecond paragraph."
+    )
+
+
+def test_pptx_slides_in_numeric_order():
+    from vector_search_optimization_spark.sources.converters import pptx_to_text
+
+    # numeric sort: slide10 after slide2, not lexicographic
+    assert pptx_to_text(_mini_pptx()) == "slide one\n\nslide two\n\nslide ten"
+
+
+def test_xlsx_payload_to_text(tmp_path):
+    from vector_search_optimization_spark.sources.converters import xlsx_to_text
+    from vector_search_optimization_spark.sources.xlsx import write_xlsx
+
+    p = tmp_path / "t.xlsx"
+    write_xlsx(str(p), ["name", "age"], [["ana", 3], ["bob", 5]])
+    assert xlsx_to_text(p.read_bytes()) == "name: ana, age: 3\nname: bob, age: 5"
+
+
+def test_convert_payload_ooxml_and_corrupt():
+    assert "First paragraph." in convert_payload("docx", _mini_docx())
+    assert convert_payload("pptx", _mini_pptx()).startswith("slide one")
+    assert convert_payload("docx", b"not a zip") is None  # corrupt → routed
+
+
 def test_binaryfile_ingest_end_to_end(spark, tmp_path):
     (tmp_path / "a.txt").write_bytes(b"plain text doc")
     (tmp_path / "b.html").write_bytes(HTML)
     (tmp_path / "c.csv").write_bytes(CSV)
     (tmp_path / "d.json").write_bytes(JSON)
     (tmp_path / "e.pdf").write_bytes(b"%PDF-1.4 binary stuff")
+    (tmp_path / "f.docx").write_bytes(_mini_docx())
+    (tmp_path / "g.pptx").write_bytes(_mini_pptx())
 
     out = convert_documents(read_binary_docs(spark, str(tmp_path))).toPandas()
     out["name"] = out.path.str.rsplit("/", n=1).str[-1]
@@ -60,5 +134,7 @@ def test_binaryfile_ingest_end_to_end(spark, tmp_path):
     assert by.loc["d.json", "converted"] and "b.c: x" in by.loc["d.json", "text"]
     assert not by.loc["e.pdf", "converted"]  # routed, not silently dropped
     assert by.loc["e.pdf", "text"] is None
+    assert by.loc["f.docx", "converted"] and "Second paragraph." in by.loc["f.docx", "text"]
+    assert by.loc["g.pptx", "converted"] and "slide ten" in by.loc["g.pptx", "text"]
     # n_chars consistent
     assert (by[by.converted].n_chars == by[by.converted].text.str.len()).all()

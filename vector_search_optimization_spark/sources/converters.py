@@ -2,13 +2,13 @@
 
 The reference vendors a ~1,650-LoC markdown-conversion library covering
 pdf/docx/pptx/xlsx/html/ipynb/rss/wav/mp3/zip (analisis-informe.ipynb:2806
-c82). For engine parity only the *text-bearing* formats matter (SURVEY S7
-note): this module implements txt/html/csv/json extraction with stdlib-only
-parsing, running as an Arrow-batched stage over Spark's binaryFile source —
-the out-of-core ingest shape (bytes in executors, text out, no driver
-round-trip). Binary media formats (pdf/docx images/audio) need codec
-libraries absent from this container and route to operators.multimodal's
-stubbed decode path.
+c82). This module implements txt/md/html/csv/json extraction AND the OOXML
+family (docx/pptx/xlsx — zip+XML, so stdlib-only like sources.xlsx) over an
+Arrow-batched stage on Spark's binaryFile source — the out-of-core ingest
+shape (bytes in executors, text out, no driver round-trip). Formats that
+genuinely need codec libraries absent from this container (pdf, images,
+audio) route to operators.multimodal's stubbed decode path with
+converted=false.
 """
 
 from __future__ import annotations
@@ -79,9 +79,87 @@ def json_to_text(raw: str) -> str:
     return "\n".join(lines)
 
 
+def _ooxml_runs(root, local_tag: str) -> list[str]:
+    """Text runs of one OOXML part, namespace-agnostic."""
+    return [
+        t.text or ""
+        for t in root.iter()
+        if t.tag.endswith("}" + local_tag) or t.tag == local_tag
+    ]
+
+
+def docx_to_text(payload: bytes) -> str:
+    """Word document → paragraphs (word/document.xml <w:p>/<w:t> runs).
+
+    OOXML is zip+XML, so like the xlsx codec this is stdlib-only — the
+    reference's vendored converter reaches the same text through
+    python-docx (analisis-informe.ipynb:2806 c82)."""
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    with zipfile.ZipFile(io.BytesIO(payload)) as z:
+        root = ET.fromstring(z.read("word/document.xml"))
+    paras = []
+    for p in root.iter():
+        if p.tag.endswith("}p"):
+            runs = _ooxml_runs(p, "t")
+            if any(runs):
+                paras.append("".join(runs))
+    return "\n".join(paras).strip()
+
+
+def pptx_to_text(payload: bytes) -> str:
+    """PowerPoint deck → slide texts (ppt/slides/slideN.xml <a:t> runs),
+    slides in numeric order, one blank line between slides."""
+    import re as _re
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    with zipfile.ZipFile(io.BytesIO(payload)) as z:
+        slide_names = sorted(
+            (n for n in z.namelist()
+             if _re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+            key=lambda n: int(_re.search(r"(\d+)\.xml$", n).group(1)),
+        )
+        slides = []
+        for name in slide_names:
+            runs = _ooxml_runs(ET.fromstring(z.read(name)), "t")
+            if any(runs):
+                slides.append("\n".join(r for r in runs if r))
+    return "\n\n".join(slides).strip()
+
+
+def xlsx_to_text(payload: bytes) -> str:
+    """Workbook → the same 'col: val' flat-text lines as csv_to_text,
+    through the stdlib xlsx codec (sources.xlsx handles inline + shared
+    strings, so real-Excel files parse too)."""
+    from . import xlsx as xlsx_mod
+
+    header, rows = xlsx_mod.read_xlsx(io.BytesIO(payload))  # type: ignore[arg-type]
+    if not rows:
+        return ", ".join(str(h) for h in header)
+    return "\n".join(
+        ", ".join(f"{h}: {'' if v is None else v}" for h, v in zip(header, row))
+        for row in rows
+    )
+
+
+OOXML_FORMATS = ("docx", "pptx", "xlsx")
+
+
 def convert_payload(fmt: str, payload: bytes) -> str | None:
-    """Dispatch one document; None for formats needing absent codecs."""
+    """Dispatch one document; None for formats needing absent codecs
+    (pdf and media formats — those route to operators.multimodal)."""
     fmt = (fmt or "").lower().lstrip(".")
+    if fmt in OOXML_FORMATS:
+        try:
+            if fmt == "docx":
+                return docx_to_text(payload)
+            if fmt == "pptx":
+                return pptx_to_text(payload)
+            return xlsx_to_text(payload)
+        except Exception:  # corrupt/encrypted container → unconverted route
+            return None
     if fmt not in TEXT_FORMATS:
         return None
     raw = payload.decode("utf-8", errors="replace")
