@@ -115,6 +115,58 @@ def test_convert_payload_ooxml_and_corrupt():
     assert convert_payload("docx", b"not a zip") is None  # corrupt → routed
 
 
+def test_ipynb_cells_in_order():
+    import json as _json
+
+    from vector_search_optimization_spark.sources.converters import ipynb_to_text
+
+    nb = _json.dumps(
+        {
+            "cells": [
+                {"cell_type": "markdown", "source": ["# Title\n", "intro"]},
+                {"cell_type": "code", "source": ["x = 1\n", "print(x)"]},
+                {"cell_type": "code", "source": ["   "]},  # blank: dropped
+            ]
+        }
+    )
+    text = ipynb_to_text(nb)
+    assert text == "# Title\nintro\n\n```\nx = 1\nprint(x)\n```"
+
+
+def test_rss_items_and_generic_xml_fallback():
+    from vector_search_optimization_spark.sources.converters import rss_to_text
+
+    rss = (
+        "<rss><channel><item><title>Post A</title>"
+        "<description>Body &amp; more</description></item>"
+        "<item><title>Post B</title></item></channel></rss>"
+    )
+    assert rss_to_text(rss) == "Post A: Body & more\nPost B"
+    assert rss_to_text("<cfg><k>v</k></cfg>") == "v"  # non-feed: tag strip
+
+
+def test_zip_walks_members_one_level():
+    import io as _io
+    import zipfile
+
+    from vector_search_optimization_spark.sources.converters import zip_to_text
+
+    inner = _io.BytesIO()
+    with zipfile.ZipFile(inner, "w") as z:
+        z.writestr("deep.txt", "too deep")
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("a.txt", "member text")
+        z.writestr("b.csv", "h\nv")
+        z.writestr("c.bin", b"\x00\x01")  # unconvertible: skipped
+        z.writestr("nested.zip", inner.getvalue())  # one level only
+    text = zip_to_text(buf.getvalue())
+    assert "=== a.txt ===\nmember text" in text
+    assert "h: v" in text
+    assert "too deep" not in text and "c.bin" not in text
+    assert zip_to_text(b"not a zip") is None
+
+
 def test_binaryfile_ingest_end_to_end(spark, tmp_path):
     (tmp_path / "a.txt").write_bytes(b"plain text doc")
     (tmp_path / "b.html").write_bytes(HTML)

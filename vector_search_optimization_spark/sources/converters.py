@@ -25,7 +25,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-TEXT_FORMATS = ("txt", "md", "html", "htm", "csv", "json")
+TEXT_FORMATS = (
+    "txt", "md", "html", "htm", "csv", "json", "ipynb", "rss", "atom", "xml",
+)
 
 _SCRIPT_RE = re.compile(r"(?is)<(script|style)[^>]*>.*?</\1>")
 _TAG_RE = re.compile(r"(?s)<[^>]+>")
@@ -144,6 +146,78 @@ def xlsx_to_text(payload: bytes) -> str:
     )
 
 
+def ipynb_to_text(raw: str) -> str:
+    """Notebook JSON → markdown cells verbatim + code cells fenced, in
+    order (the reference's converter emits the same md-ish stream)."""
+    try:
+        nb = json.loads(raw)
+    except json.JSONDecodeError:
+        return raw.strip()
+    parts = []
+    for cell in nb.get("cells", []):
+        src = "".join(cell.get("source", []))
+        if not src.strip():
+            continue
+        if cell.get("cell_type") == "markdown":
+            parts.append(src.strip())
+        elif cell.get("cell_type") == "code":
+            parts.append(f"```\n{src.strip()}\n```")
+    return "\n\n".join(parts)
+
+
+def rss_to_text(raw: str) -> str:
+    """RSS/Atom feed → 'title: description' lines per item, tags
+    namespace-agnostic, entity-unescaped, any HTML stripped."""
+    from xml.etree import ElementTree as ET
+
+    try:
+        root = ET.fromstring(raw)
+    except ET.ParseError:
+        return ""
+    lines = []
+    for item in root.iter():
+        if not (item.tag.endswith("item") or item.tag.endswith("entry")):
+            continue
+        title = desc = ""
+        for child in item:
+            tag = child.tag.rsplit("}", 1)[-1]
+            if tag == "title":
+                title = (child.text or "").strip()
+            elif tag in ("description", "summary", "content"):
+                desc = html_to_text(child.text or "")
+        if title or desc:
+            lines.append(f"{title}: {desc}" if desc else title)
+    # generic (non-feed) XML: fall back to tag-stripped text
+    return "\n".join(lines) if lines else html_to_text(raw)
+
+
+def zip_to_text(payload: bytes) -> str | None:
+    """Zip container → converted members concatenated with
+    '=== <name> ===' separators. Strictly ONE nesting level (zip members
+    inside a zip are skipped — no recursion, no zip-bomb surface),
+    mirroring the reference's archive walk. Members whose format needs
+    an absent codec are skipped; an archive with NO convertible member
+    is unconverted."""
+    import zipfile
+
+    try:
+        z = zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile:
+        return None
+    parts = []
+    with z:
+        for name in z.namelist():
+            if name.endswith("/"):
+                continue
+            fmt = name.rsplit(".", 1)[-1].lower() if "." in name else ""
+            if fmt == "zip":
+                continue
+            text = convert_payload(fmt, z.read(name))
+            if text:
+                parts.append(f"=== {name} ===\n{text}")
+    return "\n\n".join(parts) if parts else None
+
+
 OOXML_FORMATS = ("docx", "pptx", "xlsx")
 
 
@@ -160,6 +234,8 @@ def convert_payload(fmt: str, payload: bytes) -> str | None:
             return xlsx_to_text(payload)
         except Exception:  # corrupt/encrypted container → unconverted route
             return None
+    if fmt == "zip":
+        return zip_to_text(payload)
     if fmt not in TEXT_FORMATS:
         return None
     raw = payload.decode("utf-8", errors="replace")
@@ -169,6 +245,10 @@ def convert_payload(fmt: str, payload: bytes) -> str | None:
         return csv_to_text(raw)
     if fmt == "json":
         return json_to_text(raw)
+    if fmt == "ipynb":
+        return ipynb_to_text(raw)
+    if fmt in ("rss", "atom", "xml"):
+        return rss_to_text(raw)
     return raw.strip()  # txt / md
 
 
