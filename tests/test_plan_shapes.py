@@ -82,6 +82,15 @@ def test_split_assign_is_single_agg_shuffle(spark, sf_small):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_asof_join_is_windowed_not_joined(spark, sf_small):
+    """The as-of join must compile to union + window carry-forward —
+    ZERO join operators in the final plan (the whole point of the
+    pattern: one user_id shuffle, no per-pair range probe)."""
+    plan = _plan(m.queries()["evt_asof_join"](spark, sf_small))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
 def test_range_join_is_bucketed_equi_join(spark, sf_small):
     """The banded range join must plan as a hash equi-join on
     (user_id, bucket) — an inequality-only join would go
