@@ -141,6 +141,42 @@ def test_ivf_index_lifecycle_and_nprobe_recall_curve(spark, emb, tmp_path):
     assert recalls[-1] == 1.0  # all cells probed = exact
 
 
+def test_ivf_append_is_incremental(spark, emb, tmp_path):
+    """append_to_ivf_index adds a batch into the partitioned corpus
+    without touching existing files: every pre-append file survives
+    byte-identical, the union of rows is exact, and a probe near an
+    appended vector finds it through the same pruned scan."""
+    import glob
+    import os
+
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    cents = ann.train_ivf_centroids(old, num_cells=8, seed=42)
+    path = str(tmp_path / "ivf_index")
+    ann.write_ivf_index(old, cents, path)
+
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{path}/corpus/**/*.parquet", recursive=True)
+    }
+    ann.append_to_ivf_index(new, path)
+    after = set(glob.glob(f"{path}/corpus/**/*.parquet", recursive=True))
+
+    assert set(before) <= after  # nothing rewritten or deleted
+    for p, mtime in before.items():
+        assert os.path.getmtime(p) == mtime
+
+    indexed, loaded_cents = ann.load_ivf_index(spark, path)
+    assert indexed.count() == emb.count()
+    q = new.orderBy("vec_id").first()["embedding"]
+    got = {
+        r.vec_id
+        for r in ann.ivf_topk(indexed, loaded_cents, q, k=5, nprobe=8).collect()
+    }
+    exact = {r.vec_id for r in ann.brute_force_topk(emb, q, k=5).collect()}
+    assert got == exact  # nprobe = num_cells ⇒ exact, incl. appended rows
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_small, tmp_path):
     """bucketBy co-location: a self-join on the bucket key plans without
     an Exchange on either side (SCALING.md storage-layout lever)."""

@@ -373,6 +373,26 @@ def write_ivf_index(
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def append_to_ivf_index(
+    df_new: DataFrame,
+    path: str,
+    vector_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign the NEW vectors to their
+    cells (broadcast argmin against the stored quantizer — the quantizer
+    is immutable; re-training would invalidate existing cells) and append
+    them into the cell-partitioned corpus. Only the touched cell
+    directories receive new files — the existing index is never
+    rewritten, so refresh cost is O(batch), not O(corpus).
+
+    At 100 TB this is the nightly ingest job; periodic re-train +
+    full write_ivf_index handles quantizer drift."""
+    spark = df_new.sparkSession
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assigned = assign_ivf_cells(df_new, centroids, vector_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/corpus")
+
+
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Open a written IVF index: (cell-partitioned corpus, centroids)."""
     return (
