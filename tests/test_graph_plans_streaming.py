@@ -154,6 +154,26 @@ def test_streaming_session_windows(spark, sf_small):
     assert total == 1000  # every event lands in exactly one session
 
 
+def test_streaming_asof_matches_batch(spark, sf_small):
+    """The stateful streaming as-of join must reproduce the (oracle-
+    verified) batch as-of aggregate on a bounded backlog."""
+    from vector_search_optimization_spark import streaming as S
+    import __spark_entry__ as m
+
+    ev = S.read_events_stream(spark, sf_small)
+    rows = S.run_stream_to_memory(
+        S.asof_click_purchase_stream(ev), "t_asof", output_mode="append"
+    )
+    got = rows.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("lag_s").alias("n_matched"),
+        F.round(F.avg("lag_s"), 2).alias("avg_lag_s"),
+        F.max("lag_s").alias("max_lag_s"),
+    ).first()
+    want = m.queries()["evt_asof_join"](spark, sf_small).first()
+    assert got.asDict() == want.asDict()
+
+
 def test_stateful_running_user_stats(spark, sf_small):
     from vector_search_optimization_spark import streaming as S
 

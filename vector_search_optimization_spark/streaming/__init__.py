@@ -1,4 +1,5 @@
 from .windows import (  # noqa: F401
+    asof_click_purchase_stream,
     read_events_stream,
     run_stream_to_memory,
     running_user_stats_stream,

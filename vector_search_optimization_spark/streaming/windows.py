@@ -174,6 +174,80 @@ def running_user_stats_stream(events: DataFrame, evict_idle: bool = False) -> Da
     )
 
 
+def asof_click_purchase_stream(events: DataFrame) -> DataFrame:
+    """Streaming point-in-time join: each purchase is matched to the same
+    user's most recent prior-or-simultaneous click, with one (last_click
+    timestamp) row of state per user — the streaming twin of the batch
+    union+window as-of join (__spark_entry__.evt_asof_join, which carries
+    the DuckDB ASOF JOIN oracle).
+
+    Within a micro-batch the user's rows are sorted by event time before
+    the state walk, so replaying a bounded backlog reproduces the batch
+    result exactly; across micro-batches the carried state preserves the
+    as-of semantics for clicks seen in earlier batches. Late events
+    beyond upstream watermarking would mis-order across batches — in
+    production pair this with withWatermark on the source, as the window
+    queries do.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("lag_s", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("last_click_sec", T.LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last = state.get[0] if state.exists else None
+        out_user, out_event, out_lag = [], [], []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # event-time order; clicks before purchases at equal timestamps
+        # (a simultaneous click counts as prior — same tiebreak as batch)
+        pdf = pdf.sort_values(
+            ["ts", "is_buy"], ignore_index=True, kind="stable"
+        )
+        for sec, is_buy, event_id in zip(
+            pdf["sec"], pdf["is_buy"], pdf["event_id"]
+        ):
+            if is_buy:
+                out_user.append(key[0])
+                out_event.append(int(event_id))
+                out_lag.append(None if last is None else int(sec) - last)
+            else:
+                last = int(sec)
+        if last is not None:
+            state.update((last,))
+        yield pd.DataFrame(
+            {
+                "user_id": out_user,
+                "event_id": out_event,
+                "lag_s": pd.array(out_lag, dtype="Int64"),
+            }
+        )
+
+    relevant = events.where(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_timestamp("ts").alias("sec"),
+        (F.col("event_type") == "purchase").alias("is_buy"),
+    )
+    return relevant.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
