@@ -104,6 +104,30 @@ def test_write_json_roundtrip(spark, tmp_path):
     assert "v" not in rows[2].asDict() or rows[2].v is None
 
 
+def test_xlsx_datasource_format_scan(spark, tmp_path):
+    """spark.read.format("xlsx"): schema inferred on the driver, files
+    parsed as executor-side partitions (one per workbook), directory
+    scans union all files."""
+    from vector_search_optimization_spark.sources.xlsx import write_xlsx
+    from vector_search_optimization_spark.sources.xlsx_datasource import (
+        register_xlsx_source,
+    )
+
+    write_xlsx(str(tmp_path / "a.xlsx"), ["k", "v"], [["x", 1], ["y", 2]])
+    write_xlsx(str(tmp_path / "b.xlsx"), ["k", "v"], [["z", 3]])
+    register_xlsx_source(spark)
+
+    one = spark.read.format("xlsx").load(str(tmp_path / "a.xlsx"))
+    assert one.schema.simpleString() == "struct<k:string,v:bigint>"
+    assert {(r.k, r.v) for r in one.collect()} == {("x", 1), ("y", 2)}
+
+    alldf = spark.read.format("xlsx").load(str(tmp_path))
+    assert alldf.rdd.getNumPartitions() == 2  # one partition per workbook
+    assert {(r.k, r.v) for r in alldf.collect()} == {("x", 1), ("y", 2), ("z", 3)}
+    # predicate + projection still work through the python scan
+    assert alldf.where(F.col("v") > 1).count() == 2
+
+
 def test_excel_roundtrip(spark, tmp_path):
     """S9 → S6: stdlib xlsx sink then scan preserves values and types,
     including the vector→string serialization shared with the CSV sink."""

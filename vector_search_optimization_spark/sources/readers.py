@@ -93,6 +93,18 @@ def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFram
     from . import xlsx
 
     header, rows = xlsx.read_xlsx(path, sheet)
+    schema, rows = infer_excel_schema(header, rows)
+    return spark.createDataFrame(rows, schema)
+
+
+def infer_excel_schema(
+    header: list[str], rows: list[list]
+) -> tuple[T.StructType, list[list]]:
+    """Per-column type inference over parsed xlsx cells (pd.read_excel
+    style: all-bool → boolean, all-int → long, numeric mix → double,
+    else string), coercing cell values to the inferred type. Shared by
+    the driver-side read_excel helper and the distributed "xlsx"
+    DataSource."""
     fields = []
     for i, name in enumerate(header):
         vals = [r[i] for r in rows if r[i] is not None]
@@ -115,7 +127,7 @@ def read_excel(spark: SparkSession, path: str, sheet: str | int = 0) -> DataFram
                 for r in rows
             ]
         fields.append(T.StructField(name, tp, True))
-    return spark.createDataFrame(rows, T.StructType(fields))
+    return T.StructType(fields), rows
 
 
 def read_json_index_dump(spark: SparkSession, path: str) -> DataFrame:
