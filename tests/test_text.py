@@ -82,3 +82,27 @@ def test_bpe_ish_token_count(spark):
     n = df.select(TX.bpe_ish_token_count("text").alias("n")).first().n
     # hello / world / , / foo / ! → 5 (whitespace dropped)
     assert n == 5
+
+
+def test_word_shingles_udtf_lateral(spark):
+    """SQL LATERAL expansion via the Python UDTF matches a direct python
+    shingle walk, including the <n-token fallback and positions."""
+    from vector_search_optimization_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "The quick brown fox"), (2, "hi")], "doc_id long, text string"
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, s.shingle, s.pos
+        FROM udtf_docs d, LATERAL word_shingles_udtf(d.text, 3) s
+        ORDER BY d.doc_id, s.pos
+        """
+    ).collect()
+    got = [(r.doc_id, r.shingle, r.pos) for r in rows]
+    assert got == [
+        (1, "the quick brown", 0),
+        (1, "quick brown fox", 1),
+        (2, "hi", 0),
+    ]
