@@ -977,6 +977,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         TX.whitespace_token_count("text").alias("n_tokens"),
+        TX.bpe_ish_token_count("text").alias("n_bpe_tokens"),
         TX.char_count("text").alias("n_chars_actual"),
         TX.mean_word_length("text").alias("mean_word_len"),
         TX.digit_ratio("text").alias("digit_ratio"),
@@ -988,6 +989,7 @@ _TEXT_QUALITY_SQL = r"""
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
             ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS n_bpe_tokens,
        length(text) AS n_chars_actual,
        CASE WHEN trim(text) = '' THEN NULL
             ELSE round(list_reduce(list_transform(string_split_regex(trim(text), '\s+'),

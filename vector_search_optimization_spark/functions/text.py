@@ -36,7 +36,7 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     return F.size(
         F.filter(
             F.split(t, r"(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"),
-            lambda s: (s != "") & (s != " "),
+            lambda s: F.trim(s) != "",  # any whitespace piece is not a token
         )
     )
 
