@@ -2863,6 +2863,78 @@ FROM pairs
 """
 
 
+_F11_BUDGET_TOKENS = 100  # × 4 chars/token = 400-char cap
+
+
+def f11_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — token-budget truncation audit (update-etiquetas.ipynb:171 c9
+    caps the labeling prompt): per-lang count of documents the budget
+    truncates and the kept-char total."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = F.length(TX.truncate_by_token_budget("text", _F11_BUDGET_TOKENS))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.length("text") > kept).cast("long")).alias("n_truncated"),
+            F.sum(kept).alias("sum_kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_F11_SQL = f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN length(text) > {4 * _F11_BUDGET_TOKENS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+       CAST(sum(least(length(text), {4 * _F11_BUDGET_TOKENS})) AS BIGINT)
+           AS sum_kept_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def s7_convert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — the binaryFile→mapInPandas conversion stage, value-checked
+    end to end: documents.text written out as one .txt file per doc,
+    scanned back through the binary ingest path, converted, and joined
+    by path-derived doc_id. The oracle recomputes the txt conversion
+    (strip) straight from the parquet — a mismatch anywhere in the
+    binary scan / Arrow batch / extraction path breaks the hash."""
+    from vector_search_optimization_spark.sources import converters as CV
+
+    d = load_table(spark, sf_dir, "documents")
+    out_dir = _roundtrip_path(sf_dir, "txt_docs")
+    os.makedirs(out_dir, exist_ok=True)
+    for r in d.select("doc_id", "text").collect():
+        with open(os.path.join(out_dir, f"{r.doc_id}.txt"), "w") as f:
+            f.write(r.text or "")
+    converted = CV.convert_documents(
+        CV.read_binary_docs(spark, out_dir, glob="*.txt")
+    )
+    with_id = converted.withColumn(
+        "doc_id",
+        F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1).cast("long"),
+    )
+    return (
+        with_id.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars_extracted"),
+            "converted",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_S7_SQL = """
+SELECT doc_id,
+       CAST(length(trim(coalesce(text, ''),
+            chr(10) || chr(13) || chr(9) || chr(11) || chr(12) || ' '))
+           AS BIGINT) AS n_chars_extracted,
+       true AS converted
+FROM documents ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -2939,6 +3011,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "decontaminate_overlap": (decontaminate_overlap, _decon_sql),
     "evt_asof_join": (evt_asof_join, _ASOF_SQL),
     "evt_range_join": (evt_range_join, _RANGE_SQL),
+    "f11_token_budget": (f11_token_budget, _F11_SQL),
+    "s7_convert_docs": (s7_convert_docs, _S7_SQL),
 }
 
 
