@@ -242,3 +242,44 @@ def test_not_implemented_decoder_raises(assets):
         multimodal.extract_features(
             assets, decoder=multimodal.not_implemented_decode
         ).collect()
+
+
+def test_events_replay_custom_streaming_source(spark, sf_small):
+    """The Python DataSource stream reader replays the events table in
+    bounded micro-batches; a streaming count over it must equal the
+    batch count, and offset-range replay must be deterministic
+    (exactly-once recovery contract)."""
+    from vector_search_optimization_spark import streaming as S
+    from vector_search_optimization_spark.sources.replay_datasource import (
+        EventsReplayReader,
+        register_replay_source,
+    )
+
+    register_replay_source(spark)
+    ev = (
+        spark.readStream.format("events_replay")
+        .option("path", sf_small)
+        .option("rows_per_batch", "300")  # 1000 rows → 4 micro-batches
+        .load()
+    )
+    got = S.run_stream_to_memory(
+        ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+        "t_replay",
+        output_mode="complete",
+    )
+    want = {
+        (r.event_type, r.n)
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {(r.event_type, r.n) for r in got.collect()} == want
+
+    # offset contract, no Spark: re-reading a committed range yields the
+    # identical rows the original read produced
+    rdr = EventsReplayReader({"path": sf_small, "rows_per_batch": "300"})
+    it1, end = rdr.read(rdr.initialOffset())
+    first = list(it1)
+    assert end == {"idx": 300} and len(first) == 300
+    assert list(rdr.readBetweenOffsets({"idx": 0}, end)) == first
