@@ -106,3 +106,44 @@ def test_parse_vector_matches_numpy_fromstring(spark):
     for r, s in zip(got, strs):
         expect = np.fromstring(s[1:-1], sep=",")
         assert r.v == pytest.approx(expect.tolist(), rel=1e-6)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_reference_union_find(spark, edges):
+    """Random graphs: the distributed CC (contraction + driver/loop)
+    labels every node with its component's min id, matching a plain
+    python union-find."""
+    from vector_search_optimization_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.pid: r.component for r in connected_components(df).collect()
+    }
+    assert got == want
