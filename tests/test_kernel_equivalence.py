@@ -57,3 +57,23 @@ def test_intra_group_kernel_single_row_groups(spark):
     out = SIM.intra_group_pairs_kernel(df, "label", "vec_id", "embedding").collect()
     assert len(out) == 1  # singleton group 'a' emits nothing
     assert (out[0].id_a, out[0].id_b) == (2, 3)
+
+
+def test_rp_table_buckets_kernel_matches_expression(spark, sf_small):
+    """The GEMM bucket kernel must assign the identical multi-table
+    bucket arrays as the fold-dot expression path."""
+    from vector_search_optimization_spark.operators import ann
+    from vector_search_optimization_spark.sources import load_table
+
+    e = load_table(spark, sf_small, "embeddings")
+    expr = {
+        r.vec_id: r.rp_buckets
+        for r in ann.rp_table_buckets(e, 8, 4).select("vec_id", "rp_buckets").collect()
+    }
+    kern = {
+        r.vec_id: r.rp_buckets
+        for r in ann.rp_table_buckets_kernel(
+            e.select("vec_id", "embedding"), 8, 4
+        ).collect()
+    }
+    assert kern == expr

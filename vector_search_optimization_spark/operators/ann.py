@@ -27,6 +27,7 @@ from typing import Sequence
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import vector as V
 from .nearest_centroid import nearest_centroid
@@ -495,6 +496,45 @@ def rp_table_buckets(
     )
 
 
+def rp_table_buckets_kernel(
+    df: DataFrame,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    vector_col: str = "embedding",
+    seed: int = 42,
+    out_col: str = "rp_buckets",
+) -> DataFrame:
+    """Arrow twin of rp_table_buckets: all num_tables × num_planes sign
+    bits in one (n, dim) × (dim, T·P) GEMM per batch instead of T·P
+    interpreted fold-dots per row (equivalence-tested; the expression
+    path remains the oracle formulation)."""
+    import pandas as pd
+
+    from ..functions.vector import stack_vectors
+
+    dim = len(df.select(vector_col).first()[0])
+    planes = np.vstack(
+        [rp_planes(num_planes, dim, seed + t) for t in range(num_tables)]
+    )  # (T*P, dim)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    cols = df.columns
+
+    def batches(it):
+        for pdf in it:
+            X = stack_vectors(pdf[vector_col])
+            bits = (X @ planes.T) > 0  # (n, T*P)
+            bks = bits.reshape(len(X), num_tables, num_planes) @ weights
+            out = pdf[cols].copy()
+            out[out_col] = list(bks.astype(np.int64))
+            yield out
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.LongType()))]
+    )
+    return df.mapInPandas(batches, schema=schema)
+
+
 def rp_blocked_top_pairs(
     df: DataFrame,
     k: int = 20,
@@ -519,8 +559,10 @@ def rp_blocked_top_pairs(
     """
     from pyspark import StorageLevel
 
-    b = rp_table_buckets(df, num_planes, num_tables, vector_col, seed).select(
-        id_col, vector_col, "rp_buckets"
+    # kernel twin for the T·P interpreted fold-dots (equivalence-tested
+    # vs rp_table_buckets, which stays the declarative/oracle form)
+    b = rp_table_buckets_kernel(
+        df.select(id_col, vector_col), num_planes, num_tables, vector_col, seed
     )
     # bucketed rows feed both join sides: persist instead of re-deriving
     # (at lake scale this is the "write the bucketed table" stage)
