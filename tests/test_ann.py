@@ -82,8 +82,10 @@ def test_rp_blocked_recall_on_planted_near_dups(spark):
 
 
 def test_rp_blocked_no_driver_collect(emb):
-    """Plan sanity: the blocked path is a pure DataFrame plan — a join on
-    (tbl, bucket), no mapInPandas/UDF stage and no crossJoin."""
+    """Plan sanity: the blocked path joins on (tbl, bucket) — no
+    crossJoin, no nested loop. The bucket assignment runs as ONE Arrow
+    kernel stage (rp_table_buckets_kernel); everything after it is a
+    pure DataFrame plan, and nothing collects the corpus."""
     plan = (
         ann.rp_blocked_top_pairs(emb, k=20)
         ._jdf.queryExecution()
@@ -92,7 +94,7 @@ def test_rp_blocked_no_driver_collect(emb):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("MapInPandas") == 1  # the bucket kernel, nothing else
 
 
 def test_ivf_partitioned_layout_prunes(spark, emb, tmp_path):
