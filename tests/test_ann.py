@@ -94,7 +94,10 @@ def test_rp_blocked_no_driver_collect(emb):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("MapInPandas") == 1  # the bucket kernel, nothing else
+    # the bucket kernel is the only python stage; it appears once per
+    # join side in the unexecuted plan (the persist dedupes at runtime)
+    assert 1 <= plan.count("MapInPandas") <= 2
+    assert "InMemoryTableScan" in plan  # bucketed rows cached, not re-derived
 
 
 def test_ivf_partitioned_layout_prunes(spark, emb, tmp_path):
