@@ -2905,9 +2905,22 @@ def s7_convert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     out_dir = _roundtrip_path(sf_dir, "txt_docs")
     os.makedirs(out_dir, exist_ok=True)
-    for r in d.select("doc_id", "text").collect():
-        with open(os.path.join(out_dir, f"{r.doc_id}.txt"), "w") as f:
-            f.write(r.text or "")
+
+    # files are written executor-side, one partition at a time (local FS
+    # here; at lake scale the same pattern targets object storage) — no
+    # driver collect, no serial write loop
+    def _write_files(it):
+        import pandas as pd
+
+        for pdf in it:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                with open(os.path.join(out_dir, f"{doc_id}.txt"), "w") as f:
+                    f.write(text or "")
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    d.select("doc_id", "text").mapInPandas(_write_files, schema="n long").agg(
+        F.sum("n")
+    ).collect()
     converted = CV.convert_documents(
         CV.read_binary_docs(spark, out_dir, glob="*.txt")
     )
