@@ -2948,6 +2948,57 @@ FROM documents ORDER BY doc_id
 """
 
 
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized ANN: the corpus is symmetric-per-vector
+    quantized (4× storage cut), the query runs cosine top-20 over the
+    DEQUANTIZED vectors — the standard SQ recall/storage trade. The
+    DuckDB oracle reproduces quantize → dequantize → cosine → top-k
+    bit-for-bit, so the accuracy loss is value-checked, not estimated.
+    Same seeded query vector as ann_topk; comparing the two result sets
+    measures SQ recall directly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    deq = ann.quantize_int8(e).withColumn("deq", ann.dequantize_int8())
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        deq.select(
+            "vec_id",
+            F.round(V.cosine_similarity(F.col("deq"), qlit), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(20)
+    )
+
+
+_ANN_QUANT_SQL = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+), quant AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+             AS s,
+         embedding
+  FROM embeddings
+), deq AS (
+  SELECT vec_id,
+         CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+              ELSE list_transform(embedding,
+                   x -> round(CAST(x AS DOUBLE) / s) * s) END AS v
+  FROM quant
+), scored AS (
+  SELECT vec_id,
+         round(
+           list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2]))
+           / nullif(sqrt(list_sum(list_transform(v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(qv, x -> x * x))), 0),
+           6) AS score
+  FROM deq, q
+)
+SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -3026,6 +3077,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_range_join": (evt_range_join, _RANGE_SQL),
     "f11_token_budget": (f11_token_budget, _F11_SQL),
     "s7_convert_docs": (s7_convert_docs, _S7_SQL),
+    "ann_quantized_topk": (ann_quantized_topk, _ANN_QUANT_SQL),
 }
 
 

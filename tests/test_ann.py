@@ -206,3 +206,19 @@ def test_bucketed_join_avoids_shuffle(spark, sf_small, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+
+
+def test_int8_quantization_recall_and_reconstruction(spark, emb):
+    """SQ int8: reconstruction error bounded by scale/2 per element, and
+    quantized top-10 recall >= 0.8 vs the exact float path."""
+    q = ann.quantize_int8(emb).withColumn("deq", ann.dequantize_int8())
+    row = q.select("embedding", "deq", "q8", "q8_scale").first()
+    for x, xq in zip(row.embedding, row.deq):
+        assert abs(float(x) - xq) <= row.q8_scale / 2 + 1e-9
+    assert max(abs(v) for v in row.q8) <= 127
+
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    exact = {r.vec_id for r in ann.brute_force_topk(emb, qvec, k=10).collect()}
+    deq = q.select("vec_id", F.col("deq").alias("embedding"))
+    approx = {r.vec_id for r in ann.brute_force_topk(deq, qvec, k=10).collect()}
+    assert len(exact & approx) / len(exact) >= 0.8

@@ -104,6 +104,38 @@ def brute_force_topk_batch(
     )
 
 
+def quantize_int8(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    out_col: str = "q8",
+    scale_col: str = "q8_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: scale = max|x|/127,
+    q = round(x / scale) ∈ [-127, 127]. 4× smaller storage + int8 GEMM
+    on real hardware; zero vectors get scale 0 and all-zero codes.
+
+    Pure column expressions (both the quantize and the dequantize are
+    SQL-expressible), so quantized search carries a full DuckDB oracle —
+    the accuracy/storage trade is measurable by value, not by trust.
+    """
+    v = F.col(vector_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (amax / F.lit(127.0)).alias(scale_col)
+    q = F.when(amax == 0.0, F.transform(v, lambda x: F.lit(0).cast("int"))).otherwise(
+        F.transform(v, lambda x: F.round(x / (amax / 127.0)).cast("int"))
+    )
+    return df.withColumn(scale_col, scale).withColumn(out_col, q)
+
+
+def dequantize_int8(
+    q_col: str = "q8", scale_col: str = "q8_scale"
+) -> F.Column:
+    """Reconstruction: x̂ = q * scale (array<double>)."""
+    return F.transform(
+        F.col(q_col), lambda q: q.cast("double") * F.col(scale_col)
+    )
+
+
 def all_pairs_topk(
     df: DataFrame,
     k: int = 20,
