@@ -283,3 +283,37 @@ def test_events_replay_custom_streaming_source(spark, sf_small):
     first = list(it1)
     assert end == {"idx": 300} and len(first) == 300
     assert list(rdr.readBetweenOffsets({"idx": 0}, end)) == first
+
+
+def test_streaming_first_seen_dedup_matches_batch(spark, sf_small):
+    """Stateful streaming dedup over the ordered replay source: the
+    emitted (fingerprint, id) set equals the batch min-per-fingerprint,
+    across four micro-batches of carried seen-state."""
+    from vector_search_optimization_spark import streaming as S
+    from vector_search_optimization_spark.sources.replay_datasource import (
+        register_replay_source,
+    )
+
+    register_replay_source(spark)
+    ev = (
+        spark.readStream.format("events_replay")
+        .option("path", sf_small)
+        .option("rows_per_batch", "300")
+        .load()
+        .withColumn("fp", F.xxhash64("user_id", "event_type"))
+    )
+    got = {
+        (r.fp, r.event_id)
+        for r in S.run_stream_to_memory(
+            S.first_seen_dedup_stream(ev), "t_dedup", output_mode="append"
+        ).collect()
+    }
+    want = {
+        (r.fp, r.event_id)
+        for r in load_table(spark, sf_small, "events")
+        .withColumn("fp", F.xxhash64("user_id", "event_type"))
+        .groupBy("fp")
+        .agg(F.min("event_id").alias("event_id"))
+        .collect()
+    }
+    assert got == want and len(got) > 50

@@ -248,6 +248,50 @@ def asof_click_purchase_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def first_seen_dedup_stream(
+    df: DataFrame, fingerprint_col: str = "fp", id_col: str = "event_id"
+) -> DataFrame:
+    """Streaming exact dedup: emit each content fingerprint's FIRST
+    occurrence, drop every later duplicate — one boolean of state per
+    distinct fingerprint, the stream twin of the batch
+    min-per-fingerprint dedup (operators.dedup.dedup_exact shape).
+
+    Within a micro-batch the earliest id wins (sorted walk); across
+    micro-batches the seen-state suppresses re-emission. On an ordered
+    replay (sources.replay_datasource) the emitted set is exactly the
+    batch groupBy(fp).min(id)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(fingerprint_col, T.LongType()),
+            T.StructField(id_col, T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.ByteType())])
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists or pdf.empty:
+            yield pd.DataFrame({fingerprint_col: [], id_col: []})
+            return
+        state.update((1,))
+        first = pdf[id_col].min()
+        yield pd.DataFrame(
+            {fingerprint_col: [key[0]], id_col: [int(first)]}
+        )
+
+    return df.groupBy(fingerprint_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
