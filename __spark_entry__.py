@@ -2999,6 +2999,81 @@ SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id LIMIT 20
 """
 
 
+_PQ_M, _PQ_KSUB = 8, 16
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (Jégou PQ-ADC): 16-centroid codebooks per 8
+    subspaces (32× storage cut at dim 64), corpus encoded by an Arrow
+    argmin kernel, then the 20 nearest rows to the vec_id=0 query by
+    asymmetric distance — m literal lookup tables, so the scan does 8
+    element_at lookups per row and no vector math. The DuckDB oracle
+    re-derives the same codebooks, codes, and LUT sums from literals."""
+    e = load_table(spark, sf_dir, "embeddings")
+    books = ann.train_pq_codebooks(
+        e.orderBy("vec_id"), _PQ_M, _PQ_KSUB, seed=42
+    )
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    enc = ann.pq_encode_kernel(e.select("vec_id", "embedding"), books)
+    return (
+        enc.select(
+            "vec_id",
+            F.round(ann.pq_adc_score(books, qvec), 6).alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(20)
+    )
+
+
+def _pq_sql() -> str:
+    """Generated oracle: same sample → same _lloyd_kmeans codebooks →
+    DuckDB recomputes per-subspace argmin codes (struct-min, ties →
+    lowest code) and the identical literal LUT sums."""
+    import duckdb
+
+    con = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        f"'{_oracle_sf_dir()}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    X = np.asarray(con["embedding"].tolist(), dtype=np.float64)
+    qvec = X[int(np.argmax(con["vec_id"].to_numpy() == 0))]
+
+    m, ksub = _PQ_M, _PQ_KSUB
+    dim = X.shape[1]
+    dsub = dim // m
+    from vector_search_optimization_spark.operators.ann import _lloyd_kmeans
+
+    books = np.stack(
+        [
+            _lloyd_kmeans(X[:100_000, j * dsub : (j + 1) * dsub], ksub, 42 + j, 20)
+            for j in range(m)
+        ]
+    ).astype(np.float32).astype(np.float64)
+
+    sub_terms = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        sub = f"list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE))"
+        structs = []
+        for c in range(ksub):
+            lits = ", ".join(f"{float(v)!r}" for v in books[j][c])
+            d = (
+                f"list_sum(list_transform(list_zip({sub}, [{lits}]), "
+                "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+            )
+            structs.append("{'d': " + d + f", 'c': {c}}}")
+        code = f"list_min([{', '.join(structs)}])['c']"
+        qs = qvec[j * dsub : (j + 1) * dsub]
+        lut = ((books[j] - qs[None, :]) ** 2).sum(axis=1)
+        lut_lits = ", ".join(f"{float(v)!r}" for v in lut)
+        sub_terms.append(f"([{lut_lits}])[{code} + 1]")
+    adc = " + ".join(sub_terms)
+    return f"""
+SELECT vec_id, round({adc}, 6) AS adc_dist
+FROM embeddings ORDER BY adc_dist, vec_id LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -3078,6 +3153,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "f11_token_budget": (f11_token_budget, _F11_SQL),
     "s7_convert_docs": (s7_convert_docs, _S7_SQL),
     "ann_quantized_topk": (ann_quantized_topk, _ANN_QUANT_SQL),
+    "ann_pq_topk": (ann_pq_topk, _pq_sql),
 }
 
 

@@ -467,6 +467,103 @@ def ivf_topk(
     )
 
 
+def train_pq_codebooks(
+    df: DataFrame,
+    num_subspaces: int = 8,
+    num_centroids: int = 16,
+    vector_col: str = "embedding",
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al.): the vector splits
+    into m contiguous subspaces and each gets its own k-sub Lloyd
+    codebook, trained on a driver-bounded ordered sample (the same Faiss
+    recipe as the IVF coarse quantizer — at 100 TB you still train on
+    ~1e5 vectors). Returns (m, ksub, dsub) float64, float32-roundtripped
+    so generated oracles reproduce the exact literals.
+
+    Storage win: dim float32 bytes → m uint8 codes (e.g. 64 dims ×4 B =
+    256 B → 8 B, 32×). Pass the input pre-ordered (e.g. orderBy(vec_id))
+    so training — and any generated oracle literals — are a pure
+    function of the data, like train_ivf_centroids."""
+    rows = df.select(vector_col).limit(max_train_rows).collect()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % num_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m={num_subspaces}")
+    dsub = dim // num_subspaces
+    books = np.stack(
+        [
+            _lloyd_kmeans(
+                X[:, j * dsub : (j + 1) * dsub], num_centroids, seed + j, max_iter
+            )
+            for j in range(num_subspaces)
+        ]
+    )
+    return books.astype(np.float32).astype(np.float64)
+
+
+def pq_encode_kernel(
+    df: DataFrame,
+    books: np.ndarray,
+    vector_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Arrow encode stage: per-subspace argmin against the codebook (one
+    GEMM per subspace per batch); ties take the lowest code, matching
+    both np.argmin and the oracle's struct-min."""
+    import pandas as pd
+
+    from ..functions.vector import stack_vectors
+
+    m, ksub, dsub = books.shape
+    cols = df.columns
+
+    def batches(it):
+        for pdf in it:
+            X = stack_vectors(pdf[vector_col])
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                sub = X[:, j * dsub : (j + 1) * dsub]
+                c = books[j]
+                d = (
+                    (sub**2).sum(1)[:, None]
+                    - 2.0 * sub @ c.T
+                    + (c**2).sum(1)[None, :]
+                )
+                codes[:, j] = np.argmin(d, axis=1)
+            out = pdf[cols].copy()
+            out[out_col] = list(codes)
+            yield out
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
+    )
+    return df.mapInPandas(batches, schema=schema)
+
+
+def pq_adc_score(
+    books: np.ndarray,
+    query: Sequence[float],
+    codes_col: str = "pq_codes",
+) -> F.Column:
+    """Asymmetric-distance column: the per-subspace squared distances of
+    the query to every codebook centroid become m literal lookup tables,
+    so scoring a row is m element_at lookups + a sum — no vector math in
+    the hot path (the PQ-ADC trick: compute ksub·m distances ONCE per
+    query, not per row)."""
+    q = np.asarray(query, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    total = F.lit(0.0)
+    for j in range(m):
+        qs = q[j * dsub : (j + 1) * dsub]
+        lut = ((books[j] - qs[None, :]) ** 2).sum(axis=1)
+        lut_lit = F.array(*[F.lit(float(v)) for v in lut])
+        total = total + F.element_at(lut_lit, F.col(codes_col)[j] + 1)
+    return total
+
+
 def _rp_bucket_expr(vector_col: str, planes: np.ndarray) -> F.Column:
     """Sign-pattern bucket id over plan-literal hyperplanes (a long)."""
     bucket = F.lit(0).cast("long")
