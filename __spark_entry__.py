@@ -3074,6 +3074,147 @@ FROM embeddings ORDER BY adc_dist, vec_id LIMIT 20
 """
 
 
+_HYBRID_TERMS = ("join", "window", "scan")
+_RRF_K = 60
+_HYBRID_TOP = 100
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the capability the
+    reference delegates to Azure AI Search (SURVEY §0: hybrid keyword +
+    vector search), re-expressed engine-side. Keyword side: TF-IDF of a
+    literal term set (token-exact tf, ln(N/df) idf computed
+    distributedly). Vector side: cosine to the vec_id=0 query. Each side
+    takes its top-100 via a scale-safe orderBy+limit (TakeOrdered — no
+    global window over the corpus), ranks the bounded result list, and
+    RRF fuses: score = Σ 1/(60 + rank), absent side contributes 0."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    e = load_table(spark, sf_dir, "embeddings")
+    base = d.join(e, d["doc_id"] == e["vec_id"]).select("doc_id", "text", "embedding")
+
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+
+    def _tf(term: str):
+        # NB: a two-arg lambda would be read as (element, index) by
+        # F.filter — close over the term via a factory instead
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    tfs = [_tf(term).alias(f"tf{j}") for j, term in enumerate(_HYBRID_TERMS)]
+    scored = base.select("doc_id", "embedding", *tfs)
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col(f"tf{j}") > 0).cast("long")).alias(f"df{j}")
+            for j in range(len(_HYBRID_TERMS))
+        ],
+    )
+    kw_expr = None
+    for j in range(len(_HYBRID_TERMS)):
+        term_score = F.when(
+            F.col(f"df{j}") > 0,
+            F.col(f"tf{j}") * F.log(F.col("n") / F.col(f"df{j}")),
+        ).otherwise(F.lit(0.0))
+        kw_expr = term_score if kw_expr is None else kw_expr + term_score
+    with_kw = scored.crossJoin(F.broadcast(stats)).select(
+        "doc_id", "embedding", F.round(kw_expr, 6).alias("kw_score")
+    )
+
+    w_all = Window.orderBy(F.desc("kw_score"), "doc_id")
+    kw_top = (
+        with_kw.where(F.col("kw_score") > 0)
+        .orderBy(F.desc("kw_score"), "doc_id")
+        .limit(_HYBRID_TOP)
+        .withColumn("rank_kw", F.row_number().over(w_all))
+        .select("doc_id", "rank_kw")
+    )
+
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    w_vec = Window.orderBy(F.desc("vec_score"), "doc_id")
+    vec_top = (
+        base.select(
+            "doc_id",
+            F.round(V.cosine_similarity("embedding", qlit), 6).alias("vec_score"),
+        )
+        .where(F.col("vec_score").isNotNull())
+        .orderBy(F.desc("vec_score"), "doc_id")
+        .limit(_HYBRID_TOP)
+        .withColumn("rank_vec", F.row_number().over(w_vec))
+        .select("doc_id", "rank_vec")
+    )
+
+    fused = kw_top.join(vec_top, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("rank_kw", F.lit(0)).alias("rank_kw"),
+        F.coalesce("rank_vec", F.lit(0)).alias("rank_vec"),
+        F.round(
+            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rank_kw")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rank_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)
+
+
+_HYBRID_SQL = f"""
+WITH base AS (
+  SELECT d.doc_id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.text IS NOT NULL
+), toks AS (
+  SELECT doc_id, embedding,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+  FROM base
+), tf AS (
+  SELECT doc_id, embedding,
+         {", ".join(f"len(list_filter(w, t -> t = '{term}')) AS tf{j}"
+                    for j, term in enumerate(_HYBRID_TERMS))}
+  FROM toks
+), stats AS (
+  SELECT count(*) AS n,
+         {", ".join(f"sum(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END) AS df{j}"
+                    for j in range(len(_HYBRID_TERMS)))}
+  FROM tf
+), kw AS (
+  SELECT doc_id,
+         round({" + ".join(
+             f"CASE WHEN s.df{j} > 0 THEN tf{j} * ln(CAST(s.n AS DOUBLE) / s.df{j}) ELSE 0.0 END"
+             for j in range(len(_HYBRID_TERMS)))}, 6) AS kw_score
+  FROM tf, stats s
+), kw_top AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY kw_score DESC, doc_id) AS INT) AS rank_kw
+  FROM kw WHERE kw_score > 0
+  ORDER BY kw_score DESC, doc_id LIMIT {_HYBRID_TOP}
+), q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+), vec AS (
+  SELECT doc_id,
+         round(
+           list_sum(list_transform(list_zip(embedding, qv),
+                    p -> CAST(p[1] AS DOUBLE) * p[2]))
+           / nullif(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(qv, x -> x * x))), 0),
+           6) AS vec_score
+  FROM base, q
+), vec_top AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY vec_score DESC, doc_id) AS INT) AS rank_vec
+  FROM vec WHERE vec_score IS NOT NULL
+  ORDER BY vec_score DESC, doc_id LIMIT {_HYBRID_TOP}
+)
+SELECT coalesce(k.doc_id, v.doc_id) AS doc_id,
+       coalesce(k.rank_kw, 0) AS rank_kw,
+       coalesce(v.rank_vec, 0) AS rank_vec,
+       round(coalesce(1.0 / ({_RRF_K} + k.rank_kw), 0.0)
+             + coalesce(1.0 / ({_RRF_K} + v.rank_vec), 0.0), 6) AS rrf_score
+FROM kw_top k FULL OUTER JOIN vec_top v ON k.doc_id = v.doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -3154,6 +3295,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "s7_convert_docs": (s7_convert_docs, _S7_SQL),
     "ann_quantized_topk": (ann_quantized_topk, _ANN_QUANT_SQL),
     "ann_pq_topk": (ann_pq_topk, _pq_sql),
+    "hybrid_search_rrf": (hybrid_search_rrf, _HYBRID_SQL),
 }
 
 
