@@ -100,6 +100,33 @@ def test_range_join_is_bucketed_equi_join(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+# Queries ALLOWED a nested-loop/cartesian: each is a deliberate
+# broadcast of a bounded small side, not a corpus×corpus blowup.
+_NESTED_LOOP_OK = {
+    "j9_distance_matrix",   # reference's all-pairs matrix over a bounded set
+    "ann_topk_batch",       # 5-row query table broadcast against the corpus
+    "hybrid_search_rrf",    # 1-row corpus-stats frame broadcast for idf
+}
+
+
+def test_no_unplanned_cartesian_in_any_registered_query(spark, sf_small):
+    """Global plan hygiene: no registered query may plan a cartesian or
+    nested-loop join unless it is on the documented whitelist of
+    bounded-small-side broadcasts. A new offender here is a 100 TB
+    scale bug even if its results are correct."""
+    offenders = {}
+    for name, fn in m.queries().items():
+        plan = _plan(fn(spark, sf_small))
+        hits = [
+            kind
+            for kind in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if kind in plan
+        ]
+        if hits and name not in _NESTED_LOOP_OK:
+            offenders[name] = hits
+    assert not offenders, offenders
+
+
 def test_dbscan_eps_join_has_no_cartesian(spark, sf_small):
     from vector_search_optimization_spark.operators import dbscan as DB
 
