@@ -3215,6 +3215,93 @@ ORDER BY rrf_score DESC, doc_id LIMIT 20
 """
 
 
+_WINNOW_N, _WINNOW_W = 5, 4
+
+
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): positional char-5-gram rolling hashes, min of each
+    sliding window of 4 — the guarantee is every sufficiently long match
+    shares a fingerprint, at ~1/w the storage of full shingling. Pure
+    column expressions over the shared polynomial hash, so DuckDB
+    recomputes every fingerprint set identically."""
+    d = load_table(spark, sf_dir, "documents")
+
+    # Arrow kernel: the interpreted per-gram poly_hash fold measured ~6
+    # min at sf0.01; the vectorized window hash (char_gram_hashes_np) +
+    # sliding-window min is milliseconds and bit-identical
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, ng, nf, mn, mx = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"].tolist(), pdf["text"]):
+                t = (text or "").strip(" ").lower()
+                h = TX.char_gram_hashes_np(t, _WINNOW_N)
+                if len(h) <= _WINNOW_W:
+                    fps = h.min(keepdims=True)
+                else:
+                    fps = np.lib.stride_tricks.sliding_window_view(
+                        h, _WINNOW_W
+                    ).min(axis=1)
+                ids.append(doc_id)
+                ng.append(len(h))
+                nf.append(len(np.unique(fps)))
+                mn.append(int(fps.min()))
+                mx.append(int(fps.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_grams": ng,
+                    "n_fingerprints": nf,
+                    "min_fp": mn,
+                    "max_fp": mx,
+                }
+            )
+
+    return (
+        d.select("doc_id", "text")
+        .mapInPandas(
+            batches,
+            schema="doc_id long, n_grams long, n_fingerprints long, "
+            "min_fp long, max_fp long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _winnow_sql() -> str:
+    # the poly template's inner fold variable is i — the outer gram
+    # lambda must use j so the substring's position binds to the gram,
+    # not the fold step
+    poly_gram = _POLY_SQL.format(
+        s=f"substring(t, j, {_WINNOW_N})", base=TX.POLY_BASE
+    )
+    poly_whole = _POLY_SQL.format(s="t", base=TX.POLY_BASE)
+    return f"""
+WITH g AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents
+), h AS (
+  SELECT doc_id,
+         CASE WHEN length(t) >= {_WINNOW_N} THEN
+             list_transform(range(1, length(t) - {_WINNOW_N - 2}),
+                            j -> {poly_gram})
+         ELSE [{poly_whole}] END AS hs
+  FROM g
+), w AS (
+  SELECT doc_id, hs,
+         list_transform(range(1, greatest(len(hs) - {_WINNOW_W - 1}, 1) + 1),
+                        i -> list_min(hs[i:i + {_WINNOW_W - 1}])) AS fps
+  FROM h
+)
+SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(fps)) AS BIGINT) AS n_fingerprints,
+       CAST(list_min(fps) AS BIGINT) AS min_fp,
+       CAST(list_max(fps) AS BIGINT) AS max_fp
+FROM w ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -3296,6 +3383,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_quantized_topk": (ann_quantized_topk, _ANN_QUANT_SQL),
     "ann_pq_topk": (ann_pq_topk, _pq_sql),
     "hybrid_search_rrf": (hybrid_search_rrf, _HYBRID_SQL),
+    "doc_winnow_fingerprints": (doc_winnow_fingerprints, _winnow_sql()),
 }
 
 

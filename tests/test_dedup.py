@@ -244,3 +244,31 @@ def test_poly_hash_shingles_np_matches_scalar_twin():
         TX.poly_hash_py(" ".join(toks[i : i + 3])) for i in range(len(toks) - 2)
     ]
     assert got == want
+
+
+def test_char_gram_hashes_np_matches_scalar_twin():
+    """The vectorized char n-gram window hasher must be bit-identical to
+    poly_hash_py over every positional gram, incl. the <n whole-string
+    fallback and non-ASCII codepoints."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vector_search_optimization_spark.functions import text as TX
+
+    txt = st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        min_size=0,
+        max_size=60,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(txt, st.integers(1, 7))
+    def check(s, n):
+        got = TX.char_gram_hashes_np(s, n).tolist()
+        if len(s) < n:
+            want = [TX.poly_hash_py(s)]
+        else:
+            want = [TX.poly_hash_py(s[i : i + n]) for i in range(len(s) - n + 1)]
+        assert got == want
+
+    check()

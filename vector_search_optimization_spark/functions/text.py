@@ -269,6 +269,28 @@ def poly_hash_shingles_np(
     return out
 
 
+def char_gram_hashes_np(
+    s: str, n: int, base: int = POLY_BASE, mod: int = POLY_MOD
+) -> "np.ndarray":
+    """Positional char n-gram polynomial hashes, vectorized — the
+    character-level analog of poly_hash_shingles_np. Bit-identical to
+    ``[poly_hash_py(s[i:i+n]) for i in range(len(s)-n+1)]`` (whole-string
+    hash when len < n): the per-gram Horner fold equals one codes·powers
+    dot, exact in int64 because n · max_codepoint · mod < 2^63 (powers
+    are mod-reduced; congruence makes the single final mod equal the
+    per-step Horner mod)."""
+    import numpy as np
+
+    if n * 0x110000 * mod >= 2**63:  # pragma: no cover — absurd-n guard
+        raise ValueError("n too large for exact int64 window hashing")
+    if len(s) < n:
+        return np.array([poly_hash_py(s, base, mod)], dtype=np.int64)
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    pows = np.array([pow(base, n - 1 - j, mod) for j in range(n)], dtype=np.int64)
+    windows = np.lib.stride_tricks.sliding_window_view(codes, n)
+    return (windows @ pows) % mod
+
+
 def char_ngrams(text: Column | str, n: int = 5) -> Column:
     """Array of distinct character n-grams (for n-gram Jaccard)."""
     t = F.lower(F.trim(_c(text)))
