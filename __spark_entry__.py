@@ -3306,7 +3306,39 @@ FROM w ORDER BY doc_id
 # registry / driver contract
 # ---------------------------------------------------------------------------
 
+# Ordering contract: the driver's correctness gate snapshots the FIRST 50
+# entries only (CORRECTNESS_r01/r02 each hold exactly 50).  Entries that
+# have never had a driver-green row — plus anything newly added this round —
+# go FIRST so they fall inside the window; long-driver-green basics rotate
+# to the back.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "m4_dbscan_stats": (m4_dbscan_stats, _M4_SQL),
+    "g1_cooccurrence_edges": (g1_cooccurrence_edges, _G1_SQL),
+    "g2_communities": (g2_communities, _g2_sql),
+    "ep3_label_pipeline": (ep3_label_pipeline, None),
+    "o7_interleave": (o7_interleave, _O7_SQL),
+    "f7_string_caps": (f7_string_caps, _F7_SQL),
+    "j5_literal_map": (j5_literal_map, _J5_MAP_SQL),
+    "m2_silhouette": (m2_silhouette, _M2_SQL),
+    "s1_csv_roundtrip": (s1_csv_roundtrip, _S1_SQL),
+    "s2_json_roundtrip": (s2_json_roundtrip, _S2_SQL),
+    "s6_excel_roundtrip": (s6_excel_roundtrip, _S6_SQL),
+    "f5_manhattan": (f5_manhattan, _f5_sql),
+    "m3_k_sweep": (m3_k_sweep, _m3_sql),
+    "mm_asset_features": (mm_asset_features, _MM_SQL),
+    "split_assign": (split_assign, _SPLIT_SQL),
+    "pack_batches": (pack_batches, _PACK_SQL),
+    "decontaminate_overlap": (decontaminate_overlap, _decon_sql),
+    "evt_asof_join": (evt_asof_join, _ASOF_SQL),
+    "evt_range_join": (evt_range_join, _RANGE_SQL),
+    "f11_token_budget": (f11_token_budget, _F11_SQL),
+    "s7_convert_docs": (s7_convert_docs, _S7_SQL),
+    "ann_quantized_topk": (ann_quantized_topk, _ANN_QUANT_SQL),
+    "ann_pq_topk": (ann_pq_topk, _pq_sql),
+    "hybrid_search_rrf": (hybrid_search_rrf, _HYBRID_SQL),
+    "doc_winnow_fingerprints": (doc_winnow_fingerprints, _winnow_sql()),
+    "m1_kmeans_clusters": (m1_kmeans_clusters, _m1_sql),
+    "m10_pca_variance": (m10_pca_variance, _m10_sql),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "a1_a3_counts": (a1_a3_counts, _A1_SQL),
     "a5_two_level": (a5_two_level, _A5_SQL),
@@ -3357,33 +3389,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "m7_percentile_outliers": (m7_percentile_outliers, _M7_SQL),
     "m8_lof_outliers": (m8_lof_outliers, _M8_SQL),
     "m9_mahalanobis_outliers": (m9_mahalanobis_outliers, _m9_sql),
-    "m1_kmeans_clusters": (m1_kmeans_clusters, _m1_sql),
-    "m10_pca_variance": (m10_pca_variance, _m10_sql),
-    "m4_dbscan_stats": (m4_dbscan_stats, _M4_SQL),
-    "g1_cooccurrence_edges": (g1_cooccurrence_edges, _G1_SQL),
-    "g2_communities": (g2_communities, _g2_sql),
-    "ep3_label_pipeline": (ep3_label_pipeline, None),
-    "o7_interleave": (o7_interleave, _O7_SQL),
-    "f7_string_caps": (f7_string_caps, _F7_SQL),
-    "j5_literal_map": (j5_literal_map, _J5_MAP_SQL),
-    "m2_silhouette": (m2_silhouette, _M2_SQL),
-    "s1_csv_roundtrip": (s1_csv_roundtrip, _S1_SQL),
-    "s2_json_roundtrip": (s2_json_roundtrip, _S2_SQL),
-    "s6_excel_roundtrip": (s6_excel_roundtrip, _S6_SQL),
-    "f5_manhattan": (f5_manhattan, _f5_sql),
-    "m3_k_sweep": (m3_k_sweep, _m3_sql),
-    "mm_asset_features": (mm_asset_features, _MM_SQL),
-    "split_assign": (split_assign, _SPLIT_SQL),
-    "pack_batches": (pack_batches, _PACK_SQL),
-    "decontaminate_overlap": (decontaminate_overlap, _decon_sql),
-    "evt_asof_join": (evt_asof_join, _ASOF_SQL),
-    "evt_range_join": (evt_range_join, _RANGE_SQL),
-    "f11_token_budget": (f11_token_budget, _F11_SQL),
-    "s7_convert_docs": (s7_convert_docs, _S7_SQL),
-    "ann_quantized_topk": (ann_quantized_topk, _ANN_QUANT_SQL),
-    "ann_pq_topk": (ann_pq_topk, _pq_sql),
-    "hybrid_search_rrf": (hybrid_search_rrf, _HYBRID_SQL),
-    "doc_winnow_fingerprints": (doc_winnow_fingerprints, _winnow_sql()),
 }
 
 
