@@ -11,6 +11,7 @@ cross-engine summation-order noise doesn't break the value hash.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
 
 import numpy as np
@@ -2904,6 +2905,10 @@ def s7_convert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     out_dir = _roundtrip_path(sf_dir, "txt_docs")
+    # one file per doc_id: clear the leaf first, or doc files from a
+    # previous dataset generation (doc_id sets change between rounds)
+    # would be scanned back as phantom rows
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
     # files are written executor-side, one partition at a time (local FS

@@ -147,6 +147,28 @@ def test_connected_components_isolated_nodes_and_min_label(spark):
     assert comp == {2: 2, 5: 2, 8: 2, 99: 99}
 
 
+def test_connected_components_self_loop_singletons(spark):
+    """A node whose only edge is a self-loop is a singleton component —
+    on both the driver fast path and the iterative loop path, with or
+    without a crossing edge elsewhere in the graph."""
+    from vector_search_optimization_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (9, 9), (3, 3), (3, 4)], "src long, dst long"
+    )
+    want = {1: 1, 2: 1, 9: 9, 3: 3, 4: 3}
+    for limit in (2_000_000, 0):  # driver path, then forced loop path
+        got = {
+            r.pid: r.component
+            for r in connected_components(
+                edges, driver_edge_limit=limit
+            ).collect()
+        }
+        assert got == want, f"driver_edge_limit={limit}"
+
+
 def test_connected_components_loop_path_matches_driver_path(spark):
     """driver_edge_limit=0 forces the iterative min-label loop; it must
     produce the identical labeling the small-forest driver union-find

@@ -128,6 +128,28 @@ def test_xlsx_datasource_format_scan(spark, tmp_path):
     assert alldf.where(F.col("v") > 1).count() == 2
 
 
+def test_xlsx_datasource_mixed_type_directory(spark, tmp_path):
+    """Files whose own cells would infer different types must coerce to
+    the PLANNED schema (inferred from the first file), not their own —
+    file b's integer cell lands as double under a double plan, and its
+    numeric string under a string plan."""
+    from vector_search_optimization_spark.sources.xlsx import write_xlsx
+    from vector_search_optimization_spark.sources.xlsx_datasource import (
+        register_xlsx_source,
+    )
+
+    # first file plans: x double, s string
+    write_xlsx(str(tmp_path / "a.xlsx"), ["x", "s"], [[1.5, "t"]])
+    # second file would self-infer: x long, s long
+    write_xlsx(str(tmp_path / "b.xlsx"), ["x", "s"], [[2, 7]])
+    register_xlsx_source(spark)
+
+    df = spark.read.format("xlsx").load(str(tmp_path))
+    assert df.schema.simpleString() == "struct<x:double,s:string>"
+    got = {(r.x, r.s) for r in df.collect()}
+    assert got == {(1.5, "t"), (2.0, "7")}
+
+
 def test_excel_roundtrip(spark, tmp_path):
     """S9 → S6: stdlib xlsx sink then scan preserves values and types,
     including the vector→string serialization shared with the CSV sink."""

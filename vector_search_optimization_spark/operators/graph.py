@@ -125,10 +125,18 @@ def _contract_partitions(edges: DataFrame) -> DataFrame:
     edges — the same order of memory as the hash side of the label join the
     iterative loop would otherwise run, so the 100 TB bound is unchanged
     (size spark.sql.files.maxPartitionBytes / shuffle partitions so a
-    partition's node set fits a task, as for every other hash op)."""
+    partition's node set fits a task, as for every other hash op).
+
+    Output is compacted: root rows (r, r) are dropped — a root resurfaces
+    as the dst of its children — EXCEPT when the node carried an explicit
+    self-loop edge and ended as its own root, in which case (n, n) is kept
+    so single-node components survive (a self-loop row re-reads as a
+    self-loop edge, so the marker self-perpetuates through repeated
+    contraction passes)."""
 
     def contract(it):
         parent: dict = {}
+        selfloops: set = set()
 
         def find(x):
             root = x
@@ -142,6 +150,9 @@ def _contract_partitions(edges: DataFrame) -> DataFrame:
             for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
                 if a not in parent:
                     parent[a] = a
+                if a == b:
+                    selfloops.add(a)
+                    continue
                 if b not in parent:
                     parent[b] = b
                 ra, rb = find(a), find(b)
@@ -151,8 +162,15 @@ def _contract_partitions(edges: DataFrame) -> DataFrame:
                     parent[rb] = ra  # union by min → roots are local minima
         if not parent:
             return
-        nodes = list(parent)
-        yield pd.DataFrame({"src": nodes, "dst": [find(n) for n in nodes]})
+        out_src = [n for n in parent if find(n) != n]
+        out_dst = [find(n) for n in out_src]
+        for s in selfloops:  # singleton self-loop nodes survive as (n, n)
+            if find(s) == s:
+                out_src.append(s)
+                out_dst.append(s)
+        if not out_src:
+            return
+        yield pd.DataFrame({"src": out_src, "dst": out_dst})
 
     return edges.mapInPandas(contract, schema=edges.schema)
 
@@ -181,10 +199,13 @@ def connected_components(
     block shared by DBSCAN core clustering and near-duplicate
     canonicalization.
 
-    Edges are undirected; pass ``symmetrize=False`` when the input already
-    contains both directions (e.g. an ε-neighbor pair table). Returns
-    (id_col, component) with component = min member id. Isolated nodes
-    appear only when supplied via ``nodes`` (single-column DataFrame).
+    Edges are undirected and never need symmetrizing — union-find is
+    direction-blind (``symmetrize`` is accepted for API compatibility and
+    ignored; the loop adds reversed edges itself on the tiny contracted
+    forest). Returns (id_col, component) with component = min member id.
+    A self-loop edge (n, n) yields n as a singleton component; isolated
+    nodes with no edges at all appear only when supplied via ``nodes``
+    (single-column DataFrame).
 
     Scale: contraction shrinks the edge table to ≤ one edge per distinct
     node before any iteration, so each round shuffles the (small) forest
@@ -202,11 +223,7 @@ def connected_components(
     # (the ``symmetrize`` flag is kept for API compatibility; only the
     # loop's propagation needs both directions, added below on the tiny
     # contracted forest).
-    f1 = (
-        _contract_partitions(e0)
-        .where(F.col("src") != F.col("dst"))
-        .persist()
-    )
+    f1 = _contract_partitions(e0).persist()
 
     # small-forest fast path — the broadcast-join analogy: once contraction
     # has shrunk the graph to ≤ driver_edge_limit (node, root) rows, finish
@@ -264,11 +281,7 @@ def connected_components(
     # cross-partition chains first, then min-label propagation reconciles
     # what remains (the loop needs both edge directions, added here on the
     # contracted forest — tiny relative to the input edge table)
-    forest = (
-        _contract_partitions(f1.repartition("src"))
-        .where(F.col("src") != F.col("dst"))
-        .persist()
-    )
+    forest = _contract_partitions(f1.repartition("src")).persist()
     e = forest.unionByName(
         forest.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()

@@ -130,6 +130,37 @@ def infer_excel_schema(
     return T.StructType(fields), rows
 
 
+def coerce_cell_to_type(v, tp: T.DataType):
+    """Coerce one parsed xlsx cell to a PLANNED Spark field type.
+
+    Used by the distributed "xlsx" DataSource so every file in a
+    directory lands in the schema planned from the first file — a file
+    whose own cells would infer long where the plan says double (or
+    vice versa) must not leak mismatched Python types into the Arrow
+    conversion. Unrepresentable values become None rather than silently
+    diverging (e.g. a non-integral float under a long plan)."""
+    if v is None:
+        return None
+    if isinstance(tp, T.BooleanType):
+        return v if isinstance(v, bool) else None
+    if isinstance(tp, T.LongType):
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, int):
+            return v
+        if isinstance(v, float):
+            return int(v) if v.is_integer() else None
+        return None
+    if isinstance(tp, T.DoubleType):
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return float(v)
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+    return str(v)
+
+
 def read_json_index_dump(spark: SparkSession, path: str) -> DataFrame:
     """S2/S4 — full search-index dump (documentos_pre.json shape): chunk
     columns plus document_path and the writeback target etiqueta_cluster.

@@ -67,18 +67,22 @@ class XlsxReader(DataSourceReader):
         return [InputPartition(p) for p in _paths(self.options["path"])]
 
     def read(self, partition: InputPartition):
-        from .readers import infer_excel_schema
+        from .readers import coerce_cell_to_type
         from .xlsx import read_xlsx
 
         header, rows = read_xlsx(partition.value, self.sheet)
-        # coerce THIS file's cells to ITS inferred types, then align to the
-        # planned schema by column name (missing columns → None)
-        _, rows = infer_excel_schema(header, rows)
+        # align to the PLANNED schema: match columns by name and coerce
+        # each cell to the planned field type — never re-infer per file,
+        # or a directory whose files infer different types would leak
+        # mismatched Python values past the plan
         idx = {name: i for i, name in enumerate(header)}
-        want = [f.name for f in self.schema.fields]
+        fields = self.schema.fields
         for r in rows:
             yield tuple(
-                r[idx[name]] if name in idx else None for name in want
+                coerce_cell_to_type(r[idx[f.name]], f.dataType)
+                if f.name in idx
+                else None
+                for f in fields
             )
 
 
