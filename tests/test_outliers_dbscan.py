@@ -147,6 +147,34 @@ def test_dbscan_distributed_matches_kernel(spark):
     assert set(k[k.dbscan_label == -1].index) == set(d[d.dbscan_label == -1].index)
 
 
+def test_dbscan_driver_dispatch_matches_distributed_loop(spark):
+    """The small-graph driver finish (default) and the fully distributed
+    path (driver_pair_limit=0) must label identically — exact same
+    min-member-id clusters, borders, and noise."""
+    rng = np.random.RandomState(7)
+    rows = []
+    i = 0
+    for center in (np.zeros(2), np.full(2, 8.0), np.array([0.0, 9.0])):
+        for _ in range(20):
+            rows.append((i, (center + rng.normal(scale=0.3, size=2)).tolist()))
+            i += 1
+    rows.append((i, [4.0, 4.0]))  # noise
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(eps=1.2, min_samples=4)
+    fast = {
+        r.vec_id: r.dbscan_label
+        for r in dbscan.dbscan_distributed(df, **kw).collect()
+    }
+    loop = {
+        r.vec_id: r.dbscan_label
+        for r in dbscan.dbscan_distributed(
+            df, driver_pair_limit=0, **kw
+        ).collect()
+    }
+    assert fast == loop
+    assert -1 in fast.values()
+
+
 def test_eps_neighbor_pairs_complete_vs_brute_force(spark):
     """Grid blocking with 3^L multi-probe must lose no true ε-pair."""
     rng = np.random.RandomState(7)
@@ -192,3 +220,27 @@ def test_dbscan_grid_search_shape(spark):
     res = dbscan.dbscan_grid_search(df, [0.5, 1.0], [3, 5])
     assert len(res) == 4
     assert all({"eps", "min_samples", "n_clusters", "silhouette"} <= set(r) for r in res)
+
+
+def test_dbscan_grid_search_distributed_matches_kernel_path(spark):
+    """The sweep through dbscan_distributed must reproduce the single-task
+    kernel sweep: same cluster counts, same silhouettes per combo."""
+    rng = np.random.RandomState(6)
+    rows = []
+    i = 0
+    for center in (np.zeros(2), np.full(2, 6.0)):
+        for _ in range(25):
+            rows.append((i, (center + rng.normal(scale=0.3, size=2)).tolist()))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    grid = ([0.8, 1.2], [3, 5])
+    k = dbscan.dbscan_grid_search(df, *grid, use_distributed=False)
+    d = dbscan.dbscan_grid_search(df, *grid, use_distributed=True)
+    assert len(k) == len(d) == 4
+    for rk, rd in zip(k, d):
+        assert (rk["eps"], rk["min_samples"]) == (rd["eps"], rd["min_samples"])
+        assert rk["n_clusters"] == rd["n_clusters"]
+        if rk["silhouette"] is None:
+            assert rd["silhouette"] is None
+        else:
+            assert abs(rk["silhouette"] - rd["silhouette"]) < 1e-9

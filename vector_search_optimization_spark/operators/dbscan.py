@@ -194,6 +194,7 @@ def dbscan_distributed(
     max_iter: int = 50,
     num_lines: int = 2,
     seed: int = 42,
+    driver_pair_limit: int = 2_000_000,
 ) -> DataFrame:
     """Distributed DBSCAN: blocked ε-join → core points → connected
     components. The registered scale path for M4.
@@ -211,6 +212,15 @@ def dbscan_distributed(
     convergence check (a changed-flag filter — no extra join), and
     unpersists the superseded frame.
 
+    Small-graph dispatch (the broadcast-join analogy, SCALING.md): the
+    ε-pair table is materialized and counted anyway (it's the persisted
+    input to every later stage), so when it holds ≤ driver_pair_limit
+    rows the degree/core/components/border graph logic — a dozen tiny
+    Spark jobs at local stage-floor cost — finishes on the driver in one
+    bounded collect and rejoins as a broadcast. Above the limit the fully
+    distributed formulation below runs unchanged; the plan shape at scale
+    is identical either way.
+
     Cluster ids are min-member-ids (stable, not 0..C-1); use
     dense_label_numbering for compact ids when needed.
     """
@@ -218,6 +228,59 @@ def dbscan_distributed(
         df, eps, vector_col=vector_col, id_col=id_col,
         num_lines=num_lines, seed=seed,
     ).persist()
+
+    n_pairs = pairs.count() if driver_pair_limit > 0 else driver_pair_limit + 1
+    if n_pairs <= driver_pair_limit:
+        rows = [(r[0], r[1]) for r in pairs.collect()]
+        pairs.unpersist()
+        deg: dict = {}
+        for a, _ in rows:
+            deg[a] = deg.get(a, 0) + 1
+        core = {a for a, c in deg.items() if c + 1 >= min_samples}
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in rows:
+            if a in core and b in core:
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        # isolated cores (no core neighbor) are their own cluster
+        label = {c: (find(c) if c in parent else c) for c in core}
+        for a, b in rows:  # border: min label over adjacent cores
+            if a not in core and b in core:
+                lb = label[b]
+                if a not in label or lb < label[a]:
+                    label[a] = lb
+
+        spark = df.sparkSession
+        id_type = df.schema[id_col].dataType
+        assigned = spark.createDataFrame(
+            list(label.items()),
+            T.StructType(
+                [
+                    T.StructField(id_col, id_type),
+                    T.StructField("lbl", id_type),
+                ]
+            ),
+        )
+        return (
+            df.join(F.broadcast(assigned), id_col, "left")
+            .withColumn(out_col, F.coalesce(F.col("lbl"), F.lit(-1)))
+            .drop("lbl")
+        )
     degree = pairs.groupBy("src").agg((F.count(F.lit(1)) + 1).alias("deg"))
     core = degree.where(F.col("deg") >= min_samples).select(
         F.col("src").alias("pid")
@@ -259,16 +322,34 @@ def dbscan_grid_search(
     min_samples_grid: list[int],
     vector_col: str = "embedding",
     id_col: str = "vec_id",
+    use_distributed: bool | None = None,
+    single_task_limit: int = 10_000,
 ) -> list[dict]:
     """M4 — the reference's 10x10 hyperparameter grid with silhouette
     scoring (silhouettes.ipynb:661 c30). Combos yielding < 2 clusters get
-    silhouette None, like the reference's skip branch."""
+    silhouette None, like the reference's skip branch.
+
+    Each combo labels via ``dbscan_distributed`` (the scale path) unless
+    the corpus fits a single task's m² working set, where the numpy
+    kernel is cheaper; ``use_distributed`` forces either. The input is
+    persisted for the sweep — one scan feeds all |eps|×|ms| combos.
+    """
     from .clustering import silhouette_exact_distributed
+
+    df = df.persist()
+    n = df.count()
+    if use_distributed is None:
+        use_distributed = n > single_task_limit
 
     results = []
     for eps in eps_grid:
         for ms in min_samples_grid:
-            lab = dbscan_kernel(df, eps, ms, vector_col, id_col)
+            if use_distributed:
+                lab = dbscan_distributed(
+                    df, eps, ms, vector_col, id_col
+                ).select(id_col, "dbscan_label")
+            else:
+                lab = dbscan_kernel(df, eps, ms, vector_col, id_col)
             joined = df.join(lab, id_col)
             clustered = joined.where(F.col("dbscan_label") >= 0)
             n_clusters = clustered.select("dbscan_label").distinct().count()
@@ -282,4 +363,5 @@ def dbscan_grid_search(
                 {"eps": eps, "min_samples": ms, "n_clusters": n_clusters,
                  "silhouette": sil}
             )
+    df.unpersist()
     return results
