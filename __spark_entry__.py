@@ -2953,6 +2953,73 @@ FROM documents ORDER BY doc_id
 """
 
 
+def s7_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 pdf leg — documents.text written as one FlateDecode pdf per doc
+    (sources.converters.text_to_pdf), scanned back through the binary
+    ingest path, and text-extracted by the pure-python pdf converter
+    (pdf_to_text). Value-checked end to end: per-doc extracted char count
+    AND a sha256 over the extracted text must match the oracle's
+    recomputation from the parquet — covering string escaping, Flate
+    round-trip, line splitting, and latin-1 '?'-substitution exactly.
+    Matches the reference's pdf ingest (analisis-informe.ipynb:2806 c82)
+    without its vendored converter."""
+    from vector_search_optimization_spark.sources import converters as CV
+
+    d = load_table(spark, sf_dir, "documents")
+    out_dir = _roundtrip_path(sf_dir, "pdf_docs")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write_files(it):
+        import pandas as pd
+
+        for pdf in it:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                with open(os.path.join(out_dir, f"{doc_id}.pdf"), "wb") as f:
+                    f.write(CV.text_to_pdf(text or ""))
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    d.select("doc_id", "text").mapInPandas(_write_files, schema="n long").agg(
+        F.sum("n")
+    ).collect()
+    converted = CV.convert_documents(
+        CV.read_binary_docs(spark, out_dir, glob="*.pdf")
+    )
+    return (
+        converted.withColumn(
+            "doc_id",
+            F.regexp_extract(F.col("path"), r"(\d+)\.pdf$", 1).cast("long"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars_extracted"),
+            F.when(F.col("converted"), F.sha2(F.col("text"), 256)).alias(
+                "text_sha"
+            ),
+            "converted",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# the oracle mirrors the writer/extractor pair exactly: codepoints > 0xFF
+# become '?' (one char each, so length is preserved), then ASCII-whitespace
+# outer trim; sha256 over that string equals Spark's sha2(extracted, 256)
+_S7_PDF_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '[^\x00-\xFF]', '?', 'g'),
+              chr(10) || chr(13) || chr(9) || chr(11) || chr(12) || ' ') AS x
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(x) AS BIGINT) AS n_chars_extracted,
+       CASE WHEN length(x) > 0 THEN sha256(x) END AS text_sha,
+       length(x) > 0 AS converted
+FROM t ORDER BY doc_id
+"""
+
+
 def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized ANN: the corpus is symmetric-per-vector
     quantized (4× storage cut), the query runs cosine top-20 over the
@@ -3338,6 +3405,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_range_join": (evt_range_join, _RANGE_SQL),
     "f11_token_budget": (f11_token_budget, _F11_SQL),
     "s7_convert_docs": (s7_convert_docs, _S7_SQL),
+    "s7_pdf_roundtrip": (s7_pdf_roundtrip, _S7_PDF_SQL),
     "ann_quantized_topk": (ann_quantized_topk, _ANN_QUANT_SQL),
     "ann_pq_topk": (ann_pq_topk, _pq_sql),
     "hybrid_search_rrf": (hybrid_search_rrf, _HYBRID_SQL),

@@ -38,9 +38,57 @@ def test_json_flatten():
 
 
 def test_convert_payload_dispatch():
-    assert convert_payload("pdf", b"%PDF...") is None  # codec-less format
+    assert convert_payload("pdf", b"%PDF...") is None  # no text streams
     assert convert_payload("txt", b" hi \n") == "hi"
     assert convert_payload("HTML", HTML) is not None
+
+
+def test_pdf_roundtrip_and_extraction():
+    from vector_search_optimization_spark.sources.converters import (
+        pdf_to_text,
+        text_to_pdf,
+    )
+
+    cases = [
+        "hello world",
+        "multi\nline\ntext",
+        "escapes ()\\ and (nested (parens)) ok",
+        "latin1: café über",
+        "  outer spaces trimmed  ",
+    ]
+    for t in cases:
+        assert pdf_to_text(text_to_pdf(t)) == t.strip(" \t\n\r\f\v")
+    # non-latin1 chars are written as '?' — length preserved
+    assert pdf_to_text(text_to_pdf("emoji \U0001F600 x")) == "emoji ? x"
+    # dispatch goes through convert_payload now
+    assert convert_payload("pdf", text_to_pdf("via dispatch")) == "via dispatch"
+    # junk / stream-less / image-only pdfs stay unconverted
+    assert pdf_to_text(b"not a pdf") is None
+    assert convert_payload("pdf", b"%PDF-1.4 binary stuff") is None
+
+
+def test_pdf_raw_stream_and_tj_arrays():
+    import zlib
+
+    from vector_search_optimization_spark.sources.converters import pdf_to_text
+
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 40 >>\nstream\n"
+        b"BT (plain stream) Tj ET\nendstream\nendobj\n"
+    )
+    assert pdf_to_text(raw) == "plain stream"
+
+    content = b"BT [(A) -120 (B) 3 (C)] TJ (next) ' <48690A> Tj ET"
+    s = zlib.compress(content)
+    flate = (
+        b"%PDF-1.4\n<< /Filter /FlateDecode /Length "
+        + str(len(s)).encode()
+        + b" >>\nstream\n"
+        + s
+        + b"\nendstream"
+    )
+    # TJ kerns concatenate; ' starts a new line; hex strings decode
+    assert pdf_to_text(flate) == "ABC\nnextHi"
 
 
 def _mini_docx() -> bytes:

@@ -2,12 +2,13 @@
 
 The reference vendors a ~1,650-LoC markdown-conversion library covering
 pdf/docx/pptx/xlsx/html/ipynb/rss/wav/mp3/zip (analisis-informe.ipynb:2806
-c82). This module implements txt/md/html/csv/json extraction AND the OOXML
-family (docx/pptx/xlsx — zip+XML, so stdlib-only like sources.xlsx) over an
-Arrow-batched stage on Spark's binaryFile source — the out-of-core ingest
-shape (bytes in executors, text out, no driver round-trip). Formats that
-genuinely need codec libraries absent from this container (pdf, images,
-audio) route to operators.multimodal's stubbed decode path with
+c82). This module implements txt/md/html/csv/json extraction, the OOXML
+family (docx/pptx/xlsx — zip+XML, so stdlib-only like sources.xlsx), and
+Flate/raw pdf text extraction (zlib is stdlib) over an Arrow-batched
+stage on Spark's binaryFile source — the out-of-core ingest shape (bytes
+in executors, text out, no driver round-trip). Formats that genuinely
+need codec libraries absent from this container (images, audio, scanned
+pdfs) route to operators.multimodal's stubbed decode path with
 converted=false.
 """
 
@@ -218,13 +219,225 @@ def zip_to_text(payload: bytes) -> str | None:
     return "\n\n".join(parts) if parts else None
 
 
+def _pdf_literal_string(s: str, i: int) -> tuple[str, int]:
+    """Decode one PDF literal string starting at s[i] == '('.
+
+    Handles the standard escapes (\\n \\r \\t \\b \\f \\( \\) \\\\,
+    octal \\ddd, backslash-newline continuation) and balanced nested
+    parens. Returns (decoded, index past the closing paren)."""
+    assert s[i] == "("
+    out: list[str] = []
+    depth = 1
+    i += 1
+    n = len(s)
+    esc = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+           "(": "(", ")": ")", "\\": "\\"}
+    while i < n:
+        c = s[i]
+        if c == "\\":
+            i += 1
+            if i >= n:
+                break
+            e = s[i]
+            if e in esc:
+                out.append(esc[e])
+                i += 1
+            elif e.isdigit():  # octal, up to 3 digits
+                j = i
+                while j < n and j < i + 3 and s[j].isdigit():
+                    j += 1
+                out.append(chr(int(s[i:j], 8) & 0xFF))
+                i = j
+            elif e == "\n":  # line continuation
+                i += 1
+            elif e == "\r":
+                i += 2 if i + 1 < n and s[i + 1] == "\n" else 1
+            else:  # unknown escape: backslash dropped per spec
+                out.append(e)
+                i += 1
+        elif c == "(":
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return "".join(out), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out), i
+
+
+def _pdf_content_text(data: bytes) -> str:
+    """Text shown by one PDF content stream: literal/hex strings drawn by
+    Tj / ' / \" / TJ, with line breaks at the text-positioning operators
+    (Td, TD, T*, and the quote ops) and at ET. Kern-based spacing inside
+    TJ arrays is ignored — adjacent array strings concatenate."""
+    s = data.decode("latin-1", errors="replace")
+    lines: list[str] = []
+    cur: list[str] = []
+    pending: list[str] = []
+    i, n = 0, len(s)
+
+    def flush_line():
+        if cur:
+            lines.append("".join(cur))
+            cur.clear()
+
+    while i < n:
+        c = s[i]
+        if c == "(":
+            text, i = _pdf_literal_string(s, i)
+            pending.append(text)
+        elif c == "<" and i + 1 < n and s[i + 1] != "<":
+            j = s.find(">", i + 1)
+            if j == -1:
+                break
+            hx = re.sub(r"\s", "", s[i + 1 : j])
+            if len(hx) % 2:
+                hx += "0"
+            try:
+                pending.append(bytes.fromhex(hx).decode("latin-1"))
+            except ValueError:
+                pass
+            i = j + 1
+        elif c.isalpha() or c in "'\"*":
+            j = i
+            while j < n and (s[j].isalpha() or s[j] in "'\"*"):
+                j += 1
+            op = s[i:j]
+            if op in ("Tj", "TJ"):
+                cur.extend(pending)
+                pending.clear()
+            elif op in ("'", '"'):  # move to next line, then show
+                flush_line()
+                cur.extend(pending)
+                pending.clear()
+            elif op in ("Td", "TD", "T*", "ET"):
+                pending.clear()
+                flush_line()
+            elif op == "BT":
+                pending.clear()
+            i = j if j > i else i + 1
+        else:
+            i += 1
+    flush_line()
+    return "\n".join(lines)
+
+
+_PDF_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
+_PDF_SKIP_FILTERS = (
+    b"/DCTDecode", b"/CCITTFaxDecode", b"/JPXDecode", b"/JBIG2Decode",
+    b"/LZWDecode", b"/ASCII85Decode", b"/ASCIIHexDecode", b"/RunLengthDecode",
+)
+
+
+def pdf_to_text(payload: bytes) -> str | None:
+    """PDF → text, pure python (SURVEY §2.1 S7; the reference converts pdf
+    through its vendored markdown library, analisis-informe.ipynb:2806 c82).
+
+    Covers the machine-generated-pdf case: content streams stored raw or
+    FlateDecode-compressed (zlib is stdlib). Each stream is inflated with
+    a decompressobj anchored at the stream keyword — robust to binary
+    data that happens to contain 'endstream' — and mined for BT/ET text
+    operators. Streams using image/legacy filters are skipped; a PDF
+    whose streams yield no text returns None (→ converted=false, the
+    scanned-image route, where the reference hands off to its OCR
+    pipeline — see operators.multimodal)."""
+    import zlib
+
+    if not payload.lstrip()[:5].startswith(b"%PDF"):
+        return None
+    texts: list[str] = []
+    for m in _PDF_STREAM_RE.finditer(payload):
+        head, start = m.group(1), m.end()
+        if b"/FlateDecode" in head:
+            d = zlib.decompressobj()
+            try:
+                data = d.decompress(payload[start:])
+            except zlib.error:
+                continue
+        elif any(f in head for f in _PDF_SKIP_FILTERS):
+            continue
+        else:  # unfiltered: trust the non-greedy endstream boundary
+            end = payload.find(b"endstream", start)
+            if end == -1:
+                continue
+            data = payload[start:end]
+        if b"BT" not in data:
+            continue
+        text = _pdf_content_text(data)
+        if text:
+            texts.append(text)
+    # ASCII-whitespace strip only (not str.strip()'s unicode set) so the
+    # DuckDB oracle can mirror it with a chr()-list trim
+    out = "\n".join(texts).strip(" \t\n\r\f\v")
+    return out or None
+
+
+def text_to_pdf(text: str, title: str = "doc") -> bytes:
+    """Minimal valid single-page PDF with a FlateDecode content stream —
+    the sink side of the pdf roundtrip (S7 value check). One Tj per input
+    line with T* line advances; characters outside latin-1 are written as
+    '?' (PDF literal strings are byte strings), so extracted length always
+    equals input length."""
+    import zlib
+
+    def esc(line: str) -> str:
+        b = line.encode("latin-1", errors="replace").decode("latin-1")
+        return (
+            b.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+        )
+
+    body = "".join(f"({esc(l)}) Tj T*\n" for l in text.split("\n"))
+    content = f"BT /F1 10 Tf 36 756 Td 12 TL\n{body}ET".encode("latin-1")
+    stream = zlib.compress(content)
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+        % (len(stream), stream),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = []
+    for i, obj in enumerate(objs, start=1):
+        offsets.append(out.tell())
+        out.write(b"%d 0 obj\n" % i)
+        out.write(obj)
+        out.write(b"\nendobj\n")
+    xref_at = out.tell()
+    out.write(b"xref\n0 %d\n" % (len(objs) + 1))
+    out.write(b"0000000000 65535 f \n")
+    for off in offsets:
+        out.write(b"%010d 00000 n \n" % off)
+    out.write(
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return out.getvalue()
+
+
 OOXML_FORMATS = ("docx", "pptx", "xlsx")
 
 
 def convert_payload(fmt: str, payload: bytes) -> str | None:
     """Dispatch one document; None for formats needing absent codecs
-    (pdf and media formats — those route to operators.multimodal)."""
+    (media formats, and pdfs whose text needs image decoding — those
+    route to operators.multimodal)."""
     fmt = (fmt or "").lower().lstrip(".")
+    if fmt == "pdf":
+        try:
+            return pdf_to_text(payload)
+        except Exception:  # malformed container → unconverted route
+            return None
     if fmt in OOXML_FORMATS:
         try:
             if fmt == "docx":
