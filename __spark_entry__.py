@@ -2864,33 +2864,110 @@ FROM pairs
 """
 
 
-_F11_BUDGET_TOKENS = 100  # × 4 chars/token = 400-char cap
+_F11_BUDGET_TOKENS = 48  # exact-BPE budget; truncates most docs at every sf
 
 
 def f11_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11 — token-budget truncation audit (update-etiquetas.ipynb:171 c9
-    caps the labeling prompt): per-lang count of documents the budget
-    truncates and the kept-char total."""
+    caps the labeling prompt at 125,000 tiktoken tokens): per-lang count
+    of documents the budget truncates, plus kept-token and kept-char
+    totals — all via the EXACT BPE merge loop (functions.bpe), not the
+    chars-per-token proxy. The oracle recomputes every per-doc count with
+    the same tokenizer driver-side, so truncation semantics (whole
+    pre-tokens, never splitting one) are value-checked."""
     d = load_table(spark, sf_dir, "documents")
-    kept = F.length(TX.truncate_by_token_budget("text", _F11_BUDGET_TOKENS))
+    n_tok = TX.bpe_token_count_exact("text")
+    kept_text = TX.bpe_truncate_exact("text", _F11_BUDGET_TOKENS)
     return (
-        d.groupBy("lang")
+        d.select(
+            "lang",
+            n_tok.alias("__n"),
+            TX.bpe_token_count_exact(kept_text).alias("__kept_tok"),
+            F.length(kept_text).alias("__kept_chars"),
+        )
+        .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum((F.length("text") > kept).cast("long")).alias("n_truncated"),
-            F.sum(kept).alias("sum_kept_chars"),
+            F.sum(
+                (F.col("__n") > _F11_BUDGET_TOKENS).cast("long")
+            ).alias("n_truncated"),
+            F.sum("__kept_tok").alias("sum_kept_tokens"),
+            F.sum("__kept_chars").cast("long").alias("sum_kept_chars"),
         )
         .orderBy("lang")
     )
 
 
-_F11_SQL = f"""
-SELECT lang, count(*) AS n_docs,
-       CAST(sum(CASE WHEN length(text) > {4 * _F11_BUDGET_TOKENS}
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
-       CAST(sum(least(length(text), {4 * _F11_BUDGET_TOKENS})) AS BIGINT)
-           AS sum_kept_chars
-FROM documents GROUP BY lang ORDER BY lang
+def _f11_sql() -> str:
+    """Generated oracle: per-lang aggregates recomputed driver-side with
+    the identical python tokenizer (functions.bpe), emitted as literals."""
+    import duckdb
+
+    from vector_search_optimization_spark.functions.bpe import (
+        bpe_token_count,
+        bpe_truncate,
+    )
+
+    pdf = duckdb.sql(
+        f"SELECT lang, text FROM '{_oracle_sf_dir()}/documents.parquet'"
+    ).df()
+    agg: dict[str, list[int]] = {}
+    for lang, text in zip(pdf["lang"], pdf["text"]):
+        text = text or ""
+        n = bpe_token_count(text)
+        kept = bpe_truncate(text, _F11_BUDGET_TOKENS)
+        a = agg.setdefault(lang, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += 1 if n > _F11_BUDGET_TOKENS else 0
+        a[2] += bpe_token_count(kept)
+        a[3] += len(kept)
+    vals = ", ".join(
+        f"('{lang}', {a[0]}, {a[1]}, {a[2]}, {a[3]})"
+        for lang, a in sorted(agg.items())
+    )
+    return f"""
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_truncated AS BIGINT) AS n_truncated,
+       CAST(sum_kept_tokens AS BIGINT) AS sum_kept_tokens,
+       CAST(sum_kept_chars AS BIGINT) AS sum_kept_chars
+FROM (VALUES {vals})
+     AS t(lang, n_docs, n_truncated, sum_kept_tokens, sum_kept_chars)
+ORDER BY lang
+"""
+
+
+def f10_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — EXACT per-document BPE token counts (the reference's
+    contar_tokens, update-etiquetas.ipynb:171 c9, minus the tiktoken
+    dependency: functions.bpe runs the public byte-level merge loop over
+    the committed merges table). Value-checked per doc against a
+    driver-side recomputation with the same tokenizer."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        TX.bpe_token_count_exact("text").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def _f10_sql() -> str:
+    import duckdb
+
+    from vector_search_optimization_spark.functions.bpe import bpe_token_count
+
+    pdf = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{_oracle_sf_dir()}/documents.parquet'"
+        " ORDER BY doc_id"
+    ).df()
+    vals = ", ".join(
+        f"({int(i)}, '{lang}', {bpe_token_count(t or '')})"
+        for i, lang, t in zip(pdf["doc_id"], pdf["lang"], pdf["text"])
+    )
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens
+FROM (VALUES {vals}) AS t(doc_id, lang, n_bpe_tokens)
+ORDER BY doc_id
 """
 
 
@@ -3403,7 +3480,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "decontaminate_overlap": (decontaminate_overlap, _decon_sql),
     "evt_asof_join": (evt_asof_join, _ASOF_SQL),
     "evt_range_join": (evt_range_join, _RANGE_SQL),
-    "f11_token_budget": (f11_token_budget, _F11_SQL),
+    "f11_token_budget": (f11_token_budget, _f11_sql),
+    "f10_bpe_token_count": (f10_bpe_token_count, _f10_sql),
     "s7_convert_docs": (s7_convert_docs, _S7_SQL),
     "s7_pdf_roundtrip": (s7_pdf_roundtrip, _S7_PDF_SQL),
     "ann_quantized_topk": (ann_quantized_topk, _ANN_QUANT_SQL),

@@ -84,6 +84,82 @@ def test_bpe_ish_token_count(spark):
     assert n == 5
 
 
+def test_bpe_ish_drops_tabs_and_newlines(spark):
+    """The whitespace filter must exclude tab/newline pieces exactly like
+    the oracle's \\s class, not just ASCII spaces (trim's old behavior)."""
+    df = spark.createDataFrame([("a\tb\nc d",)], "text string")
+    n = df.select(TX.bpe_ish_token_count("text").alias("n")).first().n
+    assert n == 4  # a / b / c / d — no whitespace token
+
+
+def test_bpe_merges_table_reproducible():
+    """The committed merges table is exactly train_bpe(SEED_CORPUS)."""
+    from vector_search_optimization_spark.functions.bpe import (
+        SEED_CORPUS,
+        train_bpe,
+    )
+    from vector_search_optimization_spark.functions.bpe_merges import MERGES
+
+    assert train_bpe(SEED_CORPUS, 512) == MERGES
+
+
+def test_bpe_exact_count_and_truncate_semantics():
+    from vector_search_optimization_spark.functions.bpe import (
+        bpe_token_count,
+        bpe_truncate,
+        pretokenize,
+    )
+
+    assert bpe_token_count("") == 0
+    assert bpe_token_count(None) == 0
+    # merged common English beats character count
+    t = "the table scans the rows and the filter keeps the values"
+    n = bpe_token_count(t)
+    assert 0 < n < len(t)
+    # truncation: fits budget, is a prefix, never splits a pre-token
+    for budget in (0, 1, 3, 7, n, n + 5):
+        kept = bpe_truncate(t, budget)
+        assert t.startswith(kept)
+        assert bpe_token_count(kept) <= budget
+        if kept and kept != t:
+            # boundary falls exactly after a whole pre-token
+            joined = ""
+            for p in pretokenize(t):
+                joined += p
+                if joined == kept:
+                    break
+            assert joined == kept
+    assert bpe_truncate(t, n) == t
+    # count is additive over pre-tokens: punctuation & digits tokenize
+    assert bpe_token_count("x1!") >= 3
+
+
+def test_bpe_exact_spark_matches_python(spark):
+    from vector_search_optimization_spark.functions.bpe import (
+        bpe_token_count,
+        bpe_truncate,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "numbers 1024 and marks !? mix in"),
+        (2, ""),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.n, r.kept)
+        for r in df.select(
+            "id",
+            TX.bpe_token_count_exact("text").alias("n"),
+            TX.bpe_truncate_exact("text", 5).alias("kept"),
+        ).collect()
+    }
+    for i, t in rows:
+        assert got[i][0] == bpe_token_count(t)
+        assert got[i][1] == (None if t is None else bpe_truncate(t, 5))
+
+
 def test_word_shingles_udtf_lateral(spark):
     """SQL LATERAL expansion via the Python UDTF matches a direct python
     shingle walk, including the <n-token fallback and positions."""

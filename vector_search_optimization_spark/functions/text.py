@@ -2,13 +2,16 @@
 
 Engine extensions beyond the reference's surface (the reference counts
 tokens with tiktoken for its LLM budget, update-etiquetas.ipynb:171 c9 F10;
-everything else here is the standard corpus-curation toolkit). All built
-from JVM-side expressions so they run inside whole-stage codegen over
-billions of documents.
+everything else here is the standard corpus-curation toolkit). Built from
+JVM-side expressions so they run inside whole-stage codegen over billions
+of documents — except the EXACT BPE counters, which run the real merge
+loop (functions.bpe) as Arrow-batched pandas UDFs; the regex counters
+remain as the scan-time fast path.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -26,19 +29,56 @@ def whitespace_token_count(text: Column | str) -> Column:
 
 
 def bpe_ish_token_count(text: Column | str) -> Column:
-    """Cheap proxy for BPE token counts without a tokenizer dependency.
+    """Cheap proxy for BPE token counts without leaving codegen.
 
     Counts maximal runs of word chars, digits, or single punctuation —
     the pre-tokenization regex family GPT-style BPEs use. Deterministic,
-    pure-SQL, so it can gate token budgets (F11) at scan time.
+    pure-SQL, so it can gate token budgets (F11) at scan time. For exact
+    counts use bpe_token_count_exact (the real merge loop).
     """
     t = _c(text)
     return F.size(
         F.filter(
             F.split(t, r"(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"),
-            lambda s: F.trim(s) != "",  # any whitespace piece is not a token
+            # pieces containing no non-whitespace char are not tokens;
+            # rlike('\\S') matches the oracle's \s exclusion exactly
+            # (trim() would strip ASCII spaces only and miss tabs/newlines)
+            lambda s: s.rlike(r"\S"),
         )
     )
+
+
+def bpe_token_count_exact(text: Column | str) -> Column:
+    """F10 — EXACT byte-level BPE token count via the real merge loop
+    over the committed merges table (functions.bpe; the public algorithm
+    the reference reaches through tiktoken, update-etiquetas.ipynb:171
+    c9). Arrow-batched pandas UDF: the per-pre-token merge is lru-cached,
+    so hot vocabulary costs one merge loop per distinct pre-token per
+    worker, not per occurrence. (The udf object is created per call —
+    pandas_udf type parsing needs an active session.)"""
+
+    @F.pandas_udf("long")
+    def _u(s: pd.Series) -> pd.Series:
+        from .bpe import bpe_token_count
+
+        return s.map(bpe_token_count).astype("int64")
+
+    return _u(_c(text))
+
+
+def bpe_truncate_exact(text: Column | str, budget_tokens: int) -> Column:
+    """F11 — truncate to the longest whole-pre-token prefix whose exact
+    BPE count fits the budget (never splits a pre-token)."""
+
+    @F.pandas_udf("string")
+    def _t(s: pd.Series) -> pd.Series:
+        from .bpe import bpe_truncate
+
+        return s.map(
+            lambda x: None if x is None else bpe_truncate(x, budget_tokens)
+        )
+
+    return _t(_c(text))
 
 
 def truncate_by_token_budget(text: Column | str, budget_tokens: int, chars_per_token: float = 4.0) -> Column:
