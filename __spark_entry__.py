@@ -3226,17 +3226,22 @@ FROM embeddings ORDER BY adc_dist, vec_id LIMIT 20
 _HYBRID_TERMS = ("join", "window", "scan")
 _RRF_K = 60
 _HYBRID_TOP = 100
+_BM25_K1 = 1.2
+_BM25_B = 0.75
 
 
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion — the capability the
     reference delegates to Azure AI Search (SURVEY §0: hybrid keyword +
-    vector search), re-expressed engine-side. Keyword side: TF-IDF of a
-    literal term set (token-exact tf, ln(N/df) idf computed
-    distributedly). Vector side: cosine to the vec_id=0 query. Each side
-    takes its top-100 via a scale-safe orderBy+limit (TakeOrdered — no
-    global window over the corpus), ranks the bounded result list, and
-    RRF fuses: score = Σ 1/(60 + rank), absent side contributes 0."""
+    vector search), re-expressed engine-side. Keyword side: BM25 (what
+    Azure AI Search actually runs) — Robertson/Lucene idf
+    ln(1 + (N - df + 0.5)/(df + 0.5)) with k1/b saturation over doc
+    length vs the corpus average; N, per-term df, and avgdl are computed
+    distributedly and broadcast as one stats row. Vector side: cosine to
+    the vec_id=0 query. Each side takes its top-100 via a scale-safe
+    orderBy+limit (TakeOrdered — no global window over the corpus),
+    ranks the bounded result list, and RRF fuses:
+    score = Σ 1/(60 + rank), absent side contributes 0."""
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     e = load_table(spark, sf_dir, "embeddings")
     base = d.join(e, d["doc_id"] == e["vec_id"]).select("doc_id", "text", "embedding")
@@ -3249,19 +3254,31 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.size(F.filter(toks, lambda t: t == F.lit(term)))
 
     tfs = [_tf(term).alias(f"tf{j}") for j, term in enumerate(_HYBRID_TERMS)]
-    scored = base.select("doc_id", "embedding", *tfs)
+    scored = base.select(
+        "doc_id", "embedding", F.size(toks).cast("double").alias("dl"), *tfs
+    )
     stats = scored.agg(
         F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
         *[
             F.sum((F.col(f"tf{j}") > 0).cast("long")).alias(f"df{j}")
             for j in range(len(_HYBRID_TERMS))
         ],
     )
+    # BM25: idf * tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)); identical
+    # association order in the SQL mirror so 6dp rounding is bit-stable
     kw_expr = None
     for j in range(len(_HYBRID_TERMS)):
+        tf = F.col(f"tf{j}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col(f"df{j}") + 0.5) / (F.col(f"df{j}") + 0.5)
+        )
+        denom = tf + _BM25_K1 * (
+            1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+        )
         term_score = F.when(
-            F.col(f"df{j}") > 0,
-            F.col(f"tf{j}") * F.log(F.col("n") / F.col(f"df{j}")),
+            F.col(f"df{j}") > 0, idf * (tf * (_BM25_K1 + 1.0)) / denom
         ).otherwise(F.lit(0.0))
         kw_expr = term_score if kw_expr is None else kw_expr + term_score
     with_kw = scored.crossJoin(F.broadcast(stats)).select(
@@ -3315,19 +3332,24 @@ WITH base AS (
          list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
   FROM base
 ), tf AS (
-  SELECT doc_id, embedding,
+  SELECT doc_id, embedding, CAST(len(w) AS DOUBLE) AS dl,
          {", ".join(f"len(list_filter(w, t -> t = '{term}')) AS tf{j}"
                     for j, term in enumerate(_HYBRID_TERMS))}
   FROM toks
 ), stats AS (
-  SELECT count(*) AS n,
+  SELECT count(*) AS n, avg(dl) AS avgdl,
          {", ".join(f"sum(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END) AS df{j}"
                     for j in range(len(_HYBRID_TERMS)))}
   FROM tf
 ), kw AS (
   SELECT doc_id,
          round({" + ".join(
-             f"CASE WHEN s.df{j} > 0 THEN tf{j} * ln(CAST(s.n AS DOUBLE) / s.df{j}) ELSE 0.0 END"
+             f"CASE WHEN s.df{j} > 0 THEN "
+             f"ln(1.0 + (CAST(s.n AS DOUBLE) - s.df{j} + 0.5) / (s.df{j} + 0.5))"
+             f" * (CAST(tf{j} AS DOUBLE) * ({_BM25_K1} + 1.0))"
+             f" / (CAST(tf{j} AS DOUBLE) + {_BM25_K1} * "
+             f"(1.0 - {_BM25_B} + {_BM25_B} * dl / s.avgdl))"
+             f" ELSE 0.0 END"
              for j in range(len(_HYBRID_TERMS)))}, 6) AS kw_score
   FROM tf, stats s
 ), kw_top AS (
