@@ -3223,6 +3223,103 @@ FROM embeddings ORDER BY adc_dist, vec_id LIMIT 20
 """
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (Faiss IndexIVFPQ, by_residual=false): the
+    materialized cell-partitioned IVF index supplies the probe set
+    (nprobe=4 of 16 cells, partition-pruned scan), PQ codes supply the
+    score (8 LUT lookups per row — no vector math, no full-precision
+    reads). The actual lake-scale ANN layout: coarse pruning × 32×
+    compressed scoring. Oracle: both quantizers re-derived driver-side
+    from the vec_id-ordered data (shared _lloyd_kmeans), DuckDB
+    recomputes cell assignment, codes, and literal LUT sums."""
+    e = load_table(spark, sf_dir, "embeddings")
+    books = ann.train_pq_codebooks(
+        e.orderBy("vec_id"), _PQ_M, _PQ_KSUB, seed=42
+    )
+    path = _ivf_index_dir(spark, sf_dir)
+    indexed, cents = ann.load_ivf_index(spark, path)
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    enc = ann.pq_encode_kernel(
+        indexed.select("vec_id", "embedding", "cell"), books
+    ).drop("embedding")
+    top = ann.ivfpq_topk(enc, cents, books, qvec, k=20, nprobe=4)
+    return top.select("vec_id", F.round(F.col("adc_dist"), 6).alias("adc_dist"))
+
+
+def _ivfpq_sql() -> str:
+    """Generated oracle: _ivf_sql's literal-centroid cell assignment
+    composed with _pq_sql's literal codebook ADC, probe filter included."""
+    import duckdb
+
+    from vector_search_optimization_spark.operators.ann import _lloyd_kmeans
+
+    pdf = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        f"'{_oracle_sf_dir()}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    qvec = X[int(np.argmax(pdf["vec_id"].to_numpy() == 0))]
+
+    # coarse quantizer — identical to _ivf_sql
+    centers = _lloyd_kmeans(X[:100_000], 16, seed=42, max_iter=20)
+    cents = np.asarray(
+        [list(map(float, c)) for c in centers], dtype=np.float32
+    ).astype(np.float64)
+    order = sorted(
+        range(len(cents)), key=lambda i: float(np.sum((cents[i] - qvec) ** 2))
+    )
+    probe = ", ".join(str(i) for i in order[:4])
+
+    def cell_dist(i: int) -> str:
+        lits = ", ".join(f"{float(x)!r}" for x in cents[i])
+        return (
+            "list_reduce(list_transform(list_zip(embedding, "
+            f"[{lits}]), p -> (CAST(p[1] AS DOUBLE) - p[2]) "
+            "* (CAST(p[1] AS DOUBLE) - p[2])), (x, y) -> x + y)"
+        )
+
+    cell_structs = ", ".join(
+        "{'d': " + cell_dist(i) + f", 'c': {i}}}" for i in range(len(cents))
+    )
+
+    # PQ codebooks + ADC — identical to _pq_sql
+    m, ksub = _PQ_M, _PQ_KSUB
+    dsub = X.shape[1] // m
+    books = np.stack(
+        [
+            _lloyd_kmeans(X[:100_000, j * dsub : (j + 1) * dsub], ksub, 42 + j, 20)
+            for j in range(m)
+        ]
+    ).astype(np.float32).astype(np.float64)
+    sub_terms = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        sub = f"list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE))"
+        structs = []
+        for c in range(ksub):
+            lits = ", ".join(f"{float(v)!r}" for v in books[j][c])
+            d = (
+                f"list_sum(list_transform(list_zip({sub}, [{lits}]), "
+                "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+            )
+            structs.append("{'d': " + d + f", 'c': {c}}}")
+        code = f"list_min([{', '.join(structs)}])['c']"
+        qs = qvec[j * dsub : (j + 1) * dsub]
+        lut = ((books[j] - qs[None, :]) ** 2).sum(axis=1)
+        lut_lits = ", ".join(f"{float(v)!r}" for v in lut)
+        sub_terms.append(f"([{lut_lits}])[{code} + 1]")
+    adc = " + ".join(sub_terms)
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, list_min([{cell_structs}])['c'] AS cell
+  FROM embeddings
+)
+SELECT vec_id, round({adc}, 6) AS adc_dist
+FROM assigned WHERE cell IN ({probe})
+ORDER BY adc_dist, vec_id LIMIT 20
+"""
+
+
 _HYBRID_TERMS = ("join", "window", "scan")
 _RRF_K = 60
 _HYBRID_TOP = 100
@@ -3508,6 +3605,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "s7_pdf_roundtrip": (s7_pdf_roundtrip, _S7_PDF_SQL),
     "ann_quantized_topk": (ann_quantized_topk, _ANN_QUANT_SQL),
     "ann_pq_topk": (ann_pq_topk, _pq_sql),
+    "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql),
     "hybrid_search_rrf": (hybrid_search_rrf, _HYBRID_SQL),
     "doc_winnow_fingerprints": (doc_winnow_fingerprints, _winnow_sql()),
     "m1_kmeans_clusters": (m1_kmeans_clusters, _m1_sql),

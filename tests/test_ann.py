@@ -257,3 +257,36 @@ def test_pq_codes_storage_and_recall(spark, emb):
     assert min(adc, key=lambda v: rank[v]) == 0 and 0 in adc
     assert np.mean([rank[v] for v in adc]) <= 75
     assert len(set(adc) & exact) / 10 >= 0.2
+
+
+def test_ivfpq_composition_recall_and_pruning(spark, emb):
+    """IVF-PQ (Faiss IndexIVFPQ layout): with every cell probed the
+    composition must equal pure PQ-ADC ranking (coarse pruning adds no
+    error when nothing is pruned); with nprobe=8/16 the candidate set is
+    cell-bounded and recall vs pure ADC stays high."""
+    books = ann.train_pq_codebooks(emb.orderBy("vec_id"), 8, 16, seed=42)
+    cents = ann.train_ivf_centroids(emb, num_cells=16, seed=42)
+    idx = ann.assign_ivf_cells(emb, cents, "embedding")
+    enc = ann.pq_encode_kernel(idx.select("vec_id", "embedding", "cell"), books).cache()
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+
+    pure_adc = [
+        r.vec_id
+        for r in enc.select("vec_id", ann.pq_adc_score(books, qvec).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    full = [
+        r.vec_id
+        for r in ann.ivfpq_topk(enc, cents, books, qvec, k=10, nprobe=16).collect()
+    ]
+    assert full == pure_adc  # no pruning → identical ranking
+
+    probed = [
+        r.vec_id
+        for r in ann.ivfpq_topk(enc, cents, books, qvec, k=10, nprobe=8).collect()
+    ]
+    assert 0 in probed  # query's own cell is always probed first
+    assert len(set(probed) & set(pure_adc)) >= 6
+    enc.unpersist()

@@ -564,6 +564,45 @@ def pq_adc_score(
     return total
 
 
+def ivfpq_topk(
+    indexed_codes: DataFrame,
+    centroids: DataFrame,
+    books: np.ndarray,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """IVF-PQ with ADC scoring — the Faiss lake-scale layout (IndexIVFPQ):
+    the coarse quantizer picks the nprobe nearest cells (an IN-list
+    literal → partition pruning over the partitionBy("cell") corpus), and
+    survivors are scored by PQ asymmetric distance — m element_at lookups
+    per row against query-time literal LUTs, so the probe reads 1 byte
+    per subspace per row and does no vector math at all.
+
+    Codes encode RAW vectors, not per-cell residuals (Faiss
+    by_residual=false): one codebook set serves every cell, so the encode
+    stage, the append path, and generated oracles stay cell-independent.
+
+    ``indexed_codes`` must carry ``cell`` (assign_ivf_cells) and
+    ``codes_col`` (pq_encode_kernel). At 100 TB both are materialized at
+    index-build time; a probe then scans nprobe/num_cells of an
+    m-bytes-per-row table — the full-precision vectors are never read."""
+    cents = centroids.collect()
+    q = np.asarray(query, dtype=np.float64)
+    order = sorted(
+        cents, key=lambda r: float(np.sum((np.asarray(r["centroid"]) - q) ** 2))
+    )
+    probe = [r["cell"] for r in order[:nprobe]]
+    return (
+        indexed_codes.where(F.col("cell").isin(probe))
+        .select(id_col, pq_adc_score(books, query, codes_col).alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )
+
+
 def _rp_bucket_expr(vector_col: str, planes: np.ndarray) -> F.Column:
     """Sign-pattern bucket id over plan-literal hyperplanes (a long)."""
     bucket = F.lit(0).cast("long")
