@@ -2151,6 +2151,38 @@ def _minhash_verified_sql() -> str:
     )
 
 
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-threshold n-gram Jaccard near-dup join (no LSH, no false
+    negatives): AllPairs/PPJoin prefix filtering over word-3-shingle
+    sets — rarest-first global token order, probing prefix
+    |d|-ceil(t|d|)+1, length filter, then exact |A∩B|/|A∪B| verify
+    (dedup.jaccard_similarity_join). Complements minhash_near_dup: same
+    pair semantics, exact instead of probabilistic. Oracle: DuckDB
+    computes the full all-pairs exact jaccard (feasible at oracle sf) —
+    the driver gate therefore checks prefix-filter COMPLETENESS, not
+    just precision. Shingle hash is the shared SQL-expressible poly
+    hash (functions.text.poly_hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_similarity_join(
+        d, shingle_n=3, threshold=0.5
+    )
+
+
+_NGRAM_JACCARD_SQL = (
+    _MINHASH_SHINGLE_SQL.format(n=3, nm1=2)
+    + f""", hs AS (
+  SELECT doc_id, list_distinct(list_transform(shingles, s -> {_POLY_SQL.format(s='s', base=TX.POLY_BASE)})) AS h FROM sh
+), jp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_filter(a.h, v -> list_contains(b.h, v))) AS DOUBLE) AS i,
+         CAST(len(a.h) + len(b.h) AS DOUBLE) AS t
+  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(i / (t - i), 6) AS jaccard
+FROM jp WHERE round(i / (t - i), 6) >= 0.5"""
+)
+
+
 def dedup_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup canonicalization end-to-end: MinHash-LSH candidates →
     exact 5-gram jaccard verify → connected components over the verified
@@ -3608,6 +3640,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql),
     "hybrid_search_rrf": (hybrid_search_rrf, _HYBRID_SQL),
     "doc_winnow_fingerprints": (doc_winnow_fingerprints, _winnow_sql()),
+    "ngram_jaccard_dedup": (ngram_jaccard_dedup, _NGRAM_JACCARD_SQL),
     "m1_kmeans_clusters": (m1_kmeans_clusters, _m1_sql),
     "m10_pca_variance": (m10_pca_variance, _m10_sql),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),

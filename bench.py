@@ -41,6 +41,37 @@ def main() -> None:
         spark.range(0, 64, 1, 32).mapInPandas(
             _noop, schema="id long"
         ).write.format("noop").mode("overwrite").save()
+
+        # Remaining one-time engine paths, so whichever query runs first
+        # isn't charged their init: scalar pandas UDF (ArrowEvalPython),
+        # grouped applyInPandas (FlatMapGroupsInPandas), and MLlib
+        # (Summarizer UDAF + KMeans: JVM class load + Breeze init).
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _wu(s: pd.Series) -> pd.Series:
+            return s * 1.0
+
+        g = spark.range(64).select(
+            (F.col("id") % 4).alias("g"), F.col("id").cast("double").alias("x")
+        )
+        g.select(_wu("x")).write.format("noop").mode("overwrite").save()
+        g.groupBy("g").applyInPandas(
+            lambda pdf: pdf, schema="g long, x double"
+        ).write.format("noop").mode("overwrite").save()
+
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+        from pyspark.ml.stat import Summarizer
+
+        vecs = g.select("g", array_to_vector(F.array("x")).alias("v"))
+        vecs.groupBy("g").agg(Summarizer.mean(F.col("v")).alias("m")).select(
+            vector_to_array(F.col("m"))
+        ).write.format("noop").mode("overwrite").save()
+        KMeans(k=2, seed=1, featuresCol="v").fit(vecs)
+
         entrymod.prepare(spark, SF_DIR)
     except Exception:  # noqa: BLE001
         pass

@@ -294,3 +294,66 @@ def test_char_gram_hashes_np_matches_scalar_twin():
         assert got == want
 
     check()
+
+
+# --- exact-threshold jaccard similarity join (prefix filter) -----------------
+
+def _brute_jaccard_pairs(docs_rows, shingle_n, threshold):
+    """Driver-side brute force over the same word-shingle hash sets."""
+    from vector_search_optimization_spark.functions import text as TX
+    import numpy as np
+
+    sets = {}
+    for i, text in docs_rows:
+        toks = (text or "").lower().split()
+        sets[i] = set(
+            np.unique(TX.poly_hash_shingles_np(toks, shingle_n)).tolist()
+        )
+    ids = sorted(sets)
+    out = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            j = len(a & b) / len(a | b)
+            if round(j, 6) >= threshold:
+                out[(ids[x], ids[y])] = round(j, 6)
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_jaccard_similarity_join_matches_brute_force(docs, spark, threshold):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_similarity_join(
+            docs, shingle_n=3, threshold=threshold
+        ).collect()
+    }
+    want = _brute_jaccard_pairs(
+        [(r.doc_id, r.text) for r in docs.collect()], 3, threshold
+    )
+    assert got == want  # completeness AND precision, values included
+
+
+def test_jaccard_similarity_join_no_false_negatives_randomized(spark):
+    """Prefix filtering must be complete on a messier corpus: shared
+    boilerplate + random tails at mixed lengths."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        base = ["the", "data", "pipeline", "runs", "nightly"] * (
+            1 + i % 3
+        )
+        tail = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(0, 25))]
+        rows.append((i, " ".join(base + tail)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_similarity_join(
+            df, shingle_n=3, threshold=0.6
+        ).collect()
+    }
+    want = set(_brute_jaccard_pairs(rows, 3, 0.6))
+    assert got == want

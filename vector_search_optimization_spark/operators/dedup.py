@@ -600,3 +600,109 @@ def embedding_near_duplicates(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+# --- exact-threshold set-similarity join (AllPairs / PPJoin prefix filter) -----
+
+def jaccard_similarity_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-threshold n-gram Jaccard self-join via prefix filtering.
+
+    Unlike the MinHash/SimHash paths (probabilistic candidates), this is
+    the EXACT set-similarity join: every pair with word-``shingle_n``-gram
+    Jaccard >= ``threshold`` is returned, no false negatives — the
+    AllPairs / PPJoin prefix-filtering scheme (Bayardo WWW'07, Xiao
+    WWW'08; the same candidate family as the reference's threshold-based
+    similarity audits, chunk_similarities.ipynb:447 c21).
+
+    Stages (each a key-partitioned shuffle, no all-pairs anywhere):
+
+    1. distinct shingle-hash rows per doc (map-side explode, shared with
+       decontamination).
+    2. global document frequency per shingle — rarest-first total order
+       ``(df, g)``; no dense rank materialization, the struct itself
+       sorts.
+    3. per doc: sort tokens rarest-first, keep the probing prefix
+       ``|d| - ceil(t*|d|) + 1`` — any partner with Jaccard >= t must
+       share a prefix token (prefix-filtering principle).
+    4. candidates: self-equi-join of prefix rows on the shingle hash with
+       the length filter ``t*|a| <= |b| <= |a|/t``. Prefix tokens are the
+       RAREST tokens by construction, so candidate lists per key are
+       naturally skew-bounded (plus AQE skew-join).
+    5. verification: exact |A∩B| / |A∪B| on the full hash sets, joined
+       only for the (small) candidate id set.
+
+    Returns (id_a, id_b, jaccard) for verified pairs, jaccard rounded to
+    6 dp. At 100 TB this runs as: one explode, one df-count shuffle, one
+    g-join, one per-doc agg, one prefix self-join, two bounded verify
+    joins — all hash-partitioned on data keys.
+    """
+    toks = shingle_hash_rows(
+        df, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+    )
+    from pyspark import StorageLevel
+
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+
+    dfreq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        toks.join(dfreq, "g")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__df", "g"))).alias("__ts"))
+        .withColumn("__n", F.size("__ts"))
+    )
+    prefix_len = (
+        F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + F.lit(1)
+    ).cast("int")
+    pref = per_doc.select(
+        F.col(id_col),
+        F.col("__n"),
+        F.explode(
+            F.transform(
+                F.slice("__ts", F.lit(1), prefix_len), lambda s: s["g"]
+            )
+        ).alias("g"),
+    )
+    a = pref.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "g")
+    b = pref.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "g")
+    cand = (
+        a.join(b, "g")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__nb") * F.lit(threshold) <= F.col("__na"))
+            & (F.col("__na") * F.lit(threshold) <= F.col("__nb"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = (
+        toks.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("g")).alias("__s"))
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = F.size(F.array_union("__sa", "__sb")).cast("double")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
