@@ -135,3 +135,14 @@ def test_dbscan_eps_join_has_no_cartesian(spark, sf_small):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
+
+
+def test_jaccard_prefix_join_is_equi_join_with_broadcast_verify(spark, sf_small):
+    """The AllPairs candidate stage must plan as an EQUI-join on the
+    shingle hash (a nested-loop/cartesian there is the scale bug prefix
+    filtering exists to avoid), and the verification stage must restrict
+    the corpus via a broadcast left-semi on the bounded candidate ids."""
+    plan = _plan(m.queries()["ngram_jaccard_dedup"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
