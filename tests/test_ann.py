@@ -290,3 +290,67 @@ def test_ivfpq_composition_recall_and_pruning(spark, emb):
     assert 0 in probed  # query's own cell is always probed first
     assert len(set(probed) & set(pure_adc)) >= 6
     enc.unpersist()
+
+
+def test_streaming_ivf_index_maintenance(spark, emb, tmp_path):
+    """A parquet-file stream of fresh embeddings folds into the IVF
+    index via foreachBatch: after processAllAvailable the index holds
+    the full corpus, pre-existing files are untouched (append-only),
+    and a probe finds a streamed-in vector through the pruned scan."""
+    import glob
+    import os
+
+    from vector_search_optimization_spark.streaming.index_maintenance import (
+        stream_append_to_ivf_index,
+    )
+
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    cents = ann.train_ivf_centroids(old, num_cells=8, seed=42)
+    path = str(tmp_path / "ivf_index")
+    ann.write_ivf_index(old, cents, path)
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{path}/corpus/**/*.parquet", recursive=True)
+    }
+
+    # stage the stream: two arrival waves into a watched directory
+    src = str(tmp_path / "arrivals")
+    w1 = new.where(F.col("vec_id") % 4 == 1)
+    w2 = new.where(F.col("vec_id") % 4 == 3)
+    w1.write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    q = stream_append_to_ivf_index(
+        stream, path, checkpoint=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        w2.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    after = set(glob.glob(f"{path}/corpus/**/*.parquet", recursive=True))
+    assert set(before) <= after
+    for p, mtime in before.items():
+        assert os.path.getmtime(p) == mtime  # append-only contract
+
+    indexed, loaded_cents = ann.load_ivf_index(spark, path)
+    assert indexed.count() == emb.count()
+    assert {r.vec_id for r in indexed.select("vec_id").collect()} == {
+        r.vec_id for r in emb.select("vec_id").collect()
+    }
+
+    # probe near a streamed-in vector: it must surface via pruned cells
+    target = new.orderBy("vec_id").first()
+    got = {
+        r.vec_id
+        for r in ann.ivf_topk(
+            indexed, loaded_cents, target.embedding, k=5, nprobe=8
+        ).collect()
+    }
+    assert target.vec_id in got

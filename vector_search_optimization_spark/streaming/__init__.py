@@ -8,3 +8,4 @@ from .windows import (  # noqa: F401
     sliding_window_agg,
     tumbling_window_agg,
 )
+from .index_maintenance import stream_append_to_ivf_index  # noqa: F401
