@@ -354,3 +354,52 @@ def test_streaming_ivf_index_maintenance(spark, emb, tmp_path):
         ).collect()
     }
     assert target.vec_id in got
+
+
+def test_compact_ivf_cells_preserves_rows_and_prunes_files(spark, emb, tmp_path):
+    """Compaction rewrites only over-fragmented cells down to one file,
+    leaves compliant cells byte-untouched, and the corpus row set (and a
+    probe's results) are identical before and after."""
+    import glob
+    import os
+
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    cents = ann.train_ivf_centroids(old, num_cells=4, seed=42)
+    path = str(tmp_path / "ivf_index")
+    ann.write_ivf_index(old, cents, path)
+    # fragment the index: six tiny appends
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    for i in range(6):
+        ann.append_to_ivf_index(rest.where(F.col("vec_id") % 12 == 2 * i + 1), path)
+
+    def files_per_cell():
+        return {
+            d: sorted(glob.glob(f"{d}/*.parquet"))
+            for d in glob.glob(f"{path}/corpus/cell=*")
+        }
+
+    before = files_per_cell()
+    assert any(len(fs) > 4 for fs in before.values())  # fixture fragmented
+    rows_before = sorted(
+        r.vec_id for r in spark.read.parquet(f"{path}/corpus").collect()
+    )
+    compliant = {d for d, fs in before.items() if len(fs) <= 4}
+    mtimes = {f: os.path.getmtime(f) for d in compliant for f in before[d]}
+
+    compacted = ann.compact_ivf_cells(spark, path, max_files_per_cell=4)
+    assert compacted  # something was actually rewritten
+
+    after = files_per_cell()
+    for d in after:
+        assert len(after[d]) <= 4 or d in compliant
+    for f, t in mtimes.items():  # compliant cells untouched
+        assert os.path.getmtime(f) == t
+    rows_after = sorted(
+        r.vec_id for r in spark.read.parquet(f"{path}/corpus").collect()
+    )
+    assert rows_after == rows_before
+
+    indexed, loaded_cents = ann.load_ivf_index(spark, path)
+    q = emb.orderBy("vec_id").first().embedding
+    got = [r.vec_id for r in ann.ivf_topk(indexed, loaded_cents, q, k=5, nprobe=4).collect()]
+    assert len(got) == 5

@@ -426,6 +426,52 @@ def append_to_ivf_index(
     assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/corpus")
 
 
+def compact_ivf_cells(
+    spark,
+    path: str,
+    max_files_per_cell: int = 4,
+) -> list[int]:
+    """Index maintenance half #2: compact cells whose file count exceeds
+    ``max_files_per_cell`` — the small-file debt a streaming ingest
+    (streaming.index_maintenance) accrues, since every micro-batch lands
+    at least one new file per touched cell.
+
+    Only over-fragmented cells are rewritten (single-file coalesce into a
+    fresh directory, atomic rename swap); untouched cells keep their
+    files byte-identical, preserving the append-only economics. Returns
+    the compacted cell ids.
+
+    At 100 TB this is the nightly OPTIMIZE job: per-cell rewrite cost is
+    proportional to that cell's data, cells compact independently (safe
+    to shard across jobs), and probes keep partition-pruning throughout —
+    a probe mid-compaction reads either the old files or the swapped
+    directory, both complete."""
+    import glob
+    import os
+    import shutil
+
+    compacted: list[int] = []
+    for cell_dir in sorted(glob.glob(f"{path}/corpus/cell=*")):
+        files = glob.glob(f"{cell_dir}/*.parquet")
+        if len(files) <= max_files_per_cell:
+            continue
+        cell = int(os.path.basename(cell_dir).split("=", 1)[1])
+        tmp = f"{path}/_compact_cell_{cell}"
+        spark.read.parquet(cell_dir).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        staged = [
+            f for f in glob.glob(f"{tmp}/*.parquet")
+        ]
+        for f in files:
+            os.remove(f)
+        for i, f in enumerate(staged):
+            os.replace(f, f"{cell_dir}/compacted-{i}.parquet")
+        shutil.rmtree(tmp)
+        compacted.append(cell)
+    return compacted
+
+
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Open a written IVF index: (cell-partitioned corpus, centroids)."""
     return (
