@@ -3137,6 +3137,49 @@ FROM t ORDER BY doc_id
 """
 
 
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding word-window chunking of the documents table — the ingest
+    step between conversion and embedding that produces the reference's
+    chunk fact rows (SURVEY §1.1; 5,755 chunk rows at
+    silhouettes.ipynb:237 c11; chunk key shape ChunkLabelingProcesor.py:30).
+    32-token windows, 8-token overlap, stable chunk ids
+    ``{doc_id}_{chunk_ix}``. Pure projection + posexplode: chunking is
+    map-only at any corpus size (plan-pinned: zero Exchange)."""
+    d = load_table(spark, sf_dir, "documents")
+    exploded = d.select(
+        F.col("doc_id"),
+        F.explode(TX.word_chunks("text", chunk_tokens=32, overlap=8)).alias(
+            "c"
+        ),
+    )
+    return exploded.select(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit("_"), F.col("c.chunk_ix")
+        ).alias("chunk_id"),
+        "doc_id",
+        F.col("c.chunk_ix").alias("chunk_ix"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+_DOC_CHUNK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS w
+  FROM documents
+), st AS (
+  SELECT doc_id, w, unnest(range(0, len(w), 24)) AS s FROM toks
+)
+SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(s // 24 AS VARCHAR) AS chunk_id,
+       doc_id,
+       CAST(s // 24 AS INTEGER) AS chunk_ix,
+       CAST(least(len(w) - s, 32) AS INTEGER) AS n_tokens,
+       array_to_string(list_slice(w, s + 1, s + 32), ' ') AS chunk_text
+FROM st
+"""
+
+
 def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized ANN: the corpus is symmetric-per-vector
     quantized (4× storage cut), the query runs cosine top-20 over the
@@ -3643,6 +3686,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "f10_bpe_token_count": (f10_bpe_token_count, _f10_sql),
     "s7_convert_docs": (s7_convert_docs, _S7_SQL),
     "s7_pdf_roundtrip": (s7_pdf_roundtrip, _S7_PDF_SQL),
+    "doc_chunking": (doc_chunking, _DOC_CHUNK_SQL),
     "ann_quantized_topk": (ann_quantized_topk, _ANN_QUANT_SQL),
     "ann_pq_topk": (ann_pq_topk, _pq_sql),
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql),

@@ -146,3 +146,12 @@ def test_jaccard_prefix_join_is_equi_join_with_broadcast_verify(spark, sf_small)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_doc_chunking_is_map_only(spark, sf_small):
+    """Chunking is projection + generator only — ZERO Exchange in the
+    plan. A shuffle here would be charged on every byte of a 100 TB
+    ingest."""
+    plan = _plan(m.queries()["doc_chunking"](spark, sf_small))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode

@@ -182,3 +182,44 @@ def test_word_shingles_udtf_lateral(spark):
         (1, "quick brown fox", 1),
         (2, "hi", 0),
     ]
+
+
+# --- word-window chunking ----------------------------------------------------
+
+def test_word_chunks_windows_and_overlap(spark):
+    from vector_search_optimization_spark.functions import text as TX
+
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame([(0, " ".join(words)), (1, "a b"), (2, "  "), (3, None)],
+                               "doc_id long, text string")
+    out = {
+        r.doc_id: r.chunks
+        for r in df.select(
+            "doc_id", TX.word_chunks("text", chunk_tokens=4, overlap=2).alias("chunks")
+        ).collect()
+    }
+    c0 = out[0]
+    # stride = 2 over 10 words -> starts 0,2,4,6,8
+    assert [c.chunk_ix for c in c0] == [0, 1, 2, 3, 4]
+    assert c0[0].chunk_text == "w0 w1 w2 w3"
+    assert c0[1].chunk_text == "w2 w3 w4 w5"        # 2-token overlap
+    assert c0[-1].chunk_text == "w8 w9"              # short tail window
+    assert [c.n_tokens for c in c0] == [4, 4, 4, 4, 2]
+    assert [c.chunk_text for c in out[1]] == ["a b"]  # short doc: one chunk
+    assert out[2] == []                               # blank -> no chunks
+    assert out[3] in ([], None)                       # null-safe
+
+    # every token is covered by at least one chunk
+    covered = set()
+    for c in c0:
+        covered |= set(c.chunk_text.split())
+    assert covered == set(words)
+
+
+def test_word_chunks_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from vector_search_optimization_spark.functions import text as TX
+
+    with _pytest.raises(ValueError):
+        TX.word_chunks("text", chunk_tokens=4, overlap=4)

@@ -90,6 +90,42 @@ def truncate_by_token_budget(text: Column | str, budget_tokens: int, chars_per_t
 
 # --- quality scoring ---------------------------------------------------------
 
+def word_chunks(
+    text: Column | str, chunk_tokens: int = 64, overlap: int = 16
+) -> Column:
+    """Sliding word-window chunking — the reference's ingest step between
+    document conversion and embedding (chunks are the engine's fact rows,
+    SURVEY §1.1; 5,755 chunk rows from the corpus, silhouettes.ipynb:237
+    c11). Returns an array of structs (chunk_ix, n_tokens, chunk_text):
+    windows of ``chunk_tokens`` whitespace tokens starting every
+    ``chunk_tokens - overlap`` tokens, last windows shorter. Empty/blank
+    text yields no chunks.
+
+    Pure column expression — chunking a 100 TB corpus is a map-only
+    projection (zero shuffle; plan-pinned) and composes with posexplode
+    into one row per chunk.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    t = F.trim(_c(text))
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    n = F.size(words)
+    starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n - 1, F.lit(step)).cast("array<int>")
+    )
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_ix"),
+            F.least(n - s, F.lit(chunk_tokens)).alias("n_tokens"),
+            F.array_join(F.slice(words, s + 1, chunk_tokens), " ").alias(
+                "chunk_text"
+            ),
+        ),
+    )
+
+
 def char_count(text: Column | str) -> Column:
     return F.length(_c(text))
 
