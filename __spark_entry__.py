@@ -2661,22 +2661,18 @@ def pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget) — the one-pass streaming pack). One window shuffle on
     (lang, doc_id), one agg shuffle; at 100 TB the window partitions by
     (lang, shard) so no single partition holds a language's full corpus."""
-    d = load_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    from vector_search_optimization_spark.operators.packing import (
+        pack_by_token_budget,
     )
-    tok = TX.whitespace_token_count("text")
+
+    d = load_table(spark, sf_dir, "documents")
+    packed = pack_by_token_budget(
+        d.select("lang", "doc_id", "text"),
+        _PACK_BUDGET,
+        TX.whitespace_token_count("text"),
+    )
     return (
-        d.select("lang", "doc_id", tok.alias("n_tok"))
-        .withColumn(
-            "batch_id",
-            F.floor(
-                F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / _PACK_BUDGET
-            ),
-        )
-        .groupBy("lang", "batch_id")
+        packed.groupBy("lang", "batch_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("sum_tokens"),

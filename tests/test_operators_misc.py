@@ -118,3 +118,60 @@ def test_distance_matrix_symmetric_zero_diag(spark):
     got = {(r.id_a, r.id_b): r.dist for r in SIM.distance_matrix(df, "id", "v").collect()}
     assert got[(0, 0)] == 0.0
     assert got[(0, 1)] == got[(1, 0)] == pytest.approx(5.0)
+
+
+# --- token-budget packing (exact + sharded) ----------------------------------
+
+class TestPackByTokenBudget:
+    BUDGET = 40
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = [
+            (i, ["en", "es", "fr"][i % 3], " ".join("w" for _ in range(rng.randrange(1, 25))))
+            for i in range(120)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, lang string, text string").cache()
+
+    def _pack(self, corpus, shards):
+        from vector_search_optimization_spark.functions import text as TX
+        from vector_search_optimization_spark.operators.packing import (
+            pack_by_token_budget,
+        )
+
+        return pack_by_token_budget(
+            corpus,
+            self.BUDGET,
+            TX.whitespace_token_count("text"),
+            shards=shards,
+        )
+
+    def test_shard_count_one_is_the_exact_pack(self, corpus):
+        exact = {
+            (r.doc_id, r.batch_id) for r in self._pack(corpus, None).collect()
+        }
+        one = {
+            (r.doc_id, r.batch_id) for r in self._pack(corpus, 1).collect()
+        }
+        assert exact == one
+
+    @pytest.mark.parametrize("shards", [None, 4])
+    def test_budget_invariant_and_total_coverage(self, corpus, shards):
+        rows = self._pack(corpus, shards).collect()
+        assert {r.doc_id for r in rows} == set(range(120))  # every doc packed once
+        from collections import defaultdict
+
+        batches = defaultdict(list)
+        for r in rows:
+            key = (r.lang, getattr(r, "shard", 0), r.batch_id)
+            batches[key].append(r.n_tok)
+        for key, toks in batches.items():
+            # streaming-pack contract: only the final doc may overflow
+            assert sum(toks) <= self.BUDGET + max(toks), key
+
+    def test_sharded_window_partitions_by_shard(self, corpus):
+        plan = self._pack(corpus, 4)._jdf.queryExecution().executedPlan().toString()
+        assert "shard" in plan.split("Window")[0] or "shard" in plan  # shard in partition spec
