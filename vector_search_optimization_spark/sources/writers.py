@@ -91,3 +91,26 @@ def write_upsert(
     base_p = jvm.Path(base_path)
     fs.delete(base_p, True)
     fs.rename(jvm.Path(staging), base_p)
+
+
+def write_bucketed(
+    df,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize a hash-bucketed (optionally sorted) table — the
+    co-located-join layout SCALING.md prescribes for join-heavy keys
+    (doc_id, fingerprint buckets): two tables bucketed the same way on
+    the join key sort-merge-join with ZERO Exchange on either side, so
+    the shuffle is paid once at write time and amortized over every
+    downstream join. Registered through the session catalog because
+    bucket metadata lives there (a plain parquet path forgets it).
+    """
+    w = df.write.format(fmt).mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
