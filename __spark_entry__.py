@@ -1007,6 +1007,73 @@ FROM documents
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality metrics (Gopher-style corpus-cleaning signals):
+    per doc, the fraction of repeated words (1 - distinct/total) and the
+    concentration of the most frequent word-bigram (max bigram count /
+    total bigrams). Highly repetitive machine-generated text spikes both.
+    Scale: the bigram mode needs per-(doc, gram) counts — explode →
+    two combinable groupBy shuffles, never a per-doc driver pass; the
+    word-level fraction is a pure expression."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(TX.word_ngrams("text", 2)).alias("g")
+    )
+    gram_stats = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_2grams"),
+            F.max("c").alias("max_2gram_count"),
+        )
+    )
+    base = d.select(
+        "doc_id", F.round(TX.dup_word_fraction("text"), 6).alias("dup_word_frac")
+    )
+    return base.join(gram_stats, "doc_id", "left").select(
+        "doc_id",
+        "dup_word_frac",
+        F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
+        F.coalesce("max_2gram_count", F.lit(0)).alias("max_2gram_count"),
+        F.round(
+            F.coalesce(
+                F.col("max_2gram_count") / F.col("n_2grams"), F.lit(0.0)
+            ),
+            6,
+        ).alias("top_2gram_frac"),
+    )
+
+
+_TEXT_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               j -> array_to_string(list_slice(w, j, j + 1), ' '))) AS g
+  FROM toks WHERE len(w) >= 2
+), gc AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+), agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+         max(c) AS max_2gram_count
+  FROM gc GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CASE WHEN len(t.w) <= 0 THEN 0.0
+            ELSE round(1.0 - CAST(len(list_distinct(t.w)) AS DOUBLE) / len(t.w), 6)
+       END AS dup_word_frac,
+       coalesce(a.n_2grams, 0) AS n_2grams,
+       coalesce(a.max_2gram_count, 0) AS max_2gram_count,
+       coalesce(round(CAST(a.max_2gram_count AS DOUBLE) / a.n_2grams, 6), 0.0)
+         AS top_2gram_frac
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""
+
+
 def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup audit: total docs vs distinct canonical texts, and the
     row count surviving dedup_exact (must equal n_distinct)."""
@@ -3683,6 +3750,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "s7_convert_docs": (s7_convert_docs, _S7_SQL),
     "s7_pdf_roundtrip": (s7_pdf_roundtrip, _S7_PDF_SQL),
     "doc_chunking": (doc_chunking, _DOC_CHUNK_SQL),
+    "text_repetition": (text_repetition, _TEXT_REPETITION_SQL),
     "ann_quantized_topk": (ann_quantized_topk, _ANN_QUANT_SQL),
     "ann_pq_topk": (ann_pq_topk, _pq_sql),
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql),

@@ -223,3 +223,30 @@ def test_word_chunks_rejects_bad_overlap(spark):
 
     with _pytest.raises(ValueError):
         TX.word_chunks("text", chunk_tokens=4, overlap=4)
+
+
+def test_word_ngrams_and_repetition_metrics(spark):
+    from vector_search_optimization_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),
+            (1, "all words here are unique"),
+            (2, "x"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            TX.word_ngrams("text", 2).alias("grams"),
+            F.round(TX.dup_word_fraction("text"), 6).alias("dup"),
+        ).collect()
+    }
+    assert out[0].grams == ["spam spam"] * 3
+    assert out[0].dup == 0.75           # 4 words, 1 distinct
+    assert out[1].dup == 0.0
+    assert out[2].grams == [] and out[2].dup == 0.0   # < n words
+    assert out[3].grams == [] and out[3].dup == 0.0   # empty text

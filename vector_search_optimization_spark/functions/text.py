@@ -376,3 +376,28 @@ def char_ngrams(text: Column | str, n: int = 5) -> Column:
         lambda i: t.substr(i, F.lit(n)),
     )
     return F.when(k <= 0, F.array(t)).otherwise(F.array_distinct(grams))
+
+
+def word_ngrams(text: Column | str, n: int = 2) -> Column:
+    """Array of word n-grams WITH multiplicity (unlike word_shingles,
+    which dedups for MinHash): the input for repetition metrics, where
+    the whole signal is how often grams repeat. Texts with fewer than n
+    words yield an empty array."""
+    words = F.filter(F.split(F.lower(F.trim(_c(text))), r"\s+"), lambda w: w != "")
+    k = F.size(words) - (n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+
+
+def dup_word_fraction(text: Column | str) -> Column:
+    """1 - distinct/total words — word-level repetitiveness (the cheap
+    cousin of Gopher's duplicate-line fraction; pure expression)."""
+    words = F.filter(F.split(F.lower(F.trim(_c(text))), r"\s+"), lambda w: w != "")
+    n = F.size(words)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(words)) / n.cast("double")
+    )
