@@ -442,10 +442,11 @@ def compact_ivf_cells(
     the compacted cell ids.
 
     At 100 TB this is the nightly OPTIMIZE job: per-cell rewrite cost is
-    proportional to that cell's data, cells compact independently (safe
-    to shard across jobs), and probes keep partition-pruning throughout —
-    a probe mid-compaction reads either the old files or the swapped
-    directory, both complete."""
+    proportional to that cell's data and cells compact independently
+    (safe to shard across jobs). Run it as offline maintenance — the
+    swap is per-file, not transactional, so a probe racing a compaction
+    can see a cell mid-swap; at lake scale the same rewrite goes through
+    the table format's commit protocol instead."""
     import glob
     import os
     import shutil
