@@ -3320,10 +3320,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_sql() -> str:
-    """Generated oracle: same sample → same _lloyd_kmeans codebooks →
-    DuckDB recomputes per-subspace argmin codes (struct-min, ties →
-    lowest code) and the identical literal LUT sums."""
+def _pq_oracle_parts() -> tuple[str, "np.ndarray"]:
+    """Shared generator for the PQ oracles: re-derives the codebooks from
+    the vec_id-ordered oracle data and returns (adc_sql_expr, qvec) —
+    the literal-LUT asymmetric-distance expression over `embedding` plus
+    the query vector (vec_id=0)."""
     import duckdb
 
     con = duckdb.sql(
@@ -3362,10 +3363,58 @@ def _pq_sql() -> str:
         lut = ((books[j] - qs[None, :]) ** 2).sum(axis=1)
         lut_lits = ", ".join(f"{float(v)!r}" for v in lut)
         sub_terms.append(f"([{lut_lits}])[{code} + 1]")
-    adc = " + ".join(sub_terms)
+    return " + ".join(sub_terms), qvec
+
+
+def _pq_sql() -> str:
+    """Generated oracle: same sample → same _lloyd_kmeans codebooks →
+    DuckDB recomputes per-subspace argmin codes (struct-min, ties →
+    lowest code) and the identical literal LUT sums."""
+    adc, _ = _pq_oracle_parts()
     return f"""
 SELECT vec_id, round({adc}, 6) AS adc_dist
 FROM embeddings ORDER BY adc_dist, vec_id LIMIT 20
+"""
+
+
+def ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ retrieval (Jégou ADC + exact re-rank, Faiss
+    IndexRefineFlat): ADC shortlists 100 candidates via literal lookup
+    tables, full-precision squared euclidean re-scores ONLY those rows,
+    true top-10 returned — how compressed storage keeps exact-quality
+    answers (full-precision reads amortize over the shortlist, not the
+    corpus). Oracle: the shared literal-LUT ADC CTE + exact re-rank
+    recomputed by DuckDB over the identical candidate cut."""
+    e = load_table(spark, sf_dir, "embeddings")
+    books = ann.train_pq_codebooks(
+        e.orderBy("vec_id"), _PQ_M, _PQ_KSUB, seed=42
+    )
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    enc = ann.pq_encode_kernel(e.select("vec_id", "embedding"), books)
+    top = ann.pq_refined_topk(enc, books, qvec, k=10, rerank=100)
+    return top.select(
+        "vec_id",
+        F.round("exact_dist", 6).alias("exact_dist"),
+        F.round("adc_dist", 6).alias("adc_dist"),
+    )
+
+
+def _pq_refined_sql() -> str:
+    adc, qvec = _pq_oracle_parts()
+    qlits = ", ".join(f"{float(v)!r}" for v in qvec)
+    return f"""
+WITH cand AS (
+  SELECT vec_id, embedding, {adc} AS adc_dist
+  FROM embeddings ORDER BY adc_dist, vec_id LIMIT 100
+), ref AS (
+  SELECT vec_id, adc_dist,
+         list_sum(list_transform(list_zip(embedding, [{qlits}]),
+              p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))
+           AS exact_dist
+  FROM cand
+)
+SELECT vec_id, round(exact_dist, 6) AS exact_dist, round(adc_dist, 6) AS adc_dist
+FROM ref ORDER BY exact_dist, vec_id LIMIT 10
 """
 
 
@@ -3754,6 +3803,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_quantized_topk": (ann_quantized_topk, _ANN_QUANT_SQL),
     "ann_pq_topk": (ann_pq_topk, _pq_sql),
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql),
+    "ann_pq_refined_topk": (ann_pq_refined_topk, _pq_refined_sql),
     "hybrid_search_rrf": (hybrid_search_rrf, _HYBRID_SQL),
     "doc_winnow_fingerprints": (doc_winnow_fingerprints, _winnow_sql()),
     "ngram_jaccard_dedup": (ngram_jaccard_dedup, _NGRAM_JACCARD_SQL),

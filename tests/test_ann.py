@@ -403,3 +403,29 @@ def test_compact_ivf_cells_preserves_rows_and_prunes_files(spark, emb, tmp_path)
     q = emb.orderBy("vec_id").first().embedding
     got = [r.vec_id for r in ann.ivf_topk(indexed, loaded_cents, q, k=5, nprobe=4).collect()]
     assert len(got) == 5
+
+
+def test_pq_refined_topk_recovers_exact_ranking(spark, emb):
+    """Re-ranking must return the TRUE top-k whenever the ADC shortlist
+    contains it — with rerank = corpus size the result equals exact
+    brute-force squared-euclidean ranking; with a tight shortlist the
+    top-1 (the query itself) still survives."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    q = next(r.embedding for r in rows if r.vec_id == rows[0].vec_id)
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    qv = np.array(q, dtype=np.float64)
+    exact_order = sorted(
+        ((float(((x - qv) ** 2).sum()), r.vec_id) for x, r in zip(X, rows)),
+    )[:5]
+    want = [vid for _, vid in exact_order]
+
+    books = ann.train_pq_codebooks(emb.orderBy("vec_id"), 8, 16, seed=42)
+    enc = ann.pq_encode_kernel(emb.select("vec_id", "embedding"), books)
+
+    full = ann.pq_refined_topk(enc, books, q, k=5, rerank=len(rows)).collect()
+    assert [r.vec_id for r in full] == want  # rerank=n == exact ranking
+
+    tight = ann.pq_refined_topk(enc, books, q, k=1, rerank=10).collect()
+    assert tight[0].vec_id == want[0] and tight[0].exact_dist == 0.0

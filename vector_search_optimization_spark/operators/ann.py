@@ -611,6 +611,43 @@ def pq_adc_score(
     return total
 
 
+def pq_refined_topk(
+    enc: DataFrame,
+    books: "np.ndarray",
+    query: Sequence[float],
+    k: int = 10,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ retrieval (Jégou et al. '11 §V: ADC shortlist +
+    exact re-ranking — Faiss IndexRefineFlat): the compressed scan
+    shortlists ``rerank`` candidates by asymmetric distance (m lookups
+    per row, no vector math), then ONLY those rows are re-scored with
+    full-precision squared euclidean and the true top-k returned.
+
+    This is how PQ's 32x storage cut keeps exact-quality results: the
+    full-precision read amortizes over ``rerank`` rows instead of the
+    corpus. ``enc`` must carry both the codes and the original vector
+    column. Scale shape: the ADC stage is TakeOrdered (k*partitions rows
+    shuffle), the refine stage touches ``rerank`` rows total.
+    """
+    cand = (
+        enc.withColumn("adc_dist", pq_adc_score(books, query))
+        .orderBy("adc_dist", id_col)
+        .limit(rerank)
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    from ..functions import vector as V
+
+    return (
+        cand.withColumn("exact_dist", V.sq_euclidean(vector_col, qcol))
+        .orderBy("exact_dist", id_col)
+        .limit(k)
+        .select(id_col, "exact_dist", "adc_dist")
+    )
+
+
 def ivfpq_topk(
     indexed_codes: DataFrame,
     centroids: DataFrame,
