@@ -2155,6 +2155,44 @@ FROM events GROUP BY 1, 2
 """
 
 
+def evt_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup (GROUPING SETS): per-(event_type, hour)
+    totals, per-event_type subtotals, and the grand total in ONE pass —
+    Spark compiles the rollup to a single Expand + aggregate, so the
+    three report levels cost one shuffle, not three jobs (the engine-side
+    version of the reference's layered report tables,
+    main-script1.ipynb:1141 c41 family). grouping_level disambiguates
+    rows (0=leaf, 1=per-type, 3=grand total)."""
+    e = load_table(spark, sf_dir, "events")
+    hours = e.select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("hour_start"),
+        "value",
+    )
+    return (
+        hours.rollup("event_type", "hour_start")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.grouping_id().alias("grouping_level"),
+        )
+        .select(
+            "event_type", "hour_start", "n", "sum_value", "grouping_level"
+        )
+    )
+
+
+_EVT_ROLLUP_SQL = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,
+       count(*) AS n, round(sum(value), 4) AS sum_value,
+       CAST(GROUPING(event_type) * 2 + GROUPING(hour_start) AS BIGINT)
+         AS grouping_level
+FROM events
+GROUP BY ROLLUP(event_type, hour_start)
+"""
+
+
 def evt_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1h length, 15m slide): each event lands in 4
     overlapping windows (streaming/windows.py sliding_window_agg batch twin)."""
@@ -3800,6 +3838,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "s7_pdf_roundtrip": (s7_pdf_roundtrip, _S7_PDF_SQL),
     "doc_chunking": (doc_chunking, _DOC_CHUNK_SQL),
     "text_repetition": (text_repetition, _TEXT_REPETITION_SQL),
+    "evt_rollup": (evt_rollup, _EVT_ROLLUP_SQL),
     "ann_quantized_topk": (ann_quantized_topk, _ANN_QUANT_SQL),
     "ann_pq_topk": (ann_pq_topk, _pq_sql),
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql),

@@ -191,3 +191,12 @@ def test_bucketed_tables_join_without_exchange(spark, sf_small):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         shutil.rmtree("spark-warehouse/bkt_docs_a", ignore_errors=True)
         shutil.rmtree("spark-warehouse/bkt_docs_b", ignore_errors=True)
+
+
+def test_rollup_is_single_pass_expand(spark, sf_small):
+    """The three report granularities must compile to ONE Expand + one
+    partial/final aggregate pair — not three scans/jobs."""
+    plan = _plan(m.queries()["evt_rollup"](spark, sf_small))
+    assert "Expand" in plan
+    assert plan.count("Scan") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final around one shuffle
