@@ -147,3 +147,40 @@ def test_connected_components_matches_reference_union_find(spark, edges):
         r.pid: r.component for r in connected_components(df).collect()
     }
     assert got == want
+
+
+# --- word-window chunking properties -----------------------------------------
+
+@given(
+    n_words=st.integers(min_value=0, max_value=60),
+    chunk_tokens=st.integers(min_value=2, max_value=12),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+@settings(max_examples=25, deadline=None)
+def test_word_chunks_cover_exactly_with_stride(spark, n_words, chunk_tokens, overlap_frac):
+    """For any (n, window, overlap): chunk starts are exactly the stride
+    grid below n, windows reconstruct the original word sequence, and
+    token counts match window sizes."""
+    from vector_search_optimization_spark.functions import text as TX
+
+    overlap = min(int(chunk_tokens * overlap_frac), chunk_tokens - 1)
+    step = chunk_tokens - overlap
+    words = [f"w{i}" for i in range(n_words)]
+    df = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    chunks = df.select(
+        TX.word_chunks("text", chunk_tokens=chunk_tokens, overlap=overlap).alias("c")
+    ).first().c
+
+    expected_starts = list(range(0, n_words, step))
+    assert len(chunks) == len(expected_starts)
+    for c, s in zip(chunks, expected_starts):
+        body = words[s : s + chunk_tokens]
+        assert c.chunk_text == " ".join(body)
+        assert c.n_tokens == len(body)
+    # stride-coverage: concatenating each window's non-overlapping tail
+    # reproduces the corpus exactly
+    rebuilt = []
+    for c, s in zip(chunks, expected_starts):
+        toks = c.chunk_text.split()
+        rebuilt.extend(toks if s == 0 else toks[overlap:] if len(toks) > overlap else [])
+    assert rebuilt == words or n_words == 0
