@@ -773,9 +773,19 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     key = os.path.abspath(sf_dir.rstrip("/"))
+    # fingerprint the source data into the cache key: /root/testdata is
+    # REGENERATED between rounds (CLAUDE.md), and a stale cached index
+    # from a previous generation would silently diverge from the oracle,
+    # which always recomputes from the CURRENT parquet
+    src = os.path.join(key, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        fp = "nodata"
     path = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_ivf16v2_s42_{os.path.basename(key)}",
+        f"spark_graft_ivf16v2_s42_{os.path.basename(key)}_{fp}",
     )
     if not os.path.exists(os.path.join(path, "centroids", "_SUCCESS")):
         e = load_table(spark, sf_dir, "embeddings")

@@ -238,3 +238,25 @@ def test_binaryfile_ingest_end_to_end(spark, tmp_path):
     assert by.loc["g.pptx", "converted"] and "slide ten" in by.loc["g.pptx", "text"]
     # n_chars consistent
     assert (by[by.converted].n_chars == by[by.converted].text.str.len()).all()
+
+
+def test_pdf_literal_string_escape_edge_cases():
+    """Spec edge cases that previously crashed extraction: \\8 and \\9 are
+    unknown escapes (the digit survives), \\08 is octal NUL + literal 8,
+    unicode digits are not octal, and an unterminated hex string skips
+    only its own token rather than aborting the remaining stream."""
+    from vector_search_optimization_spark.sources.converters import (
+        _pdf_content_text,
+        _pdf_literal_string,
+    )
+
+    assert _pdf_literal_string(r"(a\9b)", 0)[0] == "a9b"
+    assert _pdf_literal_string(r"(a\8b)", 0)[0] == "a8b"
+    assert _pdf_literal_string(r"(a\08b)", 0)[0] == "a\x008b"
+    assert _pdf_literal_string(r"(a\101b)", 0)[0] == "aAb"
+    assert _pdf_literal_string("(a\\²b)", 0)[0] == "a²b"
+
+    # unterminated hex token must not swallow the rest of the stream
+    data = b"BT (before) Tj < 4142 (after) Tj ET"
+    out = _pdf_content_text(data)
+    assert "before" in out and "after" in out

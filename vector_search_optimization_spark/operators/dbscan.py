@@ -195,6 +195,7 @@ def dbscan_distributed(
     num_lines: int = 2,
     seed: int = 42,
     driver_pair_limit: int = 2_000_000,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed DBSCAN: blocked ε-join → core points → connected
     components. The registered scale path for M4.
@@ -224,15 +225,21 @@ def dbscan_distributed(
     Cluster ids are min-member-ids (stable, not 0..C-1); use
     dense_label_numbering for compact ids when needed.
     """
-    pairs = eps_neighbor_pairs(
-        df, eps, vector_col=vector_col, id_col=id_col,
-        num_lines=num_lines, seed=seed,
-    ).persist()
+    # a grid sweep hoists the eps-join per eps (pairs depend only on eps,
+    # not min_samples) and passes it in; ownership (unpersist) stays with
+    # whoever built it
+    owns_pairs = pairs is None
+    if pairs is None:
+        pairs = eps_neighbor_pairs(
+            df, eps, vector_col=vector_col, id_col=id_col,
+            num_lines=num_lines, seed=seed,
+        ).persist()
 
     n_pairs = pairs.count() if driver_pair_limit > 0 else driver_pair_limit + 1
     if n_pairs <= driver_pair_limit:
         rows = [(r[0], r[1]) for r in pairs.collect()]
-        pairs.unpersist()
+        if owns_pairs:
+            pairs.unpersist()
         deg: dict = {}
         for a, _ in rows:
             deg[a] = deg.get(a, 0) + 1
@@ -332,7 +339,9 @@ def dbscan_grid_search(
     Each combo labels via ``dbscan_distributed`` (the scale path) unless
     the corpus fits a single task's m² working set, where the numpy
     kernel is cheaper; ``use_distributed`` forces either. The input is
-    persisted for the sweep — one scan feeds all |eps|×|ms| combos.
+    persisted for the sweep — one scan feeds all |eps|×|ms| combos — and
+    the ε-pair table is built once per eps and shared across the
+    min_samples axis (it does not depend on min_samples).
     """
     from .clustering import silhouette_exact_distributed
 
@@ -343,10 +352,19 @@ def dbscan_grid_search(
 
     results = []
     for eps in eps_grid:
+        # the eps-join depends only on eps: build it once per eps and
+        # share it across every min_samples combo (|ms|x fewer GEMM
+        # stages — the sweep's dominant cost)
+        eps_pairs = (
+            eps_neighbor_pairs(df, eps, vector_col=vector_col, id_col=id_col)
+            .persist()
+            if use_distributed
+            else None
+        )
         for ms in min_samples_grid:
             if use_distributed:
                 lab = dbscan_distributed(
-                    df, eps, ms, vector_col, id_col
+                    df, eps, ms, vector_col, id_col, pairs=eps_pairs
                 ).select(id_col, "dbscan_label")
             else:
                 lab = dbscan_kernel(df, eps, ms, vector_col, id_col)
@@ -363,5 +381,7 @@ def dbscan_grid_search(
                 {"eps": eps, "min_samples": ms, "n_clusters": n_clusters,
                  "silhouette": sil}
             )
+        if eps_pairs is not None:
+            eps_pairs.unpersist()
     df.unpersist()
     return results

@@ -647,6 +647,9 @@ def jaccard_similarity_join(
     )
     from pyspark import StorageLevel
 
+    # session-lifetime caches (same policy as ngram_jaccard_pairs): the
+    # result is lazy, so these cannot unpersist before consumption; at
+    # lake scale both are materialized tables, not caches
     toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
 
     dfreq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))

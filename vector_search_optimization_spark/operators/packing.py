@@ -35,13 +35,18 @@ def pack_by_token_budget(
     out_tokens: str = "n_tok",
     out_batch: str = "batch_id",
 ) -> DataFrame:
-    """Assign each row a batch id such that batches fill greedily in
-    ``id_col`` order until the running token total crosses ``budget``.
+    """Assign each row ``batch_id = floor(exclusive_cumulative_tokens /
+    budget)`` in ``id_col`` order — the one-pass windowed pack.
 
-    Returns the input columns plus (n_tok, [shard,] batch_id). A batch's
-    token sum only exceeds the budget by at most its final document —
-    the standard streaming-pack contract (a single over-budget document
-    still gets a batch of its own).
+    Returns the input columns plus (n_tok, [shard,] batch_id). Invariant:
+    a batch's token sum exceeds the budget by at most its final document.
+    Note the floor-of-cumsum semantics deliberately differ from a
+    counter-resetting greedy pack: an over-budget document's overshoot
+    counts against the FOLLOWING batch ids (budget=10, tokens [19, 2, 9]
+    → batches [19], [2], [9], where a resetting pack would give [19],
+    [2, 9]). In exchange the assignment is a pure expression over one
+    window — no stateful scan — and global token offsets are recoverable
+    from batch ids alone.
     """
     out = df.withColumn(out_tokens, tokens)
     if shards is None:

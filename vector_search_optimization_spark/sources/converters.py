@@ -242,9 +242,11 @@ def _pdf_literal_string(s: str, i: int) -> tuple[str, int]:
             if e in esc:
                 out.append(esc[e])
                 i += 1
-            elif e.isdigit():  # octal, up to 3 digits
+            elif e in "01234567":  # octal, up to 3 OCTAL digits only —
+                # \8, \9 (and unicode digits) are unknown escapes per the
+                # spec, and \08 is octal \0 followed by a literal '8'
                 j = i
-                while j < n and j < i + 3 and s[j].isdigit():
+                while j < n and j < i + 3 and s[j] in "01234567":
                     j += 1
                 out.append(chr(int(s[i:j], 8) & 0xFF))
                 i = j
@@ -295,7 +297,11 @@ def _pdf_content_text(data: bytes) -> str:
         elif c == "<" and i + 1 < n and s[i + 1] != "<":
             j = s.find(">", i + 1)
             if j == -1:
-                break
+                # unterminated hex string (truncated/malformed stream):
+                # skip this token only — breaking would discard all text
+                # after it
+                i += 1
+                continue
             hx = re.sub(r"\s", "", s[i + 1 : j])
             if len(hx) % 2:
                 hx += "0"
