@@ -3027,14 +3027,16 @@ def f11_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same tokenizer driver-side, so truncation semantics (whole
     pre-tokens, never splitting one) are value-checked."""
     d = load_table(spark, sf_dir, "documents")
-    n_tok = TX.bpe_token_count_exact("text")
-    kept_text = TX.bpe_truncate_exact("text", _F11_BUDGET_TOKENS)
+    # fused kernel: ONE pre-tokenization pass per document (count +
+    # truncation audit together) instead of three separate UDF passes
+    stats = TX.bpe_budget_stats_expr("text", _F11_BUDGET_TOKENS)
     return (
-        d.select(
+        d.select("lang", stats.alias("__s"))
+        .select(
             "lang",
-            n_tok.alias("__n"),
-            TX.bpe_token_count_exact(kept_text).alias("__kept_tok"),
-            F.length(kept_text).alias("__kept_chars"),
+            F.col("__s.n_tok").alias("__n"),
+            F.col("__s.kept_tok").alias("__kept_tok"),
+            F.col("__s.kept_chars").alias("__kept_chars"),
         )
         .groupBy("lang")
         .agg(
@@ -3054,24 +3056,21 @@ def _f11_sql() -> str:
     the identical python tokenizer (functions.bpe), emitted as literals."""
     import duckdb
 
-    from vector_search_optimization_spark.functions.bpe import (
-        bpe_token_count,
-        bpe_truncate,
-    )
+    from vector_search_optimization_spark.functions.bpe import bpe_budget_stats
 
     pdf = duckdb.sql(
         f"SELECT lang, text FROM '{_oracle_sf_dir()}/documents.parquet'"
     ).df()
     agg: dict[str, list[int]] = {}
     for lang, text in zip(pdf["lang"], pdf["text"]):
-        text = text or ""
-        n = bpe_token_count(text)
-        kept = bpe_truncate(text, _F11_BUDGET_TOKENS)
+        n, kept_tok, kept_chars = bpe_budget_stats(
+            text or "", _F11_BUDGET_TOKENS
+        )
         a = agg.setdefault(lang, [0, 0, 0, 0])
         a[0] += 1
         a[1] += 1 if n > _F11_BUDGET_TOKENS else 0
-        a[2] += bpe_token_count(kept)
-        a[3] += len(kept)
+        a[2] += kept_tok
+        a[3] += kept_chars
     vals = ", ".join(
         f"('{lang}', {a[0]}, {a[1]}, {a[2]}, {a[3]})"
         for lang, a in sorted(agg.items())

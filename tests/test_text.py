@@ -250,3 +250,31 @@ def test_word_ngrams_and_repetition_metrics(spark):
     assert out[1].dup == 0.0
     assert out[2].grams == [] and out[2].dup == 0.0   # < n words
     assert out[3].grams == [] and out[3].dup == 0.0   # empty text
+
+
+def test_bpe_budget_stats_equals_composed_definition():
+    """The fused one-pass stats must equal the compositional definition
+    (count, count∘truncate, len∘truncate) — guards the pre-tokenization
+    boundary assumption the fusion relies on."""
+    from vector_search_optimization_spark.functions.bpe import (
+        bpe_budget_stats,
+        bpe_token_count,
+        bpe_truncate,
+    )
+
+    cases = [
+        "hello world, this is a test 123 !!",
+        "",
+        None,
+        "x" * 300,
+        "palabra años café  naïve\t\n trailing   ",
+        "don't split contractions (it's 'tricky')",
+    ]
+    for t in cases:
+        for b in (0, 1, 5, 40, 10_000):
+            kept = bpe_truncate(t, b)
+            assert bpe_budget_stats(t, b) == (
+                bpe_token_count(t),
+                bpe_token_count(kept),
+                len(kept),
+            ), (t, b)

@@ -401,3 +401,18 @@ def dup_word_fraction(text: Column | str) -> Column:
     return F.when(n <= 0, F.lit(0.0)).otherwise(
         1.0 - F.size(F.array_distinct(words)) / n.cast("double")
     )
+
+
+def bpe_budget_stats_expr(text: Column | str, budget_tokens: int) -> Column:
+    """F10+F11 fused: struct(n_tok, kept_tok, kept_chars) in ONE
+    Arrow-batched pass (one pre-tokenization scan per document instead
+    of three — see functions.bpe.bpe_budget_stats)."""
+
+    @F.pandas_udf("struct<n_tok: long, kept_tok: long, kept_chars: long>")
+    def _u(s: pd.Series) -> pd.DataFrame:
+        from .bpe import bpe_budget_stats
+
+        rows = [bpe_budget_stats(x, budget_tokens) for x in s]
+        return pd.DataFrame(rows, columns=["n_tok", "kept_tok", "kept_chars"])
+
+    return _u(_c(text))
