@@ -3581,83 +3581,31 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderBy+limit (TakeOrdered — no global window over the corpus),
     ranks the bounded result list, and RRF fuses:
     score = Σ 1/(60 + rank), absent side contributes 0."""
+    from vector_search_optimization_spark.operators import retrieval as R
+
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     e = load_table(spark, sf_dir, "embeddings")
     base = d.join(e, d["doc_id"] == e["vec_id"]).select("doc_id", "text", "embedding")
 
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
-
-    def _tf(term: str):
-        # NB: a two-arg lambda would be read as (element, index) by
-        # F.filter — close over the term via a factory instead
-        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
-
-    tfs = [_tf(term).alias(f"tf{j}") for j, term in enumerate(_HYBRID_TERMS)]
-    scored = base.select(
-        "doc_id", "embedding", F.size(toks).cast("double").alias("dl"), *tfs
+    with_kw = R.bm25_keyword_scores(
+        base, _HYBRID_TERMS, "text", "doc_id", k1=_BM25_K1, b=_BM25_B
     )
-    stats = scored.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.sum((F.col(f"tf{j}") > 0).cast("long")).alias(f"df{j}")
-            for j in range(len(_HYBRID_TERMS))
-        ],
-    )
-    # BM25: idf * tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)); identical
-    # association order in the SQL mirror so 6dp rounding is bit-stable
-    kw_expr = None
-    for j in range(len(_HYBRID_TERMS)):
-        tf = F.col(f"tf{j}").cast("double")
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n") - F.col(f"df{j}") + 0.5) / (F.col(f"df{j}") + 0.5)
-        )
-        denom = tf + _BM25_K1 * (
-            1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
-        )
-        term_score = F.when(
-            F.col(f"df{j}") > 0, idf * (tf * (_BM25_K1 + 1.0)) / denom
-        ).otherwise(F.lit(0.0))
-        kw_expr = term_score if kw_expr is None else kw_expr + term_score
-    with_kw = scored.crossJoin(F.broadcast(stats)).select(
-        "doc_id", "embedding", F.round(kw_expr, 6).alias("kw_score")
-    )
-
-    w_all = Window.orderBy(F.desc("kw_score"), "doc_id")
-    kw_top = (
-        with_kw.where(F.col("kw_score") > 0)
-        .orderBy(F.desc("kw_score"), "doc_id")
-        .limit(_HYBRID_TOP)
-        .withColumn("rank_kw", F.row_number().over(w_all))
-        .select("doc_id", "rank_kw")
+    kw_top = R.top_ranked(
+        with_kw.where(F.col("kw_score") > 0),
+        "kw_score", "doc_id", _HYBRID_TOP, "rank_kw",
     )
 
     qvec = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
-    w_vec = Window.orderBy(F.desc("vec_score"), "doc_id")
-    vec_top = (
-        base.select(
-            "doc_id",
-            F.round(V.cosine_similarity("embedding", qlit), 6).alias("vec_score"),
-        )
-        .where(F.col("vec_score").isNotNull())
-        .orderBy(F.desc("vec_score"), "doc_id")
-        .limit(_HYBRID_TOP)
-        .withColumn("rank_vec", F.row_number().over(w_vec))
-        .select("doc_id", "rank_vec")
+    vec_scored = base.select(
+        "doc_id",
+        F.round(V.cosine_similarity("embedding", qlit), 6).alias("vec_score"),
+    ).where(F.col("vec_score").isNotNull())
+    vec_top = R.top_ranked(
+        vec_scored, "vec_score", "doc_id", _HYBRID_TOP, "rank_vec"
     )
 
-    fused = kw_top.join(vec_top, "doc_id", "full_outer").select(
-        "doc_id",
-        F.coalesce("rank_kw", F.lit(0)).alias("rank_kw"),
-        F.coalesce("rank_vec", F.lit(0)).alias("rank_vec"),
-        F.round(
-            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rank_kw")), F.lit(0.0))
-            + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rank_vec")), F.lit(0.0)),
-            6,
-        ).alias("rrf_score"),
-    )
+    fused = R.rrf_fuse({"kw": kw_top, "vec": vec_top}, "doc_id", _RRF_K)
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)
 
 

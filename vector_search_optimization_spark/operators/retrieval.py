@@ -1,0 +1,229 @@
+"""Engine-side search surface: BM25 keyword scoring, rank fusion, and a
+SearchIndex facade mirroring the reference's search-client API.
+
+The reference delegates retrieval to Azure AI Search — full index scans
+(``search_text="*"``, update-etiquetas.ipynb:96 c6 ``get_all_docs``),
+keyed lookups, hybrid keyword+vector queries (SURVEY §0), and
+``merge_documents`` partial upserts (ChunkLabelingProcesor.py:49). This
+module re-expresses that client surface over engine operators so a user
+of the reference can switch call-for-call:
+
+- keyword ranking  → ``bm25_keyword_scores`` (Azure's keyword ranker is
+  BM25; Robertson/Lucene idf with k1/b saturation)
+- vector ranking   → operators.ann (brute force here; IVF via the
+  materialized index for lake scale)
+- hybrid           → per-side top-N + ``rrf_fuse`` (reciprocal-rank
+  fusion, Azure's hybrid combination)
+- merge_documents  → operators.upsert.upsert_fields
+
+Scale notes: corpus stats (N, df, avgdl) are one aggregated row
+broadcast back; each search side is a map-side score + TakeOrdered
+(k×partitions shuffle rows); fusion joins two bounded top-N lists.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_K = 60
+
+
+def bm25_keyword_scores(
+    df: DataFrame,
+    terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(id, kw_score [, keep_cols]) — BM25 over whitespace tokens.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term saturation
+    tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)). Corpus stats are a
+    single aggregated row, broadcast — the scan stays map-side.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+
+    def _tf(term: str):
+        # NB: a two-arg lambda would be read as (element, index) by
+        # F.filter — close over the term via a factory instead
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    tfs = [_tf(term).alias(f"tf{j}") for j, term in enumerate(terms)]
+    scored = df.select(
+        id_col,
+        *keep_cols,
+        F.size(toks).cast("double").alias("dl"),
+        *tfs,
+    )
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{j}") > 0).cast("long")).alias(f"df{j}")
+            for j in range(len(terms))
+        ],
+    )
+    kw_expr = None
+    for j in range(len(terms)):
+        tf = F.col(f"tf{j}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col(f"df{j}") + 0.5) / (F.col(f"df{j}") + 0.5)
+        )
+        denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        term_score = F.when(
+            F.col(f"df{j}") > 0, idf * (tf * (k1 + 1.0)) / denom
+        ).otherwise(F.lit(0.0))
+        kw_expr = term_score if kw_expr is None else kw_expr + term_score
+    return scored.crossJoin(F.broadcast(stats)).select(
+        id_col, *keep_cols, F.round(kw_expr, 6).alias("kw_score")
+    )
+
+
+def top_ranked(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    top: int,
+    rank_col: str,
+) -> DataFrame:
+    """(id, rank) for the top-N by score — TakeOrdered on the corpus,
+    row_number only over the bounded result list."""
+    w = Window.orderBy(F.desc(score_col), id_col)
+    return (
+        df.orderBy(F.desc(score_col), id_col)
+        .limit(top)
+        .withColumn(rank_col, F.row_number().over(w))
+        .select(id_col, rank_col)
+    )
+
+
+def rrf_fuse(
+    sides: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion over named rank lists: score =
+    Σ 1/(k + rank_side), a side where the doc is absent contributes 0.
+    Each side is (id, rank_<name>); the join is over bounded top-N lists.
+    """
+    fused = None
+    rank_cols = []
+    for name, side in sides.items():
+        rank_cols.append(f"rank_{name}")
+        fused = side if fused is None else fused.join(side, id_col, "full_outer")
+    score = None
+    for rc in rank_cols:
+        contrib = F.coalesce(
+            1.0 / (F.lit(k) + F.col(rc)), F.lit(0.0)
+        )
+        score = contrib if score is None else score + contrib
+    return fused.select(
+        id_col,
+        *[F.coalesce(rc, F.lit(0)).alias(rc) for rc in rank_cols],
+        F.round(score, 6).alias("rrf_score"),
+    )
+
+
+class SearchIndex:
+    """Drop-in engine surface for the reference's search-client calls.
+
+    ``docs`` is the indexed table; ``vector_col`` may be None for a
+    text-only index. All methods return lazy DataFrames (the reference's
+    client returns iterators — materialize with .collect() as needed).
+    """
+
+    def __init__(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        vector_col: str | None = "embedding",
+    ):
+        self.docs = docs
+        self.id_col = id_col
+        self.text_col = text_col
+        self.vector_col = vector_col
+
+    # --- scans / lookups (S4, J6) ---------------------------------------
+
+    def get_all(self, columns: Sequence[str] | None = None) -> DataFrame:
+        """search_text="*": the full index scan (S4)."""
+        return self.docs.select(*(columns or self.docs.columns))
+
+    def get_document(self, key) -> DataFrame:
+        """Keyed lookup (J6) — a pushed-down point filter."""
+        return self.docs.where(F.col(self.id_col) == F.lit(key))
+
+    # --- search (keyword / vector / hybrid) -----------------------------
+
+    def search_keyword(self, terms: Sequence[str], k: int = 10) -> DataFrame:
+        scored = bm25_keyword_scores(
+            self.docs, terms, self.text_col, self.id_col
+        )
+        return (
+            scored.where(F.col("kw_score") > 0)
+            .orderBy(F.desc("kw_score"), self.id_col)
+            .limit(k)
+        )
+
+    def search_vector(self, query: Sequence[float], k: int = 10) -> DataFrame:
+        if self.vector_col is None:
+            raise ValueError("index has no vector column")
+        from . import ann
+
+        return ann.brute_force_topk(
+            self.docs, query, k=k, id_col=self.id_col,
+            vector_col=self.vector_col,
+        )
+
+    def search_hybrid(
+        self,
+        terms: Sequence[str],
+        query: Sequence[float],
+        k: int = 10,
+        top_per_side: int = 100,
+    ) -> DataFrame:
+        kw = bm25_keyword_scores(
+            self.docs, terms, self.text_col, self.id_col
+        ).where(F.col("kw_score") > 0)
+        qlit = F.array(*[F.lit(float(x)) for x in query])
+        vec = self.docs.select(
+            self.id_col,
+            F.round(
+                V.cosine_similarity(self.vector_col, qlit), 6
+            ).alias("vec_score"),
+        ).where(F.col("vec_score").isNotNull())
+        fused = rrf_fuse(
+            {
+                "kw": top_ranked(kw, "kw_score", self.id_col, top_per_side, "rank_kw"),
+                "vec": top_ranked(vec, "vec_score", self.id_col, top_per_side, "rank_vec"),
+            },
+            id_col=self.id_col,
+        )
+        return fused.orderBy(F.desc("rrf_score"), self.id_col).limit(k)
+
+    # --- writeback (S11) ------------------------------------------------
+
+    def merge_documents(self, updates: DataFrame) -> "SearchIndex":
+        """merge_documents semantics: partial field upsert by key;
+        returns the updated index (lazy — persist/write to pin)."""
+        from .upsert import upsert_fields
+
+        return SearchIndex(
+            upsert_fields(self.docs, updates, self.id_col),
+            self.id_col,
+            self.text_col,
+            self.vector_col,
+        )
