@@ -169,6 +169,12 @@ def test_bucketed_tables_join_without_exchange(spark, sf_small):
 
     docs = load_table(spark, sf_small, "documents")
     try:
+        # a killed previous run can leave unregistered table directories
+        # behind; saveAsTable refuses an existing location
+        spark.sql("DROP TABLE IF EXISTS bkt_docs_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_docs_b")
+        shutil.rmtree("spark-warehouse/bkt_docs_a", ignore_errors=True)
+        shutil.rmtree("spark-warehouse/bkt_docs_b", ignore_errors=True)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         write_bucketed(
             docs.select("doc_id", "lang"), "bkt_docs_a", "doc_id", 8,
