@@ -3488,9 +3488,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round(F.col("adc_dist"), 6).alias("adc_dist"))
 
 
-def _ivfpq_sql() -> str:
-    """Generated oracle: _ivf_sql's literal-centroid cell assignment
-    composed with _pq_sql's literal codebook ADC, probe filter included."""
+def _ivfpq_oracle_parts() -> tuple[str, str, str, "np.ndarray"]:
+    """Shared generator for the IVF-PQ oracles: returns (cell_structs,
+    probe_inlist, adc_expr, qvec) — _ivf_sql's literal-centroid cell
+    assignment composed with _pq_sql's literal codebook ADC."""
     import duckdb
 
     from vector_search_optimization_spark.operators.ann import _lloyd_kmeans
@@ -3551,6 +3552,11 @@ def _ivfpq_sql() -> str:
         lut_lits = ", ".join(f"{float(v)!r}" for v in lut)
         sub_terms.append(f"([{lut_lits}])[{code} + 1]")
     adc = " + ".join(sub_terms)
+    return cell_structs, probe, adc, qvec
+
+
+def _ivfpq_sql() -> str:
+    cell_structs, probe, adc, _ = _ivfpq_oracle_parts()
     return f"""
 WITH assigned AS (
   SELECT vec_id, embedding, list_min([{cell_structs}])['c'] AS cell
@@ -3559,6 +3565,56 @@ WITH assigned AS (
 SELECT vec_id, round({adc}, 6) AS adc_dist
 FROM assigned WHERE cell IN ({probe})
 ORDER BY adc_dist, vec_id LIMIT 20
+"""
+
+
+def ann_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete production ANN stack in one query (Faiss IndexIVFPQ
+    + IndexRefineFlat): coarse cells prune the scan (partition pruning),
+    PQ-ADC shortlists 100 candidates at one byte per subspace per row,
+    and only the shortlist's full-precision vectors are fetched back (id
+    IN-list pushed to the parquet scan) for the exact top-10. Oracle:
+    the shared cell/LUT literal parts + an exact re-rank CTE."""
+    e = load_table(spark, sf_dir, "embeddings")
+    books = ann.train_pq_codebooks(
+        e.orderBy("vec_id"), _PQ_M, _PQ_KSUB, seed=42
+    )
+    path = _ivf_index_dir(spark, sf_dir)
+    indexed, cents = ann.load_ivf_index(spark, path)
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    enc = ann.pq_encode_kernel(
+        indexed.select("vec_id", "embedding", "cell"), books
+    ).drop("embedding")
+    top = ann.ivfpq_refined_topk(
+        enc, indexed, cents, books, qvec, k=10, rerank=100, nprobe=4
+    )
+    return top.select(
+        "vec_id",
+        F.round("exact_dist", 6).alias("exact_dist"),
+        F.round("adc_dist", 6).alias("adc_dist"),
+    )
+
+
+def _ivfpq_refined_sql() -> str:
+    cell_structs, probe, adc, qvec = _ivfpq_oracle_parts()
+    qlits = ", ".join(f"{float(v)!r}" for v in qvec)
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, list_min([{cell_structs}])['c'] AS cell
+  FROM embeddings
+), cand AS (
+  SELECT vec_id, embedding, {adc} AS adc_dist
+  FROM assigned WHERE cell IN ({probe})
+  ORDER BY adc_dist, vec_id LIMIT 100
+), ref AS (
+  SELECT vec_id, adc_dist,
+         list_sum(list_transform(list_zip(embedding, [{qlits}]),
+              p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))
+           AS exact_dist
+  FROM cand
+)
+SELECT vec_id, round(exact_dist, 6) AS exact_dist, round(adc_dist, 6) AS adc_dist
+FROM ref ORDER BY exact_dist, vec_id LIMIT 10
 """
 
 
@@ -3800,6 +3856,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_pq_topk": (ann_pq_topk, _pq_sql),
     "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql),
     "ann_pq_refined_topk": (ann_pq_refined_topk, _pq_refined_sql),
+    "ann_ivfpq_refined_topk": (ann_ivfpq_refined_topk, _ivfpq_refined_sql),
     "hybrid_search_rrf": (hybrid_search_rrf, _HYBRID_SQL),
     "doc_winnow_fingerprints": (doc_winnow_fingerprints, _winnow_sql()),
     "ngram_jaccard_dedup": (ngram_jaccard_dedup, _NGRAM_JACCARD_SQL),

@@ -429,3 +429,37 @@ def test_pq_refined_topk_recovers_exact_ranking(spark, emb):
 
     tight = ann.pq_refined_topk(enc, books, q, k=1, rerank=10).collect()
     assert tight[0].vec_id == want[0] and tight[0].exact_dist == 0.0
+
+
+def test_ivfpq_refined_topk_exact_when_unconstrained(spark, emb, tmp_path):
+    """With every cell probed and rerank = corpus size, the composed
+    IVF-PQ + refine stack must reproduce exact squared-euclidean
+    ranking; the refine fetch must read only shortlist ids."""
+    import numpy as np
+
+    cents = ann.train_ivf_centroids(emb, num_cells=4, seed=42)
+    path = str(tmp_path / "ivf")
+    ann.write_ivf_index(emb, cents, path)
+    indexed, loaded_cents = ann.load_ivf_index(spark, path)
+    books = ann.train_pq_codebooks(emb.orderBy("vec_id"), 8, 16, seed=42)
+    enc = ann.pq_encode_kernel(
+        indexed.select("vec_id", "embedding", "cell"), books
+    ).drop("embedding")
+
+    rows = emb.select("vec_id", "embedding").collect()
+    q = rows[0].embedding
+    qv = np.array(q, dtype=np.float64)
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    want = [
+        vid
+        for _, vid in sorted(
+            (float(((x - qv) ** 2).sum()), r.vec_id) for x, r in zip(X, rows)
+        )[:5]
+    ]
+
+    got = ann.ivfpq_refined_topk(
+        enc, indexed, loaded_cents, books, q,
+        k=5, rerank=len(rows), nprobe=4,
+    ).collect()
+    assert [r.vec_id for r in got] == want
+    assert got[0].exact_dist == 0.0  # the query vector itself

@@ -687,6 +687,67 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_refined_topk(
+    indexed_codes: DataFrame,
+    vectors_df: DataFrame,
+    centroids: DataFrame,
+    books: np.ndarray,
+    query: Sequence[float],
+    k: int = 10,
+    rerank: int = 100,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """The full production retrieval stack (Faiss IndexIVFPQ +
+    IndexRefineFlat): coarse cell pruning picks nprobe cells, the PQ-ADC
+    scan shortlists ``rerank`` candidates reading one byte per subspace
+    per row, and ONLY the shortlist's full-precision vectors are fetched
+    back — by an id IN-list that pushes down to the parquet scan — for
+    the exact top-k.
+
+    The shortlist collect is bounded (``rerank`` rows of id+score) and is
+    what makes the refine fetch a pushed-down point read instead of a
+    corpus scan — same driver role as the nprobe centroid pick. The
+    compressed index never stores vectors; the vector table is touched
+    for ~rerank rows per query regardless of corpus size."""
+    cents = centroids.collect()
+    q = np.asarray(query, dtype=np.float64)
+    order = sorted(
+        cents, key=lambda r: float(np.sum((np.asarray(r["centroid"]) - q) ** 2))
+    )
+    probe = [r["cell"] for r in order[:nprobe]]
+    cand_rows = (
+        indexed_codes.where(F.col("cell").isin(probe))
+        .select(id_col, pq_adc_score(books, query, codes_col).alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(rerank)
+        .collect()
+    )
+    spark = indexed_codes.sparkSession
+    id_type = indexed_codes.schema[id_col].dataType
+    cand_df = spark.createDataFrame(
+        [(r[0], float(r[1])) for r in cand_rows],
+        T.StructType(
+            [
+                T.StructField(id_col, id_type),
+                T.StructField("adc_dist", T.DoubleType()),
+            ]
+        ),
+    )
+    ids = [r[0] for r in cand_rows]
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        vectors_df.where(F.col(id_col).isin(ids))
+        .select(id_col, V.sq_euclidean(vector_col, qcol).alias("exact_dist"))
+        .join(F.broadcast(cand_df), id_col)
+        .orderBy("exact_dist", id_col)
+        .limit(k)
+        .select(id_col, "exact_dist", "adc_dist")
+    )
+
+
 def _rp_bucket_expr(vector_col: str, planes: np.ndarray) -> F.Column:
     """Sign-pattern bucket id over plan-literal hyperplanes (a long)."""
     bucket = F.lit(0).cast("long")
