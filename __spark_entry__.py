@@ -3488,10 +3488,20 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round(F.col("adc_dist"), 6).alias("adc_dist"))
 
 
+_IVFPQ_PARTS_CACHE: dict[str, tuple] = {}
+
+
 def _ivfpq_oracle_parts() -> tuple[str, str, str, "np.ndarray"]:
     """Shared generator for the IVF-PQ oracles: returns (cell_structs,
     probe_inlist, adc_expr, qvec) — _ivf_sql's literal-centroid cell
-    assignment composed with _pq_sql's literal codebook ADC."""
+    assignment composed with _pq_sql's literal codebook ADC. Cached per
+    oracle sf dir (two oracles consume it; the 9 k-means fits are
+    identical) — keyed on the env-dependent dir, NOT a bare lru_cache,
+    because SPARK_GRAFT_ORACLE_SF_DIR differs between the parity test
+    and check_correctness."""
+    cached = _IVFPQ_PARTS_CACHE.get(_oracle_sf_dir())
+    if cached is not None:
+        return cached
     import duckdb
 
     from vector_search_optimization_spark.operators.ann import _lloyd_kmeans
@@ -3552,6 +3562,7 @@ def _ivfpq_oracle_parts() -> tuple[str, str, str, "np.ndarray"]:
         lut_lits = ", ".join(f"{float(v)!r}" for v in lut)
         sub_terms.append(f"([{lut_lits}])[{code} + 1]")
     adc = " + ".join(sub_terms)
+    _IVFPQ_PARTS_CACHE[_oracle_sf_dir()] = (cell_structs, probe, adc, qvec)
     return cell_structs, probe, adc, qvec
 
 

@@ -42,9 +42,17 @@ def test_keyword_search_is_bm25_ranked(index):
     # doc 4 has the highest saturated tf; 3 (no hit) must be absent
     assert ids[0] == 4
     assert 3 not in ids
-    # idf sanity: a term hitting every doc scores lower than a rare one
-    rare = bm25_keyword_scores(index.docs, ["pastry"]).collect()
-    assert max(r.kw_score for r in rare) > 0
+    # idf sanity: for a doc containing both terms once, the rare term
+    # ("pastry", df=1) outscores the common one ("shuffle", df=4)
+    both = bm25_keyword_scores(index.docs, ["pastry", "shuffle"]).collect()
+    rare_only = bm25_keyword_scores(index.docs, ["pastry"]).collect()
+    common_only = bm25_keyword_scores(index.docs, ["shuffle"]).collect()
+    rare_best = max(r.kw_score for r in rare_only)
+    common_single_tf = next(
+        r.kw_score for r in common_only if r.doc_id == 0  # tf=1, like pastry
+    )
+    assert rare_best > common_single_tf
+    assert max(r.kw_score for r in both) > 0
 
 
 def test_vector_search_finds_nearest(index):

@@ -712,19 +712,12 @@ def ivfpq_refined_topk(
     corpus scan — same driver role as the nprobe centroid pick. The
     compressed index never stores vectors; the vector table is touched
     for ~rerank rows per query regardless of corpus size."""
-    cents = centroids.collect()
-    q = np.asarray(query, dtype=np.float64)
-    order = sorted(
-        cents, key=lambda r: float(np.sum((np.asarray(r["centroid"]) - q) ** 2))
-    )
-    probe = [r["cell"] for r in order[:nprobe]]
-    cand_rows = (
-        indexed_codes.where(F.col("cell").isin(probe))
-        .select(id_col, pq_adc_score(books, query, codes_col).alias("adc_dist"))
-        .orderBy("adc_dist", id_col)
-        .limit(rerank)
-        .collect()
-    )
+    # the probe + shortlist stage IS ivfpq_topk with k=rerank — one
+    # implementation of the coarse-probe/ADC block, not a third copy
+    cand_rows = ivfpq_topk(
+        indexed_codes, centroids, books, query,
+        k=rerank, nprobe=nprobe, id_col=id_col, codes_col=codes_col,
+    ).collect()
     spark = indexed_codes.sparkSession
     id_type = indexed_codes.schema[id_col].dataType
     cand_df = spark.createDataFrame(

@@ -49,7 +49,14 @@ def bm25_keyword_scores(
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term saturation
     tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)). Corpus stats are a
     single aggregated row, broadcast — the scan stays map-side.
+    Terms are matched case-insensitively (documents tokenize through
+    lower(); terms lowercase here to match). NULL-text rows are excluded
+    up front so N, df, and avgdl all describe the same scoreable corpus.
     """
+    if not terms:
+        raise ValueError("terms must be a non-empty sequence")
+    terms = [str(t).lower() for t in terms]
+    df = df.where(F.col(text_col).isNotNull())
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
@@ -195,6 +202,8 @@ class SearchIndex:
         k: int = 10,
         top_per_side: int = 100,
     ) -> DataFrame:
+        if self.vector_col is None:
+            raise ValueError("index has no vector column")
         kw = bm25_keyword_scores(
             self.docs, terms, self.text_col, self.id_col
         ).where(F.col("kw_score") > 0)
