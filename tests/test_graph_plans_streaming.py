@@ -317,3 +317,68 @@ def test_streaming_first_seen_dedup_matches_batch(spark, sf_small):
         .collect()
     }
     assert got == want and len(got) > 50
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """The late-data contract, end to end: after the watermark advances
+    past a window and append mode emits it, an event arriving for that
+    window is DROPPED — its count never changes — while an event inside
+    the horizon still lands."""
+    from vector_search_optimization_spark.streaming.windows import (
+        tumbling_window_agg,
+    )
+
+    src = str(tmp_path / "events_src")
+    schema = "ts timestamp, event_type string, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 0, 30)
+    # batch 1: one event in the 00:00 window, then advance event time to
+    # 06:00 — with a 2h watermark the horizon moves to 04:00, far past
+    # the 00:00 window, which append mode then finalizes and emits
+    write_batch("b1", [
+        (t0, "click", 1.0),
+        (dt.datetime(2026, 1, 1, 6, 0), "click", 1.0),
+    ])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = tumbling_window_agg(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late_drop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one event LATE for the closed 00:00 window (dropped),
+        # one inside the horizon (kept, emitted once its window closes)
+        write_batch("b2", [
+            (dt.datetime(2026, 1, 1, 0, 45), "click", 1.0),   # late -> drop
+            (dt.datetime(2026, 1, 1, 5, 30), "click", 1.0),   # in horizon
+        ])
+        # batch 3: push event time far ahead so every open window closes
+        write_batch("b3", [(dt.datetime(2026, 1, 2, 0, 0), "click", 1.0)])
+        q.processAllAvailable()
+        rows = {
+            r.window_start: r.n
+            for r in spark.sql("SELECT * FROM t_late_drop").collect()
+        }
+    finally:
+        q.stop()
+
+    h0 = int(dt.datetime(2026, 1, 1, 0, 0, tzinfo=dt.timezone.utc).timestamp())
+    h530 = int(dt.datetime(2026, 1, 1, 5, 0, tzinfo=dt.timezone.utc).timestamp())
+    assert rows[h0] == 1          # late arrival did NOT bump the closed window
+    assert rows[h530] == 1        # in-horizon event landed
