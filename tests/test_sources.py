@@ -208,3 +208,47 @@ def test_excel_sheet_selection_and_shared_strings(spark, tmp_path):
         )
     header2, rows2 = xlsx.read_xlsx(shared_path)
     assert header2 == ["k"] and rows2 == [["shared!"]]
+
+
+def test_load_table_reads_nanos_encoded_events_exactly(spark, tmp_path):
+    """The NANOS footer variant (round-1 encoding; testdata regenerates
+    between rounds) must convert ns→µs by EXACT integer floor — the
+    double-division path is off by 1µs for ~12% of arbitrary ns values,
+    which would hash-mismatch DuckDB's exact truncation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    # include values known to diverge through float(ns)/1000
+    ns_vals = [
+        1788088685978497970,   # floor .497, double path .498
+        1766230646241134991,
+        1786698970099899833,
+        1787000000000000000,   # exact on both paths
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(ns_vals)), pa.int64()),
+            "ts": pa.array(ns_vals, pa.timestamp("ns")),
+            "event_type": pa.array(["click"] * len(ns_vals)),
+            "value": pa.array([1.0] * len(ns_vals)),
+        }
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+
+    from vector_search_optimization_spark.sources.readers import load_table
+
+    got = {
+        r.event_id: r.ts
+        for r in load_table(spark, sf_dir, "events").collect()
+    }
+    for i, ns in enumerate(ns_vals):
+        want = dt.datetime.fromtimestamp(
+            (ns // 1000) / 1_000_000, tz=dt.timezone.utc
+        ).replace(tzinfo=None)
+        micro_want = ns // 1000
+        got_micro = int(
+            got[i].replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+        )
+        assert got_micro == micro_want, (i, ns, got[i])

@@ -57,7 +57,9 @@ def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
     )
     if nanos:
         raw = raw.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            # integer division — the double round-trip is off by 1µs for
+            # ~12% of arbitrary ns values (see sources.readers.load_table)
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return raw
 
