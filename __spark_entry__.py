@@ -711,14 +711,14 @@ FROM pairs
 
 
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN baseline — exact top-10 by cosine to the vec_id=0 vector."""
+    """ANN baseline — exact top-10 by cosine to the min-vec_id vector."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = e.orderBy("vec_id").select("embedding").first()[0]
     return ann.brute_force_topk(e, q, k=10)
 
 
 _ANN_SQL = """
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
 SELECT vec_id,
        round(list_reduce(list_transform(list_zip(embedding, qv),
              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
@@ -820,7 +820,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _ivf_index_dir(spark, sf_dir)
     indexed, cents = ann.load_ivf_index(spark, path)
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    q = e.orderBy("vec_id").select("embedding").first()[0]
     return ann.ivf_topk(indexed, cents, q, k=10, nprobe=4)
 
 
@@ -867,7 +867,7 @@ WITH assigned AS (
   SELECT vec_id, embedding, list_min([{structs}])['c'] AS cell
   FROM embeddings
 ),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
 SELECT a.vec_id,
        round(list_reduce(list_transform(list_zip(a.embedding, qv),
              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
@@ -3300,7 +3300,7 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures SQ recall directly."""
     e = load_table(spark, sf_dir, "embeddings")
     deq = ann.quantize_int8(e).withColumn("deq", ann.dequantize_int8())
-    qvec = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = e.orderBy("vec_id").select("embedding").first()[0]
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
     return (
         deq.select(
@@ -3315,7 +3315,7 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_QUANT_SQL = """
 WITH q AS (
   SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-  FROM embeddings WHERE vec_id = 0
+  FROM embeddings ORDER BY vec_id LIMIT 1
 ), quant AS (
   SELECT vec_id,
          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
@@ -3347,7 +3347,7 @@ _PQ_M, _PQ_KSUB = 8, 16
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN (Jégou PQ-ADC): 16-centroid codebooks per 8
     subspaces (32× storage cut at dim 64), corpus encoded by an Arrow
-    argmin kernel, then the 20 nearest rows to the vec_id=0 query by
+    argmin kernel, then the 20 nearest rows to the min-vec_id query by
     asymmetric distance — m literal lookup tables, so the scan does 8
     element_at lookups per row and no vector math. The DuckDB oracle
     re-derives the same codebooks, codes, and LUT sums from literals."""
@@ -3355,7 +3355,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = ann.train_pq_codebooks(
         e.orderBy("vec_id"), _PQ_M, _PQ_KSUB, seed=42
     )
-    qvec = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = e.orderBy("vec_id").select("embedding").first()[0]
     enc = ann.pq_encode_kernel(e.select("vec_id", "embedding"), books)
     return (
         enc.select(
@@ -3371,7 +3371,7 @@ def _pq_oracle_parts() -> tuple[str, "np.ndarray"]:
     """Shared generator for the PQ oracles: re-derives the codebooks from
     the vec_id-ordered oracle data and returns (adc_sql_expr, qvec) —
     the literal-LUT asymmetric-distance expression over `embedding` plus
-    the query vector (vec_id=0)."""
+    the query vector (min vec_id)."""
     import duckdb
 
     con = duckdb.sql(
@@ -3379,7 +3379,7 @@ def _pq_oracle_parts() -> tuple[str, "np.ndarray"]:
         f"'{_oracle_sf_dir()}/embeddings.parquet' ORDER BY vec_id"
     ).df()
     X = np.asarray(con["embedding"].tolist(), dtype=np.float64)
-    qvec = X[int(np.argmax(con["vec_id"].to_numpy() == 0))]
+    qvec = X[0]  # data is vec_id-ordered; min-id row = the query vector
 
     m, ksub = _PQ_M, _PQ_KSUB
     dim = X.shape[1]
@@ -3436,7 +3436,7 @@ def ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = ann.train_pq_codebooks(
         e.orderBy("vec_id"), _PQ_M, _PQ_KSUB, seed=42
     )
-    qvec = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = e.orderBy("vec_id").select("embedding").first()[0]
     enc = ann.pq_encode_kernel(e.select("vec_id", "embedding"), books)
     top = ann.pq_refined_topk(enc, books, qvec, k=10, rerank=100)
     return top.select(
@@ -3480,7 +3480,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _ivf_index_dir(spark, sf_dir)
     indexed, cents = ann.load_ivf_index(spark, path)
-    qvec = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = e.orderBy("vec_id").select("embedding").first()[0]
     enc = ann.pq_encode_kernel(
         indexed.select("vec_id", "embedding", "cell"), books
     ).drop("embedding")
@@ -3511,7 +3511,7 @@ def _ivfpq_oracle_parts() -> tuple[str, str, str, "np.ndarray"]:
         f"'{_oracle_sf_dir()}/embeddings.parquet' ORDER BY vec_id"
     ).df()
     X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
-    qvec = X[int(np.argmax(pdf["vec_id"].to_numpy() == 0))]
+    qvec = X[0]  # data is vec_id-ordered; min-id row = the query vector
 
     # coarse quantizer — identical to _ivf_sql
     centers = _lloyd_kmeans(X[:100_000], 16, seed=42, max_iter=20)
@@ -3592,7 +3592,7 @@ def ann_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _ivf_index_dir(spark, sf_dir)
     indexed, cents = ann.load_ivf_index(spark, path)
-    qvec = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = e.orderBy("vec_id").select("embedding").first()[0]
     enc = ann.pq_encode_kernel(
         indexed.select("vec_id", "embedding", "cell"), books
     ).drop("embedding")
@@ -3644,7 +3644,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(1 + (N - df + 0.5)/(df + 0.5)) with k1/b saturation over doc
     length vs the corpus average; N, per-term df, and avgdl are computed
     distributedly and broadcast as one stats row. Vector side: cosine to
-    the vec_id=0 query. Each side takes its top-100 via a scale-safe
+    the min-vec_id query. Each side takes its top-100 via a scale-safe
     orderBy+limit (TakeOrdered — no global window over the corpus),
     ranks the bounded result list, and RRF fuses:
     score = Σ 1/(60 + rank), absent side contributes 0."""
@@ -3662,7 +3662,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kw_score", "doc_id", _HYBRID_TOP, "rank_kw",
     )
 
-    qvec = e.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = e.orderBy("vec_id").select("embedding").first()[0]
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
     vec_scored = base.select(
         "doc_id",
@@ -3713,7 +3713,7 @@ WITH base AS (
   ORDER BY kw_score DESC, doc_id LIMIT {_HYBRID_TOP}
 ), q AS (
   SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-  FROM embeddings WHERE vec_id = 0
+  FROM embeddings ORDER BY vec_id LIMIT 1
 ), vec AS (
   SELECT doc_id,
          round(
