@@ -2018,6 +2018,181 @@ def ep3_label_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["audit"].orderBy("etiqueta_cluster")
 
 
+def ep3_lloyd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 with a FULL value oracle: the labeling pipeline re-based on the
+    cross-engine-reproducible seeded Lloyd quantizer (m1's formulation) —
+    assign → deterministic near/far interleave (ties broken by id) →
+    ordered concat under a char budget → deterministic fake-LLM label per
+    cluster (call order = sorted cluster id) → audit. Output per cluster:
+    (etiqueta_cluster, n_docs, corpus_chars, corpus_sha) — the sha256 of
+    the exact prompt corpus value-checks the whole sampling path
+    (interleave order, concat, truncation), which the rows-only MLlib
+    ep3_label_pipeline cannot. n_docs is independently recomputed by
+    DuckDB via the literal-centroid struct-min assignment; the corpus
+    stats come from the python twin sharing _pairwise/_lloyd_kmeans.
+    Reference: update-etiquetas.ipynb:171 c9 end-to-end."""
+    import hashlib
+
+    from vector_search_optimization_spark.operators.nearest_centroid import (
+        nearest_centroid,
+    )
+    from vector_search_optimization_spark.plans import FakeChatModel
+
+    e = load_table(spark, sf_dir, "embeddings")
+    docs = e.select(
+        F.col("vec_id").alias("id"),
+        F.concat(F.lit("doc "), F.col("vec_id")).alias("content"),
+        F.col("embedding"),
+    )
+    cents = ann.train_ivf_centroids(
+        e.orderBy("vec_id"), num_cells=8, vector_col="embedding", seed=42
+    )
+    assigned = nearest_centroid(
+        docs, cents, vector_col="embedding", centroid_col="centroid",
+        label_col="cell", metric="sqeuclidean",
+        out_label="cluster", out_dist="dist",
+    ).persist()
+
+    k, budget_chars = 20, 100
+    w_near = Window.partitionBy("cluster").orderBy(
+        F.col("dist").asc(), F.col("id").asc()
+    )
+    w_far = Window.partitionBy("cluster").orderBy(
+        F.col("dist").desc(), F.col("id").asc()
+    )
+    ranked = assigned.withColumn(
+        "__rn", F.row_number().over(w_near)
+    ).withColumn("__rf", F.row_number().over(w_far))
+    near = ranked.where(F.col("__rn") <= k).select(
+        "cluster", "id", "content", (F.col("__rn") * 2 - 1).alias("ord")
+    )
+    far = ranked.where(F.col("__rf") <= k).select(
+        "cluster", "id", "content", (F.col("__rf") * 2).alias("ord")
+    )
+    corpora = (
+        near.unionByName(far)
+        .groupBy("cluster")
+        .agg(
+            F.substring(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("ord", "id", "content"))
+                        ),
+                        lambda r: r["content"],
+                    ),
+                ),
+                1,
+                budget_chars,
+            ).alias("corpus")
+        )
+        .orderBy("cluster")
+        .collect()
+    )
+    llm = FakeChatModel()
+    stats = [
+        (
+            int(r["cluster"]),
+            llm(r["corpus"]),
+            len(r["corpus"]),
+            hashlib.sha256(r["corpus"].encode()).hexdigest(),
+        )
+        for r in corpora
+    ]
+    stats_df = spark.createDataFrame(
+        stats,
+        "cluster long, etiqueta_cluster string, corpus_chars int, corpus_sha string",
+    )
+    hist = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        hist.join(F.broadcast(stats_df), "cluster")
+        .select("etiqueta_cluster", "n_docs", "corpus_chars", "corpus_sha")
+        .orderBy("etiqueta_cluster")
+    )
+
+
+def _ep3_lloyd_sql() -> str:
+    """Generated oracle: python twin of the sampling path (shared
+    _pairwise + _lloyd_kmeans — bit-identical distances), corpus stats as
+    literals, n_docs recomputed by DuckDB from literal centroids."""
+    import hashlib
+
+    import duckdb
+
+    from vector_search_optimization_spark.operators.ann import _lloyd_kmeans
+    from vector_search_optimization_spark.operators.nearest_centroid import (
+        _pairwise,
+    )
+
+    pdf = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        f"'{_oracle_sf_dir()}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    centers = _lloyd_kmeans(X[:100_000], 8, seed=42, max_iter=20)
+    cents = np.asarray(
+        [list(map(float, c)) for c in centers], dtype=np.float32
+    ).astype(np.float64)
+    d = _pairwise(X, cents, "sqeuclidean")
+    arg = d.argmin(axis=1)
+    dist = d[np.arange(len(arg)), arg]
+
+    k, budget_chars = 20, 100
+    lit_rows = []
+    for idx, c in enumerate(sorted(set(int(a) for a in arg))):
+        mem = [
+            (float(dist[i]), int(ids[i]), f"doc {int(ids[i])}")
+            for i in range(len(ids))
+            if arg[i] == c
+        ]
+        near = sorted(mem, key=lambda m: (m[0], m[1]))[:k]
+        far = sorted(mem, key=lambda m: (-m[0], m[1]))[:k]
+        rows = [(2 * r + 1, m[1], m[2]) for r, m in enumerate(near)] + [
+            (2 * r + 2, m[1], m[2]) for r, m in enumerate(far)
+        ]
+        rows.sort()
+        corpus = "\n".join(r[2] for r in rows)[:budget_chars]
+        lit_rows.append(
+            (
+                c,
+                f"label-{idx}",
+                len(corpus),
+                hashlib.sha256(corpus.encode()).hexdigest(),
+            )
+        )
+
+    def cell_dist(i: int) -> str:
+        lits = ", ".join(f"{float(x)!r}" for x in cents[i])
+        return (
+            "list_reduce(list_transform(list_zip(embedding, "
+            f"[{lits}]), p -> (CAST(p[1] AS DOUBLE) - p[2]) "
+            "* (CAST(p[1] AS DOUBLE) - p[2])), (x, y) -> x + y)"
+        )
+
+    structs = ", ".join(
+        "{'d': " + cell_dist(i) + f", 'c': {i}}}" for i in range(len(cents))
+    )
+    values = ", ".join(
+        f"({c}, '{lbl}', {n}, '{sha}')" for c, lbl, n, sha in lit_rows
+    )
+    return f"""
+WITH assigned AS (
+  SELECT list_min([{structs}])['c'] AS cluster FROM embeddings
+), hist AS (
+  SELECT cluster, count(*) AS n_docs FROM assigned GROUP BY cluster
+), lit AS (
+  SELECT * FROM (VALUES {values})
+         AS t(cluster, etiqueta_cluster, corpus_chars, corpus_sha)
+)
+SELECT l.etiqueta_cluster, h.n_docs,
+       CAST(l.corpus_chars AS INTEGER) AS corpus_chars, l.corpus_sha
+FROM hist h JOIN lit l USING (cluster)
+ORDER BY etiqueta_cluster
+"""
+
+
 def o7_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7 — interleave 2 nearest + 2 farthest events per user by value
     (the labeling-prompt sampling pattern, update-etiquetas.ipynb:171 c9)."""
@@ -3841,6 +4016,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "g1_cooccurrence_edges": (g1_cooccurrence_edges, _G1_SQL),
     "g2_communities": (g2_communities, _g2_sql),
     "ep3_label_pipeline": (ep3_label_pipeline, None),
+    "ep3_lloyd_audit": (ep3_lloyd_audit, _ep3_lloyd_sql),
     "o7_interleave": (o7_interleave, _O7_SQL),
     "f7_string_caps": (f7_string_caps, _F7_SQL),
     "j5_literal_map": (j5_literal_map, _J5_MAP_SQL),
