@@ -2412,7 +2412,7 @@ def minhash_verified_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     both have a DuckDB value oracle (_minhash_verified_sql)."""
     d = load_table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures_kernel(d)
-    cands = dedup.minhash_lsh_candidates(sigs)
+    cands = dedup.minhash_lsh_candidates(sigs, num_hashes=64)
     return dedup.ngram_jaccard_pairs(d, cands, ngram_n=5, threshold=0.5)
 
 
@@ -2492,7 +2492,7 @@ def dedup_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     express. Oracle: same pair graph, DuckDB recursive-CTE closure."""
     d = load_table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures_kernel(d)
-    cands = dedup.minhash_lsh_candidates(sigs)
+    cands = dedup.minhash_lsh_candidates(sigs, num_hashes=64)
     verified = dedup.ngram_jaccard_pairs(d, cands, ngram_n=5, threshold=0.5)
     return dedup.canonical_duplicate_groups(verified)
 

@@ -357,3 +357,57 @@ def test_jaccard_similarity_join_no_false_negatives_randomized(spark):
     }
     want = set(_brute_jaccard_pairs(rows, 3, 0.6))
     assert got == want
+
+
+# --- cross-path tokenization + NULL contract ---------------------------------
+
+def test_kernel_and_expression_signatures_agree_on_exotic_whitespace(spark):
+    """NBSP / U+2028 / tabs must tokenize identically in the expression
+    path (Java \\s+, ASCII), the Arrow kernels (word_tokens_py, ASCII
+    re), and — by construction — the DuckDB oracles (RE2 \\s+). Python
+    str.split() is unicode-aware and previously diverged the kernel."""
+    rows = [
+        (0, "alpha beta gamma delta"),        # NBSP inside a "word"
+        (1, "alpha beta gamma delta"),        # line separator
+        (2, "\tleading tab words here"),           # leading tab -> "" piece
+        (3, "plain ascii words only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = {
+        r.doc_id: r.signature
+        for r in dedup.minhash_signatures(df, num_hashes=8).collect()
+    }
+    kern = {
+        r.doc_id: r.signature
+        for r in dedup.minhash_signatures_kernel(df, num_hashes=8).collect()
+    }
+    assert expr == kern
+    sim_e = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    sim_k = {r.doc_id: r.simhash for r in dedup.simhash_kernel(df).collect()}
+    assert sim_e == sim_k
+
+
+def test_null_text_rows_are_dropped_by_all_signature_producers(spark):
+    df = spark.createDataFrame(
+        [(0, "real text here"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    assert {r.doc_id for r in dedup.minhash_signatures(df).collect()} == {0, 2}
+    assert {
+        r.doc_id for r in dedup.minhash_signatures_kernel(df).collect()
+    } == {0, 2}
+    assert {r.doc_id for r in dedup.simhash_kernel(df).collect()} == {0, 2}
+    assert {
+        r.doc_id for r in dedup.shingle_hash_rows(df).select("doc_id").distinct().collect()
+    } == {0, 2}
+
+
+def test_lsh_band_validation_rejects_degenerate_configs(spark):
+    sigs = dedup.minhash_signatures(
+        spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string"),
+        num_hashes=8,
+    )
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_candidates(sigs, num_bands=100, num_hashes=8)
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_candidates(sigs, num_bands=3, num_hashes=8)

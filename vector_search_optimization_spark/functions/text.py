@@ -228,9 +228,33 @@ def fingerprint(text: Column | str) -> Column:
     return F.xxhash64(t)
 
 
+def word_tokens_py(text: str | None) -> list[str]:
+    """Canonical python tokenizer for the dedup kernels — the exact twin
+    of the expression path (split(lower(trim(text)), '\\s+') with empty
+    pieces dropped) and of the DuckDB oracles (string_split_regex +
+    list_filter). ASCII \\s ONLY (re.ASCII): Java regex \\s and DuckDB's
+    RE2 \\s are ASCII-only, while python str.split() also splits on
+    unicode whitespace (NBSP, U+2028, ...), which silently diverges
+    signatures on web corpora. NULL → [] (callers drop NULL-text rows
+    before signatures; see the dedup module contract)."""
+    import re
+
+    return [
+        t
+        for t in re.split(r"\s+", (text or "").lower(), flags=re.ASCII)
+        if t
+    ]
+
+
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Array of word n-gram shingles (distinct), the MinHash input."""
-    words = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    """Array of word n-gram shingles (distinct), the MinHash input.
+
+    Empty split pieces are dropped (a leading tab otherwise yields a ""
+    token in the expression path only — the kernels and the DuckDB
+    oracles never emit one)."""
+    words = F.filter(
+        F.split(F.lower(F.trim(_c(text))), r"\s+"), lambda t: t != ""
+    )
     k = F.size(words) - (n - 1)
     shingles = F.transform(
         F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),

@@ -147,6 +147,10 @@ def silhouette_exact(
 
     uniq, inv = np.unique(labels, return_inverse=True)
     k = len(uniq)
+    if k < 2:
+        raise ValueError(
+            f"silhouette requires 2 <= n_labels; got {k}"
+        )
     onehot = np.zeros((n, k))
     onehot[np.arange(n), inv] = 1.0
     counts = onehot.sum(axis=0)  # (k,)
@@ -190,9 +194,14 @@ def silhouette_exact_distributed(
     """
     import pandas as pd
 
+    from pyspark import StorageLevel
+
     sdf = assigned.select(
         F.col(cluster_col).alias("__lbl"), F.col(vector_col).alias("__vec")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # the input is typically an unpersisted KMeans transform over the
+    # full table; without this persist the count, the sample fetch, and
+    # the mapInPandas aggregation would each re-run the upstream pipeline
     n = sdf.count()
     if sample_size is not None and sample_size < n:
         hcols = (
@@ -253,8 +262,14 @@ def silhouette_exact_distributed(
         .collect()
     )
     b_sample.unpersist()
+    sdf.unpersist()
 
     labels_u = sorted({r["l"] for r in agg})
+    if len(labels_u) < 2:
+        raise ValueError(
+            "silhouette requires 2 <= n_labels; got "
+            f"{len(labels_u)} (b=inf/inf would yield NaN silently)"
+        )
     lidx = {lab: i for i, lab in enumerate(labels_u)}
     k = len(labels_u)
     sums = np.zeros((k, s))

@@ -17,6 +17,14 @@ strategies, cheapest to richest:
 Scale notes: every strategy is one or two hash-partition shuffles; nothing
 materializes pairs outside a bucket. Bucket skew (a viral boilerplate
 string) is handled by AQE skew-join plus the per-bucket pair cap.
+
+NULL contract: signature/shingle producers DROP NULL-text rows (you
+cannot dedup absent text; previously the expression path emitted
+all-NULL signatures while the kernels hashed '' — divergent pair sets).
+Tokenization contract: ASCII \s+ split of lower(text), empty pieces
+dropped — identical across the expression path, the Arrow kernels
+(functions.text.word_tokens_py), and the DuckDB oracles; python
+str.split() is unicode-aware and MUST NOT be used here.
 """
 
 from __future__ import annotations
@@ -128,7 +136,8 @@ def minhash_signatures(
         ]
     )
     return (
-        df.select(F.col(id_col), shingle_hashes.alias("__sh"))
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), shingle_hashes.alias("__sh"))
         .select(id_col, sig.alias("signature"))
     )
 
@@ -163,7 +172,7 @@ def minhash_signatures_kernel(
         for pdf in it:
             sigs = []
             for text in pdf[text_col]:
-                toks = (text or "").lower().split()
+                toks = TX.word_tokens_py(text)
                 if hash_mode == "poly":
                     # distinct-shingle min == all-windows min, so the
                     # vectorized window hash needs no string set; unique
@@ -186,8 +195,10 @@ def minhash_signatures_kernel(
             yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
-        batches, schema=f"{id_col} {id_type}, signature array<long>"
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(id_col, text_col)
+        .mapInPandas(batches, schema=f"{id_col} {id_type}, signature array<long>")
     )
 
 
@@ -196,13 +207,27 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_bands: int = 16,
     sig_col: str = "signature",
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """LSH banding: equal band-slices → candidate pairs (id_a < id_b).
 
     Rows per band = num_hashes / num_bands. Explode to (band, band_hash)
     keys, self-join per bucket, distinct pairs. Two shuffles (explode-agg,
     pair-distinct); candidate volume is bucket-bounded.
+
+    num_bands must divide the signature length: a non-divisor silently
+    ignores trailing hashes, and num_bands > num_hashes degenerates to
+    empty band slices — one shared bucket, an O(n^2) candidate cross
+    product. Pass ``num_hashes`` for a free static check (no job; the
+    length is not in the schema).
     """
+    if num_hashes is not None and (
+        num_bands < 1 or num_bands > num_hashes or num_hashes % num_bands
+    ):
+        raise ValueError(
+            f"num_bands={num_bands} must divide num_hashes={num_hashes} "
+            f"(and be within [1, {num_hashes}])"
+        )
     n_hashes_col = F.size(F.col(sig_col))
     rows_per_band = (n_hashes_col / num_bands).cast("int")
     bands = signatures.select(
@@ -252,7 +277,7 @@ def minhash_near_duplicates(
     sig_fn = minhash_signatures_kernel if use_kernel else minhash_signatures
     sigs = sig_fn(df, text_col, id_col, num_hashes, shingle_n, seed)
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    cands = minhash_lsh_candidates(sigs, id_col, num_bands)
+    cands = minhash_lsh_candidates(sigs, id_col, num_bands, num_hashes=num_hashes)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("__sa"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("__sb"))
     est = F.aggregate(
@@ -295,7 +320,7 @@ def simhash(
         ).bitwiseOR(TX.poly_hash(s, TX.POLY_BASE2))
     else:
         shingle_hash = lambda s: F.xxhash64(s)  # noqa: E731
-    exploded = df.select(
+    exploded = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.explode(
             F.transform(TX.word_shingles(text_col, shingle_n), shingle_hash)
@@ -336,7 +361,7 @@ def simhash_kernel(
         for pdf in it:
             out = []
             for text in pdf[text_col]:
-                toks = (text or "").lower().split()
+                toks = TX.word_tokens_py(text)
                 if hash_mode == "poly":
                     # votes are per DISTINCT shingle (word_shingles is
                     # array_distinct): dedupe on the packed 62-bit pair,
@@ -369,7 +394,7 @@ def simhash_kernel(
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
+    return df.where(F.col(text_col).isNotNull()).select(id_col, text_col).mapInPandas(
         batches, schema=f"{id_col} {id_type}, simhash long"
     )
 
@@ -475,14 +500,16 @@ def shingle_hash_rows(
             gs: list = []
             for i, text in zip(pdf[id_col].tolist(), pdf[text_col]):
                 h = np.unique(
-                    TX.poly_hash_shingles_np((text or "").lower().split(), shingle_n)
+                    TX.poly_hash_shingles_np(TX.word_tokens_py(text), shingle_n)
                 )
                 ids.extend([i] * len(h))
                 gs.extend(h.tolist())
             yield pd.DataFrame({id_col: ids, "g": gs})
 
-    return df.select(id_col, text_col).mapInPandas(
-        batches, schema=f"{id_col} {id_type}, g long"
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(id_col, text_col)
+        .mapInPandas(batches, schema=f"{id_col} {id_type}, g long")
     )
 
 

@@ -57,7 +57,12 @@ def percentile_outliers(
     out_col: str = "is_outlier",
 ) -> DataFrame:
     """M7 — dist > per-cluster exact percentile (np.percentile linear
-    interpolation = Spark `percentile`)."""
+    interpolation = Spark `percentile`). ``pct`` is a 0-1 FRACTION
+    (Spark convention); mahalanobis_outliers takes 0-100 (np.percentile
+    convention, matching the reference) — both validate their range so a
+    transplanted value fails loudly instead of flagging ~everything."""
+    if not 0.0 < pct < 1.0:
+        raise ValueError(f"pct={pct} must be a fraction in (0, 1)")
     thresholds = df.groupBy(cluster_col).agg(
         F.percentile(dist_col, F.lit(pct)).alias("__thr")
     )
@@ -120,6 +125,11 @@ def lof_outliers(
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort by id: argpartition breaks k-NN distance ties by array
+        # index, so an unsorted (shuffle-ordered) group would make tied
+        # neighborhoods — and the flagged set — run-dependent (same
+        # reason the M9 kernel sorts)
+        pdf = pdf.sort_values(id_col, ignore_index=True)
         m = len(pdf)
         X = V.stack_vectors(pdf[vector_col])
         if m < 3:
@@ -241,6 +251,11 @@ def mahalanobis_outliers(
     UMAP->3D projection; the operator takes whatever vector column it is
     given (the registered query feeds a PCA-3D projection).
     """
+    if not 1.0 < pct < 100.0:
+        raise ValueError(
+            f"pct={pct} must be a PERCENT in (1, 100) — np.percentile "
+            "convention; percentile_outliers takes a 0-1 fraction"
+        )
     id_field = df.schema[id_col]
     c_field = df.schema[cluster_col]
     schema = T.StructType(
