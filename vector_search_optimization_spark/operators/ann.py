@@ -120,11 +120,17 @@ def quantize_int8(
     """
     v = F.col(vector_col).cast("array<double>")
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = (amax / F.lit(127.0)).alias(scale_col)
-    q = F.when(amax == 0.0, F.transform(v, lambda x: F.lit(0).cast("int"))).otherwise(
-        F.transform(v, lambda x: F.round(x / (amax / 127.0)).cast("int"))
+    # materialize the scale as a COLUMN first: embedding amax inside the
+    # quantize lambda re-evaluates the full array_max subtree per element
+    # (interpreted HOFs hoist nothing -> O(dim^2) per row at high dim)
+    out = df.withColumn(scale_col, amax / F.lit(127.0))
+    q = F.when(
+        F.col(scale_col) == 0.0,
+        F.transform(v, lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(v, lambda x: F.round(x / F.col(scale_col)).cast("int"))
     )
-    return df.withColumn(scale_col, scale).withColumn(out_col, q)
+    return out.withColumn(out_col, q)
 
 
 def dequantize_int8(
@@ -321,7 +327,10 @@ def train_ivf_centroids(
         sample = df.select(vector_col)
         if sample_fraction:
             sample = sample.sample(fraction=sample_fraction, seed=seed)
-        rows = sample.limit(max_train_rows).collect()
+        bounded = sample.limit(max_train_rows).persist()
+        bounded.count()  # materialize once; bare limit-collect scales up serially
+        rows = bounded.collect()
+        bounded.unpersist()
         x = np.array([r[0] for r in rows], dtype=np.float64)
         centers = [list(map(float, c)) for c in _lloyd_kmeans(x, num_cells, seed, max_iter)]
     spark = df.sparkSession
@@ -534,7 +543,10 @@ def train_pq_codebooks(
     256 B → 8 B, 32×). Pass the input pre-ordered (e.g. orderBy(vec_id))
     so training — and any generated oracle literals — are a pure
     function of the data, like train_ivf_centroids."""
-    rows = df.select(vector_col).limit(max_train_rows).collect()
+    bounded = df.select(vector_col).limit(max_train_rows).persist()
+    bounded.count()  # materialize once; bare limit-collect scales up serially
+    rows = bounded.collect()
+    bounded.unpersist()
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     dim = X.shape[1]
     if dim % num_subspaces:
@@ -871,7 +883,10 @@ def rp_blocked_top_pairs(
         df.select(id_col, vector_col), num_planes, num_tables, vector_col, seed
     )
     # bucketed rows feed both join sides: persist instead of re-deriving
-    # (at lake scale this is the "write the bucketed table" stage)
+    # (at lake scale this is the "write the bucketed table" stage).
+    # Session-lifetime cache: the lazy result cannot unpersist before
+    # consumption — repeated calls re-hit the same cached plan rather
+    # than stacking copies (Spark's cache manager matches by plan)
     b = b.persist(StorageLevel.MEMORY_AND_DISK)
     e = b.select(
         F.col(id_col),

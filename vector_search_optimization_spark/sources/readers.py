@@ -73,10 +73,23 @@ def read_centroids_csv(spark: SparkSession, path: str) -> DataFrame:
     cluster_centroids.csv serializes the centroid as "[f, f, ...]"
     (main-script1.ipynb:310 c15 parses it with np.fromstring); the Spark
     read applies functions.vector.parse_vector so downstream operators see
-    array<float>, and fails the plan if required columns are missing
-    (mirroring the reference's runtime check at main-script1.ipynb:161 c8,
-    but at analysis time).
+    array<float>. The header is VALIDATED against the pinned schema first
+    (mirroring the reference's runtime check, main-script1.ipynb:161 c8):
+    with an explicit schema Spark maps CSV columns by POSITION, so a
+    missing or reordered column would otherwise load silently with
+    swapped/null data rather than failing.
     """
+    expected = [f.name for f in schemas.CENTROIDS_CSV.fields]
+    header_row = (
+        spark.read.option("header", False).csv(path).first()
+    )
+    actual = [str(c).strip() for c in header_row] if header_row else []
+    if actual != expected:
+        raise ValueError(
+            f"centroid CSV header {actual} does not match the pinned "
+            f"schema columns {expected} (positional mapping would "
+            "silently mis-assign data)"
+        )
     raw = spark.read.option("header", True).schema(schemas.CENTROIDS_CSV).csv(path)
     return raw.select(
         "cluster_label", V.parse_vector("centroid").alias("centroid"), "etiqueta"

@@ -54,9 +54,14 @@ def write_excel(df: DataFrame, path: str, max_rows: int = 100_000) -> None:
     """
     from . import xlsx
 
-    collected = _stringify_vectors(df).limit(max_rows).collect()
-    header = _stringify_vectors(df).columns
-    xlsx.write_xlsx(path, header, [list(r) for r in collected])
+    # persist+count+collect, NOT limit(N).collect(): a bare limit-collect
+    # executes partition batches serially (1, 4, 16, ...) re-running the
+    # upstream plan each batch (CLAUDE.md hard-won fact)
+    bounded = _stringify_vectors(df).limit(max_rows).persist()
+    bounded.count()
+    collected = bounded.collect()
+    bounded.unpersist()
+    xlsx.write_xlsx(path, df.columns, [list(r) for r in collected])
 
 
 def write_upsert(
@@ -70,8 +75,13 @@ def write_upsert(
     update, atomic rewrite via staging path + rename.
 
     Plain parquet has no MERGE INTO; on Delta/Iceberg this becomes a real
-    MERGE and only touched files rewrite. The staging dance keeps the
-    read-your-writes failure mode (never a half-written base).
+    MERGE and only touched files rewrite. The commit is two renames:
+    base -> .__old__, staging -> base, then delete .__old__. A reader
+    never sees a half-written base (each rename is atomic on posix/HDFS);
+    a crash between the renames leaves the data intact under .__old__
+    (manual recovery), which is the strongest guarantee a bare filesystem
+    offers — true transactional swap belongs to a table format, and
+    object stores without atomic rename need a manifest either way.
     """
     spark = updates.sparkSession
     base = spark.read.format(fmt).load(base_path)
@@ -79,18 +89,19 @@ def write_upsert(
     staging = base_path.rstrip("/") + ".__staging__"
     merged.write.mode("overwrite").format(fmt).save(staging)
 
-    # commit: swap staging into place (local/posix semantics; object stores
-    # would use a manifest or table format instead)
     from py4j.java_gateway import java_import
 
     jvm = spark._jvm
     java_import(jvm, "org.apache.hadoop.fs.Path")
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(
-        spark._jsc.hadoopConfiguration()
-    )
     base_p = jvm.Path(base_path)
-    fs.delete(base_p, True)
+    # the path's OWN filesystem — FileSystem.get(conf) is the default
+    # scheme and throws Wrong FS for hdfs://s3a:// base paths
+    fs = base_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    old_p = jvm.Path(base_path.rstrip("/") + ".__old__")
+    fs.delete(old_p, True)  # leftover from a previous crashed commit
+    fs.rename(base_p, old_p)
     fs.rename(jvm.Path(staging), base_p)
+    fs.delete(old_p, True)
 
 
 def write_bucketed(

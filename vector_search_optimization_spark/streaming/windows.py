@@ -208,6 +208,10 @@ def asof_click_purchase_stream(events: DataFrame) -> DataFrame:
         last = state.get[0] if state.exists else None
         out_user, out_event, out_lag = [], [], []
         pdf = pd.concat(list(pdfs), ignore_index=True)
+        # a null ts would become NaN in the float 'sec' column and crash
+        # int(sec) — terminating the whole streaming query; the batch
+        # twin's ASOF join just skips such rows, so drop them here too
+        pdf = pdf.dropna(subset=["sec"])
         # event-time order; clicks before purchases at equal timestamps
         # (a simultaneous click counts as prior — same tiebreak as batch)
         pdf = pdf.sort_values(
