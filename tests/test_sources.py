@@ -252,3 +252,39 @@ def test_load_table_reads_nanos_encoded_events_exactly(spark, tmp_path):
             got[i].replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
         )
         assert got_micro == micro_want, (i, ns, got[i])
+
+
+def test_write_upsert_recovers_from_crashed_commit_leftovers(spark, tmp_path):
+    """A previous crashed commit can leave a .__old__ directory behind;
+    the next upsert must clear it and still commit cleanly, and the base
+    table must exist (with either old or new content) at every point an
+    external reader could observe between upserts."""
+    import os
+
+    base_path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, val string"
+    ).write.parquet(base_path)
+    # simulate the crash artifact
+    os.makedirs(base_path + ".__old__", exist_ok=True)
+    with open(base_path + ".__old__/junk", "w") as f:
+        f.write("leftover")
+
+    updates = spark.createDataFrame([(2, "B")], "id long, val string")
+    write_upsert(base_path, updates, "id")
+    got = {r.id: r.val for r in spark.read.parquet(base_path).collect()}
+    assert got == {1: "a", 2: "B"}
+    assert not os.path.exists(base_path + ".__old__")   # cleaned up
+    assert not os.path.exists(base_path + ".__staging__")
+
+
+def test_read_centroids_csv_rejects_wrong_header(spark, tmp_path):
+    """With an explicit schema Spark maps CSV columns positionally; a
+    reordered/missing header must fail loudly instead of silently
+    loading swapped or null centroids."""
+    import pytest as _pytest
+
+    bad = tmp_path / "centroids.csv"
+    bad.write_text('centroid,cluster_label,etiqueta\n"[1.0, 2.0]",0,x\n')
+    with _pytest.raises(ValueError, match="header"):
+        read_centroids_csv(spark, str(bad))
