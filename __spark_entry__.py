@@ -4003,6 +4003,222 @@ FROM w ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing; functions.redact)
+# ---------------------------------------------------------------------------
+# documents.text is synthetic word-salad with no real PII, so the query
+# deterministically plants one email / phone / IPv4 / URL per doc, derived
+# from doc_id — BOTH sides build the identical augmented text from the
+# same parquet, then the redaction contract (pattern set + application
+# order, functions/redact.py) is value-checked per doc: match counts on
+# the raw text, plus length and sha256 of the redacted output.
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: regexp counters + ordered redaction, pure projection
+    (map-only at any corpus size; all four detectors are codegen'd
+    regexp expressions — no Python in the hot path)."""
+    from vector_search_optimization_spark.functions import redact as RD
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" via https://site"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.org/p"),
+        ).alias("aug"),
+    )
+    counts = RD.pii_counts("aug")
+    return (
+        aug.select(
+            "doc_id",
+            *[v.alias(k) for k, v in counts.items()],
+            F.length(RD.redact_pii("aug")).alias("redacted_len"),
+            F.sha2(RD.redact_pii("aug"), 256).alias("redacted_sha"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PII_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+              || ' via https://site' || CAST(doc_id % 50 AS VARCHAR)
+              || '.example.org/p' AS aug
+  FROM documents
+), red AS (
+  SELECT doc_id, aug,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
+           'https?://[^\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+\d{1,2}-\d{3}-\d{3,4}\b', '<PHONE>', 'g') AS redacted
+  FROM aug
+)
+SELECT doc_id,
+       len(regexp_extract_all(aug, 'https?://[^\s]+')) AS n_url,
+       len(regexp_extract_all(aug,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(aug,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+       len(regexp_extract_all(aug, '\+\d{1,2}-\d{3}-\d{3,4}\b')) AS n_phone,
+       length(redacted) AS redacted_len,
+       sha256(redacted) AS redacted_sha
+FROM red ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# unigram LM quality scoring (operators.lm_quality)
+# ---------------------------------------------------------------------------
+
+def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style curation signal: train a unigram LM on the corpus
+    (one combinable shuffle), score every doc by mean token surprisal
+    (broadcast vocab join + one combinable per-doc agg)."""
+    from vector_search_optimization_spark.operators import lm_quality as LM
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = LM.train_unigram_lm(d)
+    return (
+        LM.unigram_surprisal(d, vocab)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("avg_surprisal", 4).alias("avg_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            s -> s <> '')) AS word
+  FROM documents
+), vocab AS (
+  SELECT word, count(*) AS cnt FROM toks GROUP BY word
+), tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+         CAST(count(*) AS DOUBLE) AS v_size
+  FROM vocab
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln((COALESCE(cnt, 0) + 1.0) / (n_total + v_size))), 4)
+         AS avg_surprisal
+FROM toks LEFT JOIN vocab USING (word) CROSS JOIN tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling (operators.sampling)
+# ---------------------------------------------------------------------------
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-per-lang reproducible sample in sha256 hash order —
+    one window shuffle with WindowGroupLimit pushdown; the sample is a
+    pure function of the data (retry/partitioning-invariant)."""
+    from vector_search_optimization_spark.operators import sampling as SAMP
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        SAMP.stratified_sample_fixed_n(d, "lang", "doc_id", 20)
+        .select(
+            "lang",
+            "rank",
+            "doc_id",
+            F.substring(SAMP.sample_hash("doc_id"), 1, 8).alias("h8"),
+        )
+        .orderBy("lang", "rank")
+    )
+
+
+_STRAT_SQL = """
+WITH h AS (
+  SELECT lang, doc_id, sha256(CAST(doc_id AS VARCHAR)) AS sh FROM documents
+), r AS (
+  SELECT lang, doc_id, substr(sh, 1, 8) AS h8,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY sh, doc_id)
+              AS BIGINT) AS rank
+  FROM h
+)
+SELECT lang, rank, doc_id, h8 FROM r WHERE rank <= 20 ORDER BY lang, rank
+"""
+
+
+def fraction_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~25% hash-threshold sample, counted per lang — a scan-level filter
+    (pure projection + predicate, zero shuffle before the count agg);
+    rerun-stable without rand()."""
+    from vector_search_optimization_spark.operators import sampling as SAMP
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        SAMP.deterministic_sample(d, "doc_id", 0.25)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("min_doc"))
+        .orderBy("lang")
+    )
+
+
+_FRAC_SQL = """
+SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc
+FROM documents
+WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# S3b ORC sink/scan roundtrip (sources.writers.write_orc)
+# ---------------------------------------------------------------------------
+
+def s3_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → ORC scan roundtrip on part, verified by per-brand
+    count / price sum / lexicographic first name against the parquet
+    original — Spark's second built-in columnar format, same
+    pushdown/pruning levers as parquet."""
+    from vector_search_optimization_spark.sources import writers
+
+    p = load_table(spark, sf_dir, "part")
+    path = _roundtrip_path(sf_dir, "orc_part")
+    writers.write_orc(p, path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+            F.min("p_name").alias("first_name"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_S3_ORC_SQL = """
+SELECT p_brand, count(*) AS n,
+       round(sum(p_retailprice), 2) AS sum_price,
+       min(p_name) AS first_name
+FROM part GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
 
@@ -4049,6 +4265,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ngram_jaccard_dedup": (ngram_jaccard_dedup, _NGRAM_JACCARD_SQL),
     "m1_kmeans_clusters": (m1_kmeans_clusters, _m1_sql),
     "m10_pca_variance": (m10_pca_variance, _m10_sql),
+    "pii_redaction": (pii_redaction, _PII_SQL),
+    "lm_quality_scores": (lm_quality_scores, _LM_SQL),
+    "stratified_sample": (stratified_sample, _STRAT_SQL),
+    "fraction_sample": (fraction_sample, _FRAC_SQL),
+    "s3_orc_roundtrip": (s3_orc_roundtrip, _S3_ORC_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "a1_a3_counts": (a1_a3_counts, _A1_SQL),
     "a5_two_level": (a5_two_level, _A5_SQL),

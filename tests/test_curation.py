@@ -1,0 +1,136 @@
+"""Curation operators: PII redaction, unigram LM scoring, sampling."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_optimization_spark.functions import redact as RD
+from vector_search_optimization_spark.operators import lm_quality as LM
+from vector_search_optimization_spark.operators import sampling as SAMP
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    rows = [
+        (0, "mail me at jane.doe+spam@sub.example.co.uk today"),
+        (1, "server at 192.168.0.1 and 10.0.255.3 replied"),
+        (2, "call +1-555-0123 or +44-202-7946"),
+        (3, "see https://example.org/a?b=c#frag and http://t.co/x"),
+        (4, "clean text with no pii at all"),
+        (5, "combo a@b.io via https://h.example.com/u?e=a@b.io +1-555-9999"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "id long, text string").cache()
+
+
+def test_pii_counts(pii_df):
+    counts = RD.pii_counts("text")
+    got = {
+        r.id: (r.n_email, r.n_url, r.n_ip, r.n_phone)
+        for r in pii_df.select("id", *[v.alias(k) for k, v in counts.items()]).collect()
+    }
+    assert got[0] == (1, 0, 0, 0)
+    assert got[1] == (0, 0, 2, 0)
+    assert got[2] == (0, 0, 0, 2)
+    assert got[3] == (0, 2, 0, 0)
+    assert got[4] == (0, 0, 0, 0)
+    assert got[6] == (0, 0, 0, 0)
+
+
+def test_redact_order_url_consumes_inner_email(pii_df):
+    got = {r.id: r.red for r in pii_df.select("id", RD.redact_pii("text").alias("red")).collect()}
+    assert got[0] == "mail me at <EMAIL> today"
+    assert got[1] == "server at <IP> and <IP> replied"
+    assert got[2] == "call <PHONE> or <PHONE>"
+    assert got[3] == "see <URL> and <URL>"
+    assert got[4] == "clean text with no pii at all"
+    # the URL eats its embedded email (application-order contract);
+    # the standalone email still redacts
+    assert got[5] == "combo <EMAIL> via <URL> <PHONE>"
+
+
+def test_redact_no_pii_is_identity(pii_df):
+    changed = pii_df.where(RD.redact_pii("text") != F.col("text")).where(F.col("id").isin(4, 6))
+    assert changed.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# unigram LM
+# ---------------------------------------------------------------------------
+
+def test_unigram_surprisal_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")], "doc_id long, text string"
+    )
+    vocab = LM.train_unigram_lm(docs)
+    got = {r.word: r.cnt for r in vocab.collect()}
+    assert got == {"a": 3, "b": 1, "c": 1}
+    # N=5, V=3: p(a)=(3+1)/8, p(b)=p(c)=(1+1)/8
+    out = {r.doc_id: r for r in LM.unigram_surprisal(docs, vocab).collect()}
+    pa, pb = 4 / 8, 2 / 8
+    assert out[0].n_tokens == 3
+    assert out[0].avg_surprisal == pytest.approx(-(2 * math.log(pa) + math.log(pb)) / 3)
+    assert out[1].avg_surprisal == pytest.approx(-(math.log(pa) + math.log(pb)) / 2)
+
+
+def test_unigram_oov_smooths_finite(spark):
+    train = spark.createDataFrame([(0, "a a")], "doc_id long, text string")
+    score = spark.createDataFrame([(1, "zzz")], "doc_id long, text string")
+    vocab = LM.train_unigram_lm(train)
+    row = LM.unigram_surprisal(score, vocab).collect()[0]
+    # OOV: cnt=0 → -ln(1/(N+V)) = ln(3), finite
+    assert row.avg_surprisal == pytest.approx(math.log(3.0))
+
+
+def test_unigram_vocab_top_k_truncates(spark):
+    docs = spark.createDataFrame([(0, "a a a b b c")], "doc_id long, text string")
+    vocab = LM.train_unigram_lm(docs)
+    row = LM.unigram_surprisal(docs, vocab, vocab_top_k=1).collect()[0]
+    # model = {a:3} only → N=3, V=1; b/c are OOV
+    expect = -(3 * math.log(4 / 4) + 3 * math.log(1 / 4)) / 6
+    assert row.avg_surprisal == pytest.approx(expect)
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def _sha(k: int) -> str:
+    return hashlib.sha256(str(k).encode()).hexdigest()
+
+
+def test_stratified_sample_matches_reference_order(spark):
+    rows = [(i, "g%d" % (i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    got = SAMP.stratified_sample_fixed_n(df, "g", "id", 5).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.g, []).append((r.rank, r.id))
+    for g in ("g0", "g1", "g2"):
+        members = sorted((i for i in range(60) if i % 3 == int(g[1])), key=lambda i: (_sha(i), i))
+        assert sorted(by_g[g]) == [(k + 1, members[k]) for k in range(5)]
+
+
+def test_stratified_sample_small_stratum_returns_all(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id long, g string")
+    got = SAMP.stratified_sample_fixed_n(df, "g", "id", 10)
+    assert got.count() == 3
+
+
+def test_fraction_sample_deterministic_and_partition_invariant(spark):
+    df = spark.createDataFrame([(i,) for i in range(400)], "id long")
+    a = {r.id for r in SAMP.deterministic_sample(df, "id", 0.25).collect()}
+    b = {r.id for r in SAMP.deterministic_sample(df.repartition(7), "id", 0.25).collect()}
+    assert a == b
+    expect = {i for i in range(400) if _sha(i)[:4] < format(int(0.25 * 65536), "04x")}
+    assert a == expect
+    # roughly a quarter
+    assert 0.15 < len(a) / 400 < 0.35

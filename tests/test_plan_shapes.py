@@ -106,6 +106,7 @@ _NESTED_LOOP_OK = {
     "j9_distance_matrix",   # reference's all-pairs matrix over a bounded set
     "ann_topk_batch",       # 5-row query table broadcast against the corpus
     "hybrid_search_rrf",    # 1-row corpus-stats frame broadcast for idf
+    "lm_quality_scores",    # 1-row (N, V) model-totals frame broadcast
 }
 
 
@@ -206,3 +207,40 @@ def test_rollup_is_single_pass_expand(spark, sf_small):
     assert "Expand" in plan
     assert plan.count("Scan") == 1
     assert plan.count("HashAggregate") >= 2  # partial + final around one shuffle
+
+
+def test_pii_redaction_is_map_only(spark, sf_small):
+    """PII scrub is a pure projection: the only Exchange allowed is the
+    presentation orderBy (range partitioning), never a hash shuffle or
+    join — at 100 TB the scrub runs in the scan stage."""
+    plan = _plan(m.queries()["pii_redaction"](spark, sf_small))
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_fraction_sample_filters_before_agg(spark, sf_small):
+    """Hash-threshold sampling is a scan-stage Filter + one combinable
+    agg shuffle — no window, no join."""
+    plan = _plan(m.queries()["fraction_sample"](spark, sf_small))
+    assert "Join" not in plan and "Window" not in plan
+    assert "Filter" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_stratified_sample_single_window_with_group_limit(spark, sf_small):
+    """Fixed-n stratified sampling is ONE window shuffle; Spark's
+    WindowGroupLimit keeps <= n rows per stratum map-side before the
+    exchange, so a hot stratum never materializes fully."""
+    plan = _plan(m.queries()["stratified_sample"](spark, sf_small))
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_lm_quality_vocab_join_broadcasts(spark, sf_small):
+    """The unigram scoring join must broadcast the vocabulary (and the
+    1-row totals) — shuffling the exploded corpus tokens on word would
+    be the 100 TB bottleneck."""
+    plan = _plan(m.queries()["lm_quality_scores"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,70 @@
+"""Deterministic sampling operators for training-data curation.
+
+A 100 TB pipeline needs samples that are (a) reproducible across reruns
+(no ``rand()`` — a retried task would resample differently), (b)
+stratified (per-language / per-source quotas), and (c) cheap (no global
+sort). Both operators key on a cryptographic hash of the row key, so the
+same rows are chosen no matter the partitioning, executor count, or
+retry history — the sample is a pure function of the data.
+
+Reference sites: the reference samples per-cluster document subsets for
+LLM labeling (update-etiquetas.ipynb:171 c9 — ``np.argsort`` slicing) and
+relies on pandas ``DataFrame.sample``; these operators are the
+deterministic, distributed counterpart.
+
+Scale notes (SCALING.md): ``deterministic_sample`` is a pure projection +
+filter — map-only at any size, and the predicate is a scan-level filter
+(hash both sides of the comparison are column expressions, no shuffle).
+``stratified_sample_fixed_n`` is one window shuffle on the stratum key
+with WindowGroupLimit pushdown (executors keep ≤ n rows per stratum
+before the shuffle); for a pathologically hot stratum, pre-aggregate with
+a salted two-level top-n (operators.topk docstring) — the hash order is
+stable under salting because it depends only on the key column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .topk import top_k_per_group
+
+
+def sample_hash(key: Column | str) -> Column:
+    """Lowercase-hex sha256 of the (stringified) key — the deterministic
+    sort/threshold handle. Identical on the DuckDB oracle side
+    (``sha256(CAST(k AS VARCHAR))``; both hash the utf-8 bytes)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.sha2(c.cast("string"), 256)
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, hash_col: str = "_sh"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by hash threshold.
+
+    The first 4 hex chars of sha256(key) are uniform over 0..65535;
+    keeping rows below ``fraction * 65536`` (as a zero-padded hex literal,
+    compared lexicographically) samples without rand() — reproducible,
+    rerun-stable, and expressible identically in ANSI SQL.
+    """
+    bound = format(min(int(fraction * 65536), 65536), "04x")
+    return df.where(F.substring(sample_hash(key), 1, 4) < F.lit(bound)).drop(hash_col)
+
+
+def stratified_sample_fixed_n(
+    df: DataFrame, stratum: str, key: str, n: int, rank_col: str = "rank"
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, in hash order.
+
+    Hash-order top-n per group: one window shuffle (WindowGroupLimit
+    keeps ≤ n per stratum map-side); ties broken by the key itself so the
+    output is total-ordered and rerun-identical.
+    """
+    return top_k_per_group(
+        df,
+        stratum,
+        [sample_hash(key).asc(), F.col(key).asc()],
+        n,
+        rank_col=rank_col,
+    )

@@ -64,6 +64,17 @@ def write_excel(df: DataFrame, path: str, max_rows: int = 100_000) -> None:
     xlsx.write_xlsx(path, df.columns, [list(r) for r in collected])
 
 
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """ORC sink — Spark's built-in columnar alternative to parquet
+    (same pushdown/pruning levers; some lakes standardize on ORC)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_upsert(
     base_path: str,
     updates: DataFrame,
