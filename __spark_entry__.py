@@ -4185,6 +4185,179 @@ GROUP BY lang ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (operators.retrieval.tfidf_keywords)
+# ---------------------------------------------------------------------------
+
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 keywords by tf·idf — the inverse of keyword search
+    (index enrichment). Two combinable agg shuffles + broadcast df table
+    + one WindowGroupLimit ranking shuffle; ties rank on the rounded
+    score then the word so ordering is reproducible cross-engine."""
+    from vector_search_optimization_spark.operators import retrieval as RT
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        RT.tfidf_keywords(d, n_keywords=3)
+        .select("doc_id", "rk", "word", "tf", "score")
+        .orderBy("doc_id", "rk")
+    )
+
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            s -> s <> '')) AS word
+  FROM documents WHERE text IS NOT NULL
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+), dfq AS (
+  SELECT word, count(*) AS dfreq FROM tf GROUP BY word
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT doc_id, word, tf,
+         round(tf * ln(n_docs / dfreq), 6) AS score
+  FROM tf JOIN dfq USING (word) CROSS JOIN n
+), r AS (
+  SELECT doc_id, word, tf, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, word) AS INTEGER) AS rk
+  FROM s
+)
+SELECT doc_id, rk, word, tf, score FROM r WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# salted two-level aggregation (operators.skew) — the skew-proof agg
+# plan, value-checked against the plain single-level formulation
+# ---------------------------------------------------------------------------
+
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats through the salted two-level agg: a hot key
+    spreads over 16 salt reducers in level 1; level 2 combines ≤16 tiny
+    partials per key. The oracle is the PLAIN single-level GROUP BY —
+    the value check proves salting is semantics-free."""
+    from vector_search_optimization_spark.operators import skew as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        SK.salted_agg(ev, "event_type", salt_key="event_id", salts=16,
+                      value_col="value")
+        .select(
+            "event_type",
+            "n",
+            F.round("sum_value", 2).alias("sum_value"),
+            F.round("min_value", 6).alias("min_value"),
+            F.round("max_value", 6).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SKEW_SQL = """
+SELECT event_type, count(*) AS n,
+       round(sum(value), 2) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline: PII scrub → token gate → unigram-LM
+# surprisal gate (≤ corpus median) → canonical exact-dedup → per-lang audit
+# ---------------------------------------------------------------------------
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship curation composition, every stage a registered
+    operator: redact_pii (map-only) → whitespace token gate (scan
+    filter) → unigram-LM scoring (broadcast vocab) gated at the exact
+    corpus median of the ROUNDED surprisal (cross-engine-stable
+    boundary) → exact dedup on the canonical text (min doc_id survives)
+    → per-lang audit."""
+    from vector_search_optimization_spark.functions import redact as RD
+    from vector_search_optimization_spark.operators import lm_quality as LM
+
+    d = load_table(spark, sf_dir, "documents")
+    clean = d.select("doc_id", "lang", RD.redact_pii("text").alias("clean"))
+    gated = clean.where(TX.whitespace_token_count("clean") >= 10)
+    vocab = LM.train_unigram_lm(gated, "clean")
+    scored = LM.unigram_surprisal(gated, vocab, text_col="clean").select(
+        "doc_id", "n_tokens", F.round("avg_surprisal", 4).alias("s")
+    )
+    med = scored.agg(F.percentile(F.col("s"), F.lit(0.5)).alias("m"))
+    kept = (
+        gated.join(scored, "doc_id")
+        .join(F.broadcast(med))
+        .where(F.col("s") <= F.col("m"))
+    )
+    canon = kept.withColumn(
+        "_c", F.trim(F.regexp_replace(F.lower(F.col("clean")), r"\s+", " "))
+    )
+    first = canon.groupBy("_c").agg(F.min("doc_id").alias("doc_id"))
+    survivors = canon.join(first, ["_c", "doc_id"], "left_semi")
+    return (
+        survivors.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CURATION_SQL = r"""
+WITH clean AS (
+  SELECT doc_id, lang,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           'https?://[^\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+\d{1,2}-\d{3}-\d{3,4}\b', '<PHONE>', 'g') AS clean
+  FROM documents
+), gated AS (
+  SELECT * FROM clean
+  WHERE len(list_filter(string_split_regex(clean, '\s+'), s -> s <> '')) >= 10
+), toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(clean, '\s+'),
+                            s -> s <> '')) AS word
+  FROM gated
+), vocab AS (
+  SELECT word, count(*) AS cnt FROM toks GROUP BY word
+), tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+         CAST(count(*) AS DOUBLE) AS v_size
+  FROM vocab
+), sc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(-ln((cnt + 1.0) / (n_total + v_size))), 4) AS s
+  FROM toks JOIN vocab USING (word) CROSS JOIN tot
+  GROUP BY doc_id
+), med AS (
+  SELECT quantile_cont(s, 0.5) AS m FROM sc
+), kept AS (
+  SELECT g.doc_id, g.lang, g.clean, sc.n_tokens
+  FROM gated g JOIN sc USING (doc_id) CROSS JOIN med
+  WHERE sc.s <= med.m
+), canon AS (
+  SELECT *, trim(regexp_replace(lower(clean), '\s+', ' ', 'g')) AS c FROM kept
+), surv AS (
+  SELECT * FROM canon
+  QUALIFY row_number() OVER (PARTITION BY c ORDER BY doc_id) = 1
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM surv GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # S3b ORC sink/scan roundtrip (sources.writers.write_orc)
 # ---------------------------------------------------------------------------
 
@@ -4267,6 +4440,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "m10_pca_variance": (m10_pca_variance, _m10_sql),
     "pii_redaction": (pii_redaction, _PII_SQL),
     "lm_quality_scores": (lm_quality_scores, _LM_SQL),
+    "tfidf_keywords": (tfidf_keywords, _TFIDF_SQL),
+    "skew_salted_agg": (skew_salted_agg, _SKEW_SQL),
+    "curation_pipeline": (curation_pipeline, _CURATION_SQL),
     "stratified_sample": (stratified_sample, _STRAT_SQL),
     "fraction_sample": (fraction_sample, _FRAC_SQL),
     "s3_orc_roundtrip": (s3_orc_roundtrip, _S3_ORC_SQL),

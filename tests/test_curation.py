@@ -134,3 +134,87 @@ def test_fraction_sample_deterministic_and_partition_invariant(spark):
     assert a == expect
     # roughly a quarter
     assert 0.15 < len(a) / 400 < 0.35
+
+
+# ---------------------------------------------------------------------------
+# skew-salted aggregation
+# ---------------------------------------------------------------------------
+
+def test_salted_agg_equals_plain_agg(spark):
+    from vector_search_optimization_spark.operators import skew as SK
+
+    rows = [(i, "hot" if i % 10 else "cold", float(i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    got = {
+        r.k: (r.n, r.sum_value, r.min_value, r.max_value)
+        for r in SK.salted_agg(df, "k", salt_key="id", salts=8, value_col="v").collect()
+    }
+    plain = {
+        r.k: (r.n, r.s, r.mn, r.mx)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(got) == set(plain)
+    for k in got:
+        assert got[k][0] == plain[k][0]
+        assert got[k][1] == pytest.approx(plain[k][1])
+        assert got[k][2] == plain[k][2] and got[k][3] == plain[k][3]
+
+
+def test_salted_agg_count_only(spark):
+    from vector_search_optimization_spark.operators import skew as SK
+
+    df = spark.createDataFrame([(i, "a") for i in range(40)], "id long, k string")
+    assert SK.salted_agg(df, "k", salt_key="id", salts=4).collect()[0].n == 40
+
+
+def test_salt_column_deterministic_and_bounded(spark):
+    from vector_search_optimization_spark.operators import skew as SK
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    a = df.select("id", SK.salt_column("id", 16).alias("s")).collect()
+    b = df.repartition(9).select("id", SK.salt_column("id", 16).alias("s")).collect()
+    assert {r.id: r.s for r in a} == {r.id: r.s for r in b}
+    assert all(0 <= r.s < 16 for r in a)
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keywords
+# ---------------------------------------------------------------------------
+
+def test_tfidf_keywords_hand_computed(spark):
+    from vector_search_optimization_spark.operators import retrieval as RT
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple banana shared"),
+            (1, "cherry shared shared"),
+            (2, "banana cherry shared"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in RT.tfidf_keywords(docs, n_keywords=2).collect():
+        got.setdefault(r.doc_id, []).append((r.rk, r.word))
+    # doc 0: apple tf=2 df=1 → 2·ln3 best; banana tf=1 df=2 → ln1.5
+    assert sorted(got[0]) == [(1, "apple"), (2, "banana")]
+    # doc 1: cherry ln(3/2) beats shared (df=3 → idf 0)
+    assert sorted(got[1])[0] == (1, "cherry")
+    # shared appears in all docs → idf 0 → never rank 1
+    assert all(w != "shared" for rk, w in [sorted(g)[0] for g in got.values()])
+
+
+def test_tfidf_null_text_excluded(spark):
+    from vector_search_optimization_spark.operators import retrieval as RT
+
+    docs = spark.createDataFrame(
+        [(0, "x y"), (1, None)], "doc_id long, text string"
+    )
+    out = RT.tfidf_keywords(docs, n_keywords=5).collect()
+    assert {r.doc_id for r in out} == {0}

@@ -107,6 +107,8 @@ _NESTED_LOOP_OK = {
     "ann_topk_batch",       # 5-row query table broadcast against the corpus
     "hybrid_search_rrf",    # 1-row corpus-stats frame broadcast for idf
     "lm_quality_scores",    # 1-row (N, V) model-totals frame broadcast
+    "tfidf_keywords",       # 1-row corpus-size frame broadcast for idf
+    "curation_pipeline",    # 1-row median-threshold frame broadcast
 }
 
 

@@ -98,6 +98,51 @@ def bm25_keyword_scores(
     )
 
 
+def tfidf_keywords(
+    docs: DataFrame,
+    n_keywords: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-n keywords by tf·idf (idf = ln(N/df)).
+
+    The inverse operation of keyword *search*: surface what each doc is
+    about (index enrichment / labeling features). Plan: per-doc term
+    counts and document frequencies are two combinable shuffles; the
+    df table is vocabulary-sized and broadcasts (truncate to a top-k
+    vocabulary at 100 TB exactly like lm_quality); ranking is one
+    window shuffle with WindowGroupLimit. Ties rank on the ROUNDED
+    score then the word, so ordering is reproducible cross-engine.
+    """
+    base = docs.where(F.col(text_col).isNotNull())
+    toks = base.select(
+        id_col,
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("word"),
+    )
+    tf = toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = base.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "word",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("dfreq")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n_keywords)
+    )
+
+
 def top_ranked(
     df: DataFrame,
     score_col: str,

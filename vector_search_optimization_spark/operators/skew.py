@@ -1,0 +1,73 @@
+"""Skew-mitigation operators — salted two-level aggregation and join.
+
+At 100 TB a handful of hot keys (one dominant language, one viral
+user_id) can pin an entire aggregation or join on one reducer. The
+standard fixes, packaged as operators:
+
+- ``salted_agg``: two-level aggregation — first aggregate on
+  (key, salt) so a hot key's rows spread over ``salts`` reducers, then
+  combine the partials. Works for any algebraic aggregate (the partial
+  states here: count/sum/min/max). AQE's skew handling only splits
+  *join* partitions; skewed aggs still need salting.
+- ``replicated_broadcast_join``: for a join where the SMALL side fits in
+  a broadcast, skew is moot (no shuffle of the big side at all) — that's
+  the engine-wide default (see plan pins). The salted shuffle-join
+  variant (explode small side × salt, salt big side deterministically)
+  is documented in SCALING.md; it's only needed when neither side
+  broadcasts.
+
+The salt must be DETERMINISTIC (hash of a row key, not rand()): retried
+tasks must land rows in the same salt bucket or AQE/retry can double- or
+drop-count partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_column(key: Column | str, salts: int) -> Column:
+    """Deterministic salt in [0, salts): xxhash64 of the row key, made
+    non-negative via pmod. Retry-stable, partitioning-independent."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(c), F.lit(salts)).cast("int")
+
+
+def salted_agg(
+    df: DataFrame,
+    group_col: str,
+    salt_key: str,
+    salts: int = 16,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Two-level skew-proof aggregation.
+
+    Level 1 groups on (group_col, salt) — a key with 10^9 rows spreads
+    its partial states over ``salts`` reducers. Level 2 combines the at
+    most ``salts`` partials per key. Emits count / sum / min / max of
+    ``value_col`` (count only if value_col is None). Both levels are
+    combinable shuffles with map-side partials; total extra cost is one
+    tiny second shuffle of |keys|×salts rows.
+    """
+    lvl1 = df.withColumn("_salt", salt_column(salt_key, salts)).groupBy(
+        group_col, "_salt"
+    )
+    if value_col is None:
+        partial = lvl1.agg(F.count(F.lit(1)).alias("_n"))
+        return (
+            partial.groupBy(group_col)
+            .agg(F.sum("_n").alias("n"))
+        )
+    partial = lvl1.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(value_col).alias("_s"),
+        F.min(value_col).alias("_mn"),
+        F.max(value_col).alias("_mx"),
+    )
+    return partial.groupBy(group_col).agg(
+        F.sum("_n").alias("n"),
+        F.sum("_s").alias("sum_value"),
+        F.min("_mn").alias("min_value"),
+        F.max("_mx").alias("max_value"),
+    )
