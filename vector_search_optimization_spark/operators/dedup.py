@@ -1,4 +1,4 @@
-"""Deduplication suite for large-scale training-data pipelines.
+r"""Deduplication suite for large-scale training-data pipelines.
 
 Engine extension beyond the reference (its closest analog is the
 intra-document similarity audit, chunk_similarities.ipynb:447 c21). Five
