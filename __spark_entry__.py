@@ -4358,6 +4358,84 @@ FROM surv GROUP BY lang ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# M11 spectral embedding (operators.reduction.spectral_embedding_numpy —
+# the deterministic Laplacian-eigenmaps fallback for the reference's UMAP
+# stage, nuevo-kmeans-pre.ipynb:689 c31)
+# ---------------------------------------------------------------------------
+
+_M11_SAMPLE = 400
+
+
+def m11_spectral_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 — the 2-D manifold embedding runs driver-side on a bounded
+    ordered sample (the reference's own UMAP envelope, like
+    silhouette's s×d stage); its coordinates re-enter the plan as a
+    broadcast literal table and the per-label spread audit is
+    DISTRIBUTED (broadcast join + one agg shuffle). The oracle
+    recomputes the same deterministic eigh embedding from the same
+    parquet and independently re-derives the per-label stats."""
+    from vector_search_optimization_spark.operators.reduction import (
+        spectral_embedding_numpy,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sample = (
+        e.select("vec_id", "embedding").orderBy("vec_id").limit(_M11_SAMPLE).collect()
+    )
+    ids = [int(r[0]) for r in sample]
+    X = np.asarray([r[1] for r in sample], dtype=np.float64)
+    emb = np.round(spectral_embedding_numpy(X, n_components=2, n_neighbors=15), 6)
+    coords = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in zip(ids, emb)],
+        schema="vec_id long, sx double, sy double",
+    )
+    return (
+        e.select("vec_id", "label")
+        .join(F.broadcast(coords), "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("sx"), 4).alias("mean_x"),
+            F.round(F.stddev_samp("sx"), 4).alias("std_x"),
+            F.round(F.avg("sy"), 4).alias("mean_y"),
+            F.round(F.stddev_samp("sy"), 4).alias("std_y"),
+        )
+        .orderBy("label")
+    )
+
+
+def _m11_sql() -> str:
+    """Generated oracle for m11: recompute the deterministic spectral
+    coords from the oracle-sf parquet (same eigh, same rounding), inline
+    them as literals, and let DuckDB independently join to labels and
+    re-derive the per-label stats."""
+    import duckdb
+
+    from vector_search_optimization_spark.operators.reduction import (
+        spectral_embedding_numpy,
+    )
+
+    pdf = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        f"'{_oracle_sf_dir()}/embeddings.parquet' ORDER BY vec_id LIMIT {_M11_SAMPLE}"
+    ).df()
+    ids = pdf["vec_id"].tolist()
+    X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    emb = np.round(spectral_embedding_numpy(X, n_components=2, n_neighbors=15), 6)
+    values = ", ".join(
+        f"({int(i)}, {x!r}, {y!r})" for i, (x, y) in zip(ids, emb)
+    )
+    return f"""
+WITH coords(vec_id, sx, sy) AS (VALUES {values})
+SELECT label, count(*) AS n,
+       round(avg(sx), 4) AS mean_x, round(stddev_samp(sx), 4) AS std_x,
+       round(avg(sy), 4) AS mean_y, round(stddev_samp(sy), 4) AS std_y
+FROM coords JOIN embeddings USING (vec_id)
+GROUP BY label ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
 # S3b ORC sink/scan roundtrip (sources.writers.write_orc)
 # ---------------------------------------------------------------------------
 
@@ -4443,6 +4521,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tfidf_keywords": (tfidf_keywords, _TFIDF_SQL),
     "skew_salted_agg": (skew_salted_agg, _SKEW_SQL),
     "curation_pipeline": (curation_pipeline, _CURATION_SQL),
+    "m11_spectral_embedding": (m11_spectral_embedding, _m11_sql),
     "stratified_sample": (stratified_sample, _STRAT_SQL),
     "fraction_sample": (fraction_sample, _FRAC_SQL),
     "s3_orc_roundtrip": (s3_orc_roundtrip, _S3_ORC_SQL),

@@ -218,3 +218,66 @@ def test_tfidf_null_text_excluded(spark):
     )
     out = RT.tfidf_keywords(docs, n_keywords=5).collect()
     assert {r.doc_id for r in out} == {0}
+
+
+# ---------------------------------------------------------------------------
+# M11 spectral-embedding fallback (operators.reduction)
+# ---------------------------------------------------------------------------
+
+def test_spectral_embedding_separates_two_blobs():
+    import numpy as np
+
+    from vector_search_optimization_spark.operators.reduction import (
+        spectral_embedding_numpy,
+    )
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(0.0, 0.05, size=(30, 8))
+    b = rng.normal(5.0, 0.05, size=(30, 8)) * np.array([1] + [0] * 7)
+    X = np.vstack([a, b + rng.normal(0.0, 0.05, size=(30, 8))])
+    emb = spectral_embedding_numpy(X, n_components=2, n_neighbors=10)
+    assert emb.shape == (60, 2)
+    # first non-trivial eigenvector splits the two components
+    left, right = emb[:30, 0], emb[30:, 0]
+    assert max(left.max(), right.max()) != min(left.min(), right.min())
+    assert (left.mean() < right.mean()) or (left.mean() > right.mean())
+    gap = abs(left.mean() - right.mean())
+    spread = left.std() + right.std()
+    assert gap > 3 * spread
+
+
+def test_spectral_embedding_deterministic():
+    import numpy as np
+
+    from vector_search_optimization_spark.operators.reduction import (
+        spectral_embedding_numpy,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(40, 5))
+    e1 = spectral_embedding_numpy(X, 3, 8)
+    e2 = spectral_embedding_numpy(X.copy(), 3, 8)
+    assert np.array_equal(e1, e2)
+    assert e1.shape == (40, 3)
+
+
+def test_umap_project_falls_back_to_spectral(spark, sf_small):
+    from vector_search_optimization_spark.operators import reduction as RED
+    from vector_search_optimization_spark.sources import load_table
+
+    e = load_table(spark, sf_small, "embeddings")
+    out = RED.umap_project(e, n_components=2, max_rows=200)
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(len(r.umap) == 2 for r in rows)
+    # this container has no umap-learn → the spectral path must have run
+    assert {r.method for r in rows} == {"spectral"}
+
+
+def test_umap_project_strict_raise_without_fallback(spark, sf_small):
+    from vector_search_optimization_spark.operators import reduction as RED
+    from vector_search_optimization_spark.sources import load_table
+
+    e = load_table(spark, sf_small, "embeddings")
+    with pytest.raises(NotImplementedError):
+        RED.umap_project(e, fallback=False)

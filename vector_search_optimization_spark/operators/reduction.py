@@ -2,10 +2,13 @@
 
 - PCA 2D/3D + explained variance (nuevo-kmeans-pre.ipynb:520 c26): MLlib
   PCA — distributed, covariance accumulated in one pass.
-- UMAP 2D/3D (nuevo-kmeans-pre.ipynb:689 c31): no distributed equivalent
-  and umap-learn is not in this container; the operator is a documented
-  driver-side stage behind an import-try (NotImplementedError otherwise),
-  exactly as SURVEY §4.3 plans it.
+- UMAP 2D/3D (nuevo-kmeans-pre.ipynb:689 c31): no distributed equivalent;
+  driver-side stage over a bounded sample (SURVEY §4.3). umap-learn when
+  installed; otherwise a deterministic Laplacian-eigenmaps spectral
+  embedding — the same neighbor-graph manifold family, and literally
+  UMAP's own initialization — so the operator WORKS in this container
+  rather than raising (the strict raise contract stays reachable via
+  fallback=False).
 """
 
 from __future__ import annotations
@@ -63,30 +66,98 @@ def pca_project(
     return out, [float(x) for x in model.explainedVariance]
 
 
+def spectral_embedding_numpy(
+    X: np.ndarray, n_components: int = 2, n_neighbors: int = 15
+) -> np.ndarray:
+    """Deterministic Laplacian-eigenmaps embedding (Belkin & Niyogi '03)
+    — the manifold embedding UMAP itself uses as its initialization.
+
+    kNN graph on euclidean distance (ties broken by index), symmetrized
+    by max; heat-kernel weights scaled by the median positive kNN
+    distance; bottom non-trivial eigenvectors of the symmetric
+    normalized Laplacian via ``eigh`` (deterministic), sign-fixed like
+    the PCA basis. Dense O(n²) memory — a driver-side stage for the
+    reference's ≤10k-row envelope, like silhouette_exact.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    n = len(X)
+    if n < 2:
+        return np.zeros((n, n_components))
+    k = min(n_neighbors, n - 1)
+    sq = np.sum(X * X, axis=1)
+    d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (X @ X.T), 0.0)
+    np.fill_diagonal(d2, np.inf)
+    # k nearest per row; argsort (stable) breaks ties by index
+    nn = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    w = np.zeros((n, n))
+    rows = np.repeat(np.arange(n), k)
+    cols = nn.ravel()
+    knn_d2 = d2[rows, cols]
+    pos = knn_d2[knn_d2 > 0]
+    scale = np.median(pos) if len(pos) else 1.0
+    w[rows, cols] = np.exp(-knn_d2 / max(scale, 1e-12))
+    w = np.maximum(w, w.T)  # symmetrize
+    deg = w.sum(axis=1)
+    deg_is = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
+    lap = np.eye(n) - (deg_is[:, None] * w * deg_is[None, :])
+    vals, vecs = np.linalg.eigh(lap)
+    order = np.argsort(vals, kind="stable")
+    comps = vecs[:, order[1 : n_components + 1]].T  # skip the trivial vector
+    out = []
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c = -c
+        out.append(c)
+    return np.asarray(out).T
+
+
 def umap_project(
     df: DataFrame,
     n_components: int = 2,
     vector_col: str = "embedding",
     id_col: str = "vec_id",
-    max_rows: int = 100_000,
+    max_rows: int = 10_000,
+    fallback: bool = True,
     **umap_kwargs,
 ) -> DataFrame:
-    """M11 — UMAP on the driver over collected vectors (non-distributed
-    stage, reference runs it on <=10k rows). Raises NotImplementedError
-    when umap-learn is absent (not installed in this container)."""
+    """M11 — neighbor-graph manifold embedding on the driver over
+    collected vectors (non-distributed stage; the reference runs UMAP on
+    <=10k rows, nuevo-kmeans-pre.ipynb:689 c31).
+
+    Uses umap-learn when installed. When absent (this container), falls
+    back to the deterministic spectral embedding above — the same
+    neighbor-graph family (and UMAP's own init) — unless
+    ``fallback=False``, which preserves the explicit
+    NotImplementedError contract. The output column is ``umap`` either
+    way; ``method`` records which path ran.
+    """
     try:
         import umap  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env without umap
-        raise NotImplementedError(
-            "umap-learn is not installed; UMAP is a driver-side optional "
-            "stage (SURVEY §2.9 M11). Install umap-learn to enable."
-        ) from e
 
-    pdf = df.select(id_col, vector_col).limit(max_rows).toPandas()
-    import numpy as np
+        have_umap = True
+    except ImportError:
+        have_umap = False
+        if not fallback:
+            raise NotImplementedError(
+                "umap-learn is not installed; UMAP is a driver-side "
+                "optional stage (SURVEY §2.9 M11). Install umap-learn or "
+                "use fallback=True for the spectral embedding."
+            ) from None
 
+    bounded = df.select(id_col, vector_col).limit(max_rows).persist()
+    bounded.count()  # materialize once; bare limit-collect re-runs upstream
+    pdf = bounded.toPandas()
+    bounded.unpersist()
     X = V.stack_vectors(pdf[vector_col])
-    emb = umap.UMAP(n_components=n_components, **umap_kwargs).fit_transform(X)
+    if have_umap:  # pragma: no cover - env without umap
+        emb = umap.UMAP(n_components=n_components, **umap_kwargs).fit_transform(X)
+        method = "umap"
+    else:
+        emb = spectral_embedding_numpy(
+            X, n_components, umap_kwargs.get("n_neighbors", 15)
+        )
+        method = "spectral"
     out = pdf[[id_col]].copy()
-    out["umap"] = [row.tolist() for row in emb]
+    out["umap"] = [row.tolist() for row in np.asarray(emb, dtype=np.float64)]
+    out["method"] = method
     return df.sparkSession.createDataFrame(out)
