@@ -4436,6 +4436,88 @@ GROUP BY label ORDER BY label
 
 
 # ---------------------------------------------------------------------------
+# P8 null-tolerant vector access + A16 dict-accumulated counts — the two
+# remaining SURVEY rows that had no value-oracled query of their own
+# ---------------------------------------------------------------------------
+
+def p8_null_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — the reference's get_all_embeddings drops documents whose
+    content_vector is missing (update-etiquetas.ipynb:171 c9). The
+    synthetic table has no nulls, so nulls are planted deterministically
+    (every 7th vec_id) on BOTH sides; the query then does the
+    null-tolerant pass: count total/null/kept and aggregate only over
+    present vectors. Pure projection + one agg — map-only before the
+    final combine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.when(F.col("vec_id") % 7 == 0, F.lit(None)).otherwise(
+        F.col("embedding")
+    )
+    withnull = e.select("vec_id", v.alias("vec"))
+    return withnull.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("vec").isNull().cast("long")).alias("n_null"),
+        F.sum(F.col("vec").isNotNull().cast("long")).alias("n_kept"),
+        F.round(
+            F.avg(F.when(F.col("vec").isNotNull(), V.l2_norm("vec"))), 4
+        ).alias("avg_norm_kept"),
+    )
+
+
+_P8_SQL = """
+WITH withnull AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 7 = 0 THEN NULL ELSE embedding END AS vec
+  FROM embeddings
+)
+SELECT count(*) AS n_total,
+       CAST(sum(CASE WHEN vec IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(sum(CASE WHEN vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(avg(CASE WHEN vec IS NOT NULL THEN
+         sqrt(list_sum(list_transform(vec,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END), 4)
+         AS avg_norm_kept
+FROM withnull
+"""
+
+
+def a16_dict_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — dict-accumulated counts (cluster_count[label] += 1,
+    update-etiquetas.ipynb:414 c11), distributed: two combinable
+    shuffles, the dict itself serialized canonically (sources sorted)
+    so the value hash checks the full accumulated mapping."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("source", "cnt"))),
+                    lambda x: F.concat_ws(
+                        ":", x["source"], x["cnt"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("source_counts"),
+            F.sum("cnt").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+_A16_SQL = """
+WITH per AS (
+  SELECT lang, source, count(*) AS cnt FROM documents GROUP BY lang, source
+)
+SELECT lang,
+       string_agg(source || ':' || CAST(cnt AS VARCHAR), ',' ORDER BY source)
+         AS source_counts,
+       CAST(sum(cnt) AS BIGINT) AS n_docs
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # S3b ORC sink/scan roundtrip (sources.writers.write_orc)
 # ---------------------------------------------------------------------------
 
@@ -4522,6 +4604,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "skew_salted_agg": (skew_salted_agg, _SKEW_SQL),
     "curation_pipeline": (curation_pipeline, _CURATION_SQL),
     "m11_spectral_embedding": (m11_spectral_embedding, _m11_sql),
+    "p8_null_tolerant": (p8_null_tolerant, _P8_SQL),
+    "a16_dict_accum": (a16_dict_accum, _A16_SQL),
     "stratified_sample": (stratified_sample, _STRAT_SQL),
     "fraction_sample": (fraction_sample, _FRAC_SQL),
     "s3_orc_roundtrip": (s3_orc_roundtrip, _S3_ORC_SQL),
