@@ -184,3 +184,48 @@ def test_word_chunks_cover_exactly_with_stride(spark, n_words, chunk_tokens, ove
         toks = c.chunk_text.split()
         rebuilt.extend(toks if s == 0 else toks[overlap:] if len(toks) > overlap else [])
     assert rebuilt == words or n_words == 0
+
+
+# ---------------------------------------------------------------------------
+# curation-operator properties
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_redaction_leaves_no_residual_pii(texts):
+    """After redact_pii, none of the four detectors may match again —
+    redaction is a fixpoint of detection on arbitrary ASCII input.
+    (Python re and Spark's Java regex agree on this ASCII subset; the
+    Spark-side semantics are pinned by tests/test_curation.py.)"""
+    import re
+
+    from vector_search_optimization_spark.functions import redact as RD
+
+    for t in texts:
+        red = t
+        for pattern, tag in RD.REDACTIONS:
+            red = re.sub(pattern, tag, red)
+        for pattern, _ in RD.REDACTIONS:
+            assert re.search(pattern, red) is None, (t, red, pattern)
+
+
+def test_fraction_sample_thresholds_nest(spark):
+    """sample(f1) ⊆ sample(f2) for f1 <= f2 — hash-threshold membership
+    is monotone in the fraction, so samples can grow incrementally."""
+    from vector_search_optimization_spark.operators import sampling as SAMP
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    prev: set = set()
+    for f in (0.05, 0.15, 0.4, 0.8):
+        cur = {r.id for r in SAMP.deterministic_sample(df, "id", f).collect()}
+        assert prev <= cur
+        prev = cur

@@ -38,18 +38,18 @@ def sample_hash(key: Column | str) -> Column:
     return F.sha2(c.cast("string"), 256)
 
 
-def deterministic_sample(
-    df: DataFrame, key: str, fraction: float, hash_col: str = "_sh"
-) -> DataFrame:
+def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by hash threshold.
 
     The first 4 hex chars of sha256(key) are uniform over 0..65535;
     keeping rows below ``fraction * 65536`` (as a zero-padded hex literal,
     compared lexicographically) samples without rand() — reproducible,
-    rerun-stable, and expressible identically in ANSI SQL.
+    rerun-stable, and expressible identically in ANSI SQL. Thresholds
+    nest: sample(f1) ⊆ sample(f2) whenever f1 ≤ f2 (property-tested),
+    so a pipeline can grow its sample without resampling old members.
     """
     bound = format(min(int(fraction * 65536), 65536), "04x")
-    return df.where(F.substring(sample_hash(key), 1, 4) < F.lit(bound)).drop(hash_col)
+    return df.where(F.substring(sample_hash(key), 1, 4) < F.lit(bound))
 
 
 def stratified_sample_fixed_n(
