@@ -4518,6 +4518,50 @@ FROM per GROUP BY lang ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# semi-structured JSON property extraction over events.props
+# ---------------------------------------------------------------------------
+
+def evt_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from a semi-structured JSON column: from_json
+    with an explicit schema (the Spark-native path — Jackson parse once,
+    typed struct after) + per-type aggregation. Pure projection then one
+    combinable shuffle; at 100 TB the JSON parse is the scan stage's
+    CPU, never a shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k int").getField("k").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k").isNull().cast("long")).alias("n_null_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVT_JSON_SQL = r"""
+WITH parsed AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 4) AS avg_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM parsed GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # S3b ORC sink/scan roundtrip (sources.writers.write_orc)
 # ---------------------------------------------------------------------------
 
@@ -4606,6 +4650,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "m11_spectral_embedding": (m11_spectral_embedding, _m11_sql),
     "p8_null_tolerant": (p8_null_tolerant, _P8_SQL),
     "a16_dict_accum": (a16_dict_accum, _A16_SQL),
+    "evt_json_props": (evt_json_props, _EVT_JSON_SQL),
     "stratified_sample": (stratified_sample, _STRAT_SQL),
     "fraction_sample": (fraction_sample, _FRAC_SQL),
     "s3_orc_roundtrip": (s3_orc_roundtrip, _S3_ORC_SQL),
