@@ -926,7 +926,7 @@ def _emb_blocked_sql() -> str:
         planes = ann.rp_planes(8, _EMB_DIM, seed=42 + t)
         bits = []
         for i in range(8):
-            lits = ", ".join(f"{x!r}" for x in planes[i])
+            lits = ", ".join(f"{float(x)!r}" for x in planes[i])
             dot = (
                 "list_reduce(list_transform(list_zip(embedding, "
                 f"[{lits}]), p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
@@ -965,7 +965,7 @@ def rp_bucket_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _rp_sql() -> str:
     bits = []
     for i in range(8):
-        lits = ", ".join(f"{x!r}" for x in _RP_PLANES[i])
+        lits = ", ".join(f"{float(x)!r}" for x in _RP_PLANES[i])
         dot = (
             "list_reduce(list_transform(list_zip(embedding, "
             f"[{lits}]), p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
@@ -1616,16 +1616,16 @@ def _m9_sql() -> str:
              prec[1, 2] + prec[2, 1]]
         par_rows.append(
             "(" + ", ".join(
-                [str(int(lbl))] + [f"{v!r}" for v in list(mu_c) + q]
+                [str(int(lbl))] + [f"{float(v)!r}" for v in list(mu_c) + q]
             ) + ")"
         )
 
     def proj(i: int) -> str:
-        lits = ", ".join(f"{c!r}" for c in comps[i])
+        lits = ", ".join(f"{float(c)!r}" for c in comps[i])
         return (
             "list_reduce(list_transform(list_zip(embedding, "
             f"[{lits}]), p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
-            f" - {offs[i]!r}"
+            f" - {float(offs[i])!r}"
         )
 
     values = ",\n".join(par_rows)
@@ -1787,11 +1787,11 @@ def _m10_sql() -> str:
     comps, offs = _m9_basis(X)
 
     def proj(i: int) -> str:
-        lits = ", ".join(f"{c!r}" for c in comps[i])
+        lits = ", ".join(f"{float(c)!r}" for c in comps[i])
         return (
             "list_reduce(list_transform(list_zip(embedding, "
             f"[{lits}]), p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
-            f" - {offs[i]!r}"
+            f" - {float(offs[i])!r}"
         )
 
     var_sel = ", ".join(f"var_pop({proj(i)}) AS v{i}" for i in range(_M9_DIM))
@@ -4282,7 +4282,11 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     clean = d.select("doc_id", "lang", RD.redact_pii("text").alias("clean"))
-    gated = clean.where(TX.whitespace_token_count("clean") >= 10)
+    # gate on LM.tokenize (empty pieces dropped) — the SAME tokenizer the
+    # scoring stage uses and the oracle's list_filter mirrors exactly;
+    # whitespace_token_count's trim() would count a leading-tab empty
+    # piece and diverge at the >= 10 boundary
+    gated = clean.where(F.size(LM.tokenize("clean")) >= 10)
     vocab = LM.train_unigram_lm(gated, "clean")
     scored = LM.unigram_surprisal(gated, vocab, text_col="clean").select(
         "doc_id", "n_tokens", F.round("avg_surprisal", 4).alias("s")
@@ -4423,7 +4427,9 @@ def _m11_sql() -> str:
     X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
     emb = np.round(spectral_embedding_numpy(X, n_components=2, n_neighbors=15), 6)
     values = ", ".join(
-        f"({int(i)}, {x!r}, {y!r})" for i, (x, y) in zip(ids, emb)
+        # float() first: numpy>=2 repr of np.float64 is 'np.float64(x)',
+        # which is not SQL
+        f"({int(i)}, {float(x)!r}, {float(y)!r})" for i, (x, y) in zip(ids, emb)
     )
     return f"""
 WITH coords(vec_id, sx, sy) AS (VALUES {values})

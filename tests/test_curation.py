@@ -42,6 +42,9 @@ def test_pii_counts(pii_df):
     assert got[2] == (0, 0, 0, 2)
     assert got[3] == (0, 2, 0, 0)
     assert got[4] == (0, 0, 0, 0)
+    # counts measure the RAW text: the URL's query-string email ALSO
+    # counts (2 emails), even though redaction lets the URL consume it
+    assert got[5] == (2, 1, 0, 1)
     assert got[6] == (0, 0, 0, 0)
 
 

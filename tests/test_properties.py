@@ -225,7 +225,10 @@ def test_fraction_sample_thresholds_nest(spark):
 
     df = spark.createDataFrame([(i,) for i in range(300)], "id long")
     prev: set = set()
-    for f in (0.05, 0.15, 0.4, 0.8):
+    for f in (0.05, 0.15, 0.4, 0.8, 1.0):
         cur = {r.id for r in SAMP.deterministic_sample(df, "id", f).collect()}
         assert prev <= cur
         prev = cur
+    # fraction >= 1 keeps EVERY row (regression: a 5-hex-digit bound
+    # used to drop ~94% of rows at fraction=1.0)
+    assert prev == set(range(300))

@@ -145,9 +145,11 @@ def umap_project(
             ) from None
 
     bounded = df.select(id_col, vector_col).limit(max_rows).persist()
-    bounded.count()  # materialize once; bare limit-collect re-runs upstream
-    pdf = bounded.toPandas()
-    bounded.unpersist()
+    try:
+        bounded.count()  # materialize once; bare limit-collect re-runs upstream
+        pdf = bounded.toPandas()
+    finally:
+        bounded.unpersist()
     X = V.stack_vectors(pdf[vector_col])
     if have_umap:  # pragma: no cover - env without umap
         emb = umap.UMAP(n_components=n_components, **umap_kwargs).fit_transform(X)

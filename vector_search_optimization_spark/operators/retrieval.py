@@ -114,13 +114,10 @@ def tfidf_keywords(
     window shuffle with WindowGroupLimit. Ties rank on the ROUNDED
     score then the word, so ordering is reproducible cross-engine.
     """
+    from .lm_quality import tokenize  # ONE tokenization contract repo-wide
+
     base = docs.where(F.col(text_col).isNotNull())
-    toks = base.select(
-        id_col,
-        F.explode(
-            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-        ).alias("word"),
-    )
+    toks = base.select(id_col, F.explode(tokenize(text_col)).alias("word"))
     tf = toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfreq"))
     n_docs = base.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))

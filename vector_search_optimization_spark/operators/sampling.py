@@ -48,8 +48,14 @@ def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     nest: sample(f1) ⊆ sample(f2) whenever f1 ≤ f2 (property-tested),
     so a pipeline can grow its sample without resampling old members.
     """
-    bound = format(min(int(fraction * 65536), 65536), "04x")
-    return df.where(F.substring(sample_hash(key), 1, 4) < F.lit(bound))
+    b = int(fraction * 65536)
+    if b >= 65536:
+        # fraction >= 1: keep everything (a 5-hex-char bound like '10000'
+        # would compare lexicographically BELOW most 4-char prefixes)
+        return df
+    return df.where(
+        F.substring(sample_hash(key), 1, 4) < F.lit(format(b, "04x"))
+    )
 
 
 def stratified_sample_fixed_n(

@@ -50,8 +50,11 @@ def salted_agg(
     combinable shuffles with map-side partials; total extra cost is one
     tiny second shuffle of |keys|×salts rows.
     """
-    lvl1 = df.withColumn("_salt", salt_column(salt_key, salts)).groupBy(
-        group_col, "_salt"
+    salt_name = "_salt"
+    while salt_name in df.columns:  # never clobber a caller's column
+        salt_name += "_"
+    lvl1 = df.withColumn(salt_name, salt_column(salt_key, salts)).groupBy(
+        group_col, salt_name
     )
     if value_col is None:
         partial = lvl1.agg(F.count(F.lit(1)).alias("_n"))
