@@ -89,6 +89,26 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt if dt == dt else 0.0
 
+    # steady-state supplement: re-run the slowest queries once warm.
+    # Expression-heavy plans pay a multi-second ONE-TIME codegen/compile
+    # on their first action (CLAUDE.md); the cold number above charges
+    # that to whichever query compiles the plan, the warm number shows
+    # the per-run cost that actually amortizes at scale. Purely
+    # additional keys — `value`/`queries` semantics are unchanged.
+    slowest = sorted(
+        (n for n, v in timings.items() if v == v), key=lambda n: -timings[n]
+    )[:5]
+    warm: dict[str, float] = {}
+    for name in slowest:
+        t0 = time.time()
+        try:
+            entrymod.queries()[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            warm[name] = round(time.time() - t0, 3)
+        except Exception:  # noqa: BLE001
+            pass
+
     print(
         json.dumps(
             {
@@ -96,6 +116,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
