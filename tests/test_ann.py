@@ -463,3 +463,31 @@ def test_ivfpq_refined_topk_exact_when_unconstrained(spark, emb, tmp_path):
     ).collect()
     assert [r.vec_id for r in got] == want
     assert got[0].exact_dist == 0.0  # the query vector itself
+
+
+def test_compact_ivf_cells_repeated_rounds_unique_names(spark, emb, tmp_path):
+    """A second compaction round must not collide with (and destroy) the
+    first round's compacted-* files — install names are epoch-unique,
+    and rows survive fragment -> compact -> fragment -> compact."""
+    import glob
+
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    cents = ann.train_ivf_centroids(old, num_cells=4, seed=42)
+    path = str(tmp_path / "ivf_index")
+    ann.write_ivf_index(old, cents, path)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    for i in range(6):
+        ann.append_to_ivf_index(rest.where(F.col("vec_id") % 12 == 2 * i + 1), path)
+    assert ann.compact_ivf_cells(spark, path, max_files_per_cell=4)
+    rows_mid = sorted(r.vec_id for r in spark.read.parquet(f"{path}/corpus").collect())
+
+    # re-fragment and compact again: previous compacted-* files are now
+    # among the originals being replaced
+    for i in range(6):
+        ann.append_to_ivf_index(rest.where(F.col("vec_id") % 12 == 2 * i + 1), path)
+    assert ann.compact_ivf_cells(spark, path, max_files_per_cell=1)
+    rows_after = sorted(r.vec_id for r in spark.read.parquet(f"{path}/corpus").collect())
+    # second round preserves the doubled fragment rows exactly
+    assert rows_after == sorted(rows_mid + sorted(r.vec_id for r in rest.collect()))
+    for d in glob.glob(f"{path}/corpus/cell=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) <= 1

@@ -305,7 +305,10 @@ def _brute_jaccard_pairs(docs_rows, shingle_n, threshold):
 
     sets = {}
     for i, text in docs_rows:
-        toks = (text or "").lower().split()
+        # the canonical python twin of the engine's ASCII-\s tokenizer;
+        # bare str.split() would also split on unicode spaces (NBSP,
+        # U+2028) and silently diverge on non-ASCII corpora
+        toks = TX.word_tokens_py(text)
         sets[i] = set(
             np.unique(TX.poly_hash_shingles_np(toks, shingle_n)).tolist()
         )

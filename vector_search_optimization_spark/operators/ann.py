@@ -446,7 +446,8 @@ def compact_ivf_cells(
     at least one new file per touched cell.
 
     Only over-fragmented cells are rewritten (single-file coalesce into a
-    fresh directory, atomic rename swap); untouched cells keep their
+    fresh directory, then install-new-then-delete-old — a crash between
+    the phases duplicates rows, never loses them); untouched cells keep their
     files byte-identical, preserving the append-only economics. Returns
     the compacted cell ids.
 
@@ -473,10 +474,23 @@ def compact_ivf_cells(
         staged = [
             f for f in glob.glob(f"{tmp}/*.parquet")
         ]
+        # crash-safe order: INSTALL the compacted files first, then
+        # delete the originals — a kill between the two phases leaves
+        # the cell with duplicate rows (probe-time dedup on vec_id, the
+        # documented streaming-sink contract), never with missing rows.
+        # Deleting first would lose the whole cell on a mid-swap crash.
+        # Epoch-unique names so an install can never overwrite a
+        # previous compaction's file that is itself in `files`.
+        prev = [
+            os.path.basename(f).split("-")[1]
+            for f in files
+            if os.path.basename(f).startswith("compacted-")
+        ]
+        epoch = 1 + max((int(e) for e in prev if e.isdigit()), default=-1)
+        for i, f in enumerate(staged):
+            os.replace(f, f"{cell_dir}/compacted-{epoch}-{i}.parquet")
         for f in files:
             os.remove(f)
-        for i, f in enumerate(staged):
-            os.replace(f, f"{cell_dir}/compacted-{i}.parquet")
         shutil.rmtree(tmp)
         compacted.append(cell)
     return compacted

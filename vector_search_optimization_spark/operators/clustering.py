@@ -196,33 +196,35 @@ def silhouette_exact_distributed(
 
     from pyspark import StorageLevel
 
+    hcols = (
+        [F.col(c) for c in id_cols]
+        if id_cols
+        else [F.to_json(F.struct(F.col(cluster_col), F.col(vector_col)))]
+    )
+    # the sample hash is computed INTO the persisted projection so the
+    # sample fetch below is a cache hit — sampling from a different
+    # projection over `assigned` would miss the cache and re-run the
+    # whole upstream pipeline (KMeans transform / DBSCAN labeling) once
+    # more per call, which dbscan_grid_search multiplies by |grid|
     sdf = assigned.select(
-        F.col(cluster_col).alias("__lbl"), F.col(vector_col).alias("__vec")
+        F.col(cluster_col).alias("__lbl"),
+        F.col(vector_col).alias("__vec"),
+        F.xxhash64(F.lit(seed), *hcols).alias("__h"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # the input is typically an unpersisted KMeans transform over the
     # full table; without this persist the count, the sample fetch, and
     # the mapInPandas aggregation would each re-run the upstream pipeline
     n = sdf.count()
     if sample_size is not None and sample_size < n:
-        hcols = (
-            [F.col(c) for c in id_cols]
-            if id_cols
-            else [F.to_json(F.struct(F.col(cluster_col), F.col(vector_col)))]
-        )
         sample = (
-            assigned.select(
-                F.col(cluster_col).alias("__lbl"),
-                F.col(vector_col).alias("__vec"),
-                F.xxhash64(F.lit(seed), *hcols).alias("__h"),
-            )
-            .orderBy("__h")
+            sdf.orderBy("__h")
             .limit(sample_size)
             .select("__lbl", "__vec")
             .collect()
         )
     else:
         # sample == corpus (n <= s): the collect stays sample-bounded
-        sample = sdf.collect()
+        sample = sdf.select("__lbl", "__vec").collect()
     S = np.asarray([r["__vec"] for r in sample], dtype=np.float64)
     s_labels = np.asarray([r["__lbl"] for r in sample])
     s = len(S)
@@ -256,7 +258,8 @@ def silhouette_exact_distributed(
 
     lbl_type = assigned.schema[cluster_col].dataType.simpleString()
     agg = (
-        sdf.mapInPandas(part, schema=f"l {lbl_type}, p int, v double")
+        sdf.select("__lbl", "__vec")  # cache-hit projection; drop __h
+        .mapInPandas(part, schema=f"l {lbl_type}, p int, v double")
         .groupBy("l", "p")
         .agg(F.sum("v").alias("v"))
         .collect()

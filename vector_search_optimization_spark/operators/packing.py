@@ -52,10 +52,13 @@ def pack_by_token_budget(
     if shards is None:
         part = [group_col]
     else:
+        shard_name = "shard"
+        while shard_name in df.columns:  # never clobber a caller's column
+            shard_name += "_"
         out = out.withColumn(
-            "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+            shard_name, F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
         )
-        part = [group_col, "shard"]
+        part = [group_col, shard_name]
     w = (
         Window.partitionBy(*part)
         .orderBy(id_col)

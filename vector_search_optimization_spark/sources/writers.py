@@ -110,8 +110,16 @@ def write_upsert(
     fs = base_p.getFileSystem(spark._jsc.hadoopConfiguration())
     old_p = jvm.Path(base_path.rstrip("/") + ".__old__")
     fs.delete(old_p, True)  # leftover from a previous crashed commit
-    fs.rename(base_p, old_p)
-    fs.rename(jvm.Path(staging), base_p)
+    # Hadoop FileSystem.rename reports failure by returning FALSE, not by
+    # throwing — an unchecked failed rename here would either leave the
+    # old data in place or nest staging INSIDE the still-existing base
+    # dir, while the caller believes the merge committed.
+    if not fs.rename(base_p, old_p):
+        raise IOError(f"upsert commit: rename {base_path} -> {old_p} failed")
+    if not fs.rename(jvm.Path(staging), base_p):
+        # roll back so the table stays readable at base_path
+        fs.rename(old_p, base_p)
+        raise IOError(f"upsert commit: rename {staging} -> {base_path} failed")
     fs.delete(old_p, True)
 
 
