@@ -284,3 +284,32 @@ def test_umap_project_strict_raise_without_fallback(spark, sf_small):
     e = load_table(spark, sf_small, "embeddings")
     with pytest.raises(NotImplementedError):
         RED.umap_project(e, fallback=False)
+
+
+def test_salted_shuffle_join_equals_plain_join(spark):
+    from vector_search_optimization_spark.operators import skew as SK
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "k%d" % i, float(i)) for i in range(300)],
+        "id long, k string, v double",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("k10", 2), ("k20", 3), ("absent", 9)], "k string, dim int"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.id, r.k, r.v, r.dim)
+            for r in SK.salted_shuffle_join(big, small, "k", salt_key="id", salts=4, how=how).collect()
+        )
+        want = sorted(
+            (r.id, r.k, r.v, r.dim) for r in big.join(small, "k", how).collect()
+        )
+        assert got == want and len(got) > 0
+
+
+def test_salted_shuffle_join_rejects_outer(spark):
+    from vector_search_optimization_spark.operators import skew as SK
+
+    df = spark.createDataFrame([(1, "a")], "id long, k string")
+    with pytest.raises(ValueError):
+        SK.salted_shuffle_join(df, df, "k", salt_key="id", how="full")

@@ -9,12 +9,13 @@ standard fixes, packaged as operators:
   combine the partials. Works for any algebraic aggregate (the partial
   states here: count/sum/min/max). AQE's skew handling only splits
   *join* partitions; skewed aggs still need salting.
-- ``replicated_broadcast_join``: for a join where the SMALL side fits in
-  a broadcast, skew is moot (no shuffle of the big side at all) — that's
-  the engine-wide default (see plan pins). The salted shuffle-join
-  variant (explode small side × salt, salt big side deterministically)
-  is documented in SCALING.md; it's only needed when neither side
-  broadcasts.
+- ``salted_shuffle_join``: when neither side broadcasts, a hot join key
+  pins one reducer. The small(er) side replicates each row ``salts``
+  times (explode), the big side salts deterministically, and the join
+  runs on (key, salt) — the hot key's rows spread over ``salts``
+  reducers at the cost of replicating the smaller side ``salts``×.
+  Where the small side DOES fit in a broadcast, skew is moot (zero
+  shuffle of the big side) — that's the engine-wide default (plan pins).
 
 The salt must be DETERMINISTIC (hash of a row key, not rand()): retried
 tasks must land rows in the same salt bucket or AQE/retry can double- or
@@ -74,3 +75,37 @@ def salted_agg(
         F.min("_mn").alias("min_value"),
         F.max("_mx").alias("max_value"),
     )
+
+
+def salted_shuffle_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_key: str,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof shuffle equi-join on ``key``.
+
+    The big side gets a deterministic salt from ``salt_key`` (a big-side
+    row key — NOT the join key, which is constant within the hot group);
+    the small side replicates each row once per salt value (one
+    explode, |small|×salts rows — use only when the small side doesn't
+    fit a broadcast but |small|×salts is still shuffle-friendly). The
+    (key, salt) equi-join then spreads each hot key over ``salts``
+    reducers. Result equals ``big.join(small, key, how)`` exactly
+    (equivalence-tested); supported ``how``: inner / left — semantics
+    where a big-side row appears at most once per small match.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_shuffle_join supports inner/left, got {how!r}")
+    salt_name = "_salt"
+    while salt_name in big.columns or salt_name in small.columns:
+        salt_name += "_"
+    big_s = big.withColumn(salt_name, salt_column(salt_key, salts))
+    # explode is a generator — it cannot nest inside another expression
+    # (no .cast around it); sequence of int literals already yields int
+    small_s = small.withColumn(
+        salt_name, F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    return big_s.join(small_s, [key, salt_name], how).drop(salt_name)
