@@ -491,3 +491,21 @@ def test_compact_ivf_cells_repeated_rounds_unique_names(spark, emb, tmp_path):
     assert rows_after == sorted(rows_mid + sorted(r.vec_id for r in rest.collect()))
     for d in glob.glob(f"{path}/corpus/cell=*"):
         assert len(glob.glob(f"{d}/*.parquet")) <= 1
+
+
+def test_recall_at_k_harness(spark, emb):
+    """recall_at_k: 1.0 against itself, correct fraction on a planted
+    overlap, 0.0 on an empty exact set."""
+    q = emb.orderBy("vec_id").first().embedding
+    exact = ann.brute_force_topk(emb, q, k=10)
+    assert ann.recall_at_k(exact, exact) == 1.0
+    far = (
+        emb.orderBy(F.col("vec_id").desc())
+        .limit(5)
+        .select("vec_id", F.lit(0.0).alias(exact.columns[1]))
+    )
+    half = exact.limit(5).union(far)
+    r = ann.recall_at_k(half, exact)
+    assert 0.4 <= r <= 0.7  # 5 guaranteed hits, tail may overlap
+    empty = exact.where(F.lit(False))
+    assert ann.recall_at_k(exact, empty) == 0.0

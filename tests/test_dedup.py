@@ -414,3 +414,30 @@ def test_lsh_band_validation_rejects_degenerate_configs(spark):
         dedup.minhash_lsh_candidates(sigs, num_bands=100, num_hashes=8)
     with pytest.raises(ValueError):
         dedup.minhash_lsh_candidates(sigs, num_bands=3, num_hashes=8)
+
+
+def test_tune_lsh_bands_matches_scurve_intuition():
+    """More bands (shorter rows) -> catches lower-similarity pairs; the
+    tuned banding's S-curve midpoint (1/b)^(1/r) must track the target
+    threshold, and the banding must always divide the signature."""
+    from vector_search_optimization_spark.operators.dedup import (
+        lsh_collision_probability,
+        tune_lsh_bands,
+    )
+
+    prev_bands = None
+    for t in (0.2, 0.5, 0.8):
+        b, r = tune_lsh_bands(64, t)
+        assert b * r == 64
+        mid = (1.0 / b) ** (1.0 / r)
+        assert abs(mid - t) < 0.2  # S-curve centered near the threshold
+        if prev_bands is not None:
+            assert b <= prev_bands  # higher threshold -> fewer bands
+        prev_bands = b
+        # the curve actually separates: well below t ~ rarely candidate,
+        # well above t ~ almost always candidate
+        assert lsh_collision_probability(max(t - 0.15, 0.01), b, r) < \
+            lsh_collision_probability(min(t + 0.15, 0.99), b, r)
+    assert lsh_collision_probability(0.95, 16, 4) > 0.99
+    with pytest.raises(ValueError):
+        tune_lsh_bands(64, 1.5)

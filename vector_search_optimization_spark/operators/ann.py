@@ -496,6 +496,26 @@ def compact_ivf_cells(
     return compacted
 
 
+def recall_at_k(
+    approx: DataFrame, exact: DataFrame, id_col: str = "vec_id"
+) -> float:
+    """Recall@k of an approximate result set vs the exact top-k:
+    |approx ∩ exact| / |exact| over the id column.
+
+    The standard ANN quality gate (Faiss's `knn_recall` shape) — run it
+    on a held-out query sample whenever an index parameter (nprobe,
+    nbits, rerank) changes. Both inputs are k-row result frames, so the
+    semi-join is trivially small; returns 0.0 for an empty exact set.
+    """
+    n_exact = exact.count()
+    if n_exact == 0:
+        return 0.0
+    hit = approx.select(id_col).join(
+        exact.select(id_col), id_col, "left_semi"
+    ).count()
+    return hit / n_exact
+
+
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Open a written IVF index: (cell-partitioned corpus, centroids)."""
     return (

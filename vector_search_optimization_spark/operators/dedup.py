@@ -202,6 +202,52 @@ def minhash_signatures_kernel(
     )
 
 
+def lsh_collision_probability(s: float, num_bands: int, rows_per_band: int) -> float:
+    """P(candidate | jaccard=s) for banded MinHash LSH: 1 - (1 - s^r)^b.
+
+    The S-curve every banding choice trades on (Broder '97 / MMDS ch.3):
+    steepness sits near the threshold t ≈ (1/b)^(1/r)."""
+    return 1.0 - (1.0 - s**rows_per_band) ** num_bands
+
+
+def tune_lsh_bands(
+    num_hashes: int,
+    threshold: float,
+    fp_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Pick (num_bands, rows_per_band) for a target jaccard threshold.
+
+    Standard S-curve optimization (the public datasketch recipe):
+    over every divisor banding of the signature, minimize
+    fp_weight·∫₀ᵗ P(candidate|s) ds + (1-fp_weight)·∫ₜ¹ (1-P) ds —
+    weighted false-positive area below the threshold plus false-negative
+    area above it (numeric integration; exact enough at 1e-3 steps).
+    Returns the banding for minhash_lsh_candidates; a lower fp_weight
+    tolerates more candidates to miss fewer true pairs.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best: tuple[float, int, int] | None = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        fp = fn = 0.0
+        steps = 1000
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = lsh_collision_probability(s, b, r)
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        err = (fp_weight * fp + (1.0 - fp_weight) * fn) / steps
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
