@@ -1,0 +1,148 @@
+"""Scale probe: run the heavy operator stacks on a synthetic corpus N×
+larger than sf0.1, watching for scale cliffs (quadratic candidate blowup,
+driver collects that grow with n, bucket skew) rather than absolute time.
+
+Generates (once, fingerprint-cached in /tmp):
+- documents: SCALE × 5,000 docs of word-salad with a planted 1% near-dup
+  tail (mutated copies), mirroring sf0.1's shape at ~300 chars/doc
+- embeddings: SCALE × 2,000 unit vectors, dim 64, 10 soft clusters
+
+Then times, at that scale: exact dedup, MinHash LSH → verify, PII scrub +
+quality gate + unigram LM scoring (the curation stack), TF-IDF keywords,
+stratified sampling, IVF build + probe, brute-force top-k.
+
+Usage: python tools/scale_probe.py [SCALE]   (default 40 → 200k docs)
+Emits one JSON line: per-stage seconds + row counts. Rerun with a larger
+SCALE to check the growth curve is ~linear (shuffle-bound), not quadratic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from vector_search_optimization_spark.session import get_spark
+
+SCALE = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+N_DOCS = 5_000 * SCALE
+N_VECS = 2_000 * SCALE
+DIM = 64
+ROOT = f"/tmp/spark_graft_scale_probe/s{SCALE}"
+
+WORDS = (
+    "the a spark query row data table scan merge join sort filter agg key "
+    "window batch stream group column value line part order customer fast "
+    "slow big small dup hash"
+).split()
+
+
+def _gen(spark) -> None:
+    if os.path.exists(f"{ROOT}/_done"):
+        return
+    os.makedirs(ROOT, exist_ok=True)
+    rng = np.random.default_rng(42)
+    # documents: ~45 words each; last 1% are mutated copies of doc i-N/100
+    base = rng.integers(0, len(WORDS), size=(N_DOCS, 45))
+    words = np.asarray(WORDS)
+    rows = []
+    for i in range(N_DOCS):
+        idx = base[i]
+        if i >= N_DOCS - N_DOCS // 100:  # planted near-dup tail
+            idx = base[i - N_DOCS // 100].copy()
+            idx[rng.integers(0, 45)] = rng.integers(0, len(WORDS))
+        rows.append(" ".join(words[idx]))
+        if (i + 1) % 100_000 == 0:
+            print(f"gen docs {i + 1}/{N_DOCS}", file=sys.stderr)
+    langs = np.asarray(["en", "es", "de", "fr", "zh"])[
+        rng.integers(0, 5, size=N_DOCS)
+    ]
+    spark.createDataFrame(
+        list(zip(range(N_DOCS), rows, langs.tolist())),
+        "doc_id long, text string, lang string",
+    ).repartition(32).write.mode("overwrite").parquet(f"{ROOT}/documents")
+
+    cents = rng.normal(size=(10, DIM))
+    X = cents[rng.integers(0, 10, size=N_VECS)] + rng.normal(
+        scale=0.3, size=(N_VECS, DIM)
+    )
+    X = (X / np.linalg.norm(X, axis=1, keepdims=True)).astype(np.float32)
+    spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    ).repartition(32).write.mode("overwrite").parquet(f"{ROOT}/embeddings")
+    open(f"{ROOT}/_done", "w").write("ok")
+
+
+def main() -> None:
+    spark = get_spark("scale_probe")
+    t0 = time.time()
+    _gen(spark)
+    gen_s = round(time.time() - t0, 1)
+
+    docs = spark.read.parquet(f"{ROOT}/documents")
+    emb = spark.read.parquet(f"{ROOT}/embeddings")
+    out: dict[str, float | int] = {"scale": SCALE, "n_docs": N_DOCS, "n_vecs": N_VECS, "gen_s": gen_s}
+
+    def stage(name: str, fn) -> None:
+        t = time.time()
+        n = fn()
+        out[f"{name}_s"] = round(time.time() - t, 1)
+        out[f"{name}_rows"] = int(n)
+
+    from vector_search_optimization_spark.functions import redact as RD
+    from vector_search_optimization_spark.operators import ann, dedup
+    from vector_search_optimization_spark.operators import lm_quality as LM
+    from vector_search_optimization_spark.operators import retrieval as RT
+    from vector_search_optimization_spark.operators import sampling as SAMP
+
+    stage("exact_dedup", lambda: dedup.dedup_exact(docs).count())
+
+    def _minhash_verified():
+        sigs = dedup.minhash_signatures_kernel(docs, num_hashes=64).persist()
+        sigs.count()
+        cands = dedup.minhash_lsh_candidates(sigs, num_bands=16, num_hashes=64)
+        pairs = dedup.ngram_jaccard_pairs(docs, cands, threshold=0.7)
+        n = pairs.count()
+        sigs.unpersist()
+        return n
+
+    stage("minhash_lsh_verified", _minhash_verified)
+
+    def _curation():
+        clean = docs.select(
+            "doc_id", "lang", RD.redact_pii("text").alias("clean")
+        ).where(F.size(LM.tokenize("clean")) >= 10)
+        vocab = LM.train_unigram_lm(clean, "clean")
+        return LM.unigram_surprisal(clean, vocab, text_col="clean").count()
+
+    stage("curation_scrub_lm", _curation)
+    stage("tfidf_keywords", lambda: RT.tfidf_keywords(docs, 3).count())
+    stage(
+        "stratified_sample",
+        lambda: SAMP.stratified_sample_fixed_n(docs, "lang", "doc_id", 100).count(),
+    )
+
+    def _ivf():
+        cents = ann.train_ivf_centroids(emb, num_cells=32, seed=42)
+        assigned = ann.assign_ivf_cells(emb, cents)
+        q = emb.where(F.col("vec_id") == 0).first().embedding
+        return ann.ivf_topk(assigned, cents, q, k=10, nprobe=4).count()
+
+    stage("ivf_build_probe", _ivf)
+    q = emb.where(F.col("vec_id") == 0).first().embedding
+    stage("brute_topk", lambda: ann.brute_force_topk(emb, q, k=10).count())
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
