@@ -4286,7 +4286,11 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring stage uses and the oracle's list_filter mirrors exactly;
     # whitespace_token_count's trim() would count a leading-tab empty
     # piece and diverge at the >= 10 boundary
-    gated = clean.where(F.size(LM.tokenize("clean")) >= 10)
+    # three consumers (vocab train, scoring, the join-back) would each
+    # re-run the 4-regex scrub + tokenize; persist the gated projection
+    # once. At lake scale this stage is a MATERIALIZED curated table
+    # (write once, read by every downstream), not a session cache.
+    gated = clean.where(F.size(LM.tokenize("clean")) >= 10).persist()
     vocab = LM.train_unigram_lm(gated, "clean")
     scored = LM.unigram_surprisal(gated, vocab, text_col="clean").select(
         "doc_id", "n_tokens", F.round("avg_surprisal", 4).alias("s")
