@@ -313,3 +313,41 @@ def test_salted_shuffle_join_rejects_outer(spark):
     df = spark.createDataFrame([(1, "a")], "id long, k string")
     with pytest.raises(ValueError):
         SK.salted_shuffle_join(df, df, "k", salt_key="id", how="full")
+
+
+# ---------------------------------------------------------------------------
+# empty-input robustness (empty partitions/tables are routine at scale)
+# ---------------------------------------------------------------------------
+
+def test_new_operators_survive_empty_input(spark):
+    from vector_search_optimization_spark.operators import retrieval as RT
+    from vector_search_optimization_spark.operators import skew as SK
+
+    docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert docs.select(RD.redact_pii("text")).count() == 0
+    vocab = LM.train_unigram_lm(docs)
+    assert vocab.count() == 0
+    assert LM.unigram_surprisal(docs, vocab).count() == 0
+    assert RT.tfidf_keywords(docs).count() == 0
+    assert SAMP.deterministic_sample(docs, "doc_id", 0.5).count() == 0
+    assert SAMP.stratified_sample_fixed_n(docs, "lang", "doc_id", 5).count() == 0
+    ev = spark.createDataFrame([], "event_id long, k string, v double")
+    assert SK.salted_agg(ev, "k", salt_key="event_id", value_col="v").count() == 0
+    assert (
+        SK.salted_shuffle_join(ev, ev.select("k").distinct(), "k", salt_key="event_id").count()
+        == 0
+    )
+
+
+def test_spectral_embedding_degenerate_sizes():
+    import numpy as np
+
+    from vector_search_optimization_spark.operators.reduction import (
+        spectral_embedding_numpy,
+    )
+
+    assert spectral_embedding_numpy(np.zeros((0, 4)), 2).shape == (0, 2)
+    assert spectral_embedding_numpy(np.zeros((1, 4)), 2).shape == (1, 2)
+    # n=3 with n_components=2: only 2 non-trivial eigenvectors exist
+    out = spectral_embedding_numpy(np.eye(3), 2, n_neighbors=2)
+    assert out.shape == (3, 2)
