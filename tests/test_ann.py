@@ -509,3 +509,19 @@ def test_recall_at_k_harness(spark, emb):
     assert 0.4 <= r <= 0.7  # 5 guaranteed hits, tail may overlap
     empty = exact.where(F.lit(False))
     assert ann.recall_at_k(exact, empty) == 0.0
+
+
+def test_ivf_cell_stats_flags_imbalance(spark, emb):
+    """Even assignment ~ imbalance near 1; piling everything into one
+    cell drives imbalance to n_cells."""
+    cents = ann.train_ivf_centroids(emb, num_cells=8, seed=42)
+    assigned = ann.assign_ivf_cells(emb, cents)
+    st = ann.ivf_cell_stats(assigned)
+    assert st["n_cells"] >= 2
+    assert st["min"] >= 1 and st["max"] >= st["min"]
+    assert 1.0 <= st["imbalance"] < st["n_cells"]
+    skew = assigned.withColumn("cell", F.lit(0))
+    st2 = ann.ivf_cell_stats(skew)
+    assert st2["n_cells"] == 1 and st2["imbalance"] == 1.0
+    empty = assigned.where(F.lit(False))
+    assert ann.ivf_cell_stats(empty)["n_cells"] == 0

@@ -396,6 +396,39 @@ def assign_ivf_cells(
     ).drop("cell_dist")
 
 
+def ivf_cell_stats(assigned: DataFrame, cell_col: str = "cell") -> dict:
+    """Index-health summary for quantizer-drift monitoring: cell
+    occupancy spread as {n_cells, min, max, mean, imbalance} where
+    imbalance = max/mean (1.0 = perfectly even).
+
+    One combinable shuffle of per-cell counts. This is the signal that
+    triggers the out-of-band re-train + full rebuild (the stream never
+    retrains in-stream — SCALING.md): a drifting corpus piles new
+    vectors into few cells, imbalance grows, and probe pruning decays
+    toward a full scan of the hot cells.
+    """
+    rows = (
+        assigned.groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.min("n").alias("min"),
+            F.max("n").alias("max"),
+            F.avg("n").alias("mean"),
+        )
+        .first()
+    )
+    if rows is None or rows["n_cells"] == 0:
+        return {"n_cells": 0, "min": 0, "max": 0, "mean": 0.0, "imbalance": 0.0}
+    return {
+        "n_cells": int(rows["n_cells"]),
+        "min": int(rows["min"]),
+        "max": int(rows["max"]),
+        "mean": float(rows["mean"]),
+        "imbalance": float(rows["max"] / rows["mean"]),
+    }
+
+
 def write_ivf_index(
     df: DataFrame,
     centroids: DataFrame,
