@@ -4277,27 +4277,28 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus median of the ROUNDED surprisal (cross-engine-stable
     boundary) → exact dedup on the canonical text (min doc_id survives)
     → per-lang audit."""
-    from vector_search_optimization_spark.functions import redact as RD
     from vector_search_optimization_spark.operators import lm_quality as LM
+    from vector_search_optimization_spark.operators.curation import curate_columns
 
     d = load_table(spark, sf_dir, "documents")
-    clean = d.select("doc_id", "lang", RD.redact_pii("text").alias("clean"))
-    # gate on LM.tokenize (empty pieces dropped) — the SAME tokenizer the
-    # scoring stage uses and the oracle's list_filter mirrors exactly;
-    # whitespace_token_count's trim() would count a leading-tab empty
-    # piece and diverge at the >= 10 boundary
-    # three consumers (vocab train, scoring, the join-back) would each
-    # re-run the 4-regex scrub + tokenize; persist the gated projection
-    # once. At lake scale this stage is a MATERIALIZED curated table
-    # (write once, read by every downstream), not a session cache.
-    gated = clean.where(F.size(LM.tokenize("clean")) >= 10).persist()
+    # the CANONICAL scrub+gate projection (operators.curation) — shared
+    # with the streaming ingest path and the scale probe, so the gate
+    # tokenizer matches the scoring stage and the oracle's list_filter
+    # by construction. Three consumers (vocab train, scoring, the
+    # join-back) re-run the stateless projection; at lake scale this
+    # stage is a MATERIALIZED curated table (write once, read by every
+    # downstream), which is also why no session cache is held here.
+    gated = curate_columns(d, min_tokens=10, keep_cols=())
     vocab = LM.train_unigram_lm(gated, "clean")
     scored = LM.unigram_surprisal(gated, vocab, text_col="clean").select(
         "doc_id", "n_tokens", F.round("avg_surprisal", 4).alias("s")
     )
     med = scored.agg(F.percentile(F.col("s"), F.lit(0.5)).alias("m"))
     kept = (
-        gated.join(scored, "doc_id")
+        # gated carries its own n_tokens (same tokenizer) — drop it so
+        # the joined frame has exactly one n_tokens column (scored's)
+        gated.select("doc_id", "lang", "clean")
+        .join(scored, "doc_id")
         .join(F.broadcast(med))
         .where(F.col("s") <= F.col("m"))
     )

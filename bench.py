@@ -106,8 +106,11 @@ def main() -> None:
                 "overwrite"
             ).save()
             warm[name] = round(time.time() - t0, 3)
-        except Exception:  # noqa: BLE001
-            pass
+        except Exception as e:  # noqa: BLE001
+            # mirror the cold loop: a warm-only failure must be visible,
+            # not read as "fell out of the top 5"
+            print(f"bench warm error in {name}: {e}", file=sys.stderr)
+            warm[name] = float("nan")
 
     print(
         json.dumps(

@@ -35,13 +35,21 @@ SCALE = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 N_DOCS = 5_000 * SCALE
 N_VECS = 2_000 * SCALE
 DIM = 64
-ROOT = f"/tmp/spark_graft_scale_probe/s{SCALE}"
 
 WORDS = (
     "the a spark query row data table scan merge join sort filter agg key "
     "window batch stream group column value line part order customer fast "
     "slow big small dup hash"
 ).split()
+
+# cache key = GENERATOR fingerprint, not just the scale — editing WORDS,
+# DIM, the doc shape, or the dup scheme must invalidate the cached
+# corpus (CLAUDE.md: stale /tmp caches silently diverge)
+_GEN_VERSION = "v1-45w-1pct-dup"
+_FPR = __import__("hashlib").sha256(
+    f"{_GEN_VERSION}|{DIM}|{' '.join(WORDS)}".encode()
+).hexdigest()[:12]
+ROOT = f"/tmp/spark_graft_scale_probe/s{SCALE}-{_FPR}"
 
 
 def _gen(spark) -> None:
@@ -97,7 +105,6 @@ def main() -> None:
         out[f"{name}_s"] = round(time.time() - t, 1)
         out[f"{name}_rows"] = int(n)
 
-    from vector_search_optimization_spark.functions import redact as RD
     from vector_search_optimization_spark.operators import ann, dedup
     from vector_search_optimization_spark.operators import lm_quality as LM
     from vector_search_optimization_spark.operators import retrieval as RT
@@ -117,9 +124,11 @@ def main() -> None:
     stage("minhash_lsh_verified", _minhash_verified)
 
     def _curation():
-        clean = docs.select(
-            "doc_id", "lang", RD.redact_pii("text").alias("clean")
-        ).where(F.size(LM.tokenize("clean")) >= 10)
+        from vector_search_optimization_spark.operators.curation import (
+            curate_columns,
+        )
+
+        clean = curate_columns(docs, min_tokens=10, keep_cols=())
         vocab = LM.train_unigram_lm(clean, "clean")
         return LM.unigram_surprisal(clean, vocab, text_col="clean").count()
 

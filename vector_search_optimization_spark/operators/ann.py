@@ -472,6 +472,7 @@ def compact_ivf_cells(
     spark,
     path: str,
     max_files_per_cell: int = 4,
+    id_col: str = "vec_id",
 ) -> list[int]:
     """Index maintenance half #2: compact cells whose file count exceeds
     ``max_files_per_cell`` — the small-file debt a streaming ingest
@@ -501,9 +502,14 @@ def compact_ivf_cells(
             continue
         cell = int(os.path.basename(cell_dir).split("=", 1)[1])
         tmp = f"{path}/_compact_cell_{cell}"
-        spark.read.parquet(cell_dir).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        # dropDuplicates makes crash recovery CONVERGE: a kill between
+        # install and delete below leaves original+compacted copies of
+        # each row; this rewrite collapses them instead of baking the
+        # duplication in forever (keep the streaming-duplicate contract
+        # bounded at one compaction cycle)
+        spark.read.parquet(cell_dir).dropDuplicates([id_col]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
         staged = [
             f for f in glob.glob(f"{tmp}/*.parquet")
         ]
@@ -540,12 +546,16 @@ def recall_at_k(
     nbits, rerank) changes. Both inputs are k-row result frames, so the
     semi-join is trivially small; returns 0.0 for an empty exact set.
     """
-    n_exact = exact.count()
+    exact_ids = exact.select(id_col).distinct()
+    n_exact = exact_ids.count()
     if n_exact == 0:
         return 0.0
-    hit = approx.select(id_col).join(
-        exact.select(id_col), id_col, "left_semi"
-    ).count()
+    # distinct on BOTH sides: duplicate ids in an approx result (e.g. a
+    # crash-recovered index before its next compaction) must not inflate
+    # recall past 1.0
+    hit = (
+        approx.select(id_col).distinct().join(exact_ids, id_col, "left_semi").count()
+    )
     return hit / n_exact
 
 

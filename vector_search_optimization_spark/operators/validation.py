@@ -65,10 +65,16 @@ def in_range(col: str, lo: float, hi: float) -> Rule:
 
 
 def accepted_values(col: str, values: list) -> Rule:
+    """NULLs never violate this rule (use non_null for that), so a None
+    in ``values`` is dropped — left in, three-valued isin would turn the
+    predicate NULL for every non-member and silently pass everything."""
     c = F.col(col)
+    clean = [v for v in values if v is not None]
+    if not clean:
+        raise ValueError("accepted_values needs at least one non-None value")
     return Rule(
         f"accepted_values({col})",
-        _count_if(c.isNotNull() & ~c.isin(values)),
+        _count_if(c.isNotNull() & ~c.isin(clean)),
     )
 
 

@@ -25,27 +25,12 @@ via stream vs backfill.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..functions import redact as RD
-from ..operators.lm_quality import tokenize
+from ..operators.curation import curate_columns
 from ..schemas import DOCUMENTS
 
-
-def curate_columns(df: DataFrame, min_tokens: int = 10) -> DataFrame:
-    """The shared scrub+gate projection — ONE definition for the batch
-    and streaming paths (stream-vs-batch equivalence by construction).
-
-    Adds ``clean`` (PII-redacted text) and ``n_tokens``; keeps rows with
-    non-null text and at least ``min_tokens`` whitespace tokens."""
-    return (
-        df.where(F.col("text").isNotNull())
-        .withColumn("clean", RD.redact_pii("text"))
-        .withColumn("n_tokens", F.size(tokenize("clean")))
-        .where(F.col("n_tokens") >= min_tokens)
-        .select("doc_id", "lang", "source", "clean", "n_tokens")
-    )
+__all__ = ["curate_columns", "read_documents_stream", "stream_curate_to_parquet"]
 
 
 def read_documents_stream(
