@@ -99,7 +99,21 @@ def write_upsert(
     merged = upsert_fields(base, updates, key_col, update_cols)
     staging = base_path.rstrip("/") + ".__staging__"
     merged.write.mode("overwrite").format(fmt).save(staging)
+    commit_swap(spark, staging, base_path)
 
+
+def commit_swap(spark, staging: str, base_path: str) -> None:
+    """Install a staged directory over a base path via two renames:
+    base -> .__old__, staging -> base, then delete .__old__ (shared by
+    the upsert sink and the streaming aggregate maintenance).
+
+    A reader never sees a half-written base (each rename is atomic on
+    posix/HDFS); a crash between the renames leaves the data intact
+    under .__old__ (manual recovery). Hadoop FileSystem.rename reports
+    failure by returning FALSE, not by throwing — an unchecked failed
+    rename would either leave old data in place or nest staging INSIDE
+    the still-existing base dir, so both renames are checked, with a
+    rollback keeping the table readable."""
     from py4j.java_gateway import java_import
 
     jvm = spark._jvm
@@ -110,16 +124,12 @@ def write_upsert(
     fs = base_p.getFileSystem(spark._jsc.hadoopConfiguration())
     old_p = jvm.Path(base_path.rstrip("/") + ".__old__")
     fs.delete(old_p, True)  # leftover from a previous crashed commit
-    # Hadoop FileSystem.rename reports failure by returning FALSE, not by
-    # throwing — an unchecked failed rename here would either leave the
-    # old data in place or nest staging INSIDE the still-existing base
-    # dir, while the caller believes the merge committed.
     if not fs.rename(base_p, old_p):
-        raise IOError(f"upsert commit: rename {base_path} -> {old_p} failed")
+        raise IOError(f"commit: rename {base_path} -> {old_p} failed")
     if not fs.rename(jvm.Path(staging), base_p):
         # roll back so the table stays readable at base_path
         fs.rename(old_p, base_p)
-        raise IOError(f"upsert commit: rename {staging} -> {base_path} failed")
+        raise IOError(f"commit: rename {staging} -> {base_path} failed")
     fs.delete(old_p, True)
 
 
