@@ -102,7 +102,7 @@ def write_upsert(
     commit_swap(spark, staging, base_path)
 
 
-def commit_swap(spark, staging: str, base_path: str) -> None:
+def commit_swap(spark, staging: str, base_path: str, require_base: bool = True) -> None:
     """Install a staged directory over a base path via two renames:
     base -> .__old__, staging -> base, then delete .__old__ (shared by
     the upsert sink and the streaming aggregate maintenance).
@@ -124,6 +124,13 @@ def commit_swap(spark, staging: str, base_path: str) -> None:
     fs = base_p.getFileSystem(spark._jsc.hadoopConfiguration())
     old_p = jvm.Path(base_path.rstrip("/") + ".__old__")
     fs.delete(old_p, True)  # leftover from a previous crashed commit
+    if not fs.exists(base_p):
+        # first install (streaming fold's initial epoch): one atomic rename
+        if require_base:
+            raise IOError(f"commit: base {base_path} does not exist")
+        if not fs.rename(jvm.Path(staging), base_p):
+            raise IOError(f"commit: rename {staging} -> {base_path} failed")
+        return
     if not fs.rename(base_p, old_p):
         raise IOError(f"commit: rename {base_path} -> {old_p} failed")
     if not fs.rename(jvm.Path(staging), base_p):
