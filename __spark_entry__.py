@@ -4573,6 +4573,58 @@ FROM parsed GROUP BY event_type ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# data-quality constraint report (operators.validation)
+# ---------------------------------------------------------------------------
+
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint report over documents — six rules compiled
+    into ONE conditional-aggregate pass (plan: one agg pair + one
+    exchange however many rules). The 300-char range rule is chosen to
+    FAIL on real data so the violation counters are value-checked, not
+    just the all-zero path."""
+    from vector_search_optimization_spark.operators import validation as DQ
+
+    d = load_table(spark, sf_dir, "documents")
+    rules = [
+        DQ.non_null("doc_id"),
+        DQ.unique("doc_id"),
+        DQ.non_null("text"),
+        DQ.accepted_values("lang", ["en", "es", "de", "fr", "zh"]),
+        DQ.in_range("n_chars", 0, 300),
+        DQ.satisfies("n_chars = length(text)", "n_chars_consistent"),
+    ]
+    return DQ.check_constraints(d, rules).orderBy("rule")
+
+
+_DQ_SQL = """
+WITH m AS (
+  SELECT
+    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn_id,
+    CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         - count(DISTINCT doc_id) AS BIGINT) AS v_uniq,
+    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn_text,
+    CAST(sum(CASE WHEN lang IS NOT NULL
+                   AND lang NOT IN ('en','es','de','fr','zh')
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+    CAST(sum(CASE WHEN n_chars IS NOT NULL
+                   AND (n_chars < 0 OR n_chars > 300)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+    CAST(sum(CASE WHEN NOT (n_chars = length(text)) THEN 1 ELSE 0 END)
+         AS BIGINT) AS v_cons
+  FROM documents
+)
+SELECT rule, violations, violations = 0 AS passed FROM (
+  SELECT 'non_null(doc_id)' AS rule, v_nn_id AS violations FROM m
+  UNION ALL SELECT 'unique(doc_id)', v_uniq FROM m
+  UNION ALL SELECT 'non_null(text)', v_nn_text FROM m
+  UNION ALL SELECT 'accepted_values(lang)', v_lang FROM m
+  UNION ALL SELECT 'in_range(n_chars, 0, 300)', v_range FROM m
+  UNION ALL SELECT 'n_chars_consistent', v_cons FROM m
+) ORDER BY rule
+"""
+
+
+# ---------------------------------------------------------------------------
 # S3b ORC sink/scan roundtrip (sources.writers.write_orc)
 # ---------------------------------------------------------------------------
 
@@ -4662,6 +4714,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "p8_null_tolerant": (p8_null_tolerant, _P8_SQL),
     "a16_dict_accum": (a16_dict_accum, _A16_SQL),
     "evt_json_props": (evt_json_props, _EVT_JSON_SQL),
+    "dq_constraints": (dq_constraints, _DQ_SQL),
     "stratified_sample": (stratified_sample, _STRAT_SQL),
     "fraction_sample": (fraction_sample, _FRAC_SQL),
     "s3_orc_roundtrip": (s3_orc_roundtrip, _S3_ORC_SQL),
