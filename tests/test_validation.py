@@ -73,3 +73,49 @@ def test_constraints_on_clean_and_empty_tables(spark, sf_small):
     assert all(r.passed for r in got)
     with pytest.raises(ValueError):
         V.check_constraints(docs, [])
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _table_and_bounds(draw):
+    n = draw(st.integers(min_value=0, max_value=30))
+    rows = [
+        (
+            draw(st.one_of(st.none(), st.integers(0, 5))),
+            draw(st.one_of(st.none(), st.floats(-10, 10, allow_nan=False))),
+        )
+        for _ in range(n)
+    ]
+    lo = draw(st.floats(-5, 0))
+    hi = draw(st.floats(0, 5))
+    return rows, lo, hi
+
+
+@given(_table_and_bounds())
+@settings(max_examples=12, deadline=None)
+def test_constraint_counts_match_pandas_reference(spark, case):
+    """Randomized cross-check of every counter against a plain python
+    computation over the same rows (NULL semantics included)."""
+    rows, lo, hi = case
+    df = spark.createDataFrame(rows, "k int, v double")
+    rules = [
+        V.non_null("k"),
+        V.unique("k"),
+        V.in_range("v", lo, hi),
+        V.accepted_values("k", [0, 1, 2]),
+    ]
+    got = {r.rule: r.violations for r in V.check_constraints(df, rules).collect()}
+    ks = [k for k, _ in rows]
+    vs = [v for _, v in rows]
+    nn_k = [k for k in ks if k is not None]
+    assert got["non_null(k)"] == sum(k is None for k in ks)
+    assert got["unique(k)"] == len(nn_k) - len(set(nn_k))
+    assert got[f"in_range(v, {lo}, {hi})"] == sum(
+        v is not None and (v < lo or v > hi) for v in vs
+    )
+    assert got["accepted_values(k)"] == sum(
+        k is not None and k not in (0, 1, 2) for k in ks
+    )
