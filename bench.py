@@ -97,7 +97,7 @@ def main() -> None:
     # additional keys — `value`/`queries` semantics are unchanged.
     slowest = sorted(
         (n for n, v in timings.items() if v == v), key=lambda n: -timings[n]
-    )[:5]
+    )[:8]
     warm: dict[str, float] = {}
     for name in slowest:
         t0 = time.time()
