@@ -246,3 +246,21 @@ def test_lm_quality_vocab_join_broadcasts(spark, sf_small):
     plan = _plan(m.queries()["lm_quality_scores"](spark, sf_small))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_orc_partitioned_writes_prune_at_scan(spark, sf_small, tmp_path):
+    """ORC must get the same partition-pruning lever as parquet: a
+    partitionBy(lang) layout probed with a lang filter shows the
+    predicate as a PartitionFilter (directories skipped), not a row
+    filter over a full scan."""
+    from vector_search_optimization_spark.sources.writers import write_orc
+
+    docs = load_table(spark, sf_small, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path, partition_by=["lang"])
+    back = spark.read.orc(path).where("lang = 'en'").select("doc_id")
+    plan = _plan(back)
+    assert "PartitionFilters" in plan
+    head = plan.split("PartitionFilters")[1][:120]
+    assert "lang" in head
+    assert back.count() == docs.where("lang = 'en'").count()
