@@ -4578,10 +4578,12 @@ FROM parsed GROUP BY event_type ORDER BY event_type
 
 def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style constraint report over documents — six rules compiled
-    into ONE conditional-aggregate pass (plan: one agg pair + one
-    exchange however many rules). The 300-char range rule is chosen to
-    FAIL on real data so the violation counters are value-checked, not
-    just the all-zero path."""
+    into one conditional-aggregate pass over one scan (unique() adds the
+    two-phase count-distinct rewrite, so this plan is two agg pairs /
+    two exchanges; rule sets without unique() stay at exactly one, as
+    the plan test pins). The 300-char range rule is chosen to FAIL on
+    real data so the violation counters are value-checked, not just the
+    all-zero path."""
     from vector_search_optimization_spark.operators import validation as DQ
 
     d = load_table(spark, sf_dir, "documents")

@@ -108,7 +108,7 @@ def main() -> None:
             warm[name] = round(time.time() - t0, 3)
         except Exception as e:  # noqa: BLE001
             # mirror the cold loop: a warm-only failure must be visible,
-            # not read as "fell out of the top 5"
+            # not read as "fell out of the slowest set"
             print(f"bench warm error in {name}: {e}", file=sys.stderr)
             warm[name] = float("nan")
 

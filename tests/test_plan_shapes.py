@@ -260,7 +260,9 @@ def test_orc_partitioned_writes_prune_at_scan(spark, sf_small, tmp_path):
     write_orc(docs, path, partition_by=["lang"])
     back = spark.read.orc(path).where("lang = 'en'").select("doc_id")
     plan = _plan(back)
-    assert "PartitionFilters" in plan
-    head = plan.split("PartitionFilters")[1][:120]
-    assert "lang" in head
+    # assert the CONTENT of the PartitionFilters bracket: a flat layout
+    # would still print 'PartitionFilters: []' with the lang predicate in
+    # the adjacent PushedFilters, which a loose substring check misses
+    inside = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "lang" in inside, f"no partition filter on lang: [{inside}]"
     assert back.count() == docs.where("lang = 'en'").count()
