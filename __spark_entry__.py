@@ -4665,61 +4665,16 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 # ---------------------------------------------------------------------------
 
 # Ordering contract: the driver's correctness gate snapshots the FIRST 50
-# entries only (CORRECTNESS_r01/r02 each hold exactly 50).  Entries that
-# have never had a driver-green row — plus anything newly added this round —
-# go FIRST so they fall inside the window; long-driver-green basics rotate
-# to the back.  tools/check_correctness.py covers the full registry locally.
+# entries only (CORRECTNESS_r01/r02/r03 each hold exactly 50).  Rotation
+# state for r4: new r4 queries lead, then the half last driver-audited in
+# r2 (q1/a*/j*/w*/o5/u/p/pivot, f1/j7/j8/j9, r1-era dedup/ANN/streaming,
+# m6-m9) so every query gets a driver row on current-generation testdata;
+# the r3-audited half (CORRECTNESS_r03) rotates to the back, including
+# ep3_label_pipeline (rows-only by design — its value-oracled twin
+# ep3_lloyd_audit stays hash-checkable).  Entries displaced past position
+# 50 by new r4 queries are the most-trivial long-stable basics (p_filters
+# etc.).  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    "m4_dbscan_stats": (m4_dbscan_stats, _M4_SQL),
-    "g1_cooccurrence_edges": (g1_cooccurrence_edges, _G1_SQL),
-    "g2_communities": (g2_communities, _g2_sql),
-    "ep3_label_pipeline": (ep3_label_pipeline, None),
-    "ep3_lloyd_audit": (ep3_lloyd_audit, _ep3_lloyd_sql),
-    "o7_interleave": (o7_interleave, _O7_SQL),
-    "f7_string_caps": (f7_string_caps, _F7_SQL),
-    "j5_literal_map": (j5_literal_map, _J5_MAP_SQL),
-    "m2_silhouette": (m2_silhouette, _M2_SQL),
-    "s1_csv_roundtrip": (s1_csv_roundtrip, _S1_SQL),
-    "s2_json_roundtrip": (s2_json_roundtrip, _S2_SQL),
-    "s6_excel_roundtrip": (s6_excel_roundtrip, _S6_SQL),
-    "f5_manhattan": (f5_manhattan, _f5_sql),
-    "m3_k_sweep": (m3_k_sweep, _m3_sql),
-    "mm_asset_features": (mm_asset_features, _MM_SQL),
-    "split_assign": (split_assign, _SPLIT_SQL),
-    "pack_batches": (pack_batches, _PACK_SQL),
-    "decontaminate_overlap": (decontaminate_overlap, _decon_sql),
-    "evt_asof_join": (evt_asof_join, _ASOF_SQL),
-    "evt_range_join": (evt_range_join, _RANGE_SQL),
-    "f11_token_budget": (f11_token_budget, _f11_sql),
-    "f10_bpe_token_count": (f10_bpe_token_count, _f10_sql),
-    "s7_convert_docs": (s7_convert_docs, _S7_SQL),
-    "s7_pdf_roundtrip": (s7_pdf_roundtrip, _S7_PDF_SQL),
-    "doc_chunking": (doc_chunking, _DOC_CHUNK_SQL),
-    "text_repetition": (text_repetition, _TEXT_REPETITION_SQL),
-    "evt_rollup": (evt_rollup, _EVT_ROLLUP_SQL),
-    "ann_quantized_topk": (ann_quantized_topk, _ANN_QUANT_SQL),
-    "ann_pq_topk": (ann_pq_topk, _pq_sql),
-    "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql),
-    "ann_pq_refined_topk": (ann_pq_refined_topk, _pq_refined_sql),
-    "ann_ivfpq_refined_topk": (ann_ivfpq_refined_topk, _ivfpq_refined_sql),
-    "hybrid_search_rrf": (hybrid_search_rrf, _HYBRID_SQL),
-    "doc_winnow_fingerprints": (doc_winnow_fingerprints, _winnow_sql()),
-    "ngram_jaccard_dedup": (ngram_jaccard_dedup, _NGRAM_JACCARD_SQL),
-    "m1_kmeans_clusters": (m1_kmeans_clusters, _m1_sql),
-    "m10_pca_variance": (m10_pca_variance, _m10_sql),
-    "pii_redaction": (pii_redaction, _PII_SQL),
-    "lm_quality_scores": (lm_quality_scores, _LM_SQL),
-    "tfidf_keywords": (tfidf_keywords, _TFIDF_SQL),
-    "skew_salted_agg": (skew_salted_agg, _SKEW_SQL),
-    "curation_pipeline": (curation_pipeline, _CURATION_SQL),
-    "m11_spectral_embedding": (m11_spectral_embedding, _m11_sql),
-    "p8_null_tolerant": (p8_null_tolerant, _P8_SQL),
-    "a16_dict_accum": (a16_dict_accum, _A16_SQL),
-    "evt_json_props": (evt_json_props, _EVT_JSON_SQL),
-    "dq_constraints": (dq_constraints, _DQ_SQL),
-    "stratified_sample": (stratified_sample, _STRAT_SQL),
-    "fraction_sample": (fraction_sample, _FRAC_SQL),
-    "s3_orc_roundtrip": (s3_orc_roundtrip, _S3_ORC_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "a1_a3_counts": (a1_a3_counts, _A1_SQL),
     "a5_two_level": (a5_two_level, _A5_SQL),
@@ -4770,6 +4725,56 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "m7_percentile_outliers": (m7_percentile_outliers, _M7_SQL),
     "m8_lof_outliers": (m8_lof_outliers, _M8_SQL),
     "m9_mahalanobis_outliers": (m9_mahalanobis_outliers, _m9_sql),
+    "m4_dbscan_stats": (m4_dbscan_stats, _M4_SQL),
+    "g1_cooccurrence_edges": (g1_cooccurrence_edges, _G1_SQL),
+    "g2_communities": (g2_communities, _g2_sql),
+    "ep3_label_pipeline": (ep3_label_pipeline, None),
+    "ep3_lloyd_audit": (ep3_lloyd_audit, _ep3_lloyd_sql),
+    "o7_interleave": (o7_interleave, _O7_SQL),
+    "f7_string_caps": (f7_string_caps, _F7_SQL),
+    "j5_literal_map": (j5_literal_map, _J5_MAP_SQL),
+    "m2_silhouette": (m2_silhouette, _M2_SQL),
+    "s1_csv_roundtrip": (s1_csv_roundtrip, _S1_SQL),
+    "s2_json_roundtrip": (s2_json_roundtrip, _S2_SQL),
+    "s6_excel_roundtrip": (s6_excel_roundtrip, _S6_SQL),
+    "f5_manhattan": (f5_manhattan, _f5_sql),
+    "m3_k_sweep": (m3_k_sweep, _m3_sql),
+    "mm_asset_features": (mm_asset_features, _MM_SQL),
+    "split_assign": (split_assign, _SPLIT_SQL),
+    "pack_batches": (pack_batches, _PACK_SQL),
+    "decontaminate_overlap": (decontaminate_overlap, _decon_sql),
+    "evt_asof_join": (evt_asof_join, _ASOF_SQL),
+    "evt_range_join": (evt_range_join, _RANGE_SQL),
+    "f11_token_budget": (f11_token_budget, _f11_sql),
+    "f10_bpe_token_count": (f10_bpe_token_count, _f10_sql),
+    "s7_convert_docs": (s7_convert_docs, _S7_SQL),
+    "s7_pdf_roundtrip": (s7_pdf_roundtrip, _S7_PDF_SQL),
+    "doc_chunking": (doc_chunking, _DOC_CHUNK_SQL),
+    "text_repetition": (text_repetition, _TEXT_REPETITION_SQL),
+    "evt_rollup": (evt_rollup, _EVT_ROLLUP_SQL),
+    "ann_quantized_topk": (ann_quantized_topk, _ANN_QUANT_SQL),
+    "ann_pq_topk": (ann_pq_topk, _pq_sql),
+    "ann_ivfpq_topk": (ann_ivfpq_topk, _ivfpq_sql),
+    "ann_pq_refined_topk": (ann_pq_refined_topk, _pq_refined_sql),
+    "ann_ivfpq_refined_topk": (ann_ivfpq_refined_topk, _ivfpq_refined_sql),
+    "hybrid_search_rrf": (hybrid_search_rrf, _HYBRID_SQL),
+    "doc_winnow_fingerprints": (doc_winnow_fingerprints, _winnow_sql()),
+    "ngram_jaccard_dedup": (ngram_jaccard_dedup, _NGRAM_JACCARD_SQL),
+    "m1_kmeans_clusters": (m1_kmeans_clusters, _m1_sql),
+    "m10_pca_variance": (m10_pca_variance, _m10_sql),
+    "pii_redaction": (pii_redaction, _PII_SQL),
+    "lm_quality_scores": (lm_quality_scores, _LM_SQL),
+    "tfidf_keywords": (tfidf_keywords, _TFIDF_SQL),
+    "skew_salted_agg": (skew_salted_agg, _SKEW_SQL),
+    "curation_pipeline": (curation_pipeline, _CURATION_SQL),
+    "m11_spectral_embedding": (m11_spectral_embedding, _m11_sql),
+    "p8_null_tolerant": (p8_null_tolerant, _P8_SQL),
+    "a16_dict_accum": (a16_dict_accum, _A16_SQL),
+    "evt_json_props": (evt_json_props, _EVT_JSON_SQL),
+    "dq_constraints": (dq_constraints, _DQ_SQL),
+    "stratified_sample": (stratified_sample, _STRAT_SQL),
+    "fraction_sample": (fraction_sample, _FRAC_SQL),
+    "s3_orc_roundtrip": (s3_orc_roundtrip, _S3_ORC_SQL),
 }
 
 
