@@ -1022,35 +1022,31 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc, the fraction of repeated words (1 - distinct/total) and the
     concentration of the most frequent word-bigram (max bigram count /
     total bigrams). Highly repetitive machine-generated text spikes both.
-    Scale: the bigram mode needs per-(doc, gram) counts — explode →
-    two combinable groupBy shuffles, never a per-doc driver pass; the
-    word-level fraction is a pure expression."""
+    Scale: per-doc gram stats need no cross-doc state, so the hot path
+    is ONE map-side Arrow kernel pass (functions.text.word_gram_stats_expr
+    — no explode, no shuffle, no per-element interpreted expressions);
+    the declarative explode → two-groupBy formulation stays as its
+    equivalence-tested oracle (tests/test_kernel_equivalence.py), and the
+    ratio/rounding math stays JVM-side so floats match the SQL oracle
+    bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(TX.word_ngrams("text", 2)).alias("g")
-    )
-    gram_stats = (
-        grams.groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_2grams"),
-            F.max("c").alias("max_2gram_count"),
-        )
-    )
-    base = d.select(
-        "doc_id", F.round(TX.dup_word_fraction("text"), 6).alias("dup_word_frac")
-    )
-    return base.join(gram_stats, "doc_id", "left").select(
+    st = d.select("doc_id", TX.word_gram_stats_expr("text", 2).alias("__st"))
+    nw = F.col("__st.n_words")
+    ng = F.col("__st.n_grams")
+    mx = F.col("__st.max_gram_count")
+    return st.select(
         "doc_id",
-        "dup_word_frac",
-        F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
-        F.coalesce("max_2gram_count", F.lit(0)).alias("max_2gram_count"),
-        F.round(
-            F.coalesce(
-                F.col("max_2gram_count") / F.col("n_2grams"), F.lit(0.0)
-            ),
-            6,
+        F.when(nw <= 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                1.0 - F.col("__st.n_distinct_words") / nw.cast("double"), 6
+            )
+        )
+        .alias("dup_word_frac"),
+        F.coalesce(ng, F.lit(0)).alias("n_2grams"),
+        F.coalesce(mx, F.lit(0)).alias("max_2gram_count"),
+        F.coalesce(
+            F.when(ng > 0, F.round(mx / ng.cast("double"), 6)), F.lit(0.0)
         ).alias("top_2gram_frac"),
     )
 

@@ -77,3 +77,78 @@ def test_rp_table_buckets_kernel_matches_expression(spark, sf_small):
         ).collect()
     }
     assert kern == expr
+
+
+def test_word_gram_stats_kernel_matches_expression(spark, sf_small):
+    """word_gram_stats_expr (map-side Arrow kernel) must reproduce the
+    declarative explode-word_ngrams → two-groupBy formulation plus
+    dup_word_fraction's word counts exactly — on real documents AND the
+    edge cases (empty, single word, all-repeated, NULL, exotic
+    whitespace that Java \\s does not split on)."""
+    from vector_search_optimization_spark.functions import text as TX
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (9001, ""),
+            (9002, "   "),
+            (9003, "one"),
+            (9004, "a a a a a"),
+            (9005, "a b a b a b"),
+            (9006, None),
+            (9007, "x y z\tz z"),  # NBSP is NOT Java \s
+            (9008, "Tab\tand\nnewline  double  space"),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.unionByName(edge)
+
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: w != ""
+    )
+    decl_words = d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+    )
+    gram_stats = (
+        d.select("doc_id", F.explode(TX.word_ngrams("text", 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_grams"), F.max("c").alias("max_gram_count"))
+    )
+    decl = {
+        r.doc_id: (
+            r.n_words,
+            r.n_distinct_words,
+            r.n_grams or 0,
+            r.max_gram_count or 0,
+        )
+        for r in decl_words.join(gram_stats, "doc_id", "left").collect()
+    }
+    kern = {
+        r.doc_id: (
+            r.st.n_words,
+            r.st.n_distinct_words,
+            r.st.n_grams,
+            r.st.max_gram_count,
+        )
+        for r in d.select(
+            "doc_id", TX.word_gram_stats_expr("text", 2).alias("st")
+        ).collect()
+    }
+    # NULL text: expression size() is NULL -> kernel emits NULLs too
+    assert kern[9006] == (None, None, None, None)
+    decl[9006] = kern[9006]  # size(NULL)=None handled above
+    kern = {k: v for k, v in kern.items()}
+    assert kern == decl
+
+
+def test_word_gram_stats_py_trigram():
+    """n=3 grams + the n_words < n short-text branch."""
+    from vector_search_optimization_spark.functions import text as TX
+
+    assert TX.word_gram_stats_py("a b", 3) == (2, 2, 0, 0)
+    assert TX.word_gram_stats_py("a b a b a b a", 3) == (7, 2, 5, 3)
+    assert TX.word_gram_stats_py(None, 3) == (None, None, None, None)

@@ -427,6 +427,71 @@ def dup_word_fraction(text: Column | str) -> Column:
     )
 
 
+def word_gram_stats_py(
+    text: str | None, n: int = 2
+) -> tuple[int | None, int | None, int | None, int | None]:
+    """Python twin of the repetition-metric expression pipeline —
+    per document ``(n_words, n_distinct_words, n_grams, max_gram_count)``
+    with exactly the semantics of ``word_ngrams(text, n)`` exploded into
+    per-gram counts plus ``dup_word_fraction``'s word counts:
+
+    - tokenization is :func:`word_tokens_py` (the canonical twin of
+      ``split(lower(trim(text)), '\\s+')`` with empty pieces dropped);
+    - fewer than ``n`` words → ``n_grams = max_gram_count = 0`` (the
+      expression path's empty gram array → no exploded rows → coalesce 0);
+    - NULL text → all-NULL so downstream expressions null-propagate the
+      way the expression path does (``dup_word_fraction(NULL)`` is NULL).
+
+    Gram identity uses token tuples — equivalent to the expression
+    path's ``array_join(slice(words, i, n), ' ')`` strings because
+    whitespace-split tokens cannot contain the joiner."""
+    if text is None:
+        return None, None, None, None
+    from collections import Counter
+
+    toks = word_tokens_py(text)
+    nw = len(toks)
+    nd = len(set(toks))
+    if nw < n:
+        return nw, nd, 0, 0
+    counts = Counter(tuple(toks[i : i + n]) for i in range(nw - n + 1))
+    return nw, nd, nw - n + 1, max(counts.values())
+
+
+def word_gram_stats_expr(text: Column | str, n: int = 2) -> Column:
+    """Arrow-batched kernel twin of ``word_ngrams(n)`` + per-gram counts
+    + ``dup_word_fraction``'s word counts, as ONE map-side struct
+    ``struct<n_words, n_distinct_words, n_grams, max_gram_count>``.
+
+    The declarative formulation (explode word_ngrams → two groupBy
+    shuffles) stays as the oracle next door; this is the hot path — the
+    higher-order ``transform``/``array_join`` gram construction runs
+    INTERPRETED per element (the CLAUDE.md kernel-twin rule), and the
+    per-doc gram stats need no cross-doc state, so a numpy/Counter pass
+    per Arrow batch removes both the per-row expression cost and the two
+    shuffles entirely. Equivalence-tested against the expression path in
+    tests/test_kernel_equivalence.py."""
+
+    @F.pandas_udf(
+        "struct<n_words: long, n_distinct_words: long,"
+        " n_grams: long, max_gram_count: long>"
+    )
+    def _u(s: pd.Series) -> pd.DataFrame:
+        rows = [word_gram_stats_py(x, n) for x in s]
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_words",
+                "n_distinct_words",
+                "n_grams",
+                "max_gram_count",
+            ],
+            dtype="object",
+        )
+
+    return _u(_c(text))
+
+
 def bpe_budget_stats_expr(text: Column | str, budget_tokens: int) -> Column:
     """F10+F11 fused: struct(n_tok, kept_tok, kept_chars) in ONE
     Arrow-batched pass (one pre-tokenization scan per document instead
