@@ -1881,6 +1881,156 @@ ORDER BY n DESC, dbscan_label
 """
 
 
+_M4_GRID_EPS = [1.0, 1.1, 1.2]
+_M4_GRID_MS = [3, 5, 8]
+
+
+def m4_grid_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — the reference's eps × min_samples DBSCAN hyperparameter grid
+    with silhouette scoring (silhouettes.ipynb:661 c30; the reference
+    runs 10×10, the driver-checked sweep is the 3×3 core of that grid).
+    Each combo labels via the DISTRIBUTED path (grid-blocked ε-join +
+    pointer-jumping CC); the ε-pair table is built once per eps and
+    shared across the min_samples axis; combos with < 2 clusters skip
+    silhouette (NULL), like the reference's skip branch. Dispatch uses
+    the operator's own size heuristic (numpy kernel while the corpus
+    fits one task's m² working set, grid-blocked distributed labeling
+    beyond — kernel ≡ distributed is pytest-gated in
+    test_outliers_dbscan.py). The DuckDB oracle recomputes every combo
+    from the DBSCAN definition (shared all-pairs distance CTE, per-combo
+    recursive-CTE closure) plus the full pairwise silhouette over each
+    combo's clustered subset."""
+    from vector_search_optimization_spark.operators import dbscan as DB
+
+    e = load_table(spark, sf_dir, "embeddings")
+    res = DB.dbscan_grid_search(e, _M4_GRID_EPS, _M4_GRID_MS)
+    rows = [
+        (
+            r["eps"],
+            r["min_samples"],
+            r["n_clusters"],
+            r["n_noise"],
+            None if r["silhouette"] is None else round(r["silhouette"], 4),
+        )
+        for r in res
+    ]
+    return spark.createDataFrame(
+        rows,
+        "eps double, min_samples int, n_clusters long, n_noise long,"
+        " silhouette double",
+    ).orderBy("eps", "min_samples")
+
+
+def _m4_grid_sql() -> str:
+    """Generated oracle for m4_grid_sweep: one shared all-pairs distance
+    CTE, then per combo the full DBSCAN derivation (degree → core →
+    recursive transitive closure → min-label clusters → border
+    assignment) and the exact pairwise silhouette over that combo's
+    clustered subset (singletons score 0, sklearn convention — same
+    formulation as _M2_SQL)."""
+    ctes = [
+        "pts AS (SELECT vec_id, embedding FROM embeddings)",
+        f"alldist AS (\n"
+        f"  SELECT a.vec_id AS i, b.vec_id AS j, sqrt({_M4_D2}) AS dist\n"
+        f"  FROM pts a JOIN pts b ON a.vec_id <> b.vec_id\n"
+        f")",
+    ]
+    for ei, eps in enumerate(_M4_GRID_EPS):
+        ctes.append(
+            f"neigh_{ei} AS (SELECT i AS src, j AS dst FROM alldist"
+            f" WHERE dist <= {eps})"
+        )
+        ctes.append(
+            f"deg_{ei} AS (SELECT src, count(*) + 1 AS deg FROM neigh_{ei}"
+            f" GROUP BY src)"
+        )
+    selects = []
+    for ei, eps in enumerate(_M4_GRID_EPS):
+        for ms in _M4_GRID_MS:
+            c = f"{ei}_{ms}"
+            ctes.append(
+                f"core_{c} AS (SELECT src AS pid FROM deg_{ei}"
+                f" WHERE deg >= {ms})"
+            )
+            ctes.append(
+                f"core_edges_{c} AS (\n"
+                f"  SELECT n.src, n.dst FROM neigh_{ei} n\n"
+                f"  JOIN core_{c} c1 ON n.src = c1.pid\n"
+                f"  JOIN core_{c} c2 ON n.dst = c2.pid\n"
+                f")"
+            )
+            ctes.append(
+                f"reach_{c}(a, b) AS (\n"
+                f"  SELECT src, dst FROM core_edges_{c}\n"
+                f"  UNION\n"
+                f"  SELECT r.a, e.dst FROM reach_{c} r"
+                f" JOIN core_edges_{c} e ON r.b = e.src\n"
+                f")"
+            )
+            ctes.append(
+                f"core_labels_{c} AS (\n"
+                f"  SELECT c.pid, least(c.pid, coalesce(min(r.b), c.pid))"
+                f" AS lbl\n"
+                f"  FROM core_{c} c LEFT JOIN reach_{c} r ON r.a = c.pid\n"
+                f"  GROUP BY c.pid\n"
+                f")"
+            )
+            ctes.append(
+                f"border_labels_{c} AS (\n"
+                f"  SELECT n.src AS pid, min(cl.lbl) AS lbl\n"
+                f"  FROM neigh_{ei} n"
+                f" JOIN core_labels_{c} cl ON n.dst = cl.pid\n"
+                f"  WHERE n.src NOT IN (SELECT pid FROM core_{c})\n"
+                f"  GROUP BY n.src\n"
+                f")"
+            )
+            ctes.append(
+                f"assign_{c} AS (\n"
+                f"  SELECT p.vec_id, coalesce(l.lbl, -1) AS lbl\n"
+                f"  FROM pts p LEFT JOIN (SELECT * FROM core_labels_{c}"
+                f" UNION ALL SELECT * FROM border_labels_{c}) l"
+                f" ON p.vec_id = l.pid\n"
+                f")"
+            )
+            ctes.append(
+                f"agg_{c} AS (\n"
+                f"  SELECT d.i, ai.lbl AS li, aj.lbl AS lj,"
+                f" sum(d.dist) / count(*) AS mean_d\n"
+                f"  FROM alldist d\n"
+                f"  JOIN assign_{c} ai ON ai.vec_id = d.i AND ai.lbl >= 0\n"
+                f"  JOIN assign_{c} aj ON aj.vec_id = d.j AND aj.lbl >= 0\n"
+                f"  GROUP BY d.i, ai.lbl, aj.lbl\n"
+                f")"
+            )
+            ctes.append(
+                f"ab_{c} AS (\n"
+                f"  SELECT i, max(CASE WHEN lj = li THEN mean_d END) AS a,\n"
+                f"         min(CASE WHEN lj <> li THEN mean_d END) AS b\n"
+                f"  FROM agg_{c} GROUP BY i\n"
+                f")"
+            )
+            selects.append(
+                f"SELECT CAST({eps} AS DOUBLE) AS eps,"
+                f" CAST({ms} AS INTEGER) AS min_samples,\n"
+                f"  (SELECT count(DISTINCT lbl) FROM assign_{c}"
+                f" WHERE lbl >= 0) AS n_clusters,\n"
+                f"  (SELECT count(*) FROM assign_{c} WHERE lbl < 0)"
+                f" AS n_noise,\n"
+                f"  CASE WHEN (SELECT count(DISTINCT lbl) FROM assign_{c}"
+                f" WHERE lbl >= 0) >= 2\n"
+                f"       THEN (SELECT round(avg(CASE WHEN a IS NULL THEN 0.0"
+                f" ELSE (b - a) / greatest(a, b) END), 4) FROM ab_{c})\n"
+                f"       ELSE NULL END AS silhouette"
+            )
+    return (
+        "WITH RECURSIVE\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY eps, min_samples"
+    )
+
+
 # ---------------------------------------------------------------------------
 # graph stage (SURVEY §2.10) over events (user ~ document, event_type ~ cluster)
 # ---------------------------------------------------------------------------
@@ -4671,6 +4821,7 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 # 50 by new r4 queries are the most-trivial long-stable basics (p_filters
 # etc.).  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "m4_grid_sweep": (m4_grid_sweep, _m4_grid_sql()),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "a1_a3_counts": (a1_a3_counts, _A1_SQL),
     "a5_two_level": (a5_two_level, _A5_SQL),

@@ -134,6 +134,19 @@ def silhouette_exact(
     pdf = assigned.select(cluster_col, vector_col).toPandas()
     X = V.stack_vectors(pdf[vector_col])
     labels = pdf[cluster_col].to_numpy()
+    return silhouette_numpy(X, labels, sample_size=sample_size, seed=seed)
+
+
+def silhouette_numpy(
+    X: np.ndarray,
+    labels: np.ndarray,
+    sample_size: int | None = 2000,
+    seed: int = 42,
+) -> float:
+    """The numpy silhouette core shared by silhouette_exact (DataFrame
+    collect) and the DBSCAN grid sweep's single-task regime (matrix
+    already in driver memory): identical seeded positional sampling and
+    a/b math, so the two callers are bit-equal on the same inputs."""
     n = len(X)
     idx = np.arange(n)
     if sample_size is not None and sample_size < n:

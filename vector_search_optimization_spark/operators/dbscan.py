@@ -337,51 +337,81 @@ def dbscan_grid_search(
     silhouette None, like the reference's skip branch.
 
     Each combo labels via ``dbscan_distributed`` (the scale path) unless
-    the corpus fits a single task's m² working set, where the numpy
-    kernel is cheaper; ``use_distributed`` forces either. The input is
-    persisted for the sweep — one scan feeds all |eps|×|ms| combos — and
-    the ε-pair table is built once per eps and shared across the
-    min_samples axis (it does not depend on min_samples).
+    the corpus fits a single task's m² working set — there the whole
+    sweep runs on ONE bounded collect (the documented single-task
+    contract, same as silhouette_exact's): per combo a numpy DBSCAN +
+    numpy silhouette, zero Spark jobs, which at test scale beats paying
+    the multi-second per-combo stage floor ~4 times per combo.
+    ``use_distributed`` forces either path. In the distributed path the
+    input is persisted — one scan feeds all |eps|×|ms| combos — and the
+    ε-pair table is built once per eps and shared across the min_samples
+    axis (it does not depend on min_samples). Silhouette sampling: both
+    paths compute the FULL score whenever the clustered subset fits
+    sample_size (2000) — the equivalence-tested regime; above that each
+    path uses its own documented seeded sample (positional vs
+    hash-order), so sampled scores agree only within sampling noise.
     """
-    from .clustering import silhouette_exact_distributed
+    from .clustering import silhouette_exact_distributed, silhouette_numpy
 
-    df = df.persist()
-    n = df.count()
+    if use_distributed is None or not use_distributed:
+        n = df.count()
     if use_distributed is None:
         use_distributed = n > single_task_limit
 
+    if not use_distributed:
+        pdf = (
+            df.select(id_col, vector_col)
+            .toPandas()
+            .sort_values(id_col, ignore_index=True)
+        )
+        X = V.stack_vectors(pdf[vector_col])
+        results = []
+        for eps in eps_grid:
+            for ms in min_samples_grid:
+                labels = _dbscan_numpy(X, eps, ms)
+                mask = labels >= 0
+                n_clusters = int(np.unique(labels[mask]).size)
+                n_clustered = int(mask.sum())
+                sil = None
+                if n_clusters >= 2:
+                    sil = silhouette_numpy(
+                        X[mask], labels[mask], sample_size=2000
+                    )
+                results.append(
+                    {"eps": eps, "min_samples": ms,
+                     "n_clusters": n_clusters, "n_noise": n - n_clustered,
+                     "silhouette": sil}
+                )
+        return results
+
+    df = df.persist()
+    n = df.count()
     results = []
     for eps in eps_grid:
         # the eps-join depends only on eps: build it once per eps and
         # share it across every min_samples combo (|ms|x fewer GEMM
         # stages — the sweep's dominant cost)
-        eps_pairs = (
-            eps_neighbor_pairs(df, eps, vector_col=vector_col, id_col=id_col)
-            .persist()
-            if use_distributed
-            else None
-        )
+        eps_pairs = eps_neighbor_pairs(
+            df, eps, vector_col=vector_col, id_col=id_col
+        ).persist()
         for ms in min_samples_grid:
-            if use_distributed:
-                lab = dbscan_distributed(
-                    df, eps, ms, vector_col, id_col, pairs=eps_pairs
-                ).select(id_col, "dbscan_label")
-            else:
-                lab = dbscan_kernel(df, eps, ms, vector_col, id_col)
+            lab = dbscan_distributed(
+                df, eps, ms, vector_col, id_col, pairs=eps_pairs
+            ).select(id_col, "dbscan_label")
             joined = df.join(lab, id_col)
             clustered = joined.where(F.col("dbscan_label") >= 0)
             n_clusters = clustered.select("dbscan_label").distinct().count()
+            n_clustered = clustered.count()
             sil = None
             if n_clusters >= 2:
                 sil = silhouette_exact_distributed(
-                    clustered, vector_col, "dbscan_label", sample_size=2000,
-                    id_cols=[id_col],
+                    clustered, vector_col, "dbscan_label",
+                    sample_size=2000, id_cols=[id_col],
                 )
             results.append(
                 {"eps": eps, "min_samples": ms, "n_clusters": n_clusters,
-                 "silhouette": sil}
+                 "n_noise": n - n_clustered, "silhouette": sil}
             )
-        if eps_pairs is not None:
-            eps_pairs.unpersist()
+        eps_pairs.unpersist()
     df.unpersist()
     return results
