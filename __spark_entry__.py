@@ -4411,6 +4411,108 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-level lineitem rollup through the salted shuffle join: the
+    part side replicates over 16 salt values (explode), lineitem salts
+    deterministically on l_orderkey, and the (key, salt) equi-join
+    spreads any hot partkey over 16 reducers — the no-broadcast skew
+    fix for when neither side fits a broadcast. The oracle is the PLAIN
+    join + GROUP BY — the value check proves salting is semantics-free
+    (same guarantee pattern as skew_salted_agg)."""
+    from vector_search_optimization_spark.operators import skew as SK
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    return (
+        SK.salted_shuffle_join(
+            li, part, key="l_partkey", salt_key="l_orderkey", salts=16
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_SKEW_JOIN_SQL = """
+SELECT p_brand, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+_LSH_TUNE_CONFIGS = [(64, 0.3), (64, 0.5), (64, 0.7), (64, 0.9), (128, 0.8)]
+
+
+def lsh_banding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-choice audit for the MinHash-LSH dial (dedup.tune_lsh_bands):
+    per (num_hashes, threshold) config, the S-curve-optimal
+    (num_bands, rows_per_band) and the collision probability the chosen
+    banding gives AT the threshold. The DuckDB oracle independently
+    re-runs the whole optimization — every divisor banding, the same
+    1000-step numeric integration of weighted FP area below t plus FN
+    area above t, argmin with the same (err, bands) tie order — so the
+    driver gate value-checks the optimizer itself, not inlined results.
+    (Config-level driver compute: no corpus input, like the reference's
+    hyperparameter dials; the chosen banding feeds
+    minhash_lsh_candidates at scale. Argmin gaps to the runner-up are
+    >= 5e-3 for these configs, far above cross-engine float noise.)"""
+    from vector_search_optimization_spark.operators import dedup as DD
+
+    rows = []
+    for nh, t in _LSH_TUNE_CONFIGS:
+        b, r = DD.tune_lsh_bands(nh, t)
+        rows.append(
+            (nh, t, b, r, round(DD.lsh_collision_probability(t, b, r), 6))
+        )
+    return spark.createDataFrame(
+        rows,
+        "num_hashes int, threshold double, num_bands int,"
+        " rows_per_band int, p_at_threshold double",
+    ).orderBy("num_hashes", "threshold")
+
+
+_LSH_TUNE_SQL = f"""
+WITH configs(num_hashes, threshold) AS (
+  VALUES {", ".join(f"({nh}, CAST({t} AS DOUBLE))" for nh, t in _LSH_TUNE_CONFIGS)}
+), bandings AS (
+  SELECT c.num_hashes, c.threshold,
+         CAST(b AS INTEGER) AS num_bands,
+         CAST(c.num_hashes // b AS INTEGER) AS rows_per_band
+  FROM configs c, generate_series(1, 128) t(b)
+  WHERE b <= c.num_hashes AND c.num_hashes % b = 0
+), errs AS (
+  SELECT num_hashes, threshold, num_bands, rows_per_band,
+         sum(CASE WHEN s < threshold THEN p ELSE 1.0 - p END) / 1000 / 2
+           AS err
+  FROM (
+    SELECT bb.*, (i + 0.5) / 1000 AS s,
+           1.0 - pow(1.0 - pow((i + 0.5) / 1000, bb.rows_per_band),
+                     bb.num_bands) AS p
+    FROM bandings bb, generate_series(0, 999) g(i)
+  )
+  GROUP BY num_hashes, threshold, num_bands, rows_per_band
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY num_hashes, threshold
+           ORDER BY err, num_bands) AS rk
+  FROM errs
+)
+SELECT num_hashes, threshold, num_bands, rows_per_band,
+       round(1.0 - pow(1.0 - pow(threshold, rows_per_band), num_bands), 6)
+         AS p_at_threshold
+FROM ranked WHERE rk = 1
+ORDER BY num_hashes, threshold
+"""
+
+
 # ---------------------------------------------------------------------------
 # end-to-end curation pipeline: PII scrub → token gate → unigram-LM
 # surprisal gate (≤ corpus median) → canonical exact-dedup → per-lang audit
@@ -4822,6 +4924,8 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 # etc.).  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "m4_grid_sweep": (m4_grid_sweep, _m4_grid_sql()),
+    "skew_salted_join": (skew_salted_join, _SKEW_JOIN_SQL),
+    "lsh_banding_audit": (lsh_banding_audit, _LSH_TUNE_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "a1_a3_counts": (a1_a3_counts, _A1_SQL),
     "a5_two_level": (a5_two_level, _A5_SQL),
