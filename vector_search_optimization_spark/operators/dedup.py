@@ -735,6 +735,9 @@ def jaccard_similarity_join(
     prefix_len = (
         F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + F.lit(1)
     ).cast("int")
+    # persisted: both sides of the prefix self-join read this — without
+    # it the dfreq join + collect_list agg runs twice (ReusedExchange is
+    # not guaranteed across the differing side projections)
     pref = per_doc.select(
         F.col(id_col),
         F.col("__n"),
@@ -743,7 +746,7 @@ def jaccard_similarity_join(
                 F.slice("__ts", F.lit(1), prefix_len), lambda s: s["g"]
             )
         ).alias("g"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = pref.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "g")
     b = pref.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "g")
     cand = (
@@ -763,10 +766,12 @@ def jaccard_similarity_join(
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # persisted for the same reason: sa and sb both read it
     sets = (
         toks.join(F.broadcast(cand_ids), id_col, "left_semi")
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("g")).alias("__s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"))
