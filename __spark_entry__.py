@@ -4942,12 +4942,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
     "q5_supplier_volume": (q5_supplier_volume, _Q5_SQL),
     "w1_w2_proportion": (w1_w2_proportion, _W1_SQL),
-    "w3_cumsum": (w3_cumsum, _W3_SQL),
     "w5_dense_numbering": (w5_dense_numbering, _W5_SQL),
     "w6_islands": (w6_islands, _W6_SQL),
     "o5_topk_per_group": (o5_topk_per_group, _O5_SQL),
-    "u_set_ops": (u_set_ops, _U_SQL),
-    "p_filters": (p_filters, _P_SQL),
     "pivot_categories": (pivot_categories, _PIVOT_SQL),
     "f1_f2_norms": (f1_f2_norms, _F1_SQL),
     "j7_nearest_centroid": (j7_nearest_centroid, _J7_SQL),
@@ -4976,6 +4973,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "m7_percentile_outliers": (m7_percentile_outliers, _M7_SQL),
     "m8_lof_outliers": (m8_lof_outliers, _M8_SQL),
     "m9_mahalanobis_outliers": (m9_mahalanobis_outliers, _m9_sql),
+    "w3_cumsum": (w3_cumsum, _W3_SQL),
+    "u_set_ops": (u_set_ops, _U_SQL),
+    "p_filters": (p_filters, _P_SQL),
     "m4_dbscan_stats": (m4_dbscan_stats, _M4_SQL),
     "g1_cooccurrence_edges": (g1_cooccurrence_edges, _G1_SQL),
     "g2_communities": (g2_communities, _g2_sql),
