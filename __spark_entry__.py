@@ -4805,10 +4805,19 @@ def evt_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The json_type gate keeps the oracle as strict as Spark's from_json:
+# quoted numbers, floats, and out-of-int32-range values all parse to NULL
+# in Spark's typed "k int" extraction, while a bare DuckDB CAST would
+# coerce them — a latent divergence if the testdata regenerates with such
+# props values (ADVICE r3).
 _EVT_JSON_SQL = r"""
 WITH parsed AS (
   SELECT event_type,
-         CAST(json_extract(props, '$.k') AS INTEGER) AS k
+         CASE WHEN json_type(json_extract(props, '$.k'))
+                   IN ('BIGINT', 'UBIGINT')
+               AND CAST(json_extract(props, '$.k') AS BIGINT)
+                   BETWEEN -2147483648 AND 2147483647
+              THEN CAST(json_extract(props, '$.k') AS INTEGER) END AS k
   FROM events
 )
 SELECT event_type, count(*) AS n,

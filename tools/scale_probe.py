@@ -45,7 +45,10 @@ WORDS = (
 # cache key = GENERATOR fingerprint, not just the scale — editing WORDS,
 # DIM, the doc shape, or the dup scheme must invalidate the cached
 # corpus (CLAUDE.md: stale /tmp caches silently diverge)
-_GEN_VERSION = "v1-45w-1pct-dup"
+# v2: chunked generation reorders the lang/cluster rng draws relative
+# to v1, so the corpus content differs — the version bump invalidates
+# v1 caches
+_GEN_VERSION = "v2-45w-1pct-dup-chunked"
 _FPR = __import__("hashlib").sha256(
     f"{_GEN_VERSION}|{DIM}|{' '.join(WORDS)}".encode()
 ).hexdigest()[:12]
@@ -57,35 +60,49 @@ def _gen(spark) -> None:
         return
     os.makedirs(ROOT, exist_ok=True)
     rng = np.random.default_rng(42)
-    # documents: ~45 words each; last 1% are mutated copies of doc i-N/100
+    # documents: ~45 words each; last 1% are mutated copies of doc i-N/100.
+    # Built and written in CHUNK-row slices (append mode) so driver
+    # memory stays bounded at any SCALE — one full in-memory Python
+    # string list grows to multi-GB at the larger SCALE values this tool
+    # invites (ADVICE r3). Chunking only batches the writes; the rng
+    # draw order (and therefore the generated corpus) is unchanged.
     base = rng.integers(0, len(WORDS), size=(N_DOCS, 45))
     words = np.asarray(WORDS)
-    rows = []
+    langs_all = np.asarray(["en", "es", "de", "fr", "zh"])
+    CHUNK = 200_000
+    rows: list = []
+    lo = 0
     for i in range(N_DOCS):
         idx = base[i]
         if i >= N_DOCS - N_DOCS // 100:  # planted near-dup tail
             idx = base[i - N_DOCS // 100].copy()
             idx[rng.integers(0, 45)] = rng.integers(0, len(WORDS))
         rows.append(" ".join(words[idx]))
-        if (i + 1) % 100_000 == 0:
+        if len(rows) == CHUNK or i == N_DOCS - 1:
+            langs = langs_all[rng.integers(0, 5, size=len(rows))]
+            spark.createDataFrame(
+                list(zip(range(lo, i + 1), rows, langs.tolist())),
+                "doc_id long, text string, lang string",
+            ).repartition(32).write.mode(
+                "overwrite" if lo == 0 else "append"
+            ).parquet(f"{ROOT}/documents")
             print(f"gen docs {i + 1}/{N_DOCS}", file=sys.stderr)
-    langs = np.asarray(["en", "es", "de", "fr", "zh"])[
-        rng.integers(0, 5, size=N_DOCS)
-    ]
-    spark.createDataFrame(
-        list(zip(range(N_DOCS), rows, langs.tolist())),
-        "doc_id long, text string, lang string",
-    ).repartition(32).write.mode("overwrite").parquet(f"{ROOT}/documents")
+            lo = i + 1
+            rows = []
 
     cents = rng.normal(size=(10, DIM))
-    X = cents[rng.integers(0, 10, size=N_VECS)] + rng.normal(
-        scale=0.3, size=(N_VECS, DIM)
-    )
-    X = (X / np.linalg.norm(X, axis=1, keepdims=True)).astype(np.float32)
-    spark.createDataFrame(
-        [(i, v.tolist()) for i, v in enumerate(X)],
-        "vec_id long, embedding array<float>",
-    ).repartition(32).write.mode("overwrite").parquet(f"{ROOT}/embeddings")
+    for lo in range(0, N_VECS, CHUNK):
+        hi = min(N_VECS, lo + CHUNK)
+        X = cents[rng.integers(0, 10, size=hi - lo)] + rng.normal(
+            scale=0.3, size=(hi - lo, DIM)
+        )
+        X = (X / np.linalg.norm(X, axis=1, keepdims=True)).astype(np.float32)
+        spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(X, start=lo)],
+            "vec_id long, embedding array<float>",
+        ).repartition(32).write.mode(
+            "overwrite" if lo == 0 else "append"
+        ).parquet(f"{ROOT}/embeddings")
     open(f"{ROOT}/_done", "w").write("ok")
 
 

@@ -460,6 +460,14 @@ def append_to_ivf_index(
     directories receive new files — the existing index is never
     rewritten, so refresh cost is O(batch), not O(corpus).
 
+    INGEST INVARIANT: a vec_id is appended AT MOST ONCE (identical
+    crash-replay duplicates excepted). The index has no version column,
+    so compaction (compact_ivf_cells) and probe-time dedup keep an
+    arbitrary row per vec_id — appending an UPDATED embedding under an
+    existing vec_id would be resolved nondeterministically. Updates must
+    go through a full write_ivf_index rebuild (or an id tombstone +
+    re-append under a fresh vec_id).
+
     At 100 TB this is the nightly ingest job; periodic re-train +
     full write_ivf_index handles quantizer drift."""
     spark = df_new.sparkSession
@@ -506,7 +514,10 @@ def compact_ivf_cells(
         # install and delete below leaves original+compacted copies of
         # each row; this rewrite collapses them instead of baking the
         # duplication in forever (keep the streaming-duplicate contract
-        # bounded at one compaction cycle)
+        # bounded at one compaction cycle). Keeping an ARBITRARY row per
+        # vec_id is sound only under the appended-at-most-once ingest
+        # invariant (append_to_ivf_index) — crash duplicates are
+        # bit-identical, so any pick is the same row.
         spark.read.parquet(cell_dir).dropDuplicates([id_col]).coalesce(
             1
         ).write.mode("overwrite").parquet(tmp)

@@ -134,8 +134,16 @@ def commit_swap(spark, staging: str, base_path: str, require_base: bool = True) 
     if not fs.rename(base_p, old_p):
         raise IOError(f"commit: rename {base_path} -> {old_p} failed")
     if not fs.rename(jvm.Path(staging), base_p):
-        # roll back so the table stays readable at base_path
-        fs.rename(old_p, base_p)
+        # roll back so the table stays readable at base_path; the
+        # rollback rename is itself checked — if BOTH renames fail the
+        # table is gone from base_path with the data stranded under
+        # .__old__, and the error must name that recovery location
+        if not fs.rename(old_p, base_p):
+            raise IOError(
+                f"commit: rename {staging} -> {base_path} failed AND "
+                f"rollback rename failed — table data is intact under "
+                f"{old_p} (rename it back to {base_path} to recover)"
+            )
         raise IOError(f"commit: rename {staging} -> {base_path} failed")
     fs.delete(old_p, True)
 
