@@ -762,6 +762,39 @@ SELECT query_id, vec_id, score, rank FROM (
 """
 
 
+def ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval (MRL adaptive retrieval): 16-dim
+    prefix-cosine shortlist of 50, exact 64-dim re-rank to top-10
+    (ann.matryoshka_topk). The oracle replays both stages — shortlist
+    boundary included — on rounded scores with id tie-breaks."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.orderBy("vec_id").select("embedding").first()[0]
+    return ann.matryoshka_topk(e, q, k=10, prefix_dim=16, rerank=50)
+
+
+def _mrl_cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_reduce(list_transform(list_zip({a}, {b}),"
+        f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+        f" / (sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))"
+        f"  * sqrt(list_reduce(list_transform({b}, x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))), 6)"
+    )
+
+
+_ANN_MRL_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+pre AS (
+  SELECT vec_id, embedding,
+         {_mrl_cos_sql("list_slice(embedding, 1, 16)", "list_slice(qv, 1, 16)")} AS pre_score
+  FROM embeddings, q
+  ORDER BY pre_score DESC, vec_id ASC LIMIT 50
+)
+SELECT vec_id, {_mrl_cos_sql("embedding", "qv")} AS score, pre_score
+FROM pre, q
+ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
 def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build-once cache of the materialized IVF index for a scale factor.
 
@@ -4935,6 +4968,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "m4_grid_sweep": (m4_grid_sweep, _m4_grid_sql()),
     "skew_salted_join": (skew_salted_join, _SKEW_JOIN_SQL),
     "lsh_banding_audit": (lsh_banding_audit, _LSH_TUNE_SQL),
+    "ann_matryoshka_topk": (ann_matryoshka_topk, _ANN_MRL_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "a1_a3_counts": (a1_a3_counts, _A1_SQL),
     "a5_two_level": (a5_two_level, _A5_SQL),

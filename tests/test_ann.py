@@ -526,3 +526,22 @@ def test_ivf_cell_stats_flags_imbalance(spark, emb):
     assert st2["n_cells"] == 1 and st2["imbalance"] == 1.0
     empty = assigned.where(F.lit(False))
     assert ann.ivf_cell_stats(empty)["n_cells"] == 0
+
+
+def test_matryoshka_rerank_full_equals_exact(spark, emb):
+    """matryoshka_topk with rerank = corpus size must equal the exact
+    full-dim brute-force top-k (the shortlist then contains everything);
+    a tight shortlist still returns k rows scored at full precision."""
+    rows = emb.orderBy("vec_id").select("embedding").first()
+    q = rows[0]
+    n = emb.count()
+    exact = ann.brute_force_topk(emb, q, k=5).collect()
+    mrl = ann.matryoshka_topk(emb, q, k=5, prefix_dim=16, rerank=n).collect()
+    assert [r.vec_id for r in mrl] == [r.vec_id for r in exact]
+    assert [r.score for r in mrl] == [r.score for r in exact]
+
+    tight = ann.matryoshka_topk(emb, q, k=3, prefix_dim=16, rerank=10).collect()
+    assert len(tight) == 3
+    # the query vector itself must survive any shortlist: its prefix
+    # cosine is exactly 1.0 (the maximum)
+    assert tight[0].score == 1.0

@@ -104,6 +104,48 @@ def brute_force_topk_batch(
     )
 
 
+def matryoshka_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    prefix_dim: int = 16,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage Matryoshka retrieval (Kusupati et al. '22 MRL; the
+    adaptive-retrieval recipe from the public paper): shortlist
+    ``rerank`` candidates by cosine over the FIRST ``prefix_dim``
+    dimensions — MRL-trained embeddings concentrate signal in the
+    prefix — then re-rank only the shortlist at full dimension.
+
+    Scale shape mirrors pq_refined_topk: the prefix stage is a map-side
+    slice + TakeOrdered (k·partitions rows shuffle; with the prefix
+    stored as a truncated sibling column the scan reads prefix_dim/dim
+    of the vector bytes), and the full-precision math touches ``rerank``
+    rows total. Both stage scores are rounded to 6dp BEFORE ordering
+    with an id tie-break, so the shortlist boundary is deterministic and
+    engine-independent (the oracle-parity rounding rule)."""
+    qpre = F.array(*[F.lit(float(x)) for x in query[:prefix_dim]])
+    qfull = F.array(*[F.lit(float(x)) for x in query])
+    pre = F.round(
+        V.cosine_similarity(F.slice(vector_col, 1, prefix_dim), qpre), 6
+    )
+    cand = (
+        df.select(F.col(id_col), F.col(vector_col), pre.alias("pre_score"))
+        .orderBy(F.col("pre_score").desc(), F.col(id_col).asc())
+        .limit(rerank)
+    )
+    return (
+        cand.withColumn(
+            "score", F.round(V.cosine_similarity(vector_col, qfull), 6)
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "score", "pre_score")
+    )
+
+
 def quantize_int8(
     df: DataFrame,
     vector_col: str = "embedding",
