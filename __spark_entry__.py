@@ -1113,6 +1113,93 @@ FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
 """
 
 
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style multi-order repetition gate (Rae et al. '21 §A1.1:
+    duplicate-word fraction + top n-gram concentration at several gram
+    orders): per doc, dup_word_frac and top-{2,3,4}-gram fractions from
+    ONE tokenization pass (functions.text.word_gram_stats_multi_expr —
+    map-only, no shuffle), plus the composite keep/flag decision at the
+    Gopher-ish thresholds. Ratio and rounding math stays JVM-side for
+    oracle bit-parity (same contract as text_repetition)."""
+    d = load_table(spark, sf_dir, "documents")
+    st = d.select(
+        "doc_id", TX.word_gram_stats_multi_expr("text", (2, 3, 4)).alias("__st")
+    )
+    nw = F.col("__st.n_words")
+    dup = F.when(nw <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.col("__st.n_distinct_words") / nw.cast("double"), 6)
+    )
+    fracs = {
+        n: F.coalesce(
+            F.when(
+                F.col(f"__st.n_grams_{n}") > 0,
+                F.round(
+                    F.col(f"__st.max_gram_count_{n}")
+                    / F.col(f"__st.n_grams_{n}").cast("double"),
+                    6,
+                ),
+            ),
+            F.lit(0.0),
+        )
+        for n in (2, 3, 4)
+    }
+    return st.select(
+        "doc_id",
+        dup.alias("dup_word_frac"),
+        fracs[2].alias("top_2gram_frac"),
+        fracs[3].alias("top_3gram_frac"),
+        fracs[4].alias("top_4gram_frac"),
+        (
+            (F.coalesce(dup, F.lit(0.0)) <= 0.3)
+            & (fracs[2] <= 0.2)
+            & (fracs[3] <= 0.18)
+            & (fracs[4] <= 0.16)
+        ).alias("keep"),
+    )
+
+
+def _gopher_gram_cte(n: int) -> str:
+    return f"""g{n} AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS ng, max(c) AS mx
+  FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - {n - 2}),
+                    j -> array_to_string(list_slice(w, j, j + {n - 1}), ' '))) AS g
+      FROM toks WHERE len(w) >= {n}
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)"""
+
+
+_GOPHER_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS w
+  FROM documents
+), """ + ", ".join(_gopher_gram_cte(n) for n in (2, 3, 4)) + r"""
+SELECT t.doc_id,
+       CASE WHEN len(t.w) <= 0 THEN 0.0
+            ELSE round(1.0 - CAST(len(list_distinct(t.w)) AS DOUBLE) / len(t.w), 6)
+       END AS dup_word_frac,
+       coalesce(round(CAST(g2.mx AS DOUBLE) / g2.ng, 6), 0.0) AS top_2gram_frac,
+       coalesce(round(CAST(g3.mx AS DOUBLE) / g3.ng, 6), 0.0) AS top_3gram_frac,
+       coalesce(round(CAST(g4.mx AS DOUBLE) / g4.ng, 6), 0.0) AS top_4gram_frac,
+       (coalesce(CASE WHEN len(t.w) <= 0 THEN 0.0
+             ELSE round(1.0 - CAST(len(list_distinct(t.w)) AS DOUBLE) / len(t.w), 6)
+        END, 0.0) <= 0.3
+        AND coalesce(round(CAST(g2.mx AS DOUBLE) / g2.ng, 6), 0.0) <= 0.2
+        AND coalesce(round(CAST(g3.mx AS DOUBLE) / g3.ng, 6), 0.0) <= 0.18
+        AND coalesce(round(CAST(g4.mx AS DOUBLE) / g4.ng, 6), 0.0) <= 0.16)
+         AS keep
+FROM toks t
+LEFT JOIN g2 ON t.doc_id = g2.doc_id
+LEFT JOIN g3 ON t.doc_id = g3.doc_id
+LEFT JOIN g4 ON t.doc_id = g4.doc_id
+"""
+
+
 def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup audit: total docs vs distinct canonical texts, and the
     row count surviving dedup_exact (must equal n_distinct)."""
@@ -4969,6 +5056,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "skew_salted_join": (skew_salted_join, _SKEW_JOIN_SQL),
     "lsh_banding_audit": (lsh_banding_audit, _LSH_TUNE_SQL),
     "ann_matryoshka_topk": (ann_matryoshka_topk, _ANN_MRL_SQL),
+    "text_gopher_repetition": (text_gopher_repetition, _GOPHER_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "a1_a3_counts": (a1_a3_counts, _A1_SQL),
     "a5_two_level": (a5_two_level, _A5_SQL),

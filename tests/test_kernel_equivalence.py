@@ -152,3 +152,32 @@ def test_word_gram_stats_py_trigram():
     assert TX.word_gram_stats_py("a b", 3) == (2, 2, 0, 0)
     assert TX.word_gram_stats_py("a b a b a b a", 3) == (7, 2, 5, 3)
     assert TX.word_gram_stats_py(None, 3) == (None, None, None, None)
+
+
+def test_word_gram_stats_multi_matches_single(spark, sf_small):
+    """The multi-n kernel must equal three single-n kernel passes
+    field-for-field (one tokenization pass is an optimization only)."""
+    from vector_search_optimization_spark.functions import text as TX
+
+    d = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    multi = {
+        r.doc_id: r.st
+        for r in d.select(
+            "doc_id", TX.word_gram_stats_multi_expr("text", (2, 3, 4)).alias("st")
+        ).collect()
+    }
+    for n in (2, 3, 4):
+        single = {
+            r.doc_id: r.st
+            for r in d.select(
+                "doc_id", TX.word_gram_stats_expr("text", n).alias("st")
+            ).collect()
+        }
+        for doc_id, st in single.items():
+            m = multi[doc_id]
+            assert (st.n_words, st.n_distinct_words) == (
+                m.n_words,
+                m.n_distinct_words,
+            )
+            assert st.n_grams == m[f"n_grams_{n}"]
+            assert st.max_gram_count == m[f"max_gram_count_{n}"]

@@ -447,15 +447,54 @@ def word_gram_stats_py(
     whitespace-split tokens cannot contain the joiner."""
     if text is None:
         return None, None, None, None
+    toks = word_tokens_py(text)
+    ng, mx = _gram_counts(toks, n)
+    return len(toks), len(set(toks)), ng, mx
+
+
+def _gram_counts(toks: list[str], n: int) -> tuple[int, int]:
+    """(n_grams, max_gram_count) of the word n-grams of ``toks`` —
+    word_ngrams semantics: fewer than n tokens → (0, 0)."""
     from collections import Counter
 
-    toks = word_tokens_py(text)
     nw = len(toks)
-    nd = len(set(toks))
     if nw < n:
-        return nw, nd, 0, 0
+        return 0, 0
     counts = Counter(tuple(toks[i : i + n]) for i in range(nw - n + 1))
-    return nw, nd, nw - n + 1, max(counts.values())
+    return nw - n + 1, max(counts.values())
+
+
+def word_gram_stats_multi_expr(
+    text: Column | str, ns: tuple[int, ...] = (2, 3, 4)
+) -> Column:
+    """Multi-n sibling of :func:`word_gram_stats_expr`: ONE tokenization
+    pass feeding gram stats for every n in ``ns`` (the Gopher-style
+    repetition gate reads several gram orders per document; three
+    separate kernels would re-tokenize three times). Returns
+    struct<n_words, n_distinct_words, n_grams_{n}, max_gram_count_{n}…>
+    with the same NULL-propagation contract as the single-n kernel."""
+    fields = ["n_words: long", "n_distinct_words: long"]
+    for n in ns:
+        fields += [f"n_grams_{n}: long", f"max_gram_count_{n}: long"]
+    cols = ["n_words", "n_distinct_words"] + [
+        c for n in ns for c in (f"n_grams_{n}", f"max_gram_count_{n}")
+    ]
+
+    @F.pandas_udf("struct<" + ", ".join(fields) + ">")
+    def _u(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for x in s:
+            if x is None:
+                rows.append((None,) * len(cols))
+                continue
+            toks = word_tokens_py(x)
+            row: list = [len(toks), len(set(toks))]
+            for n in ns:
+                row.extend(_gram_counts(toks, n))
+            rows.append(tuple(row))
+        return pd.DataFrame(rows, columns=cols, dtype="object")
+
+    return _u(_c(text))
 
 
 def word_gram_stats_expr(text: Column | str, n: int = 2) -> Column:
