@@ -2831,6 +2831,86 @@ FROM per_sess GROUP BY user_id
 """
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis over the event stream: per user, step k
+    counts only if it happens at-or-after that user's first qualifying
+    step k-1 (view → click → purchase). Output: per step, the number of
+    users reaching it and the conversion vs step 1.
+
+    Scale shape: each stage is one filtered scan aggregated to one row
+    per user, then an equi-join against the PREVIOUS stage's per-user
+    firsts — the per-user tables only shrink down the funnel, so every
+    join after stage 1 is a candidate broadcast; the final three counts
+    are single-row aggregates fused by union + a one-row broadcast join
+    for the conversion denominator (the sanctioned one-row-crossJoin
+    pattern)."""
+    e = load_table(spark, sf_dir, "events")
+    steps = _FUNNEL_STEPS
+    reached = []  # per-user first-qualifying-ts frames, one per step
+    cur = (
+        e.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    reached.append(cur)
+    for step in steps[1:]:
+        prev = cur.select("user_id", F.col("s_ts").alias("p_ts"))
+        cur = (
+            e.where(F.col("event_type") == step)
+            .join(prev, "user_id")
+            .where(F.col("ts") >= F.col("p_ts"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("s_ts"))
+        )
+        reached.append(cur)
+    rows = None
+    for i, (step, df) in enumerate(zip(steps, reached), start=1):
+        r = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step"),
+            F.lit(step).alias("event_type"),
+            F.col("n_users"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    base = reached[0].agg(F.count(F.lit(1)).alias("n_base"))
+    return (
+        rows.join(F.broadcast(base))
+        .select(
+            "step",
+            "event_type",
+            "n_users",
+            F.round(F.col("n_users") / F.col("n_base"), 6).alias("conversion"),
+        )
+        .orderBy("step")
+    )
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS ts1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS ts2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.ts1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS ts3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.ts2 GROUP BY e.user_id
+), counts AS (
+  SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', count(*) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', count(*) FROM s3
+)
+SELECT step, event_type, n_users,
+       round(CAST(n_users AS DOUBLE)
+             / (SELECT count(*) FROM s1), 6) AS conversion
+FROM counts ORDER BY step
+"""
+
+
 # ---------------------------------------------------------------------------
 # upsert (S11)
 # ---------------------------------------------------------------------------
@@ -5057,6 +5137,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "lsh_banding_audit": (lsh_banding_audit, _LSH_TUNE_SQL),
     "ann_matryoshka_topk": (ann_matryoshka_topk, _ANN_MRL_SQL),
     "text_gopher_repetition": (text_gopher_repetition, _GOPHER_SQL),
+    "evt_funnel": (evt_funnel, _FUNNEL_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "a1_a3_counts": (a1_a3_counts, _A1_SQL),
     "a5_two_level": (a5_two_level, _A5_SQL),
