@@ -4530,6 +4530,33 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted doc sample (Efraimidis–Spirakis A-ES, rand()-free:
+    sampling.weighted_sample_fixed_n): top-50 by u^(1/n_chars) with u a
+    sha256-derived uniform — longer documents proportionally likelier,
+    rerun- and partitioning-stable. The oracle replays the exact ES-key
+    math; 12dp key rounding + id tie-break make the boundary
+    engine-deterministic."""
+    from vector_search_optimization_spark.operators import sampling as SAMP
+
+    d = load_table(spark, sf_dir, "documents")
+    return SAMP.weighted_sample_fixed_n(d, "doc_id", "n_chars", 50).select(
+        "doc_id", "n_chars", "es_key"
+    )
+
+
+_WEIGHTED_SQL = """
+SELECT doc_id, n_chars,
+       round(pow(CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                 / 4503599627370496.0,
+                 1.0 / n_chars), 12) AS es_key
+FROM documents
+WHERE n_chars IS NOT NULL AND n_chars > 0
+ORDER BY es_key DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF keyword extraction (operators.retrieval.tfidf_keywords)
 # ---------------------------------------------------------------------------
@@ -5138,6 +5165,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_matryoshka_topk": (ann_matryoshka_topk, _ANN_MRL_SQL),
     "text_gopher_repetition": (text_gopher_repetition, _GOPHER_SQL),
     "evt_funnel": (evt_funnel, _FUNNEL_SQL),
+    "weighted_sample": (weighted_sample, _WEIGHTED_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "a1_a3_counts": (a1_a3_counts, _A1_SQL),
     "a5_two_level": (a5_two_level, _A5_SQL),

@@ -351,3 +351,33 @@ def test_spectral_embedding_degenerate_sizes():
     # n=3 with n_components=2: only 2 non-trivial eigenvectors exist
     out = spectral_embedding_numpy(np.eye(3), 2, n_neighbors=2)
     assert out.shape == (3, 2)
+
+
+def test_weighted_sample_matches_reference_and_is_partition_invariant(spark):
+    """A-ES keys replayed in python must pick the identical top-n, and
+    the sample must be a pure function of the data (partitioning-
+    independent). Heavier rows must be overrepresented."""
+    rows = [(i, 10 if i < 300 else 1000) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = SAMP.weighted_sample_fixed_n(df, "id", "w", 50).collect()
+    got_ids = [r.id for r in got]
+
+    def es(i, w):
+        u = int(_sha(i)[:13], 16) / 16**13
+        return round(u ** (1.0 / w), 12)
+
+    expect = sorted(rows, key=lambda t: (-es(*t), t[0]))[:50]
+    assert got_ids == [i for i, _ in expect]
+    again = SAMP.weighted_sample_fixed_n(df.repartition(7), "id", "w", 50)
+    assert [r.id for r in again.collect()] == got_ids
+    # 100 heavy rows (w=1000) vs 300 light (w=10): heavy rows dominate
+    n_heavy = sum(1 for i in got_ids if i >= 300)
+    assert n_heavy > 35
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -1), (4, None), (5, 2)], "id long, w int"
+    )
+    got = {r.id for r in SAMP.weighted_sample_fixed_n(df, "id", "w", 10).collect()}
+    assert got == {1, 5}

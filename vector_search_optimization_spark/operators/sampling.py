@@ -58,6 +58,42 @@ def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     )
 
 
+def weighted_sample_fixed_n(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    n: int,
+    key_col: str = "es_key",
+) -> DataFrame:
+    """Efraimidis–Spirakis A-ES weighted sampling without replacement:
+    rank rows by ``u^(1/w)`` (u a deterministic uniform, w the row
+    weight) and keep the global top-n — each subset of size n appears
+    with probability proportional to its weights (the public A-ES
+    result), here with NO rand(): u comes from the first 13 hex chars of
+    sha256(key) over 16^13 (= 2^52, exactly representable), so the
+    sample is a pure function of the data like the other samplers.
+
+    The ES key is rounded to 12dp BEFORE ranking with the row key as
+    tie-break: libm pow differs across engines at ~1 ulp, and the
+    rounding makes the top-n boundary engine-deterministic (the
+    oracle-parity rounding rule). Rows with NULL or non-positive weight
+    are excluded (A-ES requires w > 0). Scale shape: map-side projection
+    + TakeOrdered — n·partitions rows shuffle, no global sort."""
+    c = F.col(key) if isinstance(key, str) else key
+    u = F.conv(F.substring(sample_hash(key), 1, 13), 16, 10).cast(
+        "double"
+    ) / float(16**13)
+    es = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 12
+    )
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn(key_col, es)
+        .orderBy(F.col(key_col).desc(), c.asc())
+        .limit(n)
+    )
+
+
 def stratified_sample_fixed_n(
     df: DataFrame, stratum: str, key: str, n: int, rank_col: str = "rank"
 ) -> DataFrame:
