@@ -109,6 +109,7 @@ _NESTED_LOOP_OK = {
     "lm_quality_scores",    # 1-row (N, V) model-totals frame broadcast
     "tfidf_keywords",       # 1-row corpus-size frame broadcast for idf
     "curation_pipeline",    # 1-row median-threshold frame broadcast
+    "evt_funnel",           # 1-row step-1 denominator frame broadcast
 }
 
 
@@ -266,3 +267,33 @@ def test_orc_partitioned_writes_prune_at_scan(spark, sf_small, tmp_path):
     inside = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "lang" in inside, f"no partition filter on lang: [{inside}]"
     assert back.count() == docs.where("lang = 'en'").count()
+
+
+def test_text_repetition_is_map_only(spark, sf_small):
+    """The repetition metrics run as ONE Arrow kernel pass — zero
+    Exchange (the r3 explode + two-groupBy formulation survives only as
+    the equivalence oracle). A shuffle here is charged on every
+    document of a 100 TB corpus."""
+    plan = _plan(m.queries()["text_repetition"](spark, sf_small))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan  # the gram-stats kernel
+
+
+def test_gopher_repetition_is_map_only(spark, sf_small):
+    plan = _plan(m.queries()["text_gopher_repetition"](spark, sf_small))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_small):
+    """A-ES sampling must be projection + TakeOrdered (n·partitions rows
+    shuffle), never a global Sort of the corpus."""
+    plan = _plan(m.queries()["weighted_sample"](spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_matryoshka_stages_are_take_ordered(spark, sf_small):
+    """Both MRL stages (prefix shortlist, full re-rank) must be
+    TakeOrdered — no global sort at either stage."""
+    plan = _plan(m.queries()["ann_matryoshka_topk"](spark, sf_small))
+    assert plan.count("TakeOrderedAndProject") >= 2
