@@ -857,13 +857,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(indexed, cents, q, k=10, nprobe=4)
 
 
-def _ivf_sql() -> str:
-    """Generated oracle for ann_ivf_topk at the oracle sf (driver: sf0.01):
-    re-run the seeded quantizer on the identically-ordered data
-    (shared _lloyd_kmeans; centroids round-tripped through float32 like
-    the written index), compute the probed cells the way ivf_topk does,
-    and let DuckDB recompute per-row cell assignment and the probed
-    cosine top-10."""
+def _ivf_oracle_parts() -> tuple:
+    """Shared derivation for the IVF-family generated oracles: re-run
+    the seeded quantizer on the vec_id-ordered oracle-sf data (shared
+    _lloyd_kmeans, float32 round-trip like the written index) and build
+    the DuckDB argmin struct-list for cell assignment. Returns
+    (pdf, X, cents, structs_sql)."""
     import duckdb
 
     from vector_search_optimization_spark.operators.ann import _lloyd_kmeans
@@ -878,11 +877,6 @@ def _ivf_sql() -> str:
     cents = np.asarray(
         [list(map(float, c)) for c in centers], dtype=np.float32
     ).astype(np.float64)
-    q = X[pdf["vec_id"].to_numpy() == 0][0]
-    order = sorted(
-        range(len(cents)), key=lambda i: float(np.sum((cents[i] - q) ** 2))
-    )
-    probe = ", ".join(str(i) for i in order[:4])
 
     def cell_dist(i: int) -> str:
         lits = ", ".join(f"{float(x)!r}" for x in cents[i])
@@ -895,6 +889,22 @@ def _ivf_sql() -> str:
     structs = ", ".join(
         "{'d': " + cell_dist(i) + f", 'c': {i}}}" for i in range(len(cents))
     )
+    return pdf, X, cents, structs
+
+
+def _ivf_sql() -> str:
+    """Generated oracle for ann_ivf_topk at the oracle sf (driver: sf0.01):
+    re-run the seeded quantizer on the identically-ordered data
+    (shared _lloyd_kmeans; centroids round-tripped through float32 like
+    the written index), compute the probed cells the way ivf_topk does,
+    and let DuckDB recompute per-row cell assignment and the probed
+    cosine top-10."""
+    pdf, X, cents, structs = _ivf_oracle_parts()
+    q = X[pdf["vec_id"].to_numpy() == 0][0]
+    order = sorted(
+        range(len(cents)), key=lambda i: float(np.sum((cents[i] - q) ** 2))
+    )
+    probe = ", ".join(str(i) for i in order[:4])
     return f"""
 WITH assigned AS (
   SELECT vec_id, embedding, list_min([{structs}])['c'] AS cell
@@ -910,6 +920,83 @@ FROM assigned a, q
 WHERE a.cell IN ({probe})
 ORDER BY score DESC, a.vec_id ASC
 LIMIT 10
+"""
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF probe vs the exact scan for 5 query vectors
+    at nprobe ∈ {1, 4} (ann.ivf_recall_audit — one broadcast-probe plan,
+    no per-query loop). The oracle re-derives the quantizer through the
+    shared seeded-Lloyd path, recomputes each query's probed cells, and
+    replays both the IVF and exact top-10 sets plus the overlap."""
+    path = _ivf_index_dir(spark, sf_dir)
+    indexed, cents = ann.load_ivf_index(spark, path)
+    e = load_table(spark, sf_dir, "embeddings")
+    queries_df = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann.ivf_recall_audit(indexed, cents, queries_df, k=10, nprobes=(1, 4))
+
+
+def _ivf_recall_sql() -> str:
+    """Generated oracle for ann_recall_audit: literal centroids from the
+    shared seeded quantizer, per-(nprobe, query) probe cells computed the
+    way ivf_topk picks them, then DuckDB recomputes assignment, both
+    top-10 sets on rounded scores, and the overlap counts."""
+    pdf, X, cents, structs = _ivf_oracle_parts()
+    ids = pdf["vec_id"].to_numpy()
+    probe_vals = []
+    for qid in range(5):
+        qv = X[ids == qid][0]
+        order = sorted(
+            range(len(cents)),
+            key=lambda i: float(np.sum((cents[i] - qv) ** 2)),
+        )
+        for npb in (1, 4):
+            for c in order[:npb]:
+                probe_vals.append(f"({npb}, {qid}, {c})")
+    cos = (
+        "round(list_reduce(list_transform(list_zip({a}, qv),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+        " / (sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))"
+        "  * sqrt(list_reduce(list_transform(qv, x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))), 6)"
+    )
+    return f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, list_min([{structs}])['c'] AS cell
+  FROM embeddings
+),
+probes(nprobe, query_id, cell) AS (VALUES {", ".join(probe_vals)}),
+qs AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {cos.format(a="e.embedding")} DESC, e.vec_id) AS rk
+    FROM embeddings e, qs q
+  ) WHERE rk <= 10
+),
+ivf AS (
+  SELECT nprobe, query_id, vec_id FROM (
+    SELECT p.nprobe, p.query_id, a.vec_id,
+           row_number() OVER (PARTITION BY p.nprobe, p.query_id
+               ORDER BY {cos.format(a="a.embedding")} DESC, a.vec_id) AS rk
+    FROM assigned a
+    JOIN probes p ON a.cell = p.cell
+    JOIN qs q ON q.query_id = p.query_id
+  ) WHERE rk <= 10
+)
+SELECT i.nprobe, i.query_id,
+       CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlap,
+       round(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 2)
+         AS recall_at_10
+FROM ivf i
+LEFT JOIN exact ex ON i.query_id = ex.query_id AND i.vec_id = ex.vec_id
+GROUP BY i.nprobe, i.query_id
+ORDER BY i.nprobe, i.query_id
 """
 
 
@@ -5166,6 +5253,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_gopher_repetition": (text_gopher_repetition, _GOPHER_SQL),
     "evt_funnel": (evt_funnel, _FUNNEL_SQL),
     "weighted_sample": (weighted_sample, _WEIGHTED_SQL),
+    "ann_recall_audit": (ann_recall_audit, _ivf_recall_sql),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "a1_a3_counts": (a1_a3_counts, _A1_SQL),
     "a5_two_level": (a5_two_level, _A5_SQL),

@@ -653,6 +653,94 @@ def ivf_topk(
     )
 
 
+def ivf_recall_audit(
+    indexed: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobes: Sequence[int] = (1, 4),
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "query_vec",
+) -> DataFrame:
+    """Recall@k of the IVF probe against the exact scan, per
+    (nprobe, query) — the quantitative answer to "what does nprobe
+    buy?" that drives the probe-width dial at 100 TB (the recall/latency
+    tradeoff every IVF deployment tunes; pytest pins the monotone
+    nprobe→recall curve separately in test_ann.py).
+
+    ONE plan, not a per-query loop: the (nprobe, query, cell) probe
+    assignment is a driver-side literal (num_queries × max nprobe rows —
+    the coarse quantizer is k rows, collected once) broadcast against
+    the cell-partitioned corpus, so the corpus never shuffles and each
+    cell is read once per probing (nprobe, query) pair; scores round to
+    6dp before ranking with id tie-breaks (engine-deterministic top-k
+    sets on both the IVF and exact sides)."""
+    spark = indexed.sparkSession
+    from pyspark.sql import Window
+
+    cents = centroids.collect()
+    qrows = queries.select(query_id_col, query_vector_col).collect()
+    probe_rows = []
+    for qr in qrows:
+        qv = np.asarray(qr[query_vector_col], dtype=np.float64)
+        order = sorted(
+            cents,
+            key=lambda r: float(
+                np.sum((np.asarray(r["centroid"]) - qv) ** 2)
+            ),
+        )
+        for npb in nprobes:
+            for r in order[:npb]:
+                probe_rows.append((int(npb), qr[query_id_col], int(r["cell"])))
+    probe_df = spark.createDataFrame(
+        probe_rows, f"nprobe int, {query_id_col} long, cell int"
+    )
+    exact = brute_force_topk_batch(
+        indexed.select(id_col, vector_col),
+        queries,
+        k=k,
+        id_col=id_col,
+        vector_col=vector_col,
+        query_id_col=query_id_col,
+        query_vector_col=query_vector_col,
+    )
+    cand = indexed.join(F.broadcast(probe_df), "cell").join(
+        F.broadcast(queries.select(query_id_col, query_vector_col)),
+        query_id_col,
+    )
+    scored = cand.select(
+        "nprobe",
+        query_id_col,
+        id_col,
+        F.round(
+            V.cosine_similarity(vector_col, query_vector_col), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("nprobe", query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    ivf = scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
+    ex_ids = exact.select(query_id_col, id_col).withColumn("__hit", F.lit(1))
+    return (
+        ivf.join(F.broadcast(ex_ids), [query_id_col, id_col], "left")
+        .groupBy("nprobe", query_id_col)
+        .agg(
+            F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_overlap")
+        )
+        .select(
+            "nprobe",
+            query_id_col,
+            "n_overlap",
+            F.round(F.col("n_overlap") / float(k), 2).alias(f"recall_at_{k}"),
+        )
+        .orderBy("nprobe", query_id_col)
+    )
+
+
 def train_pq_codebooks(
     df: DataFrame,
     num_subspaces: int = 8,
