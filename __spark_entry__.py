@@ -2974,6 +2974,96 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift check between two event cohorts
+    (the standard production-ML input-drift monitor): cohorts split
+    deterministically by event_id parity, the REFERENCE cohort's
+    min/max define 10 fixed-width value buckets (one-row broadcast, the
+    sanctioned pattern), and PSI = Σ (p_ref − p_cur)·ln(p_ref/p_cur)
+    per event_type with 1e-6 proportion floors (the standard zero-bucket
+    smoothing). Plan: two conditional-aggregate passes over one scan
+    lineage + one tiny (type × bucket) join — all combinable shuffles,
+    drift flagged at the conventional 0.2 threshold."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.col("event_id") % 2 == 0).alias("is_ref"),
+    )
+    ref_range = e.where("is_ref").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bucketed = e.join(F.broadcast(ref_range)).select(
+        "event_type",
+        "is_ref",
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 10
+                ).cast("int"),
+            ),
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy("event_type", "bucket").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(1e-6))
+    p_cur = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(1e-6))
+    return (
+        counts.join(totals, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum((p_ref - p_cur) * F.log(p_ref / p_cur)), 6
+            ).alias("psi")
+        )
+        .select(
+            "event_type", "psi", (F.col("psi") > 0.2).alias("drifted")
+        )
+        .orderBy("event_type")
+    )
+
+
+_PSI_SQL = """
+WITH e AS (
+  SELECT event_type, value, event_id % 2 = 0 AS is_ref FROM events
+), rng AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM e WHERE is_ref
+), bucketed AS (
+  SELECT event_type, is_ref,
+         least(9, greatest(0,
+             CAST(floor((value - lo) / (hi - lo) * 10) AS INTEGER))) AS bucket
+  FROM e, rng
+), counts AS (
+  SELECT event_type, bucket,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+  FROM bucketed GROUP BY event_type, bucket
+), tot AS (
+  SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+  FROM counts GROUP BY event_type
+), psi AS (
+  SELECT c.event_type,
+         round(sum(
+             (greatest(CAST(n_ref AS DOUBLE) / t_ref, 1e-6)
+              - greatest(CAST(n_cur AS DOUBLE) / t_cur, 1e-6))
+             * ln(greatest(CAST(n_ref AS DOUBLE) / t_ref, 1e-6)
+                  / greatest(CAST(n_cur AS DOUBLE) / t_cur, 1e-6))
+         ), 6) AS psi
+  FROM counts c JOIN tot t ON c.event_type = t.event_type
+  GROUP BY c.event_type
+)
+SELECT event_type, psi, psi > 0.2 AS drifted FROM psi ORDER BY event_type
+"""
+
+
 _FUNNEL_SQL = """
 WITH s1 AS (
   SELECT user_id, min(ts) AS ts1 FROM events
@@ -5254,6 +5344,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_funnel": (evt_funnel, _FUNNEL_SQL),
     "weighted_sample": (weighted_sample, _WEIGHTED_SQL),
     "ann_recall_audit": (ann_recall_audit, _ivf_recall_sql),
+    "evt_psi_drift": (evt_psi_drift, _PSI_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "a1_a3_counts": (a1_a3_counts, _A1_SQL),
     "a5_two_level": (a5_two_level, _A5_SQL),
