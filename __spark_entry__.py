@@ -2974,6 +2974,58 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-surface audit: HyperLogLog distinct (approx_count_distinct,
+    rsd=0.01) and the quantile sketch (percentile_approx, accuracy 1e4)
+    against their exact counterparts, exported as EXACT values plus
+    within-tolerance booleans — the cross-engine-checkable contract for
+    approximate operators (each engine runs its own sketch; the 5σ/1%
+    tolerances make the booleans deterministic, so the driver hash gate
+    still applies). At 100 TB the sketches are the only affordable
+    distinct/quantile path; this query is the acceptance test that keeps
+    them honest."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("__hll"),
+        F.percentile(F.col("value"), F.lit(0.5)).alias("__p50_exact"),
+        F.percentile_approx(F.col("value"), F.lit(0.5), F.lit(10000)).alias(
+            "__p50_approx"
+        ),
+    )
+    return agg.select(
+        "n_users_exact",
+        (
+            F.abs(F.col("__hll") - F.col("n_users_exact"))
+            / F.col("n_users_exact")
+            <= 0.05
+        ).alias("hll_within_5pct"),
+        F.round("__p50_exact", 4).alias("p50_exact"),
+        (
+            F.abs(F.col("__p50_approx") - F.col("__p50_exact"))
+            <= F.abs(F.col("__p50_exact")) * 0.01
+        ).alias("p50_sketch_within_1pct"),
+    )
+
+
+_SKETCH_SQL = """
+WITH agg AS (
+  SELECT count(DISTINCT user_id) AS n_users_exact,
+         approx_count_distinct(user_id) AS hll,
+         quantile_cont(value, 0.5) AS p50_exact,
+         approx_quantile(value, 0.5) AS p50_approx
+  FROM events
+)
+SELECT n_users_exact,
+       abs(hll - n_users_exact) / CAST(n_users_exact AS DOUBLE) <= 0.05
+         AS hll_within_5pct,
+       round(p50_exact, 4) AS p50_exact,
+       abs(p50_approx - p50_exact) <= abs(p50_exact) * 0.01
+         AS p50_sketch_within_1pct
+FROM agg
+"""
+
+
 def evt_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift check between two event cohorts
     (the standard production-ML input-drift monitor): cohorts split
@@ -5345,6 +5397,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "weighted_sample": (weighted_sample, _WEIGHTED_SQL),
     "ann_recall_audit": (ann_recall_audit, _ivf_recall_sql),
     "evt_psi_drift": (evt_psi_drift, _PSI_SQL),
+    "evt_sketch_audit": (evt_sketch_audit, _SKETCH_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "a1_a3_counts": (a1_a3_counts, _A1_SQL),
     "a5_two_level": (a5_two_level, _A5_SQL),
