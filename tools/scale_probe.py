@@ -36,19 +36,23 @@ N_DOCS = 5_000 * SCALE
 N_VECS = 2_000 * SCALE
 DIM = 64
 
-WORDS = (
-    "the a spark query row data table scan merge join sort filter agg key "
-    "window batch stream group column value line part order customer fast "
-    "slow big small dup hash"
-).split()
+# 2,000-token ZIPF-distributed vocabulary: real corpora are token-diverse
+# with a rare tail, and the prefix-filter dedup path's candidate volume
+# is O(Σ df²) over prefix tokens — the old 30-word uniform vocabulary
+# made every 3-gram shingle's df ~320 at SCALE 40, an adversarial
+# low-diversity corpus no natural text exhibits (it spilled ~10⁸
+# candidate pairs; see jaccard_similarity_join's diversity contract).
+# Zipf keeps common heads (so df-ordering is actually exercised) while
+# the tail supplies the rare prefix tokens the filter relies on.
+WORDS = [f"w{i:04d}" for i in range(2000)]
 
 # cache key = GENERATOR fingerprint, not just the scale — editing WORDS,
 # DIM, the doc shape, or the dup scheme must invalidate the cached
 # corpus (CLAUDE.md: stale /tmp caches silently diverge)
-# v2: chunked generation reorders the lang/cluster rng draws relative
-# to v1, so the corpus content differs — the version bump invalidates
-# v1 caches
-_GEN_VERSION = "v2-45w-1pct-dup-chunked"
+# v3: 2,000-token vocabulary (diversity-realistic); v2 chunked the
+# generation writes. Each content change bumps the version so stale
+# /tmp caches are invalidated.
+_GEN_VERSION = "v3-45w-2kvocab-1pct-dup-chunked"
 _FPR = __import__("hashlib").sha256(
     f"{_GEN_VERSION}|{DIM}|{' '.join(WORDS)}".encode()
 ).hexdigest()[:12]
@@ -66,7 +70,10 @@ def _gen(spark) -> None:
     # string list grows to multi-GB at the larger SCALE values this tool
     # invites (ADVICE r3). Chunking only batches the writes; the rng
     # draw order (and therefore the generated corpus) is unchanged.
-    base = rng.integers(0, len(WORDS), size=(N_DOCS, 45))
+    zipf = 1.0 / np.arange(3.0, 3.0 + len(WORDS)) ** 1.1
+    zipf /= zipf.sum()
+    # int16 (vocab < 2^15) keeps the index matrix ~90 B/doc at any SCALE
+    base = rng.choice(len(WORDS), size=(N_DOCS, 45), p=zipf).astype(np.int16)
     words = np.asarray(WORDS)
     langs_all = np.asarray(["en", "es", "de", "fr", "zh"])
     CHUNK = 200_000
@@ -165,6 +172,40 @@ def main() -> None:
     stage("ivf_build_probe", _ivf)
     q = emb.where(F.col("vec_id") == 0).first().embedding
     stage("brute_topk", lambda: ann.brute_force_topk(emb, q, k=10).count())
+
+    # r3 operator families (VERDICT r3 #8): Deequ-style constraint pass,
+    # the repetition gram-stats kernel, and the exact-threshold jaccard
+    # prefix join. Jaccard runs LAST: it holds session-lifetime persists
+    # (toks/pref/cand), which must not sit in memory under other stages.
+    def _dq():
+        from vector_search_optimization_spark.operators import validation as DQ
+
+        rules = [
+            DQ.non_null("doc_id"),
+            DQ.unique("doc_id"),
+            DQ.non_null("text"),
+            DQ.accepted_values("lang", ["en", "es", "de", "fr", "zh"]),
+        ]
+        return DQ.check_constraints(docs, rules).count()
+
+    stage("dq_constraints", _dq)
+
+    def _repetition():
+        from vector_search_optimization_spark.functions import text as TX
+
+        return (
+            docs.select(TX.word_gram_stats_expr("text", 2).alias("st"))
+            .where(F.col("st.max_gram_count") > 1)
+            .count()
+        )
+
+    stage("repetition_gram_stats", _repetition)
+    stage(
+        "jaccard_prefix_join",
+        lambda: dedup.jaccard_similarity_join(
+            docs, shingle_n=3, threshold=0.7
+        ).count(),
+    )
 
     print(json.dumps(out))
     spark.stop()

@@ -714,6 +714,16 @@ def jaccard_similarity_join(
     6 dp. At 100 TB this runs as: one explode, one df-count shuffle, one
     g-join, one per-doc agg, one prefix self-join, two bounded verify
     joins — all hash-partitioned on data keys.
+
+    DIVERSITY CONTRACT: prefix filtering is effective exactly when the
+    token-frequency distribution has a rare tail — candidate volume is
+    O(Σ_g df(g)²) over prefix tokens, which natural (Zipfian) corpora
+    keep near-linear but LOW-DIVERSITY corpora do not (a 30-word
+    synthetic vocabulary at 200k docs spilled ~10⁸ candidates in the
+    r4 scale probe). On such corpora raise ``shingle_n`` (the shingle
+    space grows as vocab^n, restoring rarity) or the threshold (shorter
+    prefixes); dropping high-df tokens from prefixes is NOT an option —
+    it would break the no-false-negative guarantee.
     """
     toks = shingle_hash_rows(
         df, text_col=text_col, id_col=id_col, shingle_n=shingle_n
