@@ -383,6 +383,71 @@ GROUP BY r_name
 """
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped: 6-way join (nation joined TWICE under different
+    roles) with a disjunctive nation-pair predicate and a ship-date
+    window — bilateral trade volume by year. Join-ordering stress: the
+    fact table joins orders on the shuffle key while both nation dims
+    (and supplier/customer) broadcast; the date filter pushes to the
+    lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31 23:59:59")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                     AND TIMESTAMP '1996-12-31 23:59:59'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 def j3_group_agg_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 — group aggregate joined back onto the fact table as enrichment
     (per-category centroid onto every row, main-script1.ipynb:990 c34
@@ -3871,6 +3936,104 @@ ORDER BY doc_id
 """
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    number of distinct word-3-shingle hashes they share — the pairwise
+    generalization of decontaminate_overlap (which checks the corpus
+    against ONE benchmark set). Plan: the shared shingle fingerprint
+    explode (map-side kernel), distinct (source, g), then a self
+    equi-join on the shingle hash — per-hash source lists are bounded by
+    the source count (20 here), so candidate volume is
+    O(shingles × sources²) worst-case and typically far less; the same
+    family as the decontamination join, no all-pairs-of-docs anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = dedup.shingle_hash_rows(d, shingle_n=3)
+    src = (
+        toks.join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "g")
+        .distinct()
+    )
+    a = src.select(F.col("source").alias("source_a"), "g")
+    b = src.select(F.col("source").alias("source_b"), "g")
+    return (
+        a.join(b, "g")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _source_overlap_sql() -> str:
+    poly = _POLY_SQL.format(s="s", base=TX.POLY_BASE)
+    return (
+        _MINHASH_SHINGLE_SQL.format(n=3, nm1=2)
+        + f""", ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), hs AS (
+  SELECT d.source, {poly} AS g
+  FROM ex JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS n_shared_shingles
+FROM hs a JOIN hs b ON a.g = b.g AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2"""
+    )
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per language: BPE-tokens-per-word and
+    chars-per-BPE-token (the standard multilingual tokenizer-quality
+    report — high fertility means the vocab under-serves that language,
+    inflating training cost per word). One Arrow-batched BPE pass +
+    one combinable agg shuffle. Oracle: per-doc BPE counts inlined from
+    the driver-side recomputation (the f10 pattern); DuckDB recomputes
+    the ratios and per-lang aggregation itself."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.select(
+        "lang",
+        TX.bpe_token_count_exact("text").alias("bpe"),
+        TX.whitespace_token_count("text").alias("ws"),
+        F.length("text").alias("chars"),
+    ).where(F.col("ws") > 0)
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("bpe") / F.col("ws")), 6).alias("fertility"),
+            F.round(F.avg(F.col("chars") / F.col("bpe")), 6).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _fertility_sql() -> str:
+    import duckdb
+
+    from vector_search_optimization_spark.functions.bpe import bpe_token_count
+
+    pdf = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{_oracle_sf_dir()}/documents.parquet'"
+        " ORDER BY doc_id"
+    ).df()
+    vals = ", ".join(
+        f"('{lang}', {bpe_token_count(t or '')},"
+        f" {len(TX.word_tokens_py(t))}, {len(t or '')})"
+        for lang, t in zip(pdf["lang"], pdf["text"])
+    )
+    return f"""
+SELECT lang, count(*) AS n_docs,
+       round(avg(CAST(bpe AS DOUBLE) / ws), 6) AS fertility,
+       round(avg(CAST(chars AS DOUBLE) / bpe), 6) AS chars_per_token
+FROM (VALUES {vals}) AS t(lang, bpe, ws, chars)
+WHERE ws > 0
+GROUP BY lang ORDER BY lang
+"""
+
+
 def s7_convert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 — the binaryFile→mapInPandas conversion stage, value-checked
     end to end: documents.text written out as one .txt file per doc,
@@ -5398,6 +5561,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_recall_audit": (ann_recall_audit, _ivf_recall_sql),
     "evt_psi_drift": (evt_psi_drift, _PSI_SQL),
     "evt_sketch_audit": (evt_sketch_audit, _SKETCH_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, _Q7_SQL),
+    "tokenizer_fertility": (tokenizer_fertility, _fertility_sql),
+    "source_overlap_matrix": (source_overlap_matrix, _source_overlap_sql()),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "a1_a3_counts": (a1_a3_counts, _A1_SQL),
     "a5_two_level": (a5_two_level, _A5_SQL),
