@@ -3936,6 +3936,63 @@ ORDER BY doc_id
 """
 
 
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (the Gopher-family filter:
+    templated/repetitive text deflates far below natural prose): per
+    doc, utf-8 bytes, deflate bytes (Arrow kernel,
+    functions.text.compressed_size_expr), their ratio, and the
+    low-ratio flag at 0.3. Oracle: per-doc deflate sizes inlined from
+    the driver-side stdlib-zlib recomputation (f10 pattern — same zlib
+    build, deterministic); byte counts and ratio math recomputed by
+    DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        TX.compressed_size_expr("text").alias("n_deflate_bytes"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        "n_deflate_bytes",
+        F.when(
+            F.col("n_bytes") > 0,
+            F.round(F.col("n_deflate_bytes") / F.col("n_bytes"), 6),
+        ).alias("compression_ratio"),
+        F.coalesce(
+            F.when(
+                F.col("n_bytes") > 0,
+                F.col("n_deflate_bytes") / F.col("n_bytes") < 0.3,
+            ),
+            F.lit(False),
+        ).alias("suspect_repetitive"),
+    )
+
+
+def _compression_sql() -> str:
+    import duckdb
+
+    pdf = duckdb.sql(
+        f"SELECT doc_id, text FROM '{_oracle_sf_dir()}/documents.parquet'"
+        " ORDER BY doc_id"
+    ).df()
+    vals = ", ".join(
+        f"({int(i)}, {TX.compressed_size_py(t)})"
+        for i, t in zip(pdf["doc_id"], pdf["text"])
+    )
+    return f"""
+SELECT d.doc_id, CAST(strlen(d.text) AS INTEGER) AS n_bytes,
+       CAST(v.comp AS BIGINT) AS n_deflate_bytes,
+       CASE WHEN strlen(d.text) > 0
+            THEN round(CAST(v.comp AS DOUBLE) / strlen(d.text), 6) END
+         AS compression_ratio,
+       coalesce(CASE WHEN strlen(d.text) > 0
+            THEN CAST(v.comp AS DOUBLE) / strlen(d.text) < 0.3 END, FALSE)
+         AS suspect_repetitive
+FROM documents d JOIN (VALUES {vals}) AS v(doc_id, comp)
+  ON d.doc_id = v.doc_id
+"""
+
+
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix: for every source pair, the
     number of distinct word-3-shingle hashes they share — the pairwise
@@ -5564,6 +5621,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q7_volume_shipping": (q7_volume_shipping, _Q7_SQL),
     "tokenizer_fertility": (tokenizer_fertility, _fertility_sql),
     "source_overlap_matrix": (source_overlap_matrix, _source_overlap_sql()),
+    "text_compression_ratio": (text_compression_ratio, _compression_sql),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "a1_a3_counts": (a1_a3_counts, _A1_SQL),
     "a5_two_level": (a5_two_level, _A5_SQL),

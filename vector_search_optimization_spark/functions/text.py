@@ -427,6 +427,30 @@ def dup_word_fraction(text: Column | str) -> Column:
     )
 
 
+def compressed_size_py(text: str | None, level: int = 6) -> int | None:
+    """Deflate-compressed byte size of the utf-8 text (stdlib zlib,
+    fixed level — deterministic for a given zlib build). NULL → NULL."""
+    import zlib
+
+    if text is None:
+        return None
+    return len(zlib.compress(text.encode("utf-8"), level))
+
+
+def compressed_size_expr(text: Column | str, level: int = 6) -> Column:
+    """Arrow-batched deflate size per document — the input to the
+    compression-ratio quality signal (highly repetitive or templated
+    text compresses far below natural prose; the Gopher-family
+    compression filter). Map-side only; the ratio math stays JVM-side
+    for oracle parity."""
+
+    @F.pandas_udf("long")
+    def _u(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: compressed_size_py(x, level))
+
+    return _u(_c(text))
+
+
 def word_gram_stats_py(
     text: str | None, n: int = 2
 ) -> tuple[int | None, int | None, int | None, int | None]:
