@@ -654,6 +654,44 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (pandas .melt, the inverse of pivot_categories):
+    per-status order metrics unpivoted to (status, metric, value) rows
+    via the native unpivot/stack operator — a pure projection over the
+    aggregated frame (the Expand node), no extra shuffle beyond the one
+    agg."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["avg_price", "max_price", "n_orders"],
+        "metric",
+        "value",
+    ).orderBy("o_orderstatus", "metric")
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT o_orderstatus,
+         round(avg(o_totalprice), 2) AS avg_price,
+         round(max(o_totalprice), 2) AS max_price,
+         CAST(count(*) AS DOUBLE) AS n_orders
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, metric, value FROM (
+  SELECT o_orderstatus, 'avg_price' AS metric, avg_price AS value FROM wide
+  UNION ALL
+  SELECT o_orderstatus, 'max_price', max_price FROM wide
+  UNION ALL
+  SELECT o_orderstatus, 'n_orders', n_orders FROM wide
+) ORDER BY o_orderstatus, metric
+"""
+
+
 # ---------------------------------------------------------------------------
 # vector operators (SURVEY §2.8, §2.3 J7-J9) over the embeddings table
 # ---------------------------------------------------------------------------
@@ -5622,6 +5660,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tokenizer_fertility": (tokenizer_fertility, _fertility_sql),
     "source_overlap_matrix": (source_overlap_matrix, _source_overlap_sql()),
     "text_compression_ratio": (text_compression_ratio, _compression_sql),
+    "unpivot_metrics": (unpivot_metrics, _UNPIVOT_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "a1_a3_counts": (a1_a3_counts, _A1_SQL),
     "a5_two_level": (a5_two_level, _A5_SQL),
