@@ -3138,52 +3138,14 @@ def evt_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per event_type with 1e-6 proportion floors (the standard zero-bucket
     smoothing). Plan: two conditional-aggregate passes over one scan
     lineage + one tiny (type × bucket) join — all combinable shuffles,
-    drift flagged at the conventional 0.2 threshold."""
-    e = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        "value",
-        (F.col("event_id") % 2 == 0).alias("is_ref"),
-    )
-    ref_range = e.where("is_ref").agg(
-        F.min("value").alias("lo"), F.max("value").alias("hi")
-    )
-    bucketed = e.join(F.broadcast(ref_range)).select(
-        "event_type",
-        "is_ref",
-        F.least(
-            F.lit(9),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col("value") - F.col("lo"))
-                    / (F.col("hi") - F.col("lo"))
-                    * 10
-                ).cast("int"),
-            ),
-        ).alias("bucket"),
-    )
-    counts = bucketed.groupBy("event_type", "bucket").agg(
-        F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
-        F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
-    )
-    totals = counts.groupBy("event_type").agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
-    )
-    p_ref = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(1e-6))
-    p_cur = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(1e-6))
-    return (
-        counts.join(totals, "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.round(
-                F.sum((p_ref - p_cur) * F.log(p_ref / p_cur)), 6
-            ).alias("psi")
-        )
-        .select(
-            "event_type", "psi", (F.col("psi") > 0.2).alias("drifted")
-        )
-        .orderBy("event_type")
-    )
+    drift flagged at the conventional 0.2 threshold. The SAME
+    bucketize/psi_from_counts definitions drive the incremental
+    streaming monitor (streaming.drift; stream-vs-batch equality
+    tested in tests/test_streaming_drift.py)."""
+    from vector_search_optimization_spark.operators import drift as DR
+
+    e = load_table(spark, sf_dir, "events")
+    return DR.psi_drift(e, F.col("event_id") % 2 == 0)
 
 
 _PSI_SQL = """

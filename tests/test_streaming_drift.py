@@ -1,0 +1,81 @@
+"""Streaming PSI monitor must equal the batch PSI computation once the
+stream has absorbed the same current-cohort rows (one shared
+bucketize/psi_from_counts definition for both paths)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_optimization_spark.operators import drift as DR
+from vector_search_optimization_spark.sources import load_table
+from vector_search_optimization_spark.streaming.drift import stream_psi_monitor
+
+
+@pytest.fixture()
+def tmpdirs():
+    root = tempfile.mkdtemp(prefix="drift_stream_")
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_psi_equals_batch(spark, sf_small, tmpdirs):
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "event_type", "value"
+    )
+    is_ref = F.col("event_id") % 2 == 0
+
+    batch = {
+        r.event_type: (r.psi, r.drifted)
+        for r in DR.psi_drift(events, is_ref).collect()
+    }
+
+    ref = events.where(is_ref)
+    rng, ref_counts = DR.reference_profile(ref)
+    lo, hi = rng.first()
+
+    # current cohort arrives as TWO drop-zone files (late second batch)
+    cur = events.where(~is_ref).select("event_type", "value")
+    drop = f"{tmpdirs}/drop"
+    cur.where(F.col("value") < 30).write.mode("overwrite").parquet(drop)
+    cur.where(F.col("value") >= 30).write.mode("append").parquet(drop)
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = stream_psi_monitor(
+        stream,
+        lo,
+        hi,
+        ref_counts,
+        out_path=f"{tmpdirs}/scores",
+        checkpoint_dir=f"{tmpdirs}/ckpt",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.event_type: (r.psi, r.drifted)
+        for r in spark.read.parquet(f"{tmpdirs}/scores").collect()
+    }
+    assert got == batch
+
+
+def test_bucketize_clamps_out_of_range(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (50.0,), (99.9,), (100.0,), (140.0,)], "v double"
+    )
+    got = [
+        r.b
+        for r in df.select(
+            DR.bucketize("v", F.lit(0.0), F.lit(100.0), 10).alias("b")
+        ).collect()
+    ]
+    assert got == [0, 0, 5, 9, 9, 9]

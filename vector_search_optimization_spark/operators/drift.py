@@ -1,0 +1,136 @@
+"""Input-drift detection — population stability index (PSI) over value
+distributions, shared by the batch query (``evt_psi_drift``) and the
+streaming monitor (streaming.drift).
+
+PSI is the standard production-ML drift score: bucket a numeric column
+into fixed-width bins defined by a REFERENCE cohort's range, compare the
+reference and current bucket proportions, and sum
+``(p_ref − p_cur)·ln(p_ref/p_cur)``. Conventional reading: < 0.1 stable,
+0.1–0.2 moderate shift, > 0.2 drifted.
+
+One definition for batch and stream: both paths use ``bucketize`` for
+the binning expression and ``psi_from_counts`` for the score, so the
+incremental monitor is exactly the batch computation replayed over the
+accumulated stream state (equivalence-tested in
+tests/test_streaming_drift.py).
+
+Scale notes (100 TB): bucket counting is ONE combinable conditional
+aggregate per cohort — map-side partials, a (group, bucket)-sized
+shuffle; the PSI combine runs on the tiny (groups × buckets) frame. The
+streaming path keeps only that frame as state (via the running groupBy
+count), never rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EPS = 1e-6  # proportion floor — the standard zero-bucket smoothing
+PSI_DRIFT_THRESHOLD = 0.2
+
+
+def bucketize(
+    value: Column | str, lo: Column, hi: Column, num_buckets: int = 10
+) -> Column:
+    """Fixed-width bucket index in [0, num_buckets) for ``value`` over
+    the [lo, hi] reference range; out-of-range values clamp into the
+    edge buckets (the current cohort may exceed the reference range —
+    that mass lands in the boundary bins and drives PSI up, which is
+    the signal, not an error)."""
+    v = F.col(value) if isinstance(value, str) else value
+    return F.least(
+        F.lit(num_buckets - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((v - lo) / (hi - lo) * num_buckets).cast("int"),
+        ),
+    )
+
+
+def psi_from_counts(
+    counts: DataFrame,
+    group_col: str = "event_type",
+    ref_col: str = "n_ref",
+    cur_col: str = "n_cur",
+) -> DataFrame:
+    """PSI per group from a (group, bucket, n_ref, n_cur) frame:
+    proportions with the 1e-6 floor, summed over present buckets, plus
+    the conventional 0.2 drift flag. The input frame is (groups ×
+    buckets)-sized, so everything here is a tiny combine."""
+    totals = counts.groupBy(group_col).agg(
+        F.sum(ref_col).alias("__t_ref"), F.sum(cur_col).alias("__t_cur")
+    )
+    p_ref = F.greatest(F.col(ref_col) / F.col("__t_ref"), F.lit(EPS))
+    p_cur = F.greatest(F.col(cur_col) / F.col("__t_cur"), F.lit(EPS))
+    return (
+        counts.join(totals, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.round(
+                F.sum((p_ref - p_cur) * F.log(p_ref / p_cur)), 6
+            ).alias("psi")
+        )
+        .select(
+            group_col,
+            "psi",
+            (F.col("psi") > PSI_DRIFT_THRESHOLD).alias("drifted"),
+        )
+    )
+
+
+def reference_profile(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    num_buckets: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """(range, bucket_counts) of a reference cohort: the one-row
+    [lo, hi] frame and the (group, bucket, n_ref) counts — the static
+    profile a streaming monitor compares against."""
+    rng = df.agg(F.min(value_col).alias("lo"), F.max(value_col).alias("hi"))
+    counts = (
+        df.join(F.broadcast(rng))
+        .select(
+            group_col,
+            bucketize(value_col, F.col("lo"), F.col("hi"), num_buckets).alias(
+                "bucket"
+            ),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    return rng, counts
+
+
+def psi_drift(
+    df: DataFrame,
+    ref_pred: Column,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    num_buckets: int = 10,
+) -> DataFrame:
+    """Batch PSI between the rows matching ``ref_pred`` (reference
+    cohort) and the rest (current cohort): reference range via a one-row
+    broadcast, ONE conditional bucket-count aggregate over both cohorts,
+    then the shared PSI combine."""
+    e = df.select(group_col, value_col, ref_pred.alias("__is_ref"))
+    rng = e.where("__is_ref").agg(
+        F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+    )
+    counts = (
+        e.join(F.broadcast(rng))
+        .select(
+            group_col,
+            "__is_ref",
+            bucketize(value_col, F.col("lo"), F.col("hi"), num_buckets).alias(
+                "bucket"
+            ),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.sum(F.col("__is_ref").cast("long")).alias("n_ref"),
+            F.sum((~F.col("__is_ref")).cast("long")).alias("n_cur"),
+        )
+    )
+    return psi_from_counts(counts, group_col).orderBy(group_col)
