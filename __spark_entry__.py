@@ -5624,25 +5624,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_compression_ratio": (text_compression_ratio, _compression_sql),
     "unpivot_metrics": (unpivot_metrics, _UNPIVOT_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
-    "a1_a3_counts": (a1_a3_counts, _A1_SQL),
     "a5_two_level": (a5_two_level, _A5_SQL),
-    "a9_value_counts": (a9_value_counts, _A9_SQL),
-    "a10_histogram": (a10_histogram, _A10_SQL),
-    "a11_a13_buckets_ratio": (a11_a13_buckets_ratio, _A11_SQL),
-    "a12_first_per_group": (a12_first_per_group, _A12_SQL),
     "a14_percentiles": (a14_percentiles, _A14_SQL),
     "j1_inner_join_agg": (j1_inner_join_agg, _J1_SQL),
-    "j2_left_join_flags": (j2_left_join_flags, _J2_SQL),
     "j4_semi_join": (j4_semi_join, _J4_SQL),
     "j5_lookup_chain": (j5_lookup_chain, _J5_SQL),
     "j3_group_agg_enrichment": (j3_group_agg_enrichment, _J3_SQL),
     "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
     "q5_supplier_volume": (q5_supplier_volume, _Q5_SQL),
-    "w1_w2_proportion": (w1_w2_proportion, _W1_SQL),
-    "w5_dense_numbering": (w5_dense_numbering, _W5_SQL),
     "w6_islands": (w6_islands, _W6_SQL),
-    "o5_topk_per_group": (o5_topk_per_group, _O5_SQL),
-    "pivot_categories": (pivot_categories, _PIVOT_SQL),
     "f1_f2_norms": (f1_f2_norms, _F1_SQL),
     "j7_nearest_centroid": (j7_nearest_centroid, _J7_SQL),
     "j9_distance_matrix": (j9_distance_matrix, _J9_SQL),
@@ -5659,8 +5649,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "doc_quality_filter": (doc_quality_filter, _DOC_FILTER_SQL),
     "minhash_near_dup": (minhash_near_dup, _minhash_sql()),
     "simhash_near_dup": (simhash_near_dup, _simhash_sql()),
-    "evt_tumbling_window": (evt_tumbling_window, _EVT_WINDOW_SQL),
-    "evt_sliding_window": (evt_sliding_window, _EVT_SLIDING_SQL),
     "evt_sessions": (evt_sessions, _EVT_SESSIONS_SQL),
     "minhash_verified_dedup": (minhash_verified_dedup, _minhash_verified_sql()),
     "dedup_canonical_groups": (dedup_canonical_groups, _dedup_canonical_sql),
@@ -5670,6 +5658,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "m7_percentile_outliers": (m7_percentile_outliers, _M7_SQL),
     "m8_lof_outliers": (m8_lof_outliers, _M8_SQL),
     "m9_mahalanobis_outliers": (m9_mahalanobis_outliers, _m9_sql),
+    "a1_a3_counts": (a1_a3_counts, _A1_SQL),
+    "a9_value_counts": (a9_value_counts, _A9_SQL),
+    "a10_histogram": (a10_histogram, _A10_SQL),
+    "a11_a13_buckets_ratio": (a11_a13_buckets_ratio, _A11_SQL),
+    "a12_first_per_group": (a12_first_per_group, _A12_SQL),
+    "j2_left_join_flags": (j2_left_join_flags, _J2_SQL),
+    "w1_w2_proportion": (w1_w2_proportion, _W1_SQL),
+    "w5_dense_numbering": (w5_dense_numbering, _W5_SQL),
+    "o5_topk_per_group": (o5_topk_per_group, _O5_SQL),
+    "pivot_categories": (pivot_categories, _PIVOT_SQL),
+    "evt_tumbling_window": (evt_tumbling_window, _EVT_WINDOW_SQL),
+    "evt_sliding_window": (evt_sliding_window, _EVT_SLIDING_SQL),
     "w3_cumsum": (w3_cumsum, _W3_SQL),
     "u_set_ops": (u_set_ops, _U_SQL),
     "p_filters": (p_filters, _P_SQL),
