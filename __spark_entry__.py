@@ -5599,14 +5599,18 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 
 # Ordering contract: the driver's correctness gate snapshots the FIRST 50
 # entries only (CORRECTNESS_r01/r02/r03 each hold exactly 50).  Rotation
-# state for r4: new r4 queries lead, then the half last driver-audited in
-# r2 (q1/a*/j*/w*/o5/u/p/pivot, f1/j7/j8/j9, r1-era dedup/ANN/streaming,
-# m6-m9) so every query gets a driver row on current-generation testdata;
-# the r3-audited half (CORRECTNESS_r03) rotates to the back, including
+# state at end of r4: the 15 NEW r4 queries lead (positions 0-14), then
+# the 35 most-substantive entries of the half last driver-audited in r2
+# (q1/q3/q5, a5/a14, j1/j3/j4/j5, w6, f1/j7/j8/j9, the r1-era
+# dedup/ANN/streaming stack, s11, prologue, m6-m9) fill the window to 50.
+# Behind the window: 15 displaced long-stable r2-audited basics
+# (p/u/w1-w5/o5/pivot/a1/a9-a12/evt fixed windows/j2 — elementary
+# single-shuffle SQL, re-verified by the local full gate every round),
+# then the r3-audited half (CORRECTNESS_r03), including
 # ep3_label_pipeline (rows-only by design — its value-oracled twin
-# ep3_lloyd_audit stays hash-checkable).  Entries displaced past position
-# 50 by new r4 queries are the most-trivial long-stable basics (p_filters
-# etc.).  tools/check_correctness.py covers the full registry locally.
+# ep3_lloyd_audit stays hash-checkable).  For r5: rotate the displaced
+# basics + the r3-audited half forward again so driver rows stay fresh.
+# tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "m4_grid_sweep": (m4_grid_sweep, _m4_grid_sql()),
     "skew_salted_join": (skew_salted_join, _SKEW_JOIN_SQL),
