@@ -113,6 +113,7 @@ _NESTED_LOOP_OK = {
     "evt_psi_drift",        # 1-row reference-range frame broadcast
     "ann_recall_audit",     # 5-row query table broadcast (exact side
                             # reuses ann_topk_batch's crossJoin pattern)
+    "evt_sketch_audit",     # 1-row × 1-row join of the two agg frames
 }
 
 
