@@ -545,3 +545,22 @@ def test_matryoshka_rerank_full_equals_exact(spark, emb):
     # the query vector itself must survive any shortlist: its prefix
     # cosine is exactly 1.0 (the maximum)
     assert tight[0].score == 1.0
+
+
+def test_ivf_recall_audit_monotone_and_full_probe_exact(emb):
+    """ivf_recall_audit: recall is non-decreasing in nprobe per query,
+    and probing every cell recovers the exact top-10 (recall 1.0)."""
+    cents_df = ann.train_ivf_centroids(emb, num_cells=16, seed=42)
+    idx = ann.assign_ivf_cells(emb, cents_df, "embedding").cache()
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rows = ann.ivf_recall_audit(
+        idx, cents_df, queries, k=10, nprobes=(1, 4, 16)
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.nprobe] = r.recall_at_10
+    for qid, recs in by_q.items():
+        assert recs[1] <= recs[4] <= recs[16], (qid, recs)
+        assert recs[16] == 1.0
