@@ -3082,9 +3082,10 @@ def evt_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rsd=0.01) and the quantile sketch (percentile_approx, accuracy 1e4)
     against their exact counterparts, exported as EXACT values plus
     within-tolerance booleans — the cross-engine-checkable contract for
-    approximate operators (each engine runs its own sketch; the 5σ/1%
-    tolerances make the booleans deterministic, so the driver hash gate
-    still applies). At 100 TB the sketches are the only affordable
+    approximate operators (each engine runs its own sketch; the
+    tolerances sit ≥4σ above each engine's sketch error — DuckDB's HLL
+    runs at its default ~2.3% rsd — so the booleans stay deterministic
+    across testdata regenerations and the driver hash gate applies). At 100 TB the sketches are the only affordable
     distinct/quantile path; this query is the acceptance test that keeps
     them honest."""
     e = load_table(spark, sf_dir, "events")
@@ -3109,8 +3110,8 @@ def evt_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.abs(F.col("__hll") - F.col("n_users_exact"))
             / F.col("n_users_exact")
-            <= 0.05
-        ).alias("hll_within_5pct"),
+            <= 0.10
+        ).alias("hll_within_10pct"),
         F.round("__p50_exact", 4).alias("p50_exact"),
         (
             F.abs(F.col("__p50_approx") - F.col("__p50_exact"))
@@ -3128,8 +3129,8 @@ WITH agg AS (
   FROM events
 )
 SELECT n_users_exact,
-       abs(hll - n_users_exact) / CAST(n_users_exact AS DOUBLE) <= 0.05
-         AS hll_within_5pct,
+       abs(hll - n_users_exact) / CAST(n_users_exact AS DOUBLE) <= 0.10
+         AS hll_within_10pct,
        round(p50_exact, 4) AS p50_exact,
        abs(p50_approx - p50_exact) <= abs(p50_exact) * 0.01
          AS p50_sketch_within_1pct
