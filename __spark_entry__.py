@@ -3164,8 +3164,9 @@ WITH e AS (
   SELECT min(value) AS lo, max(value) AS hi FROM e WHERE is_ref
 ), bucketed AS (
   SELECT event_type, is_ref,
-         least(9, greatest(0,
-             CAST(floor((value - lo) / (hi - lo) * 10) AS INTEGER))) AS bucket
+         CASE WHEN hi > lo THEN least(9, greatest(0,
+             CAST(floor((value - lo) / (hi - lo) * 10) AS INTEGER)))
+              ELSE 0 END AS bucket
   FROM e, rng
 ), counts AS (
   SELECT event_type, bucket,

@@ -39,13 +39,18 @@ def bucketize(
     that mass lands in the boundary bins and drives PSI up, which is
     the signal, not an error)."""
     v = F.col(value) if isinstance(value, str) else value
-    return F.least(
-        F.lit(num_buckets - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor((v - lo) / (hi - lo) * num_buckets).cast("int"),
+    # degenerate reference range (hi == lo: constant column / one-value
+    # cohort) puts everything in bucket 0 instead of raising — Spark 4
+    # ANSI errors even on DOUBLE division by zero
+    return F.when(hi > lo,
+        F.least(
+            F.lit(num_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((v - lo) / (hi - lo) * num_buckets).cast("int"),
+            ),
         ),
-    )
+    ).otherwise(F.lit(0))
 
 
 def psi_from_counts(
