@@ -3071,7 +3071,12 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "step",
             "event_type",
             "n_users",
-            F.round(F.col("n_users") / F.col("n_base"), 6).alias("conversion"),
+            # ANSI errors on 0/0: an empty step-1 cohort (regenerated
+            # testdata without the step-1 event type) yields NULL
+            F.when(
+                F.col("n_base") > 0,
+                F.round(F.col("n_users") / F.col("n_base"), 6),
+            ).alias("conversion"),
         )
         .orderBy("step")
     )
@@ -3209,8 +3214,9 @@ WITH s1 AS (
   SELECT 3, 'purchase', count(*) FROM s3
 )
 SELECT step, event_type, n_users,
-       round(CAST(n_users AS DOUBLE)
-             / (SELECT count(*) FROM s1), 6) AS conversion
+       CASE WHEN (SELECT count(*) FROM s1) > 0
+            THEN round(CAST(n_users AS DOUBLE)
+                       / (SELECT count(*) FROM s1), 6) END AS conversion
 FROM counts ORDER BY step
 """
 
