@@ -3033,10 +3033,14 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each stage is one filtered scan aggregated to one row
     per user, then an equi-join against the PREVIOUS stage's per-user
     firsts — the per-user tables only shrink down the funnel, so every
-    join after stage 1 is a candidate broadcast; the final three counts
-    are single-row aggregates fused by union + a one-row broadcast join
-    for the conversion denominator (the sanctioned one-row-crossJoin
-    pattern)."""
+    join after stage 1 is a candidate broadcast. Each per-user frame is
+    PERSISTED because it feeds two consumers (its own count row and the
+    next stage's join input) and ReusedExchange across those differing
+    subtrees is not guaranteed; the conversion denominator comes from
+    the step-1 row of the 3-row union via a first_value window instead
+    of re-aggregating stage 1 a third time."""
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events")
     steps = _FUNNEL_STEPS
     reached = []  # per-user first-qualifying-ts frames, one per step
@@ -3044,6 +3048,7 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("event_type") == steps[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("s_ts"))
+        .persist()
     )
     reached.append(cur)
     for step in steps[1:]:
@@ -3054,6 +3059,7 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("ts") >= F.col("p_ts"))
             .groupBy("user_id")
             .agg(F.min("ts").alias("s_ts"))
+            .persist()
         )
         reached.append(cur)
     rows = None
@@ -3064,22 +3070,21 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users"),
         )
         rows = r if rows is None else rows.unionByName(r)
-    base = reached[0].agg(F.count(F.lit(1)).alias("n_base"))
-    return (
-        rows.join(F.broadcast(base))
-        .select(
-            "step",
-            "event_type",
-            "n_users",
-            # ANSI errors on 0/0: an empty step-1 cohort (regenerated
-            # testdata without the step-1 event type) yields NULL
-            F.when(
-                F.col("n_base") > 0,
-                F.round(F.col("n_users") / F.col("n_base"), 6),
-            ).alias("conversion"),
-        )
-        .orderBy("step")
+    # the window runs over the 3-row union — single tiny partition
+    w = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
+    n_base = F.first("n_users").over(w)
+    return rows.select(
+        "step",
+        "event_type",
+        "n_users",
+        # ANSI errors on 0/0: an empty step-1 cohort (regenerated
+        # testdata without the step-1 event type) yields NULL
+        F.when(
+            n_base > 0, F.round(F.col("n_users") / n_base, 6)
+        ).alias("conversion"),
+    ).orderBy("step")
 
 
 def evt_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3184,10 +3189,14 @@ WITH e AS (
 ), psi AS (
   SELECT c.event_type,
          round(sum(
-             (greatest(CAST(n_ref AS DOUBLE) / t_ref, 1e-6)
-              - greatest(CAST(n_cur AS DOUBLE) / t_cur, 1e-6))
-             * ln(greatest(CAST(n_ref AS DOUBLE) / t_ref, 1e-6)
-                  / greatest(CAST(n_cur AS DOUBLE) / t_cur, 1e-6))
+             (greatest(CASE WHEN t_ref > 0
+                  THEN CAST(n_ref AS DOUBLE) / t_ref ELSE 0 END, 1e-6)
+              - greatest(CASE WHEN t_cur > 0
+                  THEN CAST(n_cur AS DOUBLE) / t_cur ELSE 0 END, 1e-6))
+             * ln(greatest(CASE WHEN t_ref > 0
+                  THEN CAST(n_ref AS DOUBLE) / t_ref ELSE 0 END, 1e-6)
+                  / greatest(CASE WHEN t_cur > 0
+                  THEN CAST(n_cur AS DOUBLE) / t_cur ELSE 0 END, 1e-6))
          ), 6) AS psi
   FROM counts c JOIN tot t ON c.event_type = t.event_type
   GROUP BY c.event_type
@@ -4083,6 +4092,21 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ws_count_py(t: str | None) -> int:
+    """Exact python twin of functions.text.whitespace_token_count:
+    F.trim strips 0x20 SPACES only (tabs/newlines survive), and
+    F.split(limit=-1) KEEPS empty pieces — so '\\tfoo bar\\n' counts 4
+    (leading+trailing empties), unlike word_tokens_py which drops them.
+    re.split likewise keeps leading/trailing empties; re.ASCII matches
+    Java regex \\s."""
+    import re
+
+    t = (t or "").strip(" ")
+    if t == "":
+        return 0
+    return len(re.split(r"\s+", t, flags=re.ASCII))
+
+
 def _fertility_sql() -> str:
     import duckdb
 
@@ -4094,7 +4118,7 @@ def _fertility_sql() -> str:
     ).df()
     vals = ", ".join(
         f"('{lang}', {bpe_token_count(t or '')},"
-        f" {len(TX.word_tokens_py(t))}, {len(t or '')})"
+        f" {_ws_count_py(t)}, {len(t or '')})"
         for lang, t in zip(pdf["lang"], pdf["text"])
     )
     return f"""

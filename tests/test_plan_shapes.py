@@ -109,7 +109,6 @@ _NESTED_LOOP_OK = {
     "lm_quality_scores",    # 1-row (N, V) model-totals frame broadcast
     "tfidf_keywords",       # 1-row corpus-size frame broadcast for idf
     "curation_pipeline",    # 1-row median-threshold frame broadcast
-    "evt_funnel",           # 1-row step-1 denominator frame broadcast
     "evt_psi_drift",        # 1-row reference-range frame broadcast
     "ann_recall_audit",     # 5-row query table broadcast (exact side
                             # reuses ann_topk_batch's crossJoin pattern)

@@ -79,3 +79,43 @@ def test_bucketize_clamps_out_of_range(spark):
         ).collect()
     ]
     assert got == [0, 0, 5, 9, 9, 9]
+
+
+def test_stream_psi_survives_novel_group(spark, tmpdirs):
+    """A group that exists ONLY in the stream (novel event_type) must
+    not crash the monitor (ANSI 0/0 on its empty reference total) — it
+    reports maximal drift instead."""
+    ref = spark.createDataFrame(
+        [("known", float(v)) for v in range(10)], "event_type string, value double"
+    )
+    rng, ref_counts = DR.reference_profile(ref)
+    lo, hi = rng.first()
+
+    drop = f"{tmpdirs}/drop2"
+    spark.createDataFrame(
+        [("novel", 3.0), ("novel", 7.0), ("known", 4.0)],
+        "event_type string, value double",
+    ).write.mode("overwrite").parquet(drop)
+
+    stream = spark.readStream.schema("event_type string, value double").parquet(drop)
+    q = stream_psi_monitor(
+        stream, lo, hi, ref_counts,
+        out_path=f"{tmpdirs}/scores2", checkpoint_dir=f"{tmpdirs}/ckpt2",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.event_type: r for r in spark.read.parquet(f"{tmpdirs}/scores2").collect()}
+    assert got["novel"].drifted  # brand-new group = maximal drift
+    assert got["novel"].psi > 0.2
+
+
+def test_batch_psi_survives_one_sided_group(spark):
+    """A group whose rows all fall in ONE cohort must not crash psi_drift."""
+    rows = [(i, "both", float(i % 10)) for i in range(20)]
+    rows += [(2 * i + 1, "cur_only", 5.0) for i in range(5)]  # all odd ids
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r.event_type: r for r in
+           DR.psi_drift(df, F.col("event_id") % 2 == 0).collect()}
+    assert got["cur_only"].drifted

@@ -53,8 +53,12 @@ WORDS = [f"w{i:04d}" for i in range(2000)]
 # generation writes. Each content change bumps the version so stale
 # /tmp caches are invalidated.
 _GEN_VERSION = "v3-45w-2kvocab-1pct-dup-chunked"
+# CHUNK is part of the fingerprint: the per-chunk lang/cluster rng draws
+# interleave with the dup-tail mutation draws, so a different CHUNK
+# generates a DIFFERENT corpus — it must invalidate the cache too
+CHUNK = 200_000
 _FPR = __import__("hashlib").sha256(
-    f"{_GEN_VERSION}|{DIM}|{' '.join(WORDS)}".encode()
+    f"{_GEN_VERSION}|{DIM}|{CHUNK}|{' '.join(WORDS)}".encode()
 ).hexdigest()[:12]
 ROOT = f"/tmp/spark_graft_scale_probe/s{SCALE}-{_FPR}"
 
@@ -68,15 +72,15 @@ def _gen(spark) -> None:
     # Built and written in CHUNK-row slices (append mode) so driver
     # memory stays bounded at any SCALE — one full in-memory Python
     # string list grows to multi-GB at the larger SCALE values this tool
-    # invites (ADVICE r3). Chunking only batches the writes; the rng
-    # draw order (and therefore the generated corpus) is unchanged.
+    # invites (ADVICE r3). NOTE: the per-chunk lang draws interleave
+    # with the mutation draws in the rng stream, so the corpus DEPENDS
+    # on CHUNK — which is why CHUNK is part of _FPR above.
     zipf = 1.0 / np.arange(3.0, 3.0 + len(WORDS)) ** 1.1
     zipf /= zipf.sum()
     # int16 (vocab < 2^15) keeps the index matrix ~90 B/doc at any SCALE
     base = rng.choice(len(WORDS), size=(N_DOCS, 45), p=zipf).astype(np.int16)
     words = np.asarray(WORDS)
     langs_all = np.asarray(["en", "es", "de", "fr", "zh"])
-    CHUNK = 200_000
     rows: list = []
     lo = 0
     for i in range(N_DOCS):

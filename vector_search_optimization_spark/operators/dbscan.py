@@ -353,8 +353,12 @@ def dbscan_grid_search(
     """
     from .clustering import silhouette_exact_distributed, silhouette_numpy
 
-    if use_distributed is None or not use_distributed:
-        n = df.count()
+    # persist BEFORE the dispatch count so the count's scan is not
+    # thrown away: the distributed branch reuses the cache for the whole
+    # sweep, the single-task branch releases it right after its one
+    # bounded collect
+    df = df.persist()
+    n = df.count()
     if use_distributed is None:
         use_distributed = n > single_task_limit
 
@@ -364,6 +368,7 @@ def dbscan_grid_search(
             .toPandas()
             .sort_values(id_col, ignore_index=True)
         )
+        df.unpersist()
         X = V.stack_vectors(pdf[vector_col])
         results = []
         for eps in eps_grid:
@@ -384,8 +389,6 @@ def dbscan_grid_search(
                 )
         return results
 
-    df = df.persist()
-    n = df.count()
     results = []
     for eps in eps_grid:
         # the eps-join depends only on eps: build it once per eps and

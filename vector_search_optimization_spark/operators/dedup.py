@@ -747,7 +747,11 @@ def jaccard_similarity_join(
     ).cast("int")
     # persisted: both sides of the prefix self-join read this — without
     # it the dfreq join + collect_list agg runs twice (ReusedExchange is
-    # not guaranteed across the differing side projections)
+    # not guaranteed across the differing side projections). Session
+    # growth is bounded: Spark's CacheManager dedups identical logical
+    # plans, so repeated invocations on the same (input, params) reuse
+    # ONE cache entry rather than stacking new ones (same policy as the
+    # toks persist above; at lake scale these are materialized tables)
     pref = per_doc.select(
         F.col(id_col),
         F.col("__n"),

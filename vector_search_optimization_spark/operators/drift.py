@@ -66,8 +66,24 @@ def psi_from_counts(
     totals = counts.groupBy(group_col).agg(
         F.sum(ref_col).alias("__t_ref"), F.sum(cur_col).alias("__t_cur")
     )
-    p_ref = F.greatest(F.col(ref_col) / F.col("__t_ref"), F.lit(EPS))
-    p_cur = F.greatest(F.col(cur_col) / F.col("__t_cur"), F.lit(EPS))
+    # a cohort can be EMPTY for a group (novel event_type appearing only
+    # in the stream, or a group whose rows all fall in one cohort):
+    # ANSI errors on the 0/0 proportion, so guard the division and let
+    # the EPS floor take over — every bucket of the missing cohort reads
+    # as eps, PSI goes large, drifted flips true (maximal drift is the
+    # right report for a brand-new group)
+    p_ref = F.greatest(
+        F.when(F.col("__t_ref") > 0, F.col(ref_col) / F.col("__t_ref")).otherwise(
+            F.lit(0.0)
+        ),
+        F.lit(EPS),
+    )
+    p_cur = F.greatest(
+        F.when(F.col("__t_cur") > 0, F.col(cur_col) / F.col("__t_cur")).otherwise(
+            F.lit(0.0)
+        ),
+        F.lit(EPS),
+    )
     return (
         counts.join(totals, group_col)
         .groupBy(group_col)
