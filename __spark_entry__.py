@@ -3021,6 +3021,83 @@ FROM per_sess GROUP BY user_id
 """
 
 
+def evt_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample with gap filling (the time-series densify /
+    pandas-asfreq-ffill staple): per event_type, an hourly spine over
+    the observed global range (generated dimension — sequence + explode,
+    bounded by types × hours, never a scan of the fact table), left
+    join of hourly aggregates, missing hours carried as n=0 with the
+    last observed hourly mean forward-filled per type (one window
+    shuffle over the tiny spine). Hours export as epoch seconds (the
+    oracle-parity timestamp rule)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hb = F.date_trunc("hour", F.col("ts"))
+    agg = (
+        e.groupBy("event_type", hb.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+    bounds = e.agg(F.min(hb).alias("lo"), F.max(hb).alias("hi"))
+    types = e.select("event_type").distinct()
+    spine = types.join(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    j = spine.join(agg, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.unix_timestamp("h").alias("hour_epoch"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "avg_value",
+        F.round(F.last("avg_value", ignorenulls=True).over(w), 6).alias(
+            "avg_value_ffill"
+        ),
+    )
+
+
+_GAP_FILL_SQL = """
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, value FROM events
+), agg AS (
+  SELECT event_type, h, count(*) AS n_events,
+         round(avg(value), 6) AS avg_value
+  FROM e GROUP BY event_type, h
+), bounds AS (
+  SELECT min(h) AS lo, max(h) AS hi FROM e
+), spine AS (
+  -- list-returning generate_series + unnest: the table-function form
+  -- cannot take lateral column parameters in DuckDB 1.0
+  SELECT t.event_type, s.h
+  FROM (SELECT DISTINCT event_type FROM e) t,
+       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds) s
+), j AS (
+  SELECT s.event_type, s.h,
+         coalesce(a.n_events, 0) AS n_events, a.avg_value
+  FROM spine s LEFT JOIN agg a
+    ON s.event_type = a.event_type AND s.h = a.h
+)
+SELECT event_type, CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch,
+       CAST(n_events AS BIGINT) AS n_events, avg_value,
+       round(last_value(avg_value IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS avg_value_ffill
+FROM j
+"""
+
+
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -5667,6 +5744,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "source_overlap_matrix": (source_overlap_matrix, _source_overlap_sql()),
     "text_compression_ratio": (text_compression_ratio, _compression_sql),
     "unpivot_metrics": (unpivot_metrics, _UNPIVOT_SQL),
+    "evt_gap_fill": (evt_gap_fill, _GAP_FILL_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "a5_two_level": (a5_two_level, _A5_SQL),
     "a14_percentiles": (a14_percentiles, _A14_SQL),
