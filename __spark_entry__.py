@@ -3027,19 +3027,23 @@ def evt_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the observed global range (generated dimension — sequence + explode,
     bounded by types × hours, never a scan of the fact table), left
     join of hourly aggregates, missing hours carried as n=0 with the
-    last observed hourly mean forward-filled per type (one window
-    shuffle over the tiny spine). Hours export as epoch seconds (the
-    oracle-parity timestamp rule)."""
+    last observed hourly sum forward-filled per type (one window
+    shuffle over the tiny spine). Hours export as epoch seconds and the
+    carried metric is the tie-free rounded sum (see the inline note on
+    mean rounding ties)."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
     hb = F.date_trunc("hour", F.col("ts"))
-    agg = (
-        e.groupBy("event_type", hb.alias("h"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-        )
+    # the carried metric is the ROUNDED SUM, deliberately not the mean:
+    # per-bucket means of 2-decimal values land exactly on rounding-tie
+    # boundaries (378.03/8 = 47.253750) where HALF_UP vs float-repr
+    # behavior diverges across engines at ANY export precision, while
+    # round(sum, 2) of decimal-valued data sits >= 0.005 - 1e-10 from
+    # every boundary — tie-free (readers derive means from sum/n)
+    agg = e.groupBy("event_type", hb.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
     )
     bounds = e.agg(F.min(hb).alias("lo"), F.max(hb).alias("hi"))
     types = e.select("event_type").distinct()
@@ -3059,9 +3063,9 @@ def evt_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_timestamp("h").alias("hour_epoch"),
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        "avg_value",
-        F.round(F.last("avg_value", ignorenulls=True).over(w), 6).alias(
-            "avg_value_ffill"
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w).alias(
+            "sum_value_ffill"
         ),
     )
 
@@ -3071,7 +3075,7 @@ WITH e AS (
   SELECT event_type, date_trunc('hour', ts) AS h, value FROM events
 ), agg AS (
   SELECT event_type, h, count(*) AS n_events,
-         round(avg(value), 6) AS avg_value
+         round(sum(value), 2) AS sum_value
   FROM e GROUP BY event_type, h
 ), bounds AS (
   SELECT min(h) AS lo, max(h) AS hi FROM e
@@ -3084,16 +3088,16 @@ WITH e AS (
         FROM bounds) s
 ), j AS (
   SELECT s.event_type, s.h,
-         coalesce(a.n_events, 0) AS n_events, a.avg_value
+         coalesce(a.n_events, 0) AS n_events, a.sum_value
   FROM spine s LEFT JOIN agg a
     ON s.event_type = a.event_type AND s.h = a.h
 )
 SELECT event_type, CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch,
-       CAST(n_events AS BIGINT) AS n_events, avg_value,
-       round(last_value(avg_value IGNORE NULLS) OVER (
+       CAST(n_events AS BIGINT) AS n_events, sum_value,
+       last_value(sum_value IGNORE NULLS) OVER (
            PARTITION BY event_type ORDER BY h
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-         AS avg_value_ffill
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS sum_value_ffill
 FROM j
 """
 
