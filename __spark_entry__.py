@@ -5752,7 +5752,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "a5_two_level": (a5_two_level, _A5_SQL),
     "a14_percentiles": (a14_percentiles, _A14_SQL),
-    "j1_inner_join_agg": (j1_inner_join_agg, _J1_SQL),
     "j4_semi_join": (j4_semi_join, _J4_SQL),
     "j5_lookup_chain": (j5_lookup_chain, _J5_SQL),
     "j3_group_agg_enrichment": (j3_group_agg_enrichment, _J3_SQL),
@@ -5784,6 +5783,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "m7_percentile_outliers": (m7_percentile_outliers, _M7_SQL),
     "m8_lof_outliers": (m8_lof_outliers, _M8_SQL),
     "m9_mahalanobis_outliers": (m9_mahalanobis_outliers, _m9_sql),
+    "j1_inner_join_agg": (j1_inner_join_agg, _J1_SQL),
     "a1_a3_counts": (a1_a3_counts, _A1_SQL),
     "a9_value_counts": (a9_value_counts, _A9_SQL),
     "a10_histogram": (a10_histogram, _A10_SQL),
