@@ -113,6 +113,7 @@ _NESTED_LOOP_OK = {
     "ann_recall_audit",     # 5-row query table broadcast (exact side
                             # reuses ann_topk_batch's crossJoin pattern)
     "evt_sketch_audit",     # 1-row × 1-row join of the two agg frames
+    "evt_gap_fill",         # 1-row bounds frame broadcast to the spine
 }
 
 
