@@ -3025,14 +3025,14 @@ def evt_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regular-grid resample with gap filling (the time-series densify /
     pandas-asfreq-ffill staple): per event_type, an hourly spine over
     the observed global range (generated dimension — sequence + explode,
-    bounded by types × hours, never a scan of the fact table), left
-    join of hourly aggregates, missing hours carried as n=0 with the
-    last observed hourly sum forward-filled per type (one window
-    shuffle over the tiny spine). Hours export as epoch seconds and the
-    carried metric is the tie-free rounded sum (see the inline note on
-    mean rounding ties)."""
-    from pyspark.sql import Window
-
+    bounded by types × hours), left join of hourly aggregates, missing
+    hours carried as n=0 with the last observed hourly sum
+    forward-filled per type (one window shuffle over the tiny spine).
+    ONE fact scan: the hourly aggregate is persisted (tiny types ×
+    active-hours frame) and the spine's bounds and type list
+    re-aggregate IT, not the fact table. Hours export as epoch seconds
+    and the carried metric is the tie-free rounded sum (see the inline
+    note on mean rounding ties)."""
     e = load_table(spark, sf_dir, "events")
     hb = F.date_trunc("hour", F.col("ts"))
     # the carried metric is the ROUNDED SUM, deliberately not the mean:
@@ -3041,12 +3041,16 @@ def evt_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # behavior diverges across engines at ANY export precision, while
     # round(sum, 2) of decimal-valued data sits >= 0.005 - 1e-10 from
     # every boundary — tie-free (readers derive means from sum/n)
-    agg = e.groupBy("event_type", hb.alias("h")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+    agg = (
+        e.groupBy("event_type", hb.alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .persist()
     )
-    bounds = e.agg(F.min(hb).alias("lo"), F.max(hb).alias("hi"))
-    types = e.select("event_type").distinct()
+    bounds = agg.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    types = agg.select("event_type").distinct()
     spine = types.join(F.broadcast(bounds)).select(
         "event_type",
         F.explode(

@@ -33,7 +33,6 @@ __all__ = ["interval_join_stream", "interval_join_batch"]
 def _sides(
     views: DataFrame,
     purchases: DataFrame,
-    window_seconds: int,
     watermark_delay: str | None,
 ) -> tuple[DataFrame, DataFrame]:
     v = views.select(
@@ -81,7 +80,7 @@ def interval_join_stream(
     Both sides carry a watermark so the state store evicts buffered rows
     once they can no longer match (view state is held for watermark +
     window; purchase state for the watermark)."""
-    v, p = _sides(view_stream, purchase_stream, window_seconds, watermark_delay)
+    v, p = _sides(view_stream, purchase_stream, watermark_delay)
     return _joined(v, p, window_seconds)
 
 
@@ -91,5 +90,5 @@ def interval_join_batch(
     """The batch twin — the SAME projection and join condition with no
     watermarks (a bounded input needs no state eviction); the streaming
     result must equal this once both streams drain."""
-    v, p = _sides(views, purchases, window_seconds, None)
+    v, p = _sides(views, purchases, None)
     return _joined(v, p, window_seconds)
