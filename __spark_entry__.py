@@ -3106,6 +3106,59 @@ FROM j
 """
 
 
+def evt_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gaps via lag over the user timeline,
+    aggregated per (later-event) type — the telemetry cadence report.
+    Gap seconds are floor-epoch INTEGER deltas, and the exports follow
+    the decimal-mean rule: exact integer sum + count (readers derive
+    means), plus exact interpolating percentiles whose values are
+    k/10-decimal rationals (tie-free at 4dp). One window shuffle on
+    user_id + one combinable agg."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    gaps = e.select(
+        "event_type",
+        (sec - F.lag(sec).over(w)).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_s").alias("sum_gap_s"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+            F.round(F.percentile(F.col("gap_s"), F.lit(0.5)), 4).alias(
+                "p50_gap_s"
+            ),
+            F.round(F.percentile(F.col("gap_s"), F.lit(0.9)), 4).alias(
+                "p90_gap_s"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT event_type,
+         floor(epoch(ts)) - lag(floor(epoch(ts))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+)
+SELECT event_type, count(*) AS n_gaps,
+       CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+       round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+       round(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -5753,13 +5806,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_compression_ratio": (text_compression_ratio, _compression_sql),
     "unpivot_metrics": (unpivot_metrics, _UNPIVOT_SQL),
     "evt_gap_fill": (evt_gap_fill, _GAP_FILL_SQL),
+    "evt_interarrival": (evt_interarrival, _INTERARRIVAL_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "a5_two_level": (a5_two_level, _A5_SQL),
     "a14_percentiles": (a14_percentiles, _A14_SQL),
     "j4_semi_join": (j4_semi_join, _J4_SQL),
     "j5_lookup_chain": (j5_lookup_chain, _J5_SQL),
     "j3_group_agg_enrichment": (j3_group_agg_enrichment, _J3_SQL),
-    "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
     "q5_supplier_volume": (q5_supplier_volume, _Q5_SQL),
     "w6_islands": (w6_islands, _W6_SQL),
     "f1_f2_norms": (f1_f2_norms, _F1_SQL),
@@ -5787,6 +5840,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "m7_percentile_outliers": (m7_percentile_outliers, _M7_SQL),
     "m8_lof_outliers": (m8_lof_outliers, _M8_SQL),
     "m9_mahalanobis_outliers": (m9_mahalanobis_outliers, _m9_sql),
+    "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
     "j1_inner_join_agg": (j1_inner_join_agg, _J1_SQL),
     "a1_a3_counts": (a1_a3_counts, _A1_SQL),
     "a9_value_counts": (a9_value_counts, _A9_SQL),
