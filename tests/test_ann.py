@@ -564,3 +564,21 @@ def test_ivf_recall_audit_monotone_and_full_probe_exact(emb):
     for qid, recs in by_q.items():
         assert recs[1] <= recs[4] <= recs[16], (qid, recs)
         assert recs[16] == 1.0
+
+
+def test_ivf_recall_audit_generic_query_id_type(emb):
+    """The probe frame's id type derives from the queries frame — string
+    query ids must work end to end (the signature is generic, so the
+    internal literal frame cannot hardcode long)."""
+    cents_df = ann.train_ivf_centroids(emb, num_cells=8, seed=42)
+    idx = ann.assign_ivf_cells(emb, cents_df, "embedding")
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.concat(F.lit("q-"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    rows = ann.ivf_recall_audit(
+        idx, cents_df, queries, k=5, nprobes=(8,)
+    ).collect()
+    assert {r.query_id for r in rows} == {"q-0", "q-1"}
+    for r in rows:
+        assert r.recall_at_5 == 1.0  # full probe recovers the exact top-5

@@ -362,6 +362,24 @@ def test_jaccard_similarity_join_no_false_negatives_randomized(spark):
     assert got == want
 
 
+def test_jaccard_similarity_join_releases_caches(docs, spark):
+    """Cache lifecycle: toks/pref unpersist inside the call; the two
+    result-lifetime caches (cand, sets) are attached as handles and
+    release_caches() returns executor storage to zero growth."""
+    docs.count()  # materialize the fixture's own cache entry first
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = dedup.jaccard_similarity_join(docs, shingle_n=3, threshold=0.5)
+    out.collect()
+    during = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # exactly the two result-lifetime handles outlive the call
+    assert during - before == 2
+    assert dedup.release_caches(out) == 2
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before
+    # idempotent
+    assert dedup.release_caches(out) == 0
+
+
 # --- cross-path tokenization + NULL contract ---------------------------------
 
 def test_kernel_and_expression_signatures_agree_on_exotic_whitespace(spark):

@@ -112,7 +112,8 @@ _NESTED_LOOP_OK = {
     "evt_psi_drift",        # 1-row reference-range frame broadcast
     "ann_recall_audit",     # 5-row query table broadcast (exact side
                             # reuses ann_topk_batch's crossJoin pattern)
-    "evt_sketch_audit",     # 1-row × 1-row join of the two agg frames
+    "evt_sketch_audit",     # 1-row agg frames joined + 1-row sketch-p50
+                            # frame broadcast back for the rank gate
     "evt_gap_fill",         # 1-row bounds frame broadcast to the spine
 }
 

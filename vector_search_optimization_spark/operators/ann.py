@@ -694,8 +694,11 @@ def ivf_recall_audit(
         for npb in nprobes:
             for r in order[:npb]:
                 probe_rows.append((int(npb), qr[query_id_col], int(r["cell"])))
+    # probe-frame id type derives from the caller's queries frame — the
+    # signature is generic over query_id_col, so its type must be too
+    qid_type = dict(queries.dtypes)[query_id_col]
     probe_df = spark.createDataFrame(
-        probe_rows, f"nprobe int, {query_id_col} long, cell int"
+        probe_rows, f"nprobe int, {query_id_col} {qid_type}, cell int"
     )
     exact = brute_force_topk_batch(
         indexed.select(id_col, vector_col),

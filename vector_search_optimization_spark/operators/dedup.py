@@ -36,6 +36,26 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..functions import vector as V
 
+# --- cache lifecycle ---------------------------------------------------------
+
+
+def release_caches(df: DataFrame) -> int:
+    """Unpersist every cached intermediate an operator attached to ``df``.
+
+    Operators that must persist intermediates a LAZY result still depends
+    on (e.g. jaccard_similarity_join's verified-candidate table) record
+    them on the returned DataFrame as ``_vso_caches``. Long-lived sessions
+    call this once the result has been consumed (written / collected) to
+    return the executor storage; short-lived sessions can ignore it.
+    Returns the number of cache entries released."""
+    handles = getattr(df, "_vso_caches", None) or []
+    for h in handles:
+        h.unpersist()
+    if handles:
+        df._vso_caches = []
+    return len(handles)
+
+
 # --- exact -------------------------------------------------------------------
 
 def exact_duplicates(
@@ -730,9 +750,13 @@ def jaccard_similarity_join(
     )
     from pyspark import StorageLevel
 
-    # session-lifetime caches (same policy as ngram_jaccard_pairs): the
-    # result is lazy, so these cannot unpersist before consumption; at
-    # lake scale both are materialized tables, not caches
+    # Cache lifecycle: toks/pref are STAGE-scoped — each feeds two
+    # consumers within this function, is eagerly materialized exactly
+    # once, and is unpersisted here as soon as its last consumer has
+    # been materialized. cand/sets must outlive the call (the returned
+    # result is lazy and reads both), so they are attached to the result
+    # as release handles for dedup.release_caches(result). At lake scale
+    # all four are materialized tables, not caches.
     toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
 
     dfreq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
@@ -747,11 +771,7 @@ def jaccard_similarity_join(
     ).cast("int")
     # persisted: both sides of the prefix self-join read this — without
     # it the dfreq join + collect_list agg runs twice (ReusedExchange is
-    # not guaranteed across the differing side projections). Session
-    # growth is bounded: Spark's CacheManager dedups identical logical
-    # plans, so repeated invocations on the same (input, params) reuse
-    # ONE cache entry rather than stacking new ones (same policy as the
-    # toks persist above; at lake scale these are materialized tables)
+    # not guaranteed across the differing side projections)
     pref = per_doc.select(
         F.col(id_col),
         F.col("__n"),
@@ -774,6 +794,8 @@ def jaccard_similarity_join(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cand.count()  # materialize: last consumer of pref
+    pref.unpersist()
 
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
@@ -787,11 +809,13 @@ def jaccard_similarity_join(
         .agg(F.sort_array(F.collect_list("g")).alias("__s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sets.count()  # materialize: last consumer of toks
+    toks.unpersist()
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     union = F.size(F.array_union("__sa", "__sb")).cast("double")
-    return (
+    out = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -801,3 +825,5 @@ def jaccard_similarity_join(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    out._vso_caches = [cand, sets]
+    return out
