@@ -45,7 +45,14 @@ def _oracle_sf_dir() -> str:
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped rollup (A1/A4/A8 + O2): the canonical partial-agg
-    plan — one shuffle of tiny partial states, whole-stage codegen'd."""
+    plan — one shuffle of tiny partial states, whole-stage codegen'd.
+
+    The avg columns are DERIVED from the tie-free rounded sums and the
+    count (avg = round(sum, 2) / count, exported unrounded): rounding a
+    mean of decimal-valued data directly can land exactly on a HALF_UP
+    tie boundary, while dividing two values that are already
+    bit-identical across engines is bit-identical IEEE division (the
+    evt_gap_fill decimal-tie rule applied to the avg exports)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
@@ -55,10 +62,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum("l_discount"), 2).alias("__sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+            (F.col("sum_base_price") / F.col("count_order")).alias(
+                "avg_price"
+            ),
+            (F.col("__sum_disc") / F.col("count_order")).alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -69,9 +87,9 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                            AS sum_qty,
        round(sum(l_extendedprice), 2)                       AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
-       round(avg(l_quantity), 4)                            AS avg_qty,
-       round(avg(l_extendedprice), 4)                       AS avg_price,
-       round(avg(l_discount), 6)                            AS avg_disc,
+       round(sum(l_quantity), 2) / count(*)                 AS avg_qty,
+       round(sum(l_extendedprice), 2) / count(*)            AS avg_price,
+       round(sum(l_discount), 2) / count(*)                 AS avg_disc,
        count(*)                                             AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -103,14 +121,33 @@ FROM lineitem GROUP BY l_returnflag
 
 def a5_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/A6 — lines per (flag, order), then mean/std (ddof=1, pandas
-    convention per SURVEY A4) per flag."""
+    convention per SURVEY A4) per flag.
+
+    mean_lines exports as the UNROUNDED integer-sum / count quotient
+    (bit-identical IEEE division of identical integers on both engines;
+    a rounded mean of integer counts can land exactly on a HALF_UP tie
+    when the group size has only 2/5 prime factors). std stays rounded:
+    a sqrt is irrational, so the 6dp boundary is measure-zero."""
     li = load_table(spark, sf_dir, "lineitem")
     per_order = li.groupBy("l_returnflag", "l_orderkey").agg(
         F.count(F.lit(1)).alias("n")
     )
-    return per_order.groupBy("l_returnflag").agg(
-        F.round(F.avg("n"), 6).alias("mean_lines"),
-        F.round(F.stddev_samp("n"), 6).alias("std_lines"),
+    return (
+        per_order.groupBy("l_returnflag")
+        .agg(
+            F.sum("n").alias("sum_lines"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.stddev_samp("n"), 6).alias("std_lines"),
+        )
+        .select(
+            "l_returnflag",
+            "sum_lines",
+            "n_orders",
+            (F.col("sum_lines").cast("double") / F.col("n_orders")).alias(
+                "mean_lines"
+            ),
+            "std_lines",
+        )
     )
 
 
@@ -120,7 +157,9 @@ WITH per_order AS (
   FROM lineitem GROUP BY l_returnflag, l_orderkey
 )
 SELECT l_returnflag,
-       round(avg(n), 6)         AS mean_lines,
+       CAST(sum(n) AS BIGINT)   AS sum_lines,
+       count(*)                 AS n_orders,
+       CAST(sum(n) AS DOUBLE) / count(*) AS mean_lines,
        round(stddev_samp(n), 6) AS std_lines
 FROM per_order GROUP BY l_returnflag
 """
@@ -227,7 +266,9 @@ FROM orders GROUP BY o_orderstatus
 # ---------------------------------------------------------------------------
 
 def j1_inner_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 — inner equi-join + aggregate (orders x customer)."""
+    """J1 — inner equi-join + aggregate (orders x customer). avg_price
+    derives from the tie-free rounded sum (the evt_gap_fill decimal-tie
+    rule: never export a directly-rounded mean of 2-decimal data)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
@@ -235,13 +276,21 @@ def j1_inner_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            "sum_price",
+            (F.col("sum_price") / F.col("n_orders")).alias("avg_price"),
         )
     )
 
 
 _J1_SQL = """
-SELECT c_mktsegment, count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       round(sum(o_totalprice), 2) / count(*) AS avg_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -451,23 +500,39 @@ ORDER BY 1, 2, 3
 def j3_group_agg_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 — group aggregate joined back onto the fact table as enrichment
     (per-category centroid onto every row, main-script1.ipynb:990 c34
-    shape): per-status avg price onto orders, flag above-average orders."""
+    shape): per-status avg price onto orders, flag above-average orders.
+
+    The above-average predicate is evaluated as
+    ``price * n_group > round(sum, 2)`` rather than ``price > avg``:
+    the raw double avg differs across engines in its low bits (different
+    partial-sum orders), so a price sitting exactly at the group mean
+    could flip the flag; the rounded sum is tie-free for 2-decimal
+    price data and the integer-scaled product is exact in double, so
+    the comparison is engine-deterministic (same boundary up to
+    0.005/n — inside the zone the raw comparison itself could not
+    resolve deterministically)."""
     o = load_table(spark, sf_dir, "orders")
-    avg_by_status = o.groupBy("o_orderstatus").agg(
-        F.avg("o_totalprice").alias("avg_price")
+    stats_by_status = o.groupBy("o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n_orders"),
     )
-    enriched = o.join(F.broadcast(avg_by_status), "o_orderstatus", "left")
+    enriched = o.join(F.broadcast(stats_by_status), "o_orderstatus", "left")
     return (
-        enriched.withColumn("above_avg", F.col("o_totalprice") > F.col("avg_price"))
+        enriched.withColumn(
+            "above_avg",
+            F.col("o_totalprice") * F.col("n_orders") > F.col("sum_price"),
+        )
         .groupBy("o_orderstatus", "above_avg")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
 _J3_SQL = """
-WITH a AS (SELECT o_orderstatus, avg(o_totalprice) AS avg_price
+WITH a AS (SELECT o_orderstatus, round(sum(o_totalprice), 2) AS sum_price,
+                  count(*) AS n_orders
            FROM orders GROUP BY o_orderstatus)
-SELECT o.o_orderstatus, o.o_totalprice > a.avg_price AS above_avg, count(*) AS n
+SELECT o.o_orderstatus, o.o_totalprice * a.n_orders > a.sum_price AS above_avg,
+       count(*) AS n
 FROM orders o LEFT JOIN a ON o.o_orderstatus = a.o_orderstatus
 GROUP BY 1, 2
 """
@@ -661,10 +726,16 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated frame (the Expand node), no extra shuffle beyond the one
     agg."""
     o = load_table(spark, sf_dir, "orders")
+    # avg derives from the tie-free rounded sum (decimal-tie rule)
     wide = o.groupBy("o_orderstatus").agg(
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("__sum"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
-        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.count(F.lit(1)).alias("__n"),
+    ).select(
+        "o_orderstatus",
+        (F.col("__sum") / F.col("__n")).alias("avg_price"),
+        "max_price",
+        F.col("__n").cast("double").alias("n_orders"),
     )
     return wide.unpivot(
         ["o_orderstatus"],
@@ -677,7 +748,7 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNPIVOT_SQL = """
 WITH wide AS (
   SELECT o_orderstatus,
-         round(avg(o_totalprice), 2) AS avg_price,
+         round(sum(o_totalprice), 2) / count(*) AS avg_price,
          round(max(o_totalprice), 2) AS max_price,
          CAST(count(*) AS DOUBLE) AS n_orders
   FROM orders GROUP BY o_orderstatus
@@ -3938,11 +4009,22 @@ def evt_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (sec - F.col("last_click_sec")).alias("lag_s"),
     )
+    # integer-second lags: sum is exact, avg derives unrounded (a
+    # rounded mean of integers ties whenever the group size has only
+    # 2/5 prime factors — the decimal-tie rule)
     return matched.agg(
         F.count(F.lit(1)).alias("n_purchases"),
         F.count("lag_s").alias("n_matched"),
-        F.round(F.avg("lag_s"), 2).alias("avg_lag_s"),
+        F.sum("lag_s").alias("sum_lag_s"),
         F.max("lag_s").alias("max_lag_s"),
+    ).select(
+        "n_purchases",
+        "n_matched",
+        "sum_lag_s",
+        (F.col("sum_lag_s").cast("double") / F.col("n_matched")).alias(
+            "avg_lag_s"
+        ),
+        "max_lag_s",
     )
 
 
@@ -3959,7 +4041,8 @@ WITH clicks AS (
 )
 SELECT count(*) AS n_purchases,
        count(lag_s) AS n_matched,
-       round(avg(lag_s), 2) AS avg_lag_s,
+       CAST(sum(lag_s) AS BIGINT) AS sum_lag_s,
+       CAST(sum(lag_s) AS DOUBLE) / count(lag_s) AS avg_lag_s,
        CAST(max(lag_s) AS BIGINT) AS max_lag_s
 FROM joined
 """
@@ -3999,10 +4082,19 @@ def evt_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "c_sec", "b_sec")
         .distinct()
     )
+    # integer-second gaps: export the exact sum; avg derives unrounded
+    # (decimal-tie rule)
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.avg(F.col("b_sec") - F.col("c_sec")), 2).alias("avg_gap_s"),
+        F.sum(F.col("b_sec") - F.col("c_sec")).alias("sum_gap_s"),
+    ).select(
+        "n_pairs",
+        "n_users",
+        "sum_gap_s",
+        (F.col("sum_gap_s").cast("double") / F.col("n_pairs")).alias(
+            "avg_gap_s"
+        ),
     )
 
 
@@ -4018,7 +4110,8 @@ WITH pairs AS (
 )
 SELECT count(*) AS n_pairs,
        count(DISTINCT user_id) AS n_users,
-       round(avg(b_sec - c_sec), 2) AS avg_gap_s
+       CAST(sum(b_sec - c_sec) AS BIGINT) AS sum_gap_s,
+       CAST(sum(b_sec - c_sec) AS DOUBLE) / count(*) AS avg_gap_s
 FROM pairs
 """
 
@@ -4239,7 +4332,15 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     inflating training cost per word). One Arrow-batched BPE pass +
     one combinable agg shuffle. Oracle: per-doc BPE counts inlined from
     the driver-side recomputation (the f10 pattern); DuckDB recomputes
-    the ratios and per-lang aggregation itself."""
+    the sums, ratios and per-lang aggregation itself.
+
+    Exports are TIE-PROOF by construction (the evt_gap_fill rule):
+    integer token/char sums plus the corpus-level ratios-of-sums
+    (the standard fertility definition), exported UNROUNDED — a
+    quotient of identical integers is bit-identical IEEE division on
+    both engines, whereas the old rounded per-doc-ratio means sat one
+    testdata regeneration away from a HALF_UP-vs-float-repr rounding
+    tie."""
     d = load_table(spark, sf_dir, "documents")
     stats = d.select(
         "lang",
@@ -4251,8 +4352,20 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg(F.col("bpe") / F.col("ws")), 6).alias("fertility"),
-            F.round(F.avg(F.col("chars") / F.col("bpe")), 6).alias(
+            F.sum("bpe").alias("sum_bpe"),
+            F.sum("ws").alias("sum_ws"),
+            F.sum("chars").alias("sum_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "sum_bpe",
+            "sum_ws",
+            "sum_chars",
+            (F.col("sum_bpe").cast("double") / F.col("sum_ws")).alias(
+                "fertility"
+            ),
+            (F.col("sum_chars").cast("double") / F.col("sum_bpe")).alias(
                 "chars_per_token"
             ),
         )
@@ -4291,8 +4404,12 @@ def _fertility_sql() -> str:
     )
     return f"""
 SELECT lang, count(*) AS n_docs,
-       round(avg(CAST(bpe AS DOUBLE) / ws), 6) AS fertility,
-       round(avg(CAST(chars AS DOUBLE) / bpe), 6) AS chars_per_token
+       CAST(sum(bpe) AS BIGINT) AS sum_bpe,
+       CAST(sum(ws) AS BIGINT) AS sum_ws,
+       CAST(sum(chars) AS BIGINT) AS sum_chars,
+       CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS BIGINT) AS fertility,
+       CAST(sum(chars) AS DOUBLE) / CAST(sum(bpe) AS BIGINT)
+         AS chars_per_token
 FROM (VALUES {vals}) AS t(lang, bpe, ws, chars)
 WHERE ws > 0
 GROUP BY lang ORDER BY lang
@@ -5681,9 +5798,23 @@ def evt_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("k").isNull().cast("long")).alias("n_null_k"),
             F.sum("k").alias("sum_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_null_k",
+            "sum_k",
+            # avg over non-null k derives unrounded from the exact
+            # integer sum (decimal-tie rule); NULL when no k present
+            F.when(
+                F.col("n") > F.col("n_null_k"),
+                F.col("sum_k").cast("double")
+                / (F.col("n") - F.col("n_null_k")),
+            ).alias("avg_k"),
+            "min_k",
+            "max_k",
         )
         .orderBy("event_type")
     )
@@ -5707,7 +5838,8 @@ WITH parsed AS (
 SELECT event_type, count(*) AS n,
        CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
        CAST(sum(k) AS BIGINT) AS sum_k,
-       round(avg(k), 4) AS avg_k,
+       CASE WHEN count(k) > 0
+            THEN CAST(sum(k) AS DOUBLE) / count(k) END AS avg_k,
        min(k) AS min_k, max(k) AS max_k
 FROM parsed GROUP BY event_type ORDER BY event_type
 """

@@ -167,8 +167,16 @@ def test_streaming_asof_matches_batch(spark, sf_small):
     got = rows.agg(
         F.count(F.lit(1)).alias("n_purchases"),
         F.count("lag_s").alias("n_matched"),
-        F.round(F.avg("lag_s"), 2).alias("avg_lag_s"),
+        F.sum("lag_s").alias("sum_lag_s"),
         F.max("lag_s").alias("max_lag_s"),
+    ).select(
+        "n_purchases",
+        "n_matched",
+        "sum_lag_s",
+        (F.col("sum_lag_s").cast("double") / F.col("n_matched")).alias(
+            "avg_lag_s"
+        ),
+        "max_lag_s",
     ).first()
     want = m.queries()["evt_asof_join"](spark, sf_small).first()
     assert got.asDict() == want.asDict()
