@@ -2529,19 +2529,31 @@ ORDER BY community
 
 
 def ep3_label_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EP1/EP3 — cluster → near/far sample → (fake) LLM label → upsert →
-    audit (update-etiquetas.ipynb:171 c9 end-to-end; rows-only: KMeans)."""
+    """EP1/EP3 — the FULL label-and-writeback ETL, value-oracled end to
+    end: scan → seeded-Lloyd cluster → near/far interleave sample (id
+    tie-broken) → char-budget concat → deterministic fake-LLM label per
+    cluster in sorted order → keyed upsert writeback → audit enriched
+    with the exact prompt-corpus length + sha256. quantizer="lloyd" is
+    what makes the pipeline cross-engine reproducible (MLlib KMeans'
+    parallel init is not bit-reproducible outside Spark — that API path
+    stays covered by pytest, tests/test_graph_plans_streaming.py);
+    the sha value-checks the whole sampling/truncation path, and DuckDB
+    independently recomputes n_docs from literal centroids. Reference:
+    update-etiquetas.ipynb:171 c9 end-to-end."""
     from vector_search_optimization_spark.plans import (
         FakeChatModel,
         cluster_label_pipeline,
     )
 
     e = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").cast("string").alias("id"),
+        F.col("vec_id").alias("id"),
         F.concat(F.lit("doc "), F.col("vec_id")).alias("content"),
         F.col("embedding").alias("content_vector"),
     )
-    res = cluster_label_pipeline(e, k=8, llm=FakeChatModel(), sample_k=20)
+    res = cluster_label_pipeline(
+        e, k=8, llm=FakeChatModel(), sample_k=20, token_budget=25,
+        quantizer="lloyd",
+    )
     return res["audit"].orderBy("etiqueta_cluster")
 
 
@@ -2639,10 +2651,13 @@ def ep3_lloyd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ep3_lloyd_sql() -> str:
-    """Generated oracle: python twin of the sampling path (shared
-    _pairwise + _lloyd_kmeans — bit-identical distances), corpus stats as
-    literals, n_docs recomputed by DuckDB from literal centroids."""
+def _ep3_sql(metric: str) -> str:
+    """Generated oracle shared by ep3_lloyd_audit (metric="sqeuclidean")
+    and ep3_label_pipeline (metric="euclidean", the pipeline's
+    nearest_centroid default — mirrored exactly so tie-breaks resolve
+    identically): python twin of the sampling path (shared _pairwise +
+    _lloyd_kmeans — bit-identical distances), corpus stats as literals,
+    n_docs recomputed by DuckDB from literal centroids."""
     import hashlib
 
     import duckdb
@@ -2662,7 +2677,7 @@ def _ep3_lloyd_sql() -> str:
     cents = np.asarray(
         [list(map(float, c)) for c in centers], dtype=np.float32
     ).astype(np.float64)
-    d = _pairwise(X, cents, "sqeuclidean")
+    d = _pairwise(X, cents, metric)
     arg = d.argmin(axis=1)
     dist = d[np.arange(len(arg)), arg]
 
@@ -2720,11 +2735,21 @@ ORDER BY etiqueta_cluster
 """
 
 
+def _ep3_lloyd_sql() -> str:
+    return _ep3_sql("sqeuclidean")
+
+
+def _ep3_pipeline_sql() -> str:
+    return _ep3_sql("euclidean")
+
+
 def o7_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7 — interleave 2 nearest + 2 farthest events per user by value
-    (the labeling-prompt sampling pattern, update-etiquetas.ipynb:171 c9)."""
+    (the labeling-prompt sampling pattern, update-etiquetas.ipynb:171 c9);
+    event_id tie-break mirrors the oracle's window ORDER BY exactly (two
+    equal values per user would otherwise leave the pick to Spark)."""
     e = load_table(spark, sf_dir, "events")
-    out = topk.interleave_near_far(e, "user_id", "value", k=2)
+    out = topk.interleave_near_far(e, "user_id", "value", k=2, tie_col="event_id")
     return out.select("user_id", "event_id", "side", "ord")
 
 
@@ -6022,7 +6047,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "m4_dbscan_stats": (m4_dbscan_stats, _M4_SQL),
     "g1_cooccurrence_edges": (g1_cooccurrence_edges, _G1_SQL),
     "g2_communities": (g2_communities, _g2_sql),
-    "ep3_label_pipeline": (ep3_label_pipeline, None),
+    "ep3_label_pipeline": (ep3_label_pipeline, _ep3_pipeline_sql),
     "ep3_lloyd_audit": (ep3_lloyd_audit, _ep3_lloyd_sql),
     "o7_interleave": (o7_interleave, _O7_SQL),
     "f7_string_caps": (f7_string_caps, _F7_SQL),

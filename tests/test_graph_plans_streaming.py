@@ -108,6 +108,27 @@ def test_cluster_label_pipeline_end_to_end(chunk_like):
     assert set(audit) == set(res["labels"].values())
 
 
+def test_cluster_label_pipeline_lloyd_quantizer_deterministic(chunk_like):
+    """quantizer='lloyd' (the value-oracle path): two runs produce the
+    same labels, audit counts, and prompt-corpus sha — the property the
+    driver's ep3_label_pipeline hash gate relies on."""
+    def run():
+        res = cluster_label_pipeline(
+            chunk_like, k=4, llm=FakeChatModel(), sample_k=10,
+            token_budget=25, quantizer="lloyd",
+        )
+        return sorted(
+            (r.etiqueta_cluster, r.n_docs, r.corpus_chars, r.corpus_sha)
+            for r in res["audit"].collect()
+        )
+
+    a, b = run(), run()
+    assert a == b
+    assert sum(r[1] for r in a) == 120
+    assert all(r[2] <= 100 for r in a)  # token_budget * 4 char cap
+    assert len({r[3] for r in a}) == len(a)  # distinct corpora per cluster
+
+
 def test_pipeline_null_vectors_stay_unlabeled(chunk_like, spark):
     with_null = chunk_like.union(
         spark.createDataFrame(

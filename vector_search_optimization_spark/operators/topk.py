@@ -49,6 +49,7 @@ def interleave_near_far(
     group_col: str,
     dist_col: str,
     k: int,
+    tie_col: str | None = None,
 ) -> DataFrame:
     """O7 — alternate the k nearest and k farthest rows per group.
 
@@ -57,9 +58,18 @@ def interleave_near_far(
     ``side`` ('near'|'far') and ``ord`` (interleaved position: near_1,
     far_1, near_2, far_2, ...). Rank both directions in ONE window pass
     (row_number asc + desc over the same partitioning → one shuffle).
+
+    Pass ``tie_col`` (an id column, always ranked ASC) to make the
+    selection deterministic under duplicate distances — required
+    whenever the output feeds a value-oracled path.
     """
-    w_near = Window.partitionBy(group_col).orderBy(F.col(dist_col).asc())
-    w_far = Window.partitionBy(group_col).orderBy(F.col(dist_col).desc())
+    ties = [F.col(tie_col).asc()] if tie_col else []
+    w_near = Window.partitionBy(group_col).orderBy(
+        F.col(dist_col).asc(), *ties
+    )
+    w_far = Window.partitionBy(group_col).orderBy(
+        F.col(dist_col).desc(), *ties
+    )
     ranked = df.withColumn("__rn", F.row_number().over(w_near)).withColumn(
         "__rf", F.row_number().over(w_far)
     )

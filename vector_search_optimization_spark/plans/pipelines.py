@@ -93,28 +93,49 @@ def cluster_label_pipeline(
     token_budget: int = 125_000,
     n_init: int = 1,
     seed: int = 42,
+    quantizer: str = "mllib",
 ) -> dict:
     """EP1/EP3 — the full label-and-writeback ETL.
 
-    1. drop null vectors (P8), KMeans k clusters (M1)
+    1. drop null vectors (P8), k clusters (M1): quantizer="mllib" (the
+       distributed MLlib KMeans API path) or "lloyd" (the seeded,
+       cross-engine-reproducible driver-sample Lloyd quantizer shared
+       with the IVF index — the value-oracle path, since MLlib's
+       parallel init is not bit-reproducible outside Spark)
     2. per cluster: distance to own centroid, k nearest + k farthest,
-       interleaved (O5-O7)
-    3. concat member texts under the token budget (F10/F11), one LLM call
-       per cluster (L2; 37 calls in the reference)
+       interleaved, id-tie-broken (O5-O7)
+    3. concat member texts under the token budget (F10/F11: ~4 chars per
+       token heuristic) in interleave order, one LLM call per cluster in
+       SORTED cluster order (L2; 37 calls in the reference) — the sort
+       makes stateful fakes (label-0, label-1, ...) deterministic
     4. upsert labels back by id (S11)
-    5. audit: label counts (A16)
+    5. audit: label counts (A16) enriched with the exact prompt-corpus
+       length and sha256 — the audit value-checks the whole sampling /
+       truncation path, not just the histogram
 
     Returns {labeled: DataFrame, labels: {cluster: label}, audit: DataFrame,
     centroids: DataFrame}.
     """
-    from ..operators.clustering import kmeans_fit
+    import hashlib
 
     llm = llm or FakeChatModel()
     spark = docs.sparkSession
 
     clean = docs.where(F.col(vector_col).isNotNull())
-    result = kmeans_fit(clean, k, n_init=n_init, seed=seed, vector_col=vector_col)
-    centroids = result.centroids_df(spark)
+    if quantizer == "lloyd":
+        from ..operators.ann import train_ivf_centroids
+
+        centroids = train_ivf_centroids(
+            clean.orderBy(id_col), num_cells=k, vector_col=vector_col,
+            seed=seed,
+        ).select(F.col("cell").alias("cluster_label"), "centroid")
+    else:
+        from ..operators.clustering import kmeans_fit
+
+        result = kmeans_fit(
+            clean, k, n_init=n_init, seed=seed, vector_col=vector_col
+        )
+        centroids = result.centroids_df(spark)
 
     assigned = nearest_centroid(
         clean,
@@ -124,35 +145,72 @@ def cluster_label_pipeline(
         out_dist="dist",
     ).persist()
 
-    sampled = topk.interleave_near_far(assigned, "cluster", "dist", sample_k)
-    # token-budget concat per cluster, in interleaved order (F11: ~4 chars
-    # per token heuristic; the reference counts exact tiktoken tokens)
+    sampled = topk.interleave_near_far(
+        assigned, "cluster", "dist", sample_k, tie_col=id_col
+    )
+    # token-budget concat per cluster in interleaved order: sort INSIDE
+    # the aggregate (array_sort over (ord, text) structs — ord is unique
+    # per cluster) rather than relying on a pre-groupBy orderBy, which
+    # Spark does not guarantee to survive the aggregation
     member_texts = (
-        sampled.orderBy("cluster", "ord")
-        .groupBy("cluster")
+        sampled.groupBy("cluster")
         .agg(
             F.substring(
-                F.concat_ws("\n", F.collect_list(text_col)), 1, token_budget * 4
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("ord", text_col))
+                        ),
+                        lambda r: r[text_col],
+                    ),
+                ),
+                1,
+                token_budget * 4,
             ).alias("corpus")
         )
         .collect()
     )
-    labels = {r["cluster"]: llm(r["corpus"]) for r in member_texts}
+    labels: dict = {}
+    corpus_stats = []
+    for r in sorted(member_texts, key=lambda r: r["cluster"]):
+        lbl = llm(r["corpus"])
+        labels[r["cluster"]] = lbl
+        corpus_stats.append(
+            (
+                int(r["cluster"]),
+                lbl,
+                len(r["corpus"]),
+                hashlib.sha256(r["corpus"].encode()).hexdigest(),
+            )
+        )
 
     label_updates = spark.createDataFrame(
-        [(int(c), str(lbl)) for c, lbl in labels.items()],
-        schema="cluster long, etiqueta_cluster string",
+        corpus_stats,
+        schema="cluster long, etiqueta_cluster string,"
+        " corpus_chars int, corpus_sha string",
     )
-    doc_labels = assigned.join(F.broadcast(label_updates), "cluster").select(
-        id_col, "etiqueta_cluster"
-    )
+    doc_labels = assigned.join(
+        F.broadcast(label_updates.select("cluster", "etiqueta_cluster")),
+        "cluster",
+    ).select(id_col, "etiqueta_cluster")
 
     base = docs.withColumn("etiqueta_cluster", F.lit(None).cast("string"))
     labeled = upsert_fields(base, doc_labels, id_col, ["etiqueta_cluster"],
                             broadcast_updates=False)
 
-    audit = labeled.groupBy("etiqueta_cluster").agg(
-        F.count(F.lit(1)).alias("n_docs")
+    audit = (
+        labeled.groupBy("etiqueta_cluster")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            F.broadcast(
+                label_updates.select(
+                    "etiqueta_cluster", "corpus_chars", "corpus_sha"
+                )
+            ),
+            "etiqueta_cluster",
+            "left",
+        )
     )
     return {
         "labeled": labeled,
