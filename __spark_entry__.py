@@ -1461,6 +1461,96 @@ LEFT JOIN g4 ON t.doc_id = g4.doc_id
 """
 
 
+def text_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1's OTHER half (Rae et al. '21): line/paragraph-level
+    repetition — duplicate-line fraction, duplicate-paragraph fraction,
+    and the fraction-of-characters-in-duplicate-lines/paragraphs
+    variants, plus the composite keep gate at the Gopher thresholds
+    (dup fractions ≤ 0.30, dup-char fractions ≤ 0.20). Real pipelines
+    filter on these BEFORE the word-gram gates — boilerplate repeats
+    whole lines, not n-grams. Scale: ONE map-side Arrow kernel pass
+    (functions.text.line_stats_expr — per-doc Counter per split level,
+    no explode/shuffle); ratios export UNROUNDED as integer-quotient
+    doubles (bit-identical IEEE division on both engines — the
+    decimal-tie rule), with the integer counts alongside."""
+    d = load_table(spark, sf_dir, "documents")
+    st = d.select("doc_id", TX.line_stats_expr("text").alias("__st"))
+
+    def frac(num: str, den: str):
+        n, dn = F.col(f"__st.{num}"), F.col(f"__st.{den}")
+        return F.coalesce(
+            F.when(dn > 0, n.cast("double") / dn), F.lit(0.0)
+        )
+
+    fr = {
+        "dup_line_frac": frac("dup_lines", "n_lines"),
+        "dup_line_char_frac": frac("dup_line_chars", "line_chars"),
+        "dup_para_frac": frac("dup_paras", "n_paras"),
+        "dup_para_char_frac": frac("dup_para_chars", "para_chars"),
+    }
+    return st.select(
+        "doc_id",
+        F.coalesce(F.col("__st.n_lines"), F.lit(0)).alias("n_lines"),
+        F.coalesce(F.col("__st.n_paras"), F.lit(0)).alias("n_paras"),
+        *[c.alias(k) for k, c in fr.items()],
+        (
+            (fr["dup_line_frac"] <= 0.30)
+            & (fr["dup_para_frac"] <= 0.30)
+            & (fr["dup_line_char_frac"] <= 0.20)
+            & (fr["dup_para_char_frac"] <= 0.20)
+        ).alias("keep"),
+    )
+
+
+def _line_rep_cte(tag: str, split_expr: str) -> str:
+    """Per-split-level dup aggregation: unnest → trim/filter → per-value
+    counts → dup sums (the declarative formulation the kernel twins)."""
+    return f"""{tag}c AS (
+  SELECT doc_id, p, count(*) AS c FROM (
+    SELECT doc_id, trim(x, ' ' || chr(9) || chr(13)) AS p
+    FROM (SELECT doc_id, unnest({split_expr}) AS x FROM documents)
+  ) WHERE p <> '' GROUP BY doc_id, p
+), {tag}agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup,
+         CAST(sum(c * length(p)) AS BIGINT) AS chars,
+         CAST(coalesce(sum(c * length(p)) FILTER (WHERE c > 1), 0)
+              AS BIGINT) AS dup_chars
+  FROM {tag}c GROUP BY doc_id
+)"""
+
+
+_LINE_REP_SQL = (
+    "WITH "
+    + _line_rep_cte("l", "string_split(text, chr(10))")
+    + ",\n"
+    + _line_rep_cte("p", r"string_split_regex(text, '\n{2,}')")
+    + r"""
+SELECT d.doc_id,
+       coalesce(l.n, 0) AS n_lines,
+       coalesce(p.n, 0) AS n_paras,
+       coalesce(CAST(l.dup AS DOUBLE) / nullif(l.n, 0), 0.0)
+         AS dup_line_frac,
+       coalesce(CAST(l.dup_chars AS DOUBLE) / nullif(l.chars, 0), 0.0)
+         AS dup_line_char_frac,
+       coalesce(CAST(p.dup AS DOUBLE) / nullif(p.n, 0), 0.0)
+         AS dup_para_frac,
+       coalesce(CAST(p.dup_chars AS DOUBLE) / nullif(p.chars, 0), 0.0)
+         AS dup_para_char_frac,
+       (coalesce(CAST(l.dup AS DOUBLE) / nullif(l.n, 0), 0.0) <= 0.30
+        AND coalesce(CAST(p.dup AS DOUBLE) / nullif(p.n, 0), 0.0) <= 0.30
+        AND coalesce(CAST(l.dup_chars AS DOUBLE) / nullif(l.chars, 0), 0.0)
+            <= 0.20
+        AND coalesce(CAST(p.dup_chars AS DOUBLE) / nullif(p.chars, 0), 0.0)
+            <= 0.20) AS keep
+FROM documents d
+LEFT JOIN lagg l ON d.doc_id = l.doc_id
+LEFT JOIN pagg p ON d.doc_id = p.doc_id
+"""
+)
+
+
 def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup audit: total docs vs distinct canonical texts, and the
     row count surviving dedup_exact (must equal n_distinct)."""
@@ -5977,6 +6067,7 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 # basics + the r3-audited half forward again so driver rows stay fresh.
 # tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "text_line_repetition": (text_line_repetition, _LINE_REP_SQL),
     "m4_grid_sweep": (m4_grid_sweep, _m4_grid_sql()),
     "skew_salted_join": (skew_salted_join, _SKEW_JOIN_SQL),
     "lsh_banding_audit": (lsh_banding_audit, _LSH_TUNE_SQL),

@@ -154,6 +154,97 @@ def test_word_gram_stats_py_trigram():
     assert TX.word_gram_stats_py(None, 3) == (None, None, None, None)
 
 
+def test_line_stats_kernel_matches_declarative(spark, sf_small):
+    """line_stats_expr (map-side Arrow kernel) must reproduce the
+    declarative explode-split → trim/filter → per-value counts → dup
+    aggregation formulation exactly — on real documents AND edge cases
+    (empty, whitespace-only lines, CRLF, dup lines, dup paragraphs,
+    NULL)."""
+    from vector_search_optimization_spark.functions import text as TX
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (9001, ""),
+            (9002, "   \n \t \n  "),
+            (9003, "only one line"),
+            (9004, "dup\ndup\ndup\nunique"),
+            (9005, "para a\n\npara a\n\n\npara b"),
+            (9006, None),
+            (9007, "crlf line\r\ncrlf line\r\nother"),
+            (9008, "  padded  \npadded\n\tpadded\t"),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.unionByName(edge)
+
+    def decl(split_pat: str, tag: str):
+        pieces = d.select(
+            "doc_id", F.explode(F.split("text", split_pat)).alias("x")
+        ).select(
+            "doc_id",
+            F.regexp_replace("x", r"^[ \t\r]+|[ \t\r]+$", "").alias("p"),
+        ).where(F.col("p") != "")
+        return (
+            pieces.groupBy("doc_id", "p")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("c").alias(f"n_{tag}"),
+                F.coalesce(
+                    F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+                ).alias(f"dup_{tag}"),
+                F.sum(F.col("c") * F.length("p")).alias(f"{tag}_chars"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("c") > 1, F.col("c") * F.length("p"))
+                    ),
+                    F.lit(0),
+                ).alias(f"dup_{tag}_chars"),
+            )
+        )
+
+    lines = {r.doc_id: r for r in decl("\n", "lines").collect()}
+    paras = {r.doc_id: r for r in decl("\n{2,}", "paras").collect()}
+    kern = {
+        r.doc_id: r.st
+        for r in d.select(
+            "doc_id", TX.line_stats_expr("text").alias("st")
+        ).collect()
+    }
+    for doc_id, st in kern.items():
+        if st is None or st.n_lines is None:
+            assert doc_id == 9006  # NULL text
+            continue
+        dl = lines.get(doc_id)
+        want_l = (
+            (dl.n_lines, dl.dup_lines, dl.lines_chars, dl.dup_lines_chars)
+            if dl is not None
+            else (0, 0, 0, 0)
+        )
+        got_l = (st.n_lines, st.dup_lines, st.line_chars, st.dup_line_chars)
+        assert got_l == want_l, (doc_id, got_l, want_l)
+        dp = paras.get(doc_id)
+        want_p = (
+            (dp.n_paras, dp.dup_paras, dp.paras_chars, dp.dup_paras_chars)
+            if dp is not None
+            else (0, 0, 0, 0)
+        )
+        got_p = (st.n_paras, st.dup_paras, st.para_chars, st.dup_para_chars)
+        assert got_p == want_p, (doc_id, got_p, want_p)
+
+
+def test_line_stats_py_units():
+    from vector_search_optimization_spark.functions import text as TX
+
+    assert TX.line_stats_py(None) == (None,) * 8
+    assert TX.line_stats_py("") == (0, 0, 0, 0, 0, 0, 0, 0)
+    # 3x 'dup' (3 chars) + 1x 'unique': dup_lines=3, dup_chars=9
+    assert TX.line_stats_py("dup\ndup\ndup\nunique") == (
+        4, 3, 15, 9, 1, 0, 18, 0,
+    )
+
+
 def test_word_gram_stats_multi_matches_single(spark, sf_small):
     """The multi-n kernel must equal three single-n kernel passes
     field-for-field (one tokenization pass is an optimization only)."""

@@ -290,6 +290,15 @@ def test_gopher_repetition_is_map_only(spark, sf_small):
     assert "ArrowEvalPython" in plan
 
 
+def test_line_repetition_is_map_only(spark, sf_small):
+    """The Gopher line/paragraph dup metrics run as ONE Arrow kernel
+    pass — zero Exchange (the explode-split declarative formulation
+    survives only as the equivalence oracle)."""
+    plan = _plan(m.queries()["text_line_repetition"](spark, sf_small))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
 def test_weighted_sample_is_take_ordered(spark, sf_small):
     """A-ES sampling must be projection + TakeOrdered (n·partitions rows
     shuffle), never a global Sort of the corpus."""

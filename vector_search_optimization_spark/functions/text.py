@@ -555,6 +555,83 @@ def word_gram_stats_expr(text: Column | str, n: int = 2) -> Column:
     return _u(_c(text))
 
 
+_LINE_STRIP_CHARS = " \t\r"  # cross-engine trim set: space, tab, CR
+_PARA_SPLIT_RE = "\n{2,}"  # blank-line paragraph boundary (Java & RE2)
+
+
+def line_stats_py(
+    text: str | None,
+) -> tuple[int | None, ...]:
+    """Python twin of the line/paragraph repetition expression pipeline —
+    per document ``(n_lines, dup_lines, line_chars, dup_line_chars,
+    n_paras, dup_paras, para_chars, dup_para_chars)``, the inputs to the
+    Gopher §A1.1 line-level gates (Rae et al. '21: duplicate-line
+    fraction, duplicate-paragraph fraction, and the
+    fraction-of-characters-in-duplicate-X variants).
+
+    Contract (identical across this kernel, the declarative explode
+    formulation, and the DuckDB oracles):
+
+    - lines split on '\\n'; paragraphs on the blank-line regex
+      ``\\n{2,}``;
+    - each piece trims ``[ \\t\\r]`` at both ends (NOT python
+      ``str.strip()`` — DuckDB ``trim(x, chars)`` and Spark
+      ``regexp_replace`` can only match this explicit set) and empty
+      pieces drop;
+    - matching is EXACT post-trim (no lowercasing — Gopher dedups exact
+      lines);
+    - ``dup_*`` counts every occurrence of a value whose count > 1
+      (the Dolma/Gopher convention), ``*_chars`` weight by piece length;
+    - NULL text → all-NULL (downstream ratios null-propagate).
+    """
+    if text is None:
+        return (None,) * 8
+    import re
+    from collections import Counter
+
+    def stats(pieces: list[str]) -> tuple[int, int, int, int]:
+        items = [p.strip(_LINE_STRIP_CHARS) for p in pieces]
+        items = [p for p in items if p]
+        counts = Counter(items)
+        n = len(items)
+        chars = sum(len(x) for x in items)
+        dup = sum(v for v in counts.values() if v > 1)
+        dup_chars = sum(len(x) * v for x, v in counts.items() if v > 1)
+        return n, dup, chars, dup_chars
+
+    return stats(text.split("\n")) + stats(re.split(_PARA_SPLIT_RE, text))
+
+
+_LINE_STATS_FIELDS = (
+    "n_lines",
+    "dup_lines",
+    "line_chars",
+    "dup_line_chars",
+    "n_paras",
+    "dup_paras",
+    "para_chars",
+    "dup_para_chars",
+)
+
+
+def line_stats_expr(text: Column | str) -> Column:
+    """Arrow-batched kernel twin of the explode-lines → per-value counts
+    → dup aggregation pipeline, as ONE map-side struct (same shape as
+    the word-gram kernels: per-doc stats need no cross-doc state, so a
+    Counter pass per Arrow batch replaces two shuffles per split level).
+    Equivalence-tested against the declarative formulation in
+    tests/test_kernel_equivalence.py."""
+
+    @F.pandas_udf(
+        "struct<" + ", ".join(f"{f}: long" for f in _LINE_STATS_FIELDS) + ">"
+    )
+    def _u(s: pd.Series) -> pd.DataFrame:
+        rows = [line_stats_py(x) for x in s]
+        return pd.DataFrame(rows, columns=list(_LINE_STATS_FIELDS), dtype="object")
+
+    return _u(_c(text))
+
+
 def bpe_budget_stats_expr(text: Column | str, budget_tokens: int) -> Column:
     """F10+F11 fused: struct(n_tok, kept_tok, kept_chars) in ONE
     Arrow-batched pass (one pre-tokenization scan per document instead
