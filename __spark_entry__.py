@@ -1244,6 +1244,105 @@ LIMIT 20
 """
 
 
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composition (Abbas et al. '23) end to end: seeded-Lloyd
+    IVF quantizer → broadcast cell assignment → intra-cell GEMM cosine
+    pairs → min-id-per-dup-group survives (operators.dedup.semantic_dedup).
+    The corpus is the embeddings table plus PLANTED exact duplicates
+    (every 50th vector re-inserted at id+100000), so the removal path is
+    exercised regardless of how the synthetic data regenerates (natural
+    max cosine ≈ 0.51 at dim 64). Exports per-cell (n_docs, n_removed,
+    n_kept); DuckDB independently recomputes the assignment from literal
+    centroids AND the intra-cell pair predicate itself."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(planted)
+    cents = ann.train_ivf_centroids(
+        corpus.orderBy("vec_id"), num_cells=8, vector_col="embedding", seed=42
+    )
+    flagged = dedup.semantic_dedup(
+        corpus, cents, id_col="vec_id", vector_col="embedding", threshold=0.9
+    )
+    return (
+        flagged.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+_SEMDEDUP_COS_SQL = """round(
+  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+  / (sqrt(list_reduce(list_transform(a.embedding,
+          x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))
+   * sqrt(list_reduce(list_transform(b.embedding,
+          x -> CAST(x AS DOUBLE) ** 2), (x, y) -> x + y))), 6)"""
+
+
+def _semantic_dedup_sql() -> str:
+    """Generated oracle: the quantizer-literal pattern — Lloyd centroids
+    recomputed by the shared python twin over the SAME planted-union
+    corpus in vec_id order, assignment + pair predicate + keep rule all
+    recomputed by DuckDB from those literals."""
+    import duckdb
+
+    from vector_search_optimization_spark.operators.ann import _lloyd_kmeans
+
+    pdf = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        f"'{_oracle_sf_dir()}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    x_all = np.vstack([X, X[ids % 50 == 0]])  # planted block sorts after
+    centers = _lloyd_kmeans(x_all[:100_000], 8, seed=42, max_iter=20)
+    cents = np.asarray(
+        [list(map(float, c)) for c in centers], dtype=np.float32
+    ).astype(np.float64)
+
+    def cell_dist(i: int) -> str:
+        lits = ", ".join(f"{float(x)!r}" for x in cents[i])
+        return (
+            "list_reduce(list_transform(list_zip(embedding, "
+            f"[{lits}]), p -> (CAST(p[1] AS DOUBLE) - p[2]) "
+            "* (CAST(p[1] AS DOUBLE) - p[2])), (x, y) -> x + y)"
+        )
+
+    structs = ", ".join(
+        "{'d': " + cell_dist(i) + f", 'c': {i}}}" for i in range(len(cents))
+    )
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id % 50 = 0
+), assigned AS (
+  SELECT vec_id, embedding,
+         CAST(list_min([{structs}])['c'] AS BIGINT) AS cell
+  FROM corpus
+), removed AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_SEMDEDUP_COS_SQL} >= 0.9
+)
+SELECT s.cell, count(*) AS n_docs,
+       CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM assigned s LEFT JOIN removed r ON s.vec_id = r.vec_id
+GROUP BY s.cell ORDER BY s.cell
+"""
+
+
 # random-projection LSH: plane literals are seeded numpy constants, so the
 # oracle SQL is *generated* with the identical literals.
 _RP_PLANES = np.random.RandomState(42).normal(size=(8, 64))
@@ -6068,6 +6167,7 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 # tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_line_repetition": (text_line_repetition, _LINE_REP_SQL),
+    "semantic_dedup": (semantic_dedup, _semantic_dedup_sql),
     "m4_grid_sweep": (m4_grid_sweep, _m4_grid_sql()),
     "skew_salted_join": (skew_salted_join, _SKEW_JOIN_SQL),
     "lsh_banding_audit": (lsh_banding_audit, _LSH_TUNE_SQL),

@@ -362,6 +362,35 @@ def test_jaccard_similarity_join_no_false_negatives_randomized(spark):
     assert got == want
 
 
+def test_semantic_dedup_planted_duplicates_min_id_survives(spark):
+    """SemDeDup composition: exact duplicates land in the same cell and
+    every copy except the minimum id is removed; unrelated vectors
+    survive. Kernel and declarative pair paths agree."""
+    import numpy as np
+
+    from vector_search_optimization_spark.operators import ann
+
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=(30, 8)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    # plant: ids 100+101 duplicate id 5; id 200 duplicates id 7
+    rows += [
+        (100, rows[5][1]),
+        (101, rows[5][1]),
+        (200, rows[7][1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ann.train_ivf_centroids(
+        df.orderBy("vec_id"), num_cells=4, vector_col="embedding", seed=1
+    )
+    for use_kernel in (True, False):
+        flagged = dedup.semantic_dedup(
+            df, cents, threshold=0.99, use_kernel=use_kernel
+        )
+        removed = {r.vec_id for r in flagged.where(~F.col("keep")).collect()}
+        assert removed == {100, 101, 200}, (use_kernel, removed)
+
+
 def test_jaccard_similarity_join_releases_caches(docs, spark):
     """Cache lifecycle: toks/pref unpersist inside the call; the two
     result-lifetime caches (cand, sets) are attached as handles and

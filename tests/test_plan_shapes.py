@@ -299,6 +299,17 @@ def test_line_repetition_is_map_only(spark, sf_small):
     assert "ArrowEvalPython" in plan
 
 
+def test_semantic_dedup_pairs_stay_intra_cell(spark, sf_small):
+    """SemDeDup's pair stage must be the per-cell GEMM kernel
+    (FlatMapGroupsInPandas grouped on the cell key) — never a corpus
+    cross join; the assignment stage is broadcast-argmin (MapInPandas),
+    so the only Exchange keys are the cell and the final agg."""
+    plan = _plan(m.queries()["semantic_dedup"](spark, sf_small))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_weighted_sample_is_take_ordered(spark, sf_small):
     """A-ES sampling must be projection + TakeOrdered (n·partitions rows
     shuffle), never a global Sort of the corpus."""

@@ -695,6 +695,61 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    threshold: float = 0.9,
+    use_kernel: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. '23: cluster
+    the embedding space, then near-dedup WITHIN clusters only).
+
+    Stages:
+
+    1. assign every row to its IVF cell — broadcast centroid argmin
+       (operators.ann.assign_ivf_cells), NO shuffle;
+    2. intra-cell all-pairs cosine — ONE shuffle on the cell key; the
+       hot path is the per-cell GEMM kernel
+       (similarity.intra_group_pairs_kernel), the declarative self-join
+       stays as its equivalence-tested oracle (use_kernel=False);
+    3. a row is a duplicate iff some LOWER-id row in its cell reaches
+       ``round(cos, 6) >= threshold`` — min-id per duplicate group
+       survives (the deterministic variant of SemDeDup's keep-one rule;
+       the paper keeps the member farthest from the centroid, which is
+       tie-ambiguous across engines).
+
+    Returns the cell-assigned frame annotated with boolean ``keep``.
+
+    100 TB contract: the quantizer K scales with the corpus so cells
+    stay ~10^3 rows (SemDeDup itself trains k ~ 5*10^4 clusters for
+    LAION-scale); intra-cell pair cost Σ m_c² ≈ n²/K is then linear in
+    n at fixed cell size. Pathologically hot cells (a viral template)
+    are bounded upstream by re-training K or per-group caps; pairs
+    never cross cells, so nothing is quadratic in the corpus.
+    """
+    from .ann import assign_ivf_cells
+    from .similarity import intra_group_pairs, intra_group_pairs_kernel
+
+    assigned = assign_ivf_cells(
+        df.select(id_col, vector_col), centroids, vector_col=vector_col
+    )
+    pair_fn = intra_group_pairs_kernel if use_kernel else intra_group_pairs
+    pairs = pair_fn(assigned, "cell", id_col, vector_col)
+    dup_ids = (
+        pairs.where(F.round("sim", 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.join(dup_ids, id_col, "left")
+        .withColumn("keep", F.col("__dup").isNull())
+        .drop("__dup")
+    )
+
+
 # --- exact-threshold set-similarity join (AllPairs / PPJoin prefix filter) -----
 
 def jaccard_similarity_join(
