@@ -1772,7 +1772,11 @@ WITH toks AS (
 )"""
 
 
-def _minhash_sigs_sql(num_hashes: int = 64, seed: int = 42) -> str:
+def _minhash_sigs_sql(
+    num_hashes: int = 64,
+    seed: int = 42,
+    pair_on: str = "a.doc_id < b.doc_id",
+) -> str:
     a, b = dedup.minhash_coeffs(num_hashes, seed)
     poly = _POLY_SQL.format(s="s", base=TX.POLY_BASE)
     return (
@@ -1786,7 +1790,7 @@ def _minhash_sigs_sql(num_hashes: int = 64, seed: int = 42) -> str:
   FROM hs
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
-  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  FROM sigs a JOIN sigs b ON {pair_on}
 ), banded AS (
   SELECT id_a, id_b,
          round(CAST(len(list_filter(list_zip(sa, sb), p -> p[1] = p[2])) AS DOUBLE) / {num_hashes}, 6) AS est_jaccard,
@@ -3187,6 +3191,41 @@ def _minhash_verified_sql() -> str:
         _minhash_sigs_sql()
         + _VERIFIED_PAIRS_CTES
         + "\nSELECT id_a, id_b, jaccard FROM vpairs"
+    )
+
+
+def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-ingest dedup: a new batch (doc_id % 10 == 0, ~10% of the
+    corpus) band-probes the EXISTING corpus's persisted minhash index
+    (dedup.minhash_band_rows — at lake scale a bucket-sorted table;
+    the append→probe consistency of that layout is pytest-pinned in
+    tests/test_dedup.py) instead of re-deduping the whole corpus, then
+    candidates verify with exact char-5-gram jaccard
+    (dedup.ngram_jaccard_pairs). One map-side signature pass over the
+    batch, one broadcast probe over the index — the corpus never
+    shuffles and is never re-signatured. Oracle: DuckDB rebuilds
+    signatures for both sides from the shared poly-hash literals and
+    recomputes batch×corpus banding + exact verification itself."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    batch = d.where(F.col("doc_id") % 10 == 0)
+    corpus_bands = dedup.minhash_band_rows(
+        dedup.minhash_signatures_kernel(corpus), num_hashes=64
+    )
+    cands = dedup.minhash_probe_corpus(batch, corpus_bands)
+    verified = dedup.ngram_jaccard_pairs(d, cands, ngram_n=5, threshold=0.5)
+    return verified.select(
+        F.col("id_a").alias("batch_id"),
+        F.col("id_b").alias("corpus_id"),
+        "jaccard",
+    )
+
+
+def _incremental_dedup_sql() -> str:
+    return (
+        _minhash_sigs_sql(pair_on="a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0")
+        + _VERIFIED_PAIRS_CTES
+        + "\nSELECT id_a AS batch_id, id_b AS corpus_id, jaccard FROM vpairs"
     )
 
 
@@ -6168,6 +6207,7 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_line_repetition": (text_line_repetition, _LINE_REP_SQL),
     "semantic_dedup": (semantic_dedup, _semantic_dedup_sql),
+    "incremental_corpus_dedup": (incremental_corpus_dedup, _incremental_dedup_sql()),
     "m4_grid_sweep": (m4_grid_sweep, _m4_grid_sql()),
     "skew_salted_join": (skew_salted_join, _SKEW_JOIN_SQL),
     "lsh_banding_audit": (lsh_banding_audit, _LSH_TUNE_SQL),

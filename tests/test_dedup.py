@@ -391,13 +391,82 @@ def test_semantic_dedup_planted_duplicates_min_id_survives(spark):
         assert removed == {100, 101, 200}, (use_kernel, removed)
 
 
-def test_jaccard_similarity_join_releases_caches(docs, spark):
+def test_incremental_probe_append_consistency(spark, sf_small):
+    """Nightly-ingest shape over a PERSISTED bucketed band index:
+
+    1. probing batch1 against the corpus index == computing the same
+       candidates directly in memory (the index round-trip is lossless);
+    2. after APPENDING batch1's band rows, probing batch2 finds exactly
+       the direct batch2-vs-(corpus ∪ batch1) candidate set — tomorrow's
+       probe sees today's ingest.
+    """
+    import shutil
+
+    from vector_search_optimization_spark.sources import load_table
+    from vector_search_optimization_spark.sources.writers import write_bucketed
+
+    d = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") % 5 > 1)
+    batch1 = d.where(F.col("doc_id") % 5 == 0)
+    batch2 = d.where(F.col("doc_id") % 5 == 1)
+
+    def bands_of(df):
+        return dedup.minhash_band_rows(
+            dedup.minhash_signatures_kernel(df), num_hashes=64
+        )
+
+    def direct(batch, against):
+        return {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_probe_corpus(batch, bands_of(against)).collect()
+        }
+
+    tbl = "bkt_band_index"
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"spark-warehouse/{tbl}", ignore_errors=True)
+        write_bucketed(
+            bands_of(corpus), tbl, "bucket", 8, sort_col="bucket"
+        )
+        got1 = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_probe_corpus(
+                batch1, spark.table(tbl)
+            ).collect()
+        }
+        assert got1 == direct(batch1, corpus)
+        assert got1  # the synthetic corpus must actually produce candidates
+
+        # nightly append: batch1's band rows enter the index
+        write_bucketed(
+            bands_of(batch1), tbl, "bucket", 8, sort_col="bucket",
+            mode="append",
+        )
+        got2 = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_probe_corpus(
+                batch2, spark.table(tbl)
+            ).collect()
+        }
+        assert got2 == direct(batch2, corpus.unionByName(batch1))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(f"spark-warehouse/{tbl}", ignore_errors=True)
+
+
+def test_jaccard_similarity_join_releases_caches(spark):
     """Cache lifecycle: toks/pref unpersist inside the call; the two
     result-lifetime caches (cand, sets) are attached as handles and
-    release_caches() returns executor storage to zero growth."""
-    docs.count()  # materialize the fixture's own cache entry first
+    release_caches() returns executor storage to zero growth. Input is
+    UNIQUE to this test — CacheManager dedups identical logical plans,
+    so a shared fixture would reuse entries another test already left."""
+    uniq = spark.createDataFrame(
+        [(1, "release me now " * 4), (2, "release me now " * 4 + "tail"),
+         (3, "completely different words here")],
+        "doc_id long, text string",
+    )
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
-    out = dedup.jaccard_similarity_join(docs, shingle_n=3, threshold=0.5)
+    out = dedup.jaccard_similarity_join(uniq, shingle_n=3, threshold=0.5)
     out.collect()
     during = spark.sparkContext._jsc.getPersistentRDDs().size()
     # exactly the two result-lifetime handles outlive the call

@@ -268,6 +268,118 @@ def tune_lsh_bands(
     return best[1], best[2]
 
 
+def minhash_band_rows(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+    sig_col: str = "signature",
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """Exploded LSH band keys per document: (id, band, bucket) where
+    bucket = xxhash64 of the band's signature slice. This IS the corpus
+    dedup index row format — persist it bucketed on ``bucket``
+    (sources.writers.write_bucketed) and nightly batches band-probe it
+    (minhash_probe_corpus) without recomputing corpus signatures.
+
+    num_bands must divide the signature length: a non-divisor silently
+    ignores trailing hashes, and num_bands > num_hashes degenerates to
+    empty band slices — one shared bucket, an O(n^2) candidate cross
+    product. Pass ``num_hashes`` for a free static check (no job; the
+    length is not in the schema).
+    """
+    if num_hashes is not None and (
+        num_bands < 1 or num_bands > num_hashes or num_hashes % num_bands
+    ):
+        raise ValueError(
+            f"num_bands={num_bands} must divide num_hashes={num_hashes} "
+            f"(and be within [1, {num_hashes}])"
+        )
+    n_hashes_col = F.size(F.col(sig_col))
+    rows_per_band = (n_hashes_col / num_bands).cast("int")
+    return signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col(sig_col), band * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
+def minhash_probe_corpus(
+    batch: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_sigs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    est_threshold: float | None = None,
+) -> DataFrame:
+    """Incremental (nightly-ingest) corpus dedup: band-probe a NEW batch
+    against a persisted corpus index instead of re-deduping the corpus.
+
+    ``corpus_bands`` is the (id, band, bucket) table minhash_band_rows
+    produced for the existing corpus (at lake scale: a bucketed table so
+    the probe join never shuffles the index — the batch side broadcasts).
+    The batch's signatures/bands are computed here with the SAME
+    (num_hashes, num_bands, shingle_n, seed) — pass the index's
+    parameters or the buckets won't collide.
+
+    Returns candidate pairs (id_a = batch id, id_b = corpus id),
+    distinct. With ``corpus_sigs`` and ``est_threshold`` set, candidates
+    are additionally filtered by signature-estimated jaccard (fraction
+    of agreeing minhashes); verify exactly with ngram_jaccard_pairs over
+    the union of corpus and batch texts either way.
+
+    Scale: one map-side signature pass over the BATCH only, one
+    broadcast-hash probe over the index scan (no corpus shuffle), and
+    the candidate set is bucket-bounded. Appending the batch's own
+    band/sig rows to the index afterwards keeps tomorrow's probe
+    consistent (append→probe pytest in tests/test_dedup.py).
+    """
+    sig_b = minhash_signatures_kernel(
+        batch, text_col, id_col, num_hashes, shingle_n, seed
+    )
+    from pyspark import StorageLevel
+
+    sig_b = sig_b.persist(StorageLevel.MEMORY_AND_DISK)
+    bands_b = minhash_band_rows(
+        sig_b, id_col, num_bands, num_hashes=num_hashes
+    ).select(F.col(id_col).alias("id_a"), "band", "bucket")
+    cands = (
+        corpus_bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+        .join(F.broadcast(bands_b), ["band", "bucket"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if corpus_sigs is None or est_threshold is None:
+        return cands
+    sa = sig_b.select(F.col(id_col).alias("id_a"), F.col("signature").alias("__sa"))
+    sb = corpus_sigs.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("__sb")
+    )
+    est = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.size("__sa")
+    return (
+        cands.join(F.broadcast(sa), "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= est_threshold)
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -287,29 +399,9 @@ def minhash_lsh_candidates(
     product. Pass ``num_hashes`` for a free static check (no job; the
     length is not in the schema).
     """
-    if num_hashes is not None and (
-        num_bands < 1 or num_bands > num_hashes or num_hashes % num_bands
-    ):
-        raise ValueError(
-            f"num_bands={num_bands} must divide num_hashes={num_hashes} "
-            f"(and be within [1, {num_hashes}])"
-        )
-    n_hashes_col = F.size(F.col(sig_col))
-    rows_per_band = (n_hashes_col / num_bands).cast("int")
-    bands = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda band: F.struct(
-                    band.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col(sig_col), band * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    bands = minhash_band_rows(
+        signatures, id_col, num_bands, sig_col=sig_col, num_hashes=num_hashes
+    )
 
     a = bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
