@@ -6191,23 +6191,73 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 # ---------------------------------------------------------------------------
 
 # Ordering contract: the driver's correctness gate snapshots the FIRST 50
-# entries only (CORRECTNESS_r01/r02/r03 each hold exactly 50).  Rotation
-# state at end of r4: the 15 NEW r4 queries lead (positions 0-14), then
-# the 35 most-substantive entries of the half last driver-audited in r2
-# (q1/q3/q5, a5/a14, j1/j3/j4/j5, w6, f1/j7/j8/j9, the r1-era
-# dedup/ANN/streaming stack, s11, prologue, m6-m9) fill the window to 50.
-# Behind the window: 15 displaced long-stable r2-audited basics
-# (p/u/w1-w5/o5/pivot/a1/a9-a12/evt fixed windows/j2 — elementary
-# single-shuffle SQL, re-verified by the local full gate every round),
-# then the r3-audited half (CORRECTNESS_r03), including
-# ep3_label_pipeline (rows-only by design — its value-oracled twin
-# ep3_lloyd_audit stays hash-checkable).  For r5: rotate the displaced
-# basics + the r3-audited half forward again so driver rows stay fresh.
+# entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
+# at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
+# r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
+#   positions 0-2:   the 3 NEW r6 queries (line repetition, semantic
+#                    dedup, incremental corpus dedup) — never audited;
+#   positions 3-14:  the 12 queries whose exports/oracles CHANGED in r6
+#                    (ep3_label_pipeline now value-oracled, the
+#                    decimal-tie sweep, the sketch rank gate, o7);
+#   positions 15-33: the 19 r2-audited entries (16 basics — j1 moved to
+#                    the changed group — + m4_dbscan/g1/g2), stalest;
+#   positions 34-49: 16 of the r3-audited half (roundtrips, f5/f7/j5map,
+#                    m1/m2/m3/m10/m11, a16/p8/f10, ep3_lloyd_audit).
+# Behind the window: the r3-audited leftovers (f11, s7 converters,
+# doc_chunking, mm_asset_features — rotate these forward FIRST in r7),
+# then the r4/r5-audited bulk (freshest driver rows).
 # tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_line_repetition": (text_line_repetition, _LINE_REP_SQL),
     "semantic_dedup": (semantic_dedup, _semantic_dedup_sql),
     "incremental_corpus_dedup": (incremental_corpus_dedup, _incremental_dedup_sql()),
+    "ep3_label_pipeline": (ep3_label_pipeline, _ep3_pipeline_sql),
+    "evt_sketch_audit": (evt_sketch_audit, _SKETCH_SQL),
+    "tokenizer_fertility": (tokenizer_fertility, _fertility_sql),
+    "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
+    "a5_two_level": (a5_two_level, _A5_SQL),
+    "j3_group_agg_enrichment": (j3_group_agg_enrichment, _J3_SQL),
+    "j1_inner_join_agg": (j1_inner_join_agg, _J1_SQL),
+    "unpivot_metrics": (unpivot_metrics, _UNPIVOT_SQL),
+    "evt_asof_join": (evt_asof_join, _ASOF_SQL),
+    "evt_range_join": (evt_range_join, _RANGE_SQL),
+    "evt_json_props": (evt_json_props, _EVT_JSON_SQL),
+    "o7_interleave": (o7_interleave, _O7_SQL),
+    "p_filters": (p_filters, _P_SQL),
+    "u_set_ops": (u_set_ops, _U_SQL),
+    "w1_w2_proportion": (w1_w2_proportion, _W1_SQL),
+    "w3_cumsum": (w3_cumsum, _W3_SQL),
+    "w5_dense_numbering": (w5_dense_numbering, _W5_SQL),
+    "o5_topk_per_group": (o5_topk_per_group, _O5_SQL),
+    "pivot_categories": (pivot_categories, _PIVOT_SQL),
+    "a1_a3_counts": (a1_a3_counts, _A1_SQL),
+    "a9_value_counts": (a9_value_counts, _A9_SQL),
+    "a10_histogram": (a10_histogram, _A10_SQL),
+    "a11_a13_buckets_ratio": (a11_a13_buckets_ratio, _A11_SQL),
+    "a12_first_per_group": (a12_first_per_group, _A12_SQL),
+    "evt_tumbling_window": (evt_tumbling_window, _EVT_WINDOW_SQL),
+    "evt_sliding_window": (evt_sliding_window, _EVT_SLIDING_SQL),
+    "j2_left_join_flags": (j2_left_join_flags, _J2_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
+    "m4_dbscan_stats": (m4_dbscan_stats, _M4_SQL),
+    "g1_cooccurrence_edges": (g1_cooccurrence_edges, _G1_SQL),
+    "g2_communities": (g2_communities, _g2_sql),
+    "ep3_lloyd_audit": (ep3_lloyd_audit, _ep3_lloyd_sql),
+    "s1_csv_roundtrip": (s1_csv_roundtrip, _S1_SQL),
+    "s2_json_roundtrip": (s2_json_roundtrip, _S2_SQL),
+    "s6_excel_roundtrip": (s6_excel_roundtrip, _S6_SQL),
+    "s3_orc_roundtrip": (s3_orc_roundtrip, _S3_ORC_SQL),
+    "f5_manhattan": (f5_manhattan, _f5_sql),
+    "f7_string_caps": (f7_string_caps, _F7_SQL),
+    "j5_literal_map": (j5_literal_map, _J5_MAP_SQL),
+    "m1_kmeans_clusters": (m1_kmeans_clusters, _m1_sql),
+    "m2_silhouette": (m2_silhouette, _M2_SQL),
+    "m3_k_sweep": (m3_k_sweep, _m3_sql),
+    "m10_pca_variance": (m10_pca_variance, _m10_sql),
+    "m11_spectral_embedding": (m11_spectral_embedding, _m11_sql),
+    "a16_dict_accum": (a16_dict_accum, _A16_SQL),
+    "p8_null_tolerant": (p8_null_tolerant, _P8_SQL),
+    "f10_bpe_token_count": (f10_bpe_token_count, _f10_sql),
     "m4_grid_sweep": (m4_grid_sweep, _m4_grid_sql()),
     "skew_salted_join": (skew_salted_join, _SKEW_JOIN_SQL),
     "lsh_banding_audit": (lsh_banding_audit, _LSH_TUNE_SQL),
@@ -6217,20 +6267,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "weighted_sample": (weighted_sample, _WEIGHTED_SQL),
     "ann_recall_audit": (ann_recall_audit, _ivf_recall_sql),
     "evt_psi_drift": (evt_psi_drift, _PSI_SQL),
-    "evt_sketch_audit": (evt_sketch_audit, _SKETCH_SQL),
     "q7_volume_shipping": (q7_volume_shipping, _Q7_SQL),
-    "tokenizer_fertility": (tokenizer_fertility, _fertility_sql),
     "source_overlap_matrix": (source_overlap_matrix, _source_overlap_sql()),
     "text_compression_ratio": (text_compression_ratio, _compression_sql),
-    "unpivot_metrics": (unpivot_metrics, _UNPIVOT_SQL),
     "evt_gap_fill": (evt_gap_fill, _GAP_FILL_SQL),
     "evt_interarrival": (evt_interarrival, _INTERARRIVAL_SQL),
-    "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
-    "a5_two_level": (a5_two_level, _A5_SQL),
     "a14_percentiles": (a14_percentiles, _A14_SQL),
     "j4_semi_join": (j4_semi_join, _J4_SQL),
     "j5_lookup_chain": (j5_lookup_chain, _J5_SQL),
-    "j3_group_agg_enrichment": (j3_group_agg_enrichment, _J3_SQL),
     "q5_supplier_volume": (q5_supplier_volume, _Q5_SQL),
     "w6_islands": (w6_islands, _W6_SQL),
     "f1_f2_norms": (f1_f2_norms, _F1_SQL),
@@ -6258,45 +6302,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "m7_percentile_outliers": (m7_percentile_outliers, _M7_SQL),
     "m8_lof_outliers": (m8_lof_outliers, _M8_SQL),
     "m9_mahalanobis_outliers": (m9_mahalanobis_outliers, _m9_sql),
-    "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
-    "j1_inner_join_agg": (j1_inner_join_agg, _J1_SQL),
-    "a1_a3_counts": (a1_a3_counts, _A1_SQL),
-    "a9_value_counts": (a9_value_counts, _A9_SQL),
-    "a10_histogram": (a10_histogram, _A10_SQL),
-    "a11_a13_buckets_ratio": (a11_a13_buckets_ratio, _A11_SQL),
-    "a12_first_per_group": (a12_first_per_group, _A12_SQL),
-    "j2_left_join_flags": (j2_left_join_flags, _J2_SQL),
-    "w1_w2_proportion": (w1_w2_proportion, _W1_SQL),
-    "w5_dense_numbering": (w5_dense_numbering, _W5_SQL),
-    "o5_topk_per_group": (o5_topk_per_group, _O5_SQL),
-    "pivot_categories": (pivot_categories, _PIVOT_SQL),
-    "evt_tumbling_window": (evt_tumbling_window, _EVT_WINDOW_SQL),
-    "evt_sliding_window": (evt_sliding_window, _EVT_SLIDING_SQL),
-    "w3_cumsum": (w3_cumsum, _W3_SQL),
-    "u_set_ops": (u_set_ops, _U_SQL),
-    "p_filters": (p_filters, _P_SQL),
-    "m4_dbscan_stats": (m4_dbscan_stats, _M4_SQL),
-    "g1_cooccurrence_edges": (g1_cooccurrence_edges, _G1_SQL),
-    "g2_communities": (g2_communities, _g2_sql),
-    "ep3_label_pipeline": (ep3_label_pipeline, _ep3_pipeline_sql),
-    "ep3_lloyd_audit": (ep3_lloyd_audit, _ep3_lloyd_sql),
-    "o7_interleave": (o7_interleave, _O7_SQL),
-    "f7_string_caps": (f7_string_caps, _F7_SQL),
-    "j5_literal_map": (j5_literal_map, _J5_MAP_SQL),
-    "m2_silhouette": (m2_silhouette, _M2_SQL),
-    "s1_csv_roundtrip": (s1_csv_roundtrip, _S1_SQL),
-    "s2_json_roundtrip": (s2_json_roundtrip, _S2_SQL),
-    "s6_excel_roundtrip": (s6_excel_roundtrip, _S6_SQL),
-    "f5_manhattan": (f5_manhattan, _f5_sql),
-    "m3_k_sweep": (m3_k_sweep, _m3_sql),
     "mm_asset_features": (mm_asset_features, _MM_SQL),
     "split_assign": (split_assign, _SPLIT_SQL),
     "pack_batches": (pack_batches, _PACK_SQL),
     "decontaminate_overlap": (decontaminate_overlap, _decon_sql),
-    "evt_asof_join": (evt_asof_join, _ASOF_SQL),
-    "evt_range_join": (evt_range_join, _RANGE_SQL),
     "f11_token_budget": (f11_token_budget, _f11_sql),
-    "f10_bpe_token_count": (f10_bpe_token_count, _f10_sql),
     "s7_convert_docs": (s7_convert_docs, _S7_SQL),
     "s7_pdf_roundtrip": (s7_pdf_roundtrip, _S7_PDF_SQL),
     "doc_chunking": (doc_chunking, _DOC_CHUNK_SQL),
@@ -6310,21 +6320,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "hybrid_search_rrf": (hybrid_search_rrf, _HYBRID_SQL),
     "doc_winnow_fingerprints": (doc_winnow_fingerprints, _winnow_sql()),
     "ngram_jaccard_dedup": (ngram_jaccard_dedup, _NGRAM_JACCARD_SQL),
-    "m1_kmeans_clusters": (m1_kmeans_clusters, _m1_sql),
-    "m10_pca_variance": (m10_pca_variance, _m10_sql),
     "pii_redaction": (pii_redaction, _PII_SQL),
     "lm_quality_scores": (lm_quality_scores, _LM_SQL),
     "tfidf_keywords": (tfidf_keywords, _TFIDF_SQL),
     "skew_salted_agg": (skew_salted_agg, _SKEW_SQL),
     "curation_pipeline": (curation_pipeline, _CURATION_SQL),
-    "m11_spectral_embedding": (m11_spectral_embedding, _m11_sql),
-    "p8_null_tolerant": (p8_null_tolerant, _P8_SQL),
-    "a16_dict_accum": (a16_dict_accum, _A16_SQL),
-    "evt_json_props": (evt_json_props, _EVT_JSON_SQL),
     "dq_constraints": (dq_constraints, _DQ_SQL),
     "stratified_sample": (stratified_sample, _STRAT_SQL),
     "fraction_sample": (fraction_sample, _FRAC_SQL),
-    "s3_orc_roundtrip": (s3_orc_roundtrip, _S3_ORC_SQL),
 }
 
 

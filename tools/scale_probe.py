@@ -204,6 +204,94 @@ def main() -> None:
         )
 
     stage("repetition_gram_stats", _repetition)
+
+    # r4 follow-up probes (VERDICT r4 #7 / r5 #8): the two
+    # quadratic-adjacent surfaces.
+    def _source_overlap_128():
+        """source_overlap_matrix at 128 sources (the registered query
+        sees 20): pre-aggregation pair volume is Σ_g C(df_src(g), 2) —
+        per-shingle source lists saturate at 128, so the join output is
+        bounded by distinct_shingles × C(128,2) and grows LINEARLY in
+        the corpus at fixed source count. A super-linear reading here
+        means the distinct-(source, g) stage regressed."""
+        src = docs.select(
+            "doc_id",
+            "text",
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(128))
+            .cast("int")
+            .alias("source"),
+        )
+        toks = dedup.shingle_hash_rows(src, shingle_n=3)
+        sg = (
+            toks.join(src.select("doc_id", "source"), "doc_id")
+            .select("source", "g")
+            .distinct()
+        )
+        a = sg.select(F.col("source").alias("source_a"), "g")
+        b = sg.select(F.col("source").alias("source_b"), "g")
+        return (
+            a.join(b, "g")
+            .where(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .count()
+        )
+
+    stage("source_overlap_128", _source_overlap_128)
+
+    def _gap_fill_sparse():
+        """evt_gap_fill's plan on a SPARSE MULTI-YEAR spine: 50k events
+        scattered over 5 years × 20 types → the generated hourly spine
+        (types × ~43.8k hours ≈ 876k rows) dwarfs the observed hourly
+        aggregate. The hazard being probed: the spine is sequence+explode
+        over the (tiny, persisted) aggregate's bounds — NOT a scan-join
+        against the fact table — and the ffill window shuffles only the
+        spine. Cost must track spine size, not event count."""
+        from pyspark.sql import Window
+
+        n = 50_000
+        span_s = 5 * 365 * 24 * 3600
+        ev = spark.range(n).select(
+            (F.col("id") % 20).cast("int").alias("event_type"),
+            F.timestamp_seconds(
+                F.lit(1577836800)
+                + F.pmod(F.col("id") * F.lit(2654435761), F.lit(span_s))
+            ).alias("ts"),
+            (F.pmod(F.col("id") * 7919, 10000) / 100.0).alias("value"),
+        )
+        hb = F.date_trunc("hour", F.col("ts"))
+        agg = (
+            ev.groupBy("event_type", hb.alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .persist()
+        )
+        bounds = agg.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        types = agg.select("event_type").distinct()
+        spine = types.join(F.broadcast(bounds)).select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+        j = spine.join(agg, ["event_type", "h"], "left")
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("h")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        n_out = j.select(
+            "event_type",
+            "h",
+            F.last("sum_value", ignorenulls=True).over(w).alias("f"),
+        ).count()
+        agg.unpersist()
+        return n_out
+
+    stage("gap_fill_sparse_spine", _gap_fill_sparse)
+
     stage(
         "jaccard_prefix_join",
         lambda: dedup.jaccard_similarity_join(
