@@ -821,12 +821,18 @@ def semantic_dedup(
     are bounded upstream by re-training K or per-group caps; pairs
     never cross cells, so nothing is quadratic in the corpus.
     """
+    from pyspark import StorageLevel
+
     from .ann import assign_ivf_cells
     from .similarity import intra_group_pairs, intra_group_pairs_kernel
 
+    # result-lifetime cache: the assignment feeds both the pair stage
+    # and the final annotation join (without it the argmin pass runs
+    # twice); released via dedup.release_caches(result). At lake scale
+    # this is the materialized cell-partitioned table (the IVF layout).
     assigned = assign_ivf_cells(
         df.select(id_col, vector_col), centroids, vector_col=vector_col
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pair_fn = intra_group_pairs_kernel if use_kernel else intra_group_pairs
     pairs = pair_fn(assigned, "cell", id_col, vector_col)
     dup_ids = (
@@ -835,11 +841,13 @@ def semantic_dedup(
         .distinct()
         .withColumn("__dup", F.lit(True))
     )
-    return (
+    out = (
         assigned.join(dup_ids, id_col, "left")
         .withColumn("keep", F.col("__dup").isNull())
         .drop("__dup")
     )
+    out._vso_caches = [assigned]
+    return out
 
 
 # --- exact-threshold set-similarity join (AllPairs / PPJoin prefix filter) -----
