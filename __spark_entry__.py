@@ -4170,6 +4170,14 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
+    return _decon_report(train, hit_ids)
+
+
+def _decon_report(train: DataFrame, hit_ids: DataFrame) -> DataFrame:
+    """Per-lang contamination report shared by the broadcast-set and
+    Bloom-prefilter paths. contaminated_pct derives UNROUNDED from the
+    integer counts (decimal-tie rule: identical ints → bit-identical
+    IEEE division on both engines)."""
     flagged = (
         train.join(hit_ids, "doc_id", "left_semi")
         .groupBy("lang")
@@ -4184,14 +4192,34 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_contaminated", F.lit(0).cast("long")).alias(
                 "n_contaminated"
             ),
-            F.round(
-                F.coalesce("n_contaminated", F.lit(0).cast("long"))
-                / F.col("n_train"),
-                6,
+            (
+                F.coalesce("n_contaminated", F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / F.col("n_train")
             ).alias("contaminated_pct"),
         )
         .orderBy("lang")
     )
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontaminate_overlap's EXACT semantics through the Bloom
+    prefilter path (dedup.decontaminate_with_bloom): the corpus gram
+    stream is map-side prefiltered against a compact Bloom bitmap of
+    the benchmark fingerprints (built distributed via a mapInPandas
+    partial-bitmap OR — Spark 4 keeps bloom_filter_agg internal), and
+    only the FPR-bounded survivors reach the exact verification join.
+    No false negatives + exact verify ⇒ flagged set identical to the
+    broadcast-set path, so this query SHARES its DuckDB oracle — the
+    hash gate proves the Bloom path end to end. At 1e8+ benchmark
+    shingles this is the feasible plan: ~10 bits/shingle broadcast vs
+    8+ bytes/shingle for the exact set."""
+    d = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % _DECON_MOD == 0
+    hit_ids = dedup.decontaminate_with_bloom(d, is_bench, n_bits=1 << 20)
+    train = d.where(~is_bench)
+    return _decon_report(train, hit_ids)
 
 
 def _decon_sql() -> str:
@@ -4210,8 +4238,8 @@ def _decon_sql() -> str:
 SELECT lang, count(*) AS n_train,
        CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-       round(CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
-                THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS contaminated_pct
+       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
+                THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS contaminated_pct
 FROM documents WHERE doc_id % {_DECON_MOD} <> 0
 GROUP BY lang ORDER BY lang
 """
@@ -6194,23 +6222,28 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-2:   the 3 NEW r6 queries (line repetition, semantic
-#                    dedup, incremental corpus dedup) — never audited;
-#   positions 3-14:  the 12 queries whose exports/oracles CHANGED in r6
+#   positions 0-3:   the 4 NEW r6 queries (line repetition, semantic
+#                    dedup, incremental corpus dedup, bloom decontam)
+#                    — never audited;
+#   positions 4-15:  the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 15-33: the 19 r2-audited entries (16 basics — j1 moved to
+#   positions 16-34: the 19 r2-audited entries (16 basics — j1 moved to
 #                    the changed group — + m4_dbscan/g1/g2), stalest;
-#   positions 34-49: 16 of the r3-audited half (roundtrips, f5/f7/j5map,
-#                    m1/m2/m3/m10/m11, a16/p8/f10, ep3_lloyd_audit).
-# Behind the window: the r3-audited leftovers (f11, s7 converters,
+#   positions 35-49: 15 of the r3-audited half (roundtrips, f5/f7/j5map,
+#                    m1/m2/m3/m10/m11, a16/p8, ep3_lloyd_audit).
+# Behind the window: the r3-audited leftovers (f10, f11, s7 converters,
 # doc_chunking, mm_asset_features — rotate these forward FIRST in r7),
 # then the r4/r5-audited bulk (freshest driver rows).
+# NOTE decontaminate_overlap/decontaminate_bloom share _decon_sql and
+# their contaminated_pct export changed in r6 (unrounded derived) —
+# decontaminate_overlap sits behind the window; local gate covers it.
 # tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "text_line_repetition": (text_line_repetition, _LINE_REP_SQL),
     "semantic_dedup": (semantic_dedup, _semantic_dedup_sql),
     "incremental_corpus_dedup": (incremental_corpus_dedup, _incremental_dedup_sql()),
+    "decontaminate_bloom": (decontaminate_bloom, _decon_sql),
     "ep3_label_pipeline": (ep3_label_pipeline, _ep3_pipeline_sql),
     "evt_sketch_audit": (evt_sketch_audit, _SKETCH_SQL),
     "tokenizer_fertility": (tokenizer_fertility, _fertility_sql),

@@ -391,6 +391,53 @@ def test_semantic_dedup_planted_duplicates_min_id_survives(spark):
         assert removed == {100, 101, 200}, (use_kernel, removed)
 
 
+def test_bloom_decontamination_matches_exact_path(spark, sf_small):
+    """The Bloom-prefiltered decontamination must flag EXACTLY the ids
+    the broadcast-set path flags (no false negatives by Bloom
+    construction, false positives removed by the exact verify join) —
+    including at an aggressively small bitmap where the FPR is high."""
+    from vector_search_optimization_spark.sources import load_table
+
+    d = load_table(spark, sf_small, "documents").select("doc_id", "lang", "text")
+    is_bench = F.col("doc_id") % 7 == 0
+
+    grams = dedup.shingle_hash_rows(d)
+    bench_g = grams.where(is_bench).select("g").distinct()
+    exact = {
+        r.doc_id
+        for r in grams.where(~is_bench)
+        .join(F.broadcast(bench_g), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    for n_bits in (1 << 20, 1 << 12):  # 2^12 → high FPR, verify must fix
+        got = {
+            r.doc_id
+            for r in dedup.decontaminate_with_bloom(
+                d, is_bench, n_bits=n_bits
+            ).collect()
+        }
+        assert got == exact, n_bits
+    assert exact  # the synthetic corpus must actually overlap
+
+
+def test_bloom_bitmap_build_and_probe_units(spark):
+    """Bitmap build is deterministic and the probe has no false
+    negatives on the inserted set."""
+    import numpy as np
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 2654435761 % 982451653).alias("g")
+    )
+    bm1 = dedup.build_bloom_bitmap(df, "g", n_bits=1 << 16, k=4)
+    bm2 = dedup.build_bloom_bitmap(df.repartition(7), "g", n_bits=1 << 16, k=4)
+    assert np.array_equal(bm1, bm2)  # partitioning-invariant
+    contains = dedup.bloom_contains_expr(spark, bm1, 1 << 16, 4)
+    n_hit = df.where(contains(F.col("g"))).count()
+    assert n_hit == 1000  # no false negatives
+
+
 def test_incremental_probe_append_consistency(spark, sf_small):
     """Nightly-ingest shape over a PERSISTED bucketed band index:
 

@@ -310,6 +310,15 @@ def test_semantic_dedup_pairs_stay_intra_cell(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bloom_decontamination_prefilter_is_map_side(spark, sf_small):
+    """The Bloom probe must run as an Arrow-batched filter ON THE SCAN
+    side (before the exact verify join) — that placement is the whole
+    point: only FPR-bounded survivors reach the join."""
+    plan = _plan(m.queries()["decontaminate_bloom"](spark, sf_small))
+    assert "ArrowEvalPython" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_weighted_sample_is_take_ordered(spark, sf_small):
     """A-ES sampling must be projection + TakeOrdered (n·partitions rows
     shuffle), never a global Sort of the corpus."""

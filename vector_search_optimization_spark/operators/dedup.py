@@ -30,6 +30,10 @@ str.split() is unicode-aware and MUST NOT be used here.
 from __future__ import annotations
 
 import numpy as np
+# module-level: files defining pandas_udfs must import pandas at module
+# scope — postponed annotations ('pd.Series' strings) fail to resolve
+# against a function-local import (CLAUDE.md)
+import pandas as pd  # noqa: F401
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -784,6 +788,113 @@ def embedding_near_duplicates(
             "id_a", "id_b", F.round(V.cosine_similarity("__va", "__vb"), 6).alias("cos_sim")
         )
         .where(F.col("cos_sim") >= threshold)
+    )
+
+
+# --- Bloom-filter decontamination prefilter ----------------------------------
+
+
+def _bloom_positions(h: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """(len(h), k) bit positions via double hashing (Kirsch-Mitzenmacher):
+    pos_i = (h1 + i*h2) mod n_bits with h1/h2 carved from the 64-bit
+    hash, h2 forced odd so the k probes never collapse. Pure integer
+    math — bit-identical on every engine/platform."""
+    h = h.astype(np.uint64)
+    nb = np.uint64(n_bits)
+    h1 = h % nb
+    h2 = (((h >> np.uint64(33)) << np.uint64(1)) | np.uint64(1)) % nb
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % nb).astype(np.int64)
+
+
+def build_bloom_bitmap(
+    hashes: DataFrame, hash_col: str = "g", n_bits: int = 1 << 23, k: int = 4
+) -> np.ndarray:
+    """Distributed Bloom-filter build over a 64-bit hash column.
+
+    Spark 4 does not expose bloom_filter_agg/might_contain as SQL
+    functions, so the build is a mapInPandas partial-bitmap pass: each
+    partition ORs its hashes into a local (n_bits/8)-byte numpy bitmap,
+    the driver ORs the per-partition bitmaps (bounded: partitions ×
+    n_bits/8 bytes — 1 MiB each at the 2^23 default). The result is the
+    compact membership sketch to broadcast where the exact key set is
+    too big to ship: ~10 bits/element at 1% FPR vs 8+ bytes/element for
+    the exact hash set.
+    """
+    import pandas as pd
+
+    nbytes = n_bits // 8
+
+    def partial(it):
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        for pdf in it:
+            h = pdf[hash_col].to_numpy(dtype=np.int64)
+            if len(h):
+                pos = _bloom_positions(h, n_bits, k).ravel()
+                np.bitwise_or.at(bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    rows = hashes.select(hash_col).mapInPandas(
+        partial, schema="bm binary"
+    ).collect()
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for r in rows:
+        out |= np.frombuffer(r.bm, dtype=np.uint8)
+    return out
+
+
+def bloom_contains_expr(spark, bitmap: np.ndarray, n_bits: int, k: int):
+    """Arrow-batched membership probe against a broadcast Bloom bitmap.
+    Returns a column function usable as ``contains(F.col("g"))``. No
+    false negatives; false-positive rate ≈ (1 - e^(-k·n/m))^k."""
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    @F.pandas_udf("boolean")
+    def _contains(s: pd.Series) -> pd.Series:
+        bm = bc.value
+        h = s.to_numpy(dtype=np.int64)
+        if not len(h):
+            return pd.Series([], dtype=bool)
+        pos = _bloom_positions(h, n_bits, k)
+        bits = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return pd.Series(bits.all(axis=1))
+
+    return _contains
+
+
+def decontaminate_with_bloom(
+    df: DataFrame,
+    is_benchmark,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    n_bits: int = 1 << 23,
+    k: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination with a Bloom prefilter — EXACT results.
+
+    The broadcast-set decontamination (see decontaminate_overlap's
+    registered query) ships the full benchmark fingerprint set to every
+    executor; at 1e8+ benchmark shingles that broadcast is GBs. Here the
+    corpus-side gram stream is prefiltered map-side against a compact
+    Bloom bitmap (~10 bits/shingle at 1% FPR), and only the surviving
+    grams — true hits plus an FPR-bounded trickle — reach the exact
+    verification join, which therefore no longer needs a broadcast-sized
+    right side (a plain hash join of two now-small inputs). Bloom
+    filters have NO false negatives, and the exact join removes the
+    false positives, so the flagged id set is IDENTICAL to the exact
+    path's (pytest-pinned; the registered query shares the exact path's
+    DuckDB oracle for the same reason).
+
+    Returns the distinct flagged (non-benchmark) ids as ``id_col``.
+    """
+    grams = shingle_hash_rows(df, text_col, id_col, shingle_n)
+    bench_g = grams.where(is_benchmark).select("g").distinct()
+    bitmap = build_bloom_bitmap(bench_g, "g", n_bits, k)
+    contains = bloom_contains_expr(df.sparkSession, bitmap, n_bits, k)
+    cand = grams.where(~is_benchmark).where(contains(F.col("g")))
+    return (
+        cand.join(bench_g, "g", "left_semi").select(id_col).distinct()
     )
 
 
