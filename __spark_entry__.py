@@ -5585,6 +5585,50 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixture weighting (sampling.
+    mixture_weights, alpha=0.5): per-source whitespace-token counts
+    (one combinable agg over the corpus — the only heavy stage), then
+    w_s = sqrt(n_s)/Σ sqrt(n_s) with the natural share and the
+    oversample factor the training sampler applies. The standard
+    pretraining data-mixing dial (GPT-3/LLaMA-style source
+    re-weighting: alpha < 1 upsamples small sources). raw_share and
+    oversample_factor export unrounded (derived from bit-identical
+    inputs); weight rounds 6dp (Σ of irrationals)."""
+    from vector_search_optimization_spark.operators import sampling as SAMP
+
+    d = load_table(spark, sf_dir, "documents")
+    sizes = d.groupBy("source").agg(
+        F.sum(TX.whitespace_token_count("text")).alias("n_tokens")
+    )
+    return SAMP.mixture_weights(sizes, "source", "n_tokens").orderBy(
+        "source"
+    )
+
+
+_MIXTURE_SQL = r"""
+WITH tok AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS ws
+  FROM documents
+), sizes AS (
+  SELECT source, CAST(sum(ws) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total,
+         sum(sqrt(CAST(n_tokens AS DOUBLE))) AS w_total
+  FROM sizes
+)
+SELECT source, n_tokens,
+       CAST(n_tokens AS DOUBLE) / n_total AS raw_share,
+       round(sqrt(CAST(n_tokens AS DOUBLE)) / w_total, 6) AS weight,
+       round(sqrt(CAST(n_tokens AS DOUBLE)) / w_total, 6)
+         / (CAST(n_tokens AS DOUBLE) / n_total) AS oversample_factor
+FROM sizes, tot ORDER BY source
+"""
+
+
 def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted doc sample (Efraimidis–Spirakis A-ES, rand()-free:
     sampling.weighted_sample_fixed_n): top-50 by u^(1/n_chars) with u a
@@ -6222,19 +6266,19 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-3:   the 4 NEW r6 queries (line repetition, semantic
-#                    dedup, incremental corpus dedup, bloom decontam)
-#                    — never audited;
-#   positions 4-15:  the 12 queries whose exports/oracles CHANGED in r6
+#   positions 0-4:   the 5 NEW r6 queries (line repetition, semantic
+#                    dedup, incremental corpus dedup, bloom decontam,
+#                    mixture weights) — never audited;
+#   positions 5-16:  the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 16-34: the 19 r2-audited entries (16 basics — j1 moved to
+#   positions 17-35: the 19 r2-audited entries (16 basics — j1 moved to
 #                    the changed group — + m4_dbscan/g1/g2), stalest;
-#   positions 35-49: 15 of the r3-audited half (roundtrips, f5/f7/j5map,
-#                    m1/m2/m3/m10/m11, a16/p8, ep3_lloyd_audit).
-# Behind the window: the r3-audited leftovers (f10, f11, s7 converters,
-# doc_chunking, mm_asset_features — rotate these forward FIRST in r7),
-# then the r4/r5-audited bulk (freshest driver rows).
+#   positions 36-49: 14 of the r3-audited half (roundtrips, f5/f7/j5map,
+#                    m1/m2/m3/m10/m11, a16, ep3_lloyd_audit).
+# Behind the window: the r3-audited leftovers (p8, f10, f11, s7
+# converters, doc_chunking, mm_asset_features — rotate these forward
+# FIRST in r7), then the r4/r5-audited bulk (freshest driver rows).
 # NOTE decontaminate_overlap/decontaminate_bloom share _decon_sql and
 # their contaminated_pct export changed in r6 (unrounded derived) —
 # decontaminate_overlap sits behind the window; local gate covers it.
@@ -6244,6 +6288,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "semantic_dedup": (semantic_dedup, _semantic_dedup_sql),
     "incremental_corpus_dedup": (incremental_corpus_dedup, _incremental_dedup_sql()),
     "decontaminate_bloom": (decontaminate_bloom, _decon_sql),
+    "source_mixture_weights": (source_mixture_weights, _MIXTURE_SQL),
     "ep3_label_pipeline": (ep3_label_pipeline, _ep3_pipeline_sql),
     "evt_sketch_audit": (evt_sketch_audit, _SKETCH_SQL),
     "tokenizer_fertility": (tokenizer_fertility, _fertility_sql),

@@ -115,6 +115,7 @@ _NESTED_LOOP_OK = {
     "evt_sketch_audit",     # 1-row agg frames joined + 1-row sketch-p50
                             # frame broadcast back for the rank gate
     "evt_gap_fill",         # 1-row bounds frame broadcast to the spine
+    "source_mixture_weights",  # 1-row totals frame broadcast to 20 sources
 }
 
 

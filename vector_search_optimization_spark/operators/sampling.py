@@ -94,6 +94,54 @@ def weighted_sample_fixed_n(
     )
 
 
+def mixture_weights(
+    sizes: DataFrame,
+    group_col: str,
+    size_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based corpus mixture weighting (the GPT-3/LLaMA-style
+    source re-weighting: w_s ∝ n_s^alpha, alpha < 1 upsamples small
+    high-quality sources relative to their natural share).
+
+    Input: one row per source with its size (token count). Output adds
+    ``raw_share`` (n_s / N, exported UNROUNDED — integer quotient,
+    bit-identical cross-engine), ``weight`` (n^alpha / Σ n^alpha,
+    rounded 6dp — the Σ of irrationals accumulates in engine-dependent
+    order), and ``oversample_factor`` = weight / raw_share (derived
+    unrounded from the already-identical exports).
+
+    alpha=0.5 (the default) computes n^alpha via sqrt — IEEE
+    correctly-rounded on every engine; other alphas use pow, which is
+    only within-1-ulp cross-engine (fine under the 6dp rounding, noted
+    for oracle authors).
+
+    One tiny frame (sources) + a one-row total broadcast — the heavy
+    part (per-source token counting) happens upstream in one combinable
+    agg over the corpus.
+    """
+    n = F.col(size_col).cast("double")
+    powed = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(alpha))
+    # totals aggregate the same expression over the same input (rather
+    # than a derived column) so the one-row join carries no shared
+    # attribute lineage (Spark's self-join ambiguity)
+    tot = sizes.agg(
+        F.sum(size_col).alias("__N"), F.sum(powed).alias("__W")
+    )
+    return (
+        sizes.join(F.broadcast(tot))
+        .select(
+            group_col,
+            F.col(size_col),
+            (n / F.col("__N")).alias("raw_share"),
+            F.round(powed / F.col("__W"), 6).alias("weight"),
+        )
+        .withColumn(
+            "oversample_factor", F.col("weight") / F.col("raw_share")
+        )
+    )
+
+
 def stratified_sample_fixed_n(
     df: DataFrame, stratum: str, key: str, n: int, rank_col: str = "rank"
 ) -> DataFrame:
