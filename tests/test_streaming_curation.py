@@ -62,6 +62,67 @@ def test_stream_curation_matches_batch(spark, sf_small, scratch):
     assert langs == {r.lang for r in want.select("lang").distinct().collect()}
 
 
+def test_stream_dedup_against_corpus_matches_batch(spark, sf_small, scratch):
+    """The streaming band-index maintenance loop must, after a bounded
+    backlog drains, have emitted EXACTLY the batch-mode LSH candidate
+    set over corpus ∪ stream minus the corpus-internal pairs — no
+    matter how the backlog was chopped into micro-batches (cross-batch
+    pairs come from the index probe, same-batch pairs from the
+    intra-batch self-join)."""
+    from vector_search_optimization_spark.operators import dedup as D
+    from vector_search_optimization_spark.streaming import (
+        stream_dedup_against_corpus,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    corpus = docs.where("doc_id % 3 = 0")
+    s1 = docs.where("doc_id % 3 = 1")
+    s2 = docs.where("doc_id % 3 = 2")
+
+    index = os.path.join(scratch["out"], "band_index")
+    pairs = os.path.join(scratch["out"], "pairs")
+
+    def bands(df):
+        return D.minhash_band_rows(
+            D.minhash_signatures_kernel(df), num_hashes=64
+        )
+
+    bands(corpus).write.parquet(index)  # seed: the already-deduped corpus
+    _drop(s1, scratch["drop"], "b0")
+    stream = C.read_documents_stream(spark, scratch["drop"] + "/*")
+    q = stream_dedup_against_corpus(
+        stream, index, pairs, checkpoint=scratch["ckpt"]
+    )
+    try:
+        q.processAllAvailable()
+        _drop(s2, scratch["drop"], "b1")  # the next "night"
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        frozenset((r.id_a, r.id_b))
+        for r in spark.read.parquet(pairs).collect()
+    }
+
+    def cand_set(df):
+        return {
+            frozenset((r.id_a, r.id_b))
+            for r in D.minhash_lsh_candidates(
+                D.minhash_signatures_kernel(df), num_hashes=64
+            ).collect()
+        }
+
+    want = cand_set(docs) - cand_set(corpus)
+    assert got == want
+    assert got  # the synthetic corpus must actually produce candidates
+    # and the index now contains every document's band rows
+    n_index_ids = (
+        spark.read.parquet(index).select("doc_id").distinct().count()
+    )
+    assert n_index_ids == docs.count()
+
+
 def test_curate_columns_scrubs_and_gates(spark):
     rows = [
         (0, "mail a@b.io " + "w " * 20, "en", "s", 0),

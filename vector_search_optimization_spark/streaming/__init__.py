@@ -9,3 +9,4 @@ from .windows import (  # noqa: F401
     tumbling_window_agg,
 )
 from .index_maintenance import stream_append_to_ivf_index  # noqa: F401
+from .dedup_maintenance import stream_dedup_against_corpus  # noqa: F401
