@@ -36,6 +36,29 @@ def test_intra_group_pairs_kernel_matches_join(emb):
     assert np.allclose(join_pairs.sim, kern_pairs.sim, rtol=1e-9)
 
 
+def test_intra_group_pairs_kernel_min_sim_pushdown(emb):
+    """min_sim pushed into the kernel == unpushed kernel + post-filter:
+    identical pair sets and sims (the cut happens before the Arrow
+    transfer, never changing which pairs qualify)."""
+    full = (
+        SIM.intra_group_pairs_kernel(emb, "label", "vec_id", "embedding")
+        .where(F.col("sim") >= 0.2)
+        .toPandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    pushed = (
+        SIM.intra_group_pairs_kernel(
+            emb, "label", "vec_id", "embedding", min_sim=0.2
+        )
+        .toPandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    assert list(full.id_a) == list(pushed.id_a)
+    assert list(full.id_b) == list(pushed.id_b)
+    assert np.allclose(full.sim, pushed.sim, rtol=1e-12)
+    assert len(pushed) > 0
+
+
 def test_all_pairs_topk_matches_crossjoin(emb):
     kern = ann.all_pairs_topk(emb, k=15).toPandas()
     decl = (

@@ -292,6 +292,37 @@ def main() -> None:
 
     stage("gap_fill_sparse_spine", _gap_fill_sparse)
 
+    # r6 operators: SemDeDup composition and the incremental band probe.
+    def _semantic_dedup():
+        """Quantizer K grows with the corpus (the SemDeDup contract:
+        cells stay ~n/K rows, pair cost n²/K). K = 32 at SCALE 40 →
+        ~2.5k rows/cell; doubling SCALE doubles K, holding cell size —
+        cost should grow ~linearly."""
+        k_cells = max(8, 32 * SCALE // 40)
+        cents = ann.train_ivf_centroids(
+            emb.orderBy("vec_id"), num_cells=k_cells, seed=42
+        )
+        flagged = dedup.semantic_dedup(emb, cents, threshold=0.95)
+        n = flagged.where(~F.col("keep")).count()
+        dedup.release_caches(flagged)
+        return n
+
+    stage("semantic_dedup", _semantic_dedup)
+
+    def _incremental_probe():
+        """Nightly shape at scale: 90% of docs are the indexed corpus,
+        10% the new batch. Cost = batch signature pass + ONE scan of
+        the band index (broadcast probe) — should track corpus size
+        ~linearly with a small constant."""
+        corpus = docs.where(F.col("doc_id") % 10 != 0)
+        batch = docs.where(F.col("doc_id") % 10 == 0)
+        bands_c = dedup.minhash_band_rows(
+            dedup.minhash_signatures_kernel(corpus), num_hashes=64
+        )
+        return dedup.minhash_probe_corpus(batch, bands_c).count()
+
+    stage("incremental_band_probe", _incremental_probe)
+
     stage(
         "jaccard_prefix_join",
         lambda: dedup.jaccard_similarity_join(

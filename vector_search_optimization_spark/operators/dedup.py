@@ -944,8 +944,16 @@ def semantic_dedup(
     assigned = assign_ivf_cells(
         df.select(id_col, vector_col), centroids, vector_col=vector_col
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    pair_fn = intra_group_pairs_kernel if use_kernel else intra_group_pairs
-    pairs = pair_fn(assigned, "cell", id_col, vector_col)
+    if use_kernel:
+        # conservative in-kernel cut (see intra_group_pairs_kernel):
+        # avoids materializing m²/2 Arrow rows per dense cell; the exact
+        # rounded comparison below remains the decision
+        pairs = intra_group_pairs_kernel(
+            assigned, "cell", id_col, vector_col,
+            min_sim=threshold - 1e-6,
+        )
+    else:
+        pairs = intra_group_pairs(assigned, "cell", id_col, vector_col)
     dup_ids = (
         pairs.where(F.round("sim", 6) >= threshold)
         .select(F.col("id_b").alias(id_col))

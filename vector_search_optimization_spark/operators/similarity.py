@@ -63,6 +63,7 @@ def intra_group_pairs_kernel(
     id_col: str,
     vector_col: str,
     metric: str = "cosine",
+    min_sim: float | None = None,
 ) -> DataFrame:
     """BLAS formulation of intra_group_pairs: one numpy kernel per group.
 
@@ -72,6 +73,15 @@ def intra_group_pairs_kernel(
     the group key (same as the join), Arrow both ways. Groups must fit in a
     task's memory (m^2 doubles) — the reference's worst group is a few
     hundred rows; cap pathological groups upstream if needed.
+
+    ``min_sim`` pushes a similarity threshold INTO the kernel: pairs
+    below it are dropped before the Arrow transfer, so a dense-duplicate
+    group emits only its qualifying pairs instead of m²/2 rows (the r6
+    scale probe measured the un-pushed transfer dominating semantic
+    dedup on clustered corpora). Callers that later compare
+    ``round(sim, p) >= t`` must pass a CONSERVATIVE bound (t - 5·10^-p-1
+    or slacker) and keep their exact post-filter — the kernel cut is a
+    prefilter, not the decision.
     """
     import numpy as np
     import pandas as pd
@@ -107,13 +117,17 @@ def intra_group_pairs_kernel(
         norms[norms == 0.0] = np.nan
         sims = (mat @ mat.T) / np.outer(norms, norms)
         iu, ju = np.triu_indices(m, k=1)
+        vals = sims[iu, ju]
+        if min_sim is not None:
+            keep = vals >= min_sim
+            iu, ju, vals = iu[keep], ju[keep], vals[keep]
         ids = pdf[id_col].to_numpy()
         return pd.DataFrame(
             {
                 group_col: np.repeat(pdf[group_col].iloc[0], len(iu)),
                 "id_a": ids[iu],
                 "id_b": ids[ju],
-                "sim": sims[iu, ju],
+                "sim": vals,
             }
         )
 
