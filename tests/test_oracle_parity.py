@@ -68,3 +68,39 @@ def test_query_matches_oracle(spark, duck, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+# Queries whose rounded means are over IRRATIONAL values (sqrt norms /
+# distances, silhouettes, Mahalanobis, -ln scores) — a decimal rounding
+# tie is measure-zero there, so round(avg(...)) is allowed. Everything
+# else must follow the derived-ratio pattern (CLAUDE.md decimal-tie
+# rule): tie-free rounded sum (or exact integer sum) + count, avg
+# derived UNROUNDED.
+_IRRATIONAL_MEAN_OK = {
+    "s1_csv_roundtrip",        # avg of L2 norms (sqrt)
+    "m2_silhouette",           # avg silhouette (ratio of distances)
+    "m11_spectral_embedding",  # avg of spectral coords
+    "p8_null_tolerant",        # avg of L2 norms (sqrt)
+    "m4_grid_sweep",           # per-combo avg silhouette
+    "j7_nearest_centroid",     # avg euclidean distance
+    "m9_mahalanobis_outliers", # avg Mahalanobis distance (sqrt)
+    "lm_quality_scores",       # avg -ln surprisal
+    "curation_pipeline",       # avg -ln surprisal
+}
+
+
+def test_no_new_rounded_mean_exports():
+    """Regression guard for the decimal-tie rule (the evt_gap_fill /
+    tokenizer_fertility incident class): no oracle may export
+    round(avg(...)) unless the averaged values are irrational
+    (whitelist above). A new offender here is one testdata regeneration
+    away from a HALF_UP-vs-float-repr hash flap."""
+    import re
+
+    offenders = [
+        name
+        for name, sql in entrymod.oracle_sql().items()
+        if name not in _IRRATIONAL_MEAN_OK
+        and re.search(r"round\(\s*avg\(", sql, re.IGNORECASE)
+    ]
+    assert not offenders, offenders
