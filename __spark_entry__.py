@@ -5629,6 +5629,84 @@ FROM sizes, tot ORDER BY source
 """
 
 
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-line removal (curation.
+    strip_boilerplate_lines — the CCNet/RefinedWeb stage that drops
+    lines repeating across many documents). The synthetic corpus has no
+    natural line structure, so the query PLANTS it: every doc gains a
+    copyright footer line and every 4th doc a banner line whose leading
+    padding varies per doc (doc_id % 3 spaces) — stripped only if
+    matching happens on the TRIMMED form, exercising the shared line
+    contract. Body lines (df=1) must survive byte-exact in order:
+    the exported sha256 of the rebuilt text value-checks the whole
+    posexplode → df-count → anti-join → ordered-rebuild path."""
+    from vector_search_optimization_spark.operators import curation as CUR
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\ncopyright acme corp - all rights reserved"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit("\n"),
+                    F.repeat(F.lit(" "), (F.col("doc_id") % 3).cast("int")),
+                    F.lit("subscribe now"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = CUR.strip_boilerplate_lines(aug, min_doc_freq=10)
+    return out.select(
+        "doc_id",
+        "n_lines_before",
+        "n_lines_removed",
+        F.length("clean_text").alias("clean_chars"),
+        F.sha2(F.col("clean_text"), 256).alias("clean_sha"),
+    ).orderBy("doc_id")
+
+
+_BOILERPLATE_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         text || chr(10) || 'copyright acme corp - all rights reserved'
+         || CASE WHEN doc_id % 4 = 0
+                 THEN chr(10) || repeat(' ', CAST(doc_id % 3 AS INTEGER))
+                      || 'subscribe now'
+                 ELSE '' END AS text
+  FROM documents
+), ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS arr FROM aug
+), keyed AS (
+  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS line,
+         trim(unnest(arr), ' ' || chr(9) || chr(13)) AS key
+  FROM ls
+), freq AS (
+  SELECT key FROM keyed WHERE key <> ''
+  GROUP BY key HAVING count(DISTINCT doc_id) >= 10
+), kept AS (
+  SELECT k.doc_id, k.pos, k.line
+  FROM keyed k LEFT JOIN freq f ON k.key = f.key
+  WHERE f.key IS NULL
+), rebuilt AS (
+  SELECT doc_id, count(*) AS n_after,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_before FROM keyed GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.n_before AS n_lines_before,
+       CAST(t.n_before - coalesce(r.n_after, 0) AS BIGINT) AS n_lines_removed,
+       CAST(length(coalesce(r.clean_text, '')) AS INTEGER) AS clean_chars,
+       sha256(coalesce(r.clean_text, '')) AS clean_sha
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+ORDER BY t.doc_id
+"""
+
+
 def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted doc sample (Efraimidis–Spirakis A-ES, rand()-free:
     sampling.weighted_sample_fixed_n): top-50 by u^(1/n_chars) with u a
@@ -6266,17 +6344,17 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-4:   the 5 NEW r6 queries (line repetition, semantic
+#   positions 0-5:   the 6 NEW r6 queries (line repetition, semantic
 #                    dedup, incremental corpus dedup, bloom decontam,
-#                    mixture weights) — never audited;
-#   positions 5-16:  the 12 queries whose exports/oracles CHANGED in r6
+#                    mixture weights, boilerplate strip) — never audited;
+#   positions 6-17:  the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 17-35: the 19 r2-audited entries (16 basics — j1 moved to
+#   positions 18-36: the 19 r2-audited entries (16 basics — j1 moved to
 #                    the changed group — + m4_dbscan/g1/g2), stalest;
-#   positions 36-49: 14 of the r3-audited half (roundtrips, f5/f7/j5map,
-#                    m1/m2/m3/m10/m11, a16, ep3_lloyd_audit).
-# Behind the window: the r3-audited leftovers (p8, f10, f11, s7
+#   positions 37-49: 13 of the r3-audited half (roundtrips, f5/f7/j5map,
+#                    m1/m2/m3/m10/m11, ep3_lloyd_audit).
+# Behind the window: the r3-audited leftovers (a16, p8, f10, f11, s7
 # converters, doc_chunking, mm_asset_features — rotate these forward
 # FIRST in r7), then the r4/r5-audited bulk (freshest driver rows).
 # NOTE decontaminate_overlap/decontaminate_bloom share _decon_sql and
@@ -6289,6 +6367,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "incremental_corpus_dedup": (incremental_corpus_dedup, _incremental_dedup_sql()),
     "decontaminate_bloom": (decontaminate_bloom, _decon_sql),
     "source_mixture_weights": (source_mixture_weights, _MIXTURE_SQL),
+    "boilerplate_strip": (boilerplate_strip, _BOILERPLATE_SQL),
     "ep3_label_pipeline": (ep3_label_pipeline, _ep3_pipeline_sql),
     "evt_sketch_audit": (evt_sketch_audit, _SKETCH_SQL),
     "tokenizer_fertility": (tokenizer_fertility, _fertility_sql),

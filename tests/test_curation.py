@@ -381,3 +381,41 @@ def test_weighted_sample_drops_nonpositive_weights(spark):
     )
     got = {r.id for r in SAMP.weighted_sample_fixed_n(df, "id", "w", 10).collect()}
     assert got == {1, 5}
+
+
+def test_strip_boilerplate_lines_semantics(spark):
+    """Trim-form matching, raw-byte order-preserving rebuild, structure
+    (empty-trim) lines always kept, min_doc_freq boundary inclusive."""
+    from vector_search_optimization_spark.operators.curation import (
+        strip_boilerplate_lines,
+    )
+
+    rows = [
+        (1, "body one\n  FOOTER  \n\nlast line"),
+        (2, "body two\nFOOTER"),
+        (3, "\tFOOTER\t\nbody three"),
+        (4, "solo body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in strip_boilerplate_lines(df, min_doc_freq=3).collect()
+    }
+    # FOOTER appears (under trim) in docs 1-3 -> stripped everywhere,
+    # regardless of raw padding; the blank structure line in doc 1 stays
+    assert out[1].clean_text == "body one\n\nlast line"
+    assert (out[1].n_lines_before, out[1].n_lines_removed) == (4, 1)
+    assert out[2].clean_text == "body two"
+    assert out[3].clean_text == "body three"
+    assert out[4].clean_text == "solo body"
+    assert out[4].n_lines_removed == 0
+
+    # below the frequency floor (df=2 < 3): nothing stripped
+    out2 = {
+        r.doc_id: r
+        for r in strip_boilerplate_lines(
+            df.where("doc_id <= 2"), min_doc_freq=3
+        ).collect()
+    }
+    assert out2[1].n_lines_removed == 0
+    assert out2[2].clean_text == rows[1][1]
