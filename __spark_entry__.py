@@ -5629,6 +5629,89 @@ FROM sizes, tot ORDER BY source
 """
 
 
+def mixture_sample_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixing EXECUTOR: apply source_mixture_weights to the
+    corpus under a token budget of half the corpus. Per-source keep rate
+    r_s = min(1, budget·w_s / n_s) = min(1, 0.5·weight/raw_share)
+    (alpha=0.5 upsamples small sources to rate 1, downsamples large
+    ones), applied per document by the deterministic hash threshold
+    (sampling.sample_by_rate — rerun/partitioning/engine-stable, no
+    rand()). Exports per source the rate and the realized sample
+    (n_kept, kept_tokens); the oracle recomputes weights, rates, the
+    u16 hash threshold, and the aggregation independently."""
+    from vector_search_optimization_spark.operators import sampling as SAMP
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", TX.whitespace_token_count("text").alias("__ws")
+    )
+    sizes = d.groupBy("source").agg(F.sum("__ws").alias("n_tokens"))
+    w = SAMP.mixture_weights(sizes, "source", "n_tokens").select(
+        "source",
+        "n_tokens",
+        F.least(
+            F.lit(1.0), F.lit(0.5) * F.col("weight") / F.col("raw_share")
+        ).alias("rate"),
+    )
+    kept = SAMP.sample_by_rate(
+        d.join(F.broadcast(w.select("source", "rate")), "source"),
+        "doc_id",
+        "rate",
+    )
+    agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("__ws").alias("kept_tokens"),
+    )
+    return (
+        w.join(agg, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            "rate",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0).cast("long")).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_MIXTURE_APPLY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS ws
+  FROM documents
+), sizes AS (
+  SELECT source, CAST(sum(ws) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total,
+         sum(sqrt(CAST(n_tokens AS DOUBLE))) AS w_total
+  FROM sizes
+), rates AS (
+  SELECT source, n_tokens,
+         least(1.0,
+               0.5 * round(sqrt(CAST(n_tokens AS DOUBLE)) / w_total, 6)
+               / (CAST(n_tokens AS DOUBLE) / n_total)) AS rate
+  FROM sizes, tot
+), kept AS (
+  SELECT t.source, t.ws
+  FROM tok t JOIN rates r ON t.source = r.source
+  WHERE CAST(concat('0x', substr(sha256(CAST(t.doc_id AS VARCHAR)), 1, 4))
+             AS BIGINT) < r.rate * 65536.0
+), agg AS (
+  SELECT source, count(*) AS n_kept, CAST(sum(ws) AS BIGINT) AS kept_tokens
+  FROM kept GROUP BY source
+)
+SELECT r.source, r.n_tokens, r.rate,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.kept_tokens, 0) AS kept_tokens
+FROM rates r LEFT JOIN agg a ON r.source = a.source
+ORDER BY r.source
+"""
+
+
 def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate-line removal (curation.
     strip_boilerplate_lines — the CCNet/RefinedWeb stage that drops
@@ -6344,18 +6427,19 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-5:   the 6 NEW r6 queries (line repetition, semantic
+#   positions 0-6:   the 7 NEW r6 queries (line repetition, semantic
 #                    dedup, incremental corpus dedup, bloom decontam,
-#                    mixture weights, boilerplate strip) — never audited;
-#   positions 6-17:  the 12 queries whose exports/oracles CHANGED in r6
+#                    mixture weights + apply, boilerplate strip) — never
+#                    audited;
+#   positions 7-18:  the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 18-36: the 19 r2-audited entries (16 basics — j1 moved to
+#   positions 19-37: the 19 r2-audited entries (16 basics — j1 moved to
 #                    the changed group — + m4_dbscan/g1/g2), stalest;
-#   positions 37-49: 13 of the r3-audited half (roundtrips, f5/f7/j5map,
-#                    m1/m2/m3/m10/m11, ep3_lloyd_audit).
-# Behind the window: the r3-audited leftovers (a16, p8, f10, f11, s7
-# converters, doc_chunking, mm_asset_features — rotate these forward
+#   positions 38-49: 12 of the r3-audited half (roundtrips, f5/f7/j5map,
+#                    m1/m2/m3/m10, ep3_lloyd_audit).
+# Behind the window: the r3-audited leftovers (m11, a16, p8, f10, f11,
+# s7 converters, doc_chunking, mm_asset_features — rotate these forward
 # FIRST in r7), then the r4/r5-audited bulk (freshest driver rows).
 # NOTE decontaminate_overlap/decontaminate_bloom share _decon_sql and
 # their contaminated_pct export changed in r6 (unrounded derived) —
@@ -6368,6 +6452,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "decontaminate_bloom": (decontaminate_bloom, _decon_sql),
     "source_mixture_weights": (source_mixture_weights, _MIXTURE_SQL),
     "boilerplate_strip": (boilerplate_strip, _BOILERPLATE_SQL),
+    "mixture_sample_apply": (mixture_sample_apply, _MIXTURE_APPLY_SQL),
     "ep3_label_pipeline": (ep3_label_pipeline, _ep3_pipeline_sql),
     "evt_sketch_audit": (evt_sketch_audit, _SKETCH_SQL),
     "tokenizer_fertility": (tokenizer_fertility, _fertility_sql),

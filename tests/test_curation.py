@@ -419,3 +419,33 @@ def test_strip_boilerplate_lines_semantics(spark):
     }
     assert out2[1].n_lines_removed == 0
     assert out2[2].clean_text == rows[1][1]
+
+
+def test_sample_by_rate_matches_literal_and_scales(spark):
+    """sample_by_rate with a constant column == deterministic_sample
+    with the same literal; per-group rates keep/drop independently and
+    rate 1.0 keeps everything."""
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 2).alias("g")
+    )
+    lit_kept = {
+        r.doc_id
+        for r in SAMP.deterministic_sample(df, "doc_id", 0.25).collect()
+    }
+    col_kept = {
+        r.doc_id
+        for r in SAMP.sample_by_rate(
+            df.withColumn("rate", F.lit(0.25)), "doc_id", "rate"
+        ).collect()
+    }
+    assert col_kept == lit_kept
+    mixed = SAMP.sample_by_rate(
+        df.withColumn(
+            "rate", F.when(F.col("g") == 0, F.lit(1.0)).otherwise(F.lit(0.25))
+        ),
+        "doc_id",
+        "rate",
+    )
+    got = {r.doc_id for r in mixed.collect()}
+    assert {d for d in got if d % 2 == 0} == {d for d in range(0, 2000, 2)}
+    assert {d for d in got if d % 2 == 1} == {d for d in lit_kept if d % 2 == 1}

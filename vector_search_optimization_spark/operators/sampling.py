@@ -58,6 +58,23 @@ def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     )
 
 
+def sample_by_rate(df: DataFrame, key: str, rate_col: Column | str) -> DataFrame:
+    """Per-row deterministic keep with a COLUMN-valued rate — the
+    grouped generalization of :func:`deterministic_sample` (whose rate
+    is a Python literal): keep iff ``u16(key) < rate * 65536`` where
+    u16 is the first 4 hex chars of sha256(key) as an integer.
+
+    u16 and the rate expression are each bit-identical cross-engine
+    (integer hash prefix; rates derived from already-identical columns),
+    so the kept set is rerun-, partitioning-, and engine-stable. Rate
+    resolution is 1/65536 (same as deterministic_sample); nesting holds
+    per key: raising a row's rate only ever ADDS it.
+    """
+    u16 = F.conv(F.substring(sample_hash(key), 1, 4), 16, 10).cast("double")
+    r = F.col(rate_col) if isinstance(rate_col, str) else rate_col
+    return df.where(u16 < r * 65536.0)
+
+
 def weighted_sample_fixed_n(
     df: DataFrame,
     key: str,
