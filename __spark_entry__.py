@@ -6420,6 +6420,57 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 
 
 # ---------------------------------------------------------------------------
+# Corpus heavy hitters (operators.heavy_hitters — sketch-then-verify)
+# ---------------------------------------------------------------------------
+
+_HH_PHI = 0.034
+
+
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-vocabulary heavy hitters (tokens with > phi of all
+    token occurrences) WITHOUT shuffling the token stream: map-side
+    per-batch candidate generation (pigeonhole-complete, <= 1/phi keys
+    per batch) + broadcast-semi exact verification of the bounded
+    candidate set (operators/heavy_hitters.py). The building block for
+    corpus-scale stopword mining / hot-token audits where a plain
+    groupBy would shuffle ~the corpus itself. Output is the exact
+    hitter set — partition-layout independent — so it value-oracles
+    against the plain groupBy formulation."""
+    from vector_search_optimization_spark.operators import heavy_hitters as HH
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("token")
+    )
+    return HH.heavy_hitters(toks, "token", _HH_PHI)
+
+
+# The oracle is the formulation the operator exists to avoid at scale —
+# a plain exact groupBy over every token occurrence — which is exactly
+# what makes it the right completeness check for the sketch.
+_HH_SQL = f"""
+WITH raw AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), toks AS (
+  SELECT token FROM raw WHERE token <> ''
+), tot AS (SELECT count(*) AS total FROM toks)
+SELECT token, CAST(count(*) AS BIGINT) AS n,
+       CAST(total AS BIGINT) AS total,
+       count(*) / CAST(total AS DOUBLE) AS share
+FROM toks, tot
+GROUP BY token, total
+HAVING count(*) > {_HH_PHI} * total
+ORDER BY n DESC, token
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
 
@@ -6427,17 +6478,18 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-6:   the 7 NEW r6 queries (line repetition, semantic
-#                    dedup, incremental corpus dedup, bloom decontam,
-#                    mixture weights + apply, boilerplate strip) — never
-#                    audited;
-#   positions 7-18:  the 12 queries whose exports/oracles CHANGED in r6
+#   positions 0-7:   the 8 NEW r6 queries (corpus heavy hitters, line
+#                    repetition, semantic dedup, incremental corpus
+#                    dedup, bloom decontam, mixture weights + apply,
+#                    boilerplate strip) — never audited;
+#   positions 8-19:  the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 19-37: the 19 r2-audited entries (16 basics — j1 moved to
+#   positions 20-38: the 19 r2-audited entries (16 basics — j1 moved to
 #                    the changed group — + m4_dbscan/g1/g2), stalest;
-#   positions 38-49: 12 of the r3-audited half (roundtrips, f5/f7/j5map,
-#                    m1/m2/m3/m10, ep3_lloyd_audit).
+#   positions 39-49: 11 of the r3-audited half (roundtrips, f5/f7/j5map,
+#                    m1/m2/m3, ep3_lloyd_audit; m10 displaced by the
+#                    heavy-hitters insert).
 # Behind the window: the r3-audited leftovers (m11, a16, p8, f10, f11,
 # s7 converters, doc_chunking, mm_asset_features — rotate these forward
 # FIRST in r7), then the r4/r5-audited bulk (freshest driver rows).
@@ -6446,6 +6498,7 @@ FROM part GROUP BY p_brand ORDER BY p_brand
 # decontaminate_overlap sits behind the window; local gate covers it.
 # tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "corpus_heavy_hitters": (corpus_heavy_hitters, _HH_SQL),
     "text_line_repetition": (text_line_repetition, _LINE_REP_SQL),
     "semantic_dedup": (semantic_dedup, _semantic_dedup_sql),
     "incremental_corpus_dedup": (incremental_corpus_dedup, _incremental_dedup_sql()),

@@ -116,6 +116,10 @@ _NESTED_LOOP_OK = {
                             # frame broadcast back for the rank gate
     "evt_gap_fill",         # 1-row bounds frame broadcast to the spine
     "source_mixture_weights",  # 1-row totals frame broadcast to 20 sources
+    "mixture_sample_apply",    # same 1-row totals broadcast (reuses
+                               # sampling.mixture_weights for its rates)
+    "corpus_heavy_hitters",    # 1-row total-count frame broadcast to the
+                               # bounded verified-candidate set
 }
 
 
