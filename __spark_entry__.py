@@ -6471,6 +6471,120 @@ ORDER BY n DESC, token
 
 
 # ---------------------------------------------------------------------------
+# Closed-form linear probe (operators.regression — normal equations)
+# ---------------------------------------------------------------------------
+
+_PROBE_FEATS = ["n_chars_txt", "n_tokens", "n_distinct"]
+
+
+def _probe_features(d: DataFrame) -> DataFrame:
+    """Integer text features + integer deflate-size target — the inputs
+    the exact-Gram contract needs (operators/regression.py)."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: w != ""
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_txt"),
+        TX.whitespace_token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        TX.compressed_size_expr("text").cast("bigint").alias("y_deflate"),
+    )
+
+
+def quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality probe trained at corpus scale in CLOSED FORM:
+    least-squares weights for deflate-size ~ (chars, tokens, distinct
+    words) via normal equations — XᵀX/Xᵀy as ONE combinable
+    exact-integer aggregation (decimal(38,0) sums, no float order
+    noise), 4×4 numpy solve on the driver, weights inlined as literals
+    for pure map-side scoring. The 100 TB story: training a feature
+    probe costs one partial-agg scan, not an iterative fit. Exports the
+    per-doc prediction and residual (rounded 4dp — irrational values,
+    tie-free) over bit-identical cross-engine feature integers."""
+    from vector_search_optimization_spark.operators import regression as REG
+
+    feats = _probe_features(load_table(spark, sf_dir, "documents"))
+    w = REG.fit_linear_probe(feats, _PROBE_FEATS, "y_deflate")
+    return (
+        REG.score_linear_probe(feats, _PROBE_FEATS, w)
+        .select(
+            "doc_id",
+            *_PROBE_FEATS,
+            "y_deflate",
+            F.round("pred", 4).alias("pred_deflate"),
+            F.round(F.col("y_deflate") - F.col("pred"), 4).alias("resid"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _linear_probe_sql() -> str:
+    """Oracle: recompute the features with the proven DuckDB twins, the
+    deflate target with the same stdlib zlib, the Gram in exact Python
+    ints, and the weights with the same numpy solve — then score in SQL
+    with the weights as full-precision literals in the same
+    left-associated IEEE order the Spark expression uses."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    feats = con.execute(
+        f"""
+SELECT doc_id, text,
+       CAST(length(text) AS BIGINT) AS n_chars_txt,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+         AS n_tokens,
+       CAST(len(list_distinct(list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'),
+            w -> w <> ''))) AS BIGINT) AS n_distinct
+FROM '{_oracle_sf_dir()}/documents.parquet' ORDER BY doc_id
+"""
+    ).df()
+    ys = [TX.compressed_size_py(t) for t in feats["text"]]
+    X = [
+        (1, int(a), int(b), int(c))
+        for a, b, c in zip(
+            feats["n_chars_txt"], feats["n_tokens"], feats["n_distinct"]
+        )
+    ]
+    d = 4
+    A = [[sum(r[i] * r[j] for r in X) for j in range(d)] for i in range(d)]
+    b = [sum(r[i] * y for r, y in zip(X, ys)) for i in range(d)]
+    w = np.linalg.solve(
+        np.array(A, dtype="float64"), np.array(b, dtype="float64")
+    )
+    # scientific notation → DuckDB types the literal DOUBLE (a plain
+    # decimal literal becomes DECIMAL(18,x) and overflows in products);
+    # 17 significant digits round-trips the IEEE double exactly
+    w0, w1, w2, w3 = (f"{v:.17e}" for v in w)
+    pred = f"{w0} + {w1} * n_chars_txt + {w2} * n_tokens + {w3} * n_distinct"
+    vals = ", ".join(
+        f"({int(i)}, {y})" for i, y in zip(feats["doc_id"], ys)
+    )
+    return f"""
+WITH f AS (
+  SELECT d.doc_id,
+         CAST(length(d.text) AS INTEGER) AS n_chars_txt,
+         CAST(CASE WHEN trim(d.text) = '' THEN 0
+              ELSE len(string_split_regex(trim(d.text), '\\s+')) END
+              AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(list_filter(
+              string_split_regex(lower(trim(d.text)), '\\s+'),
+              w -> w <> ''))) AS INTEGER) AS n_distinct,
+         CAST(v.y AS BIGINT) AS y_deflate
+  FROM documents d JOIN (VALUES {vals}) AS v(doc_id, y)
+    ON d.doc_id = v.doc_id
+)
+SELECT doc_id, n_chars_txt, n_tokens, n_distinct, y_deflate,
+       round({pred}, 4) AS pred_deflate,
+       round(y_deflate - ({pred}), 4) AS resid
+FROM f ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
 
@@ -6478,18 +6592,18 @@ ORDER BY n DESC, token
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-7:   the 8 NEW r6 queries (corpus heavy hitters, line
-#                    repetition, semantic dedup, incremental corpus
-#                    dedup, bloom decontam, mixture weights + apply,
-#                    boilerplate strip) — never audited;
-#   positions 8-19:  the 12 queries whose exports/oracles CHANGED in r6
+#   positions 0-8:   the 9 NEW r6 queries (corpus heavy hitters, linear
+#                    probe, line repetition, semantic dedup, incremental
+#                    corpus dedup, bloom decontam, mixture weights +
+#                    apply, boilerplate strip) — never audited;
+#   positions 9-20:  the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 20-38: the 19 r2-audited entries (16 basics — j1 moved to
+#   positions 21-39: the 19 r2-audited entries (16 basics — j1 moved to
 #                    the changed group — + m4_dbscan/g1/g2), stalest;
-#   positions 39-49: 11 of the r3-audited half (roundtrips, f5/f7/j5map,
-#                    m1/m2/m3, ep3_lloyd_audit; m10 displaced by the
-#                    heavy-hitters insert).
+#   positions 40-49: 10 of the r3-audited half (roundtrips, f5/f7/j5map,
+#                    m1/m2, ep3_lloyd_audit; m3/m10 displaced by the r6
+#                    front inserts).
 # Behind the window: the r3-audited leftovers (m11, a16, p8, f10, f11,
 # s7 converters, doc_chunking, mm_asset_features — rotate these forward
 # FIRST in r7), then the r4/r5-audited bulk (freshest driver rows).
@@ -6499,6 +6613,7 @@ ORDER BY n DESC, token
 # tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "corpus_heavy_hitters": (corpus_heavy_hitters, _HH_SQL),
+    "quality_linear_probe": (quality_linear_probe, _linear_probe_sql),
     "text_line_repetition": (text_line_repetition, _LINE_REP_SQL),
     "semantic_dedup": (semantic_dedup, _semantic_dedup_sql),
     "incremental_corpus_dedup": (incremental_corpus_dedup, _incremental_dedup_sql()),
