@@ -6585,6 +6585,177 @@ FROM f ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Exact-span duplication coverage (winnow-anchored ExactSubstr shape)
+# ---------------------------------------------------------------------------
+
+_SPAN_N, _SPAN_W = 20, 8
+
+
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT-substring duplication coverage — the
+    per-document statistic behind Lee et al. '21 ("Deduplicating
+    Training Data...") ExactSubstr dedup, re-expressed for Spark where a
+    corpus-wide suffix array is a non-starter:
+
+    1. winnow-select char-20-gram anchor positions per doc (map-side
+       Arrow kernel, functions/text.py:winnow_positions_np — 1/w of the
+       grams; any shared span >= n + w - 1 = 27 chars contains a shared
+       selected gram on both sides, so long duplicated spans cannot
+       hide);
+    2. one combinable groupBy on the ANCHOR TEXT itself (not its hash —
+       the match predicate is exact string equality, collision-free)
+       counting distinct docs per anchor; anchors seen in >= 2 docs are
+       cross-doc duplicated;
+    3. join matched anchors back (equi-join, co-partitioned with the
+       groupBy) and merge each doc's matched [pos, pos+len) intervals
+       with ONE lag-window pass (integer gaps-and-islands — no pair of
+       documents is ever materialized, unlike pairwise dedup: cost is
+       O(selected anchors), not O(dup pairs²));
+    4. per-doc coverage: duplicated-span chars / doc chars, derived
+       unrounded from exact integers.
+
+    Skew note (100 TB): a boilerplate anchor shared by millions of docs
+    is a hot groupBy key — the count-distinct partial-aggregates
+    map-side, and the join-back replicates only that anchor's own rows
+    (no cross product), so hot anchors cost bandwidth, not a reducer
+    blowup."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, poss, grams = [], [], []
+            for doc_id, text in zip(pdf["doc_id"].tolist(), pdf["text"]):
+                t = (text or "").strip(" ").lower()
+                for p in TX.winnow_positions_np(t, _SPAN_N, _SPAN_W):
+                    ids.append(doc_id)
+                    poss.append(int(p))
+                    grams.append(t[p - 1 : p - 1 + _SPAN_N])
+            yield pd.DataFrame({"doc_id": ids, "pos": poss, "gram": grams})
+
+    sel = d.select("doc_id", "text").mapInPandas(
+        batches, schema="doc_id long, pos long, gram string"
+    )
+    shared = (
+        sel.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    matched = sel.join(shared.select("gram"), "gram").select(
+        "doc_id", "pos", (F.col("pos") + F.length("gram")).alias("endp")
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos", "endp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    percov = (
+        matched.withColumn("prev_end", F.max("endp").over(wprev))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(
+                F.greatest(
+                    F.lit(0),
+                    F.col("endp")
+                    - F.greatest(
+                        F.col("pos"),
+                        F.coalesce(F.col("prev_end"), F.col("pos")),
+                    ),
+                )
+            ).alias("covered_chars"),
+        )
+    )
+    nsel = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_selected"))
+    base = d.select(
+        "doc_id", F.length(F.trim(F.col("text"))).alias("len_t")
+    )
+    cov = F.coalesce(F.col("covered_chars"), F.lit(0).cast("long"))
+    return (
+        base.join(nsel, "doc_id")
+        .join(percov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_selected",
+            F.coalesce(F.col("n_matched"), F.lit(0).cast("long")).alias(
+                "n_matched"
+            ),
+            cov.alias("covered_chars"),
+            "len_t",
+            F.when(
+                F.col("len_t") > 0, cov / F.col("len_t")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_span_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dup_span_sql() -> str:
+    poly_gram = _POLY_SQL.format(
+        s=f"substring(t, j, {_SPAN_N})", base=TX.POLY_BASE
+    )
+    poly_whole = _POLY_SQL.format(s="t", base=TX.POLY_BASE)
+    w1 = _SPAN_W - 1
+    return f"""
+WITH g AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents
+), h AS (
+  SELECT doc_id, t,
+         CASE WHEN length(t) >= {_SPAN_N} THEN
+             list_transform(range(1, length(t) - {_SPAN_N - 2}),
+                            j -> {poly_gram})
+         ELSE [{poly_whole}] END AS hs
+  FROM g
+), sel0 AS (
+  SELECT doc_id, t,
+         list_distinct(list_transform(
+             range(1, greatest(len(hs) - {w1}, 1) + 1),
+             i -> i - 1 + list_position(hs[i:i + {w1}],
+                                        list_min(hs[i:i + {w1}])))) AS poss
+  FROM h
+), sel AS (
+  SELECT doc_id, t, unnest(poss) AS pos FROM sel0
+), selg AS (
+  SELECT doc_id, pos, substring(t, pos, {_SPAN_N}) AS gram,
+         length(substring(t, pos, {_SPAN_N})) AS glen
+  FROM sel
+), shared AS (
+  SELECT gram FROM selg GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), mt AS (
+  SELECT s.doc_id, s.pos, s.pos + s.glen AS endp
+  FROM selg s JOIN shared sh ON s.gram = sh.gram
+), cov AS (
+  SELECT doc_id, pos, endp,
+         max(endp) OVER (PARTITION BY doc_id ORDER BY pos, endp
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS prev_end
+  FROM mt
+), percov AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+         CAST(sum(greatest(0, endp - greatest(pos, coalesce(prev_end, pos))))
+              AS BIGINT) AS covered_chars
+  FROM cov GROUP BY doc_id
+), nsel AS (
+  SELECT doc_id, CAST(len(poss) AS BIGINT) AS n_selected,
+         CAST(length(t) AS INTEGER) AS len_t
+  FROM sel0
+)
+SELECT n.doc_id, n.n_selected,
+       coalesce(p.n_matched, 0) AS n_matched,
+       coalesce(p.covered_chars, 0) AS covered_chars,
+       n.len_t,
+       CASE WHEN n.len_t > 0
+            THEN coalesce(p.covered_chars, 0) / CAST(n.len_t AS DOUBLE)
+            ELSE 0.0 END AS dup_span_fraction
+FROM nsel n LEFT JOIN percov p ON n.doc_id = p.doc_id
+ORDER BY n.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
 
@@ -6592,17 +6763,18 @@ FROM f ORDER BY doc_id
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-8:   the 9 NEW r6 queries (corpus heavy hitters, linear
-#                    probe, line repetition, semantic dedup, incremental
-#                    corpus dedup, bloom decontam, mixture weights +
-#                    apply, boilerplate strip) — never audited;
-#   positions 9-20:  the 12 queries whose exports/oracles CHANGED in r6
+#   positions 0-9:   the 10 NEW r6 queries (corpus heavy hitters,
+#                    linear probe, dup-span coverage, line repetition,
+#                    semantic dedup, incremental corpus dedup, bloom
+#                    decontam, mixture weights + apply, boilerplate
+#                    strip) — never audited;
+#   positions 10-21: the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 21-39: the 19 r2-audited entries (16 basics — j1 moved to
+#   positions 22-40: the 19 r2-audited entries (16 basics — j1 moved to
 #                    the changed group — + m4_dbscan/g1/g2), stalest;
-#   positions 40-49: 10 of the r3-audited half (roundtrips, f5/f7/j5map,
-#                    m1/m2, ep3_lloyd_audit; m3/m10 displaced by the r6
+#   positions 41-49: 9 of the r3-audited half (roundtrips, f5/f7/j5map,
+#                    m1, ep3_lloyd_audit; m2/m3/m10 displaced by the r6
 #                    front inserts).
 # Behind the window: the r3-audited leftovers (m11, a16, p8, f10, f11,
 # s7 converters, doc_chunking, mm_asset_features — rotate these forward
@@ -6614,6 +6786,7 @@ FROM f ORDER BY doc_id
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "corpus_heavy_hitters": (corpus_heavy_hitters, _HH_SQL),
     "quality_linear_probe": (quality_linear_probe, _linear_probe_sql),
+    "dup_span_coverage": (dup_span_coverage, _dup_span_sql()),
     "text_line_repetition": (text_line_repetition, _LINE_REP_SQL),
     "semantic_dedup": (semantic_dedup, _semantic_dedup_sql),
     "incremental_corpus_dedup": (incremental_corpus_dedup, _incremental_dedup_sql()),

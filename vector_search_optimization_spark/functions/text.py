@@ -391,6 +391,31 @@ def char_gram_hashes_np(
     return (windows @ pows) % mod
 
 
+def winnow_positions_np(s: str, n: int, w: int) -> "np.ndarray":
+    """Distinct 1-based start positions of the winnow-SELECTED char
+    n-grams: for every sliding window of ``w`` consecutive gram hashes,
+    the position of the LEFTMOST minimum (np ``argmin`` ties-to-first ==
+    DuckDB ``list_position(sub, list_min(sub))``), deduplicated.
+
+    This is :func:`char_gram_hashes_np`-based winnowing with POSITIONS
+    kept (the fingerprint queries keep only hash sets) — the anchor set
+    for exact-span duplicate detection: any substring of length
+    >= n + w - 1 shared between two documents contains a full hash
+    window on both sides, and (absent a poly-hash collision inside one
+    window) both select the same gram at the same offset into the span,
+    so the span is discoverable from selected-gram equality alone.
+    Texts shorter than ``n`` select position 1 (the whole-string gram).
+    """
+    import numpy as np
+
+    h = char_gram_hashes_np(s, n)
+    if len(h) <= w:
+        return np.array([int(h.argmin()) + 1], dtype=np.int64)
+    wins = np.lib.stride_tricks.sliding_window_view(h, w)
+    pos = wins.argmin(axis=1) + np.arange(len(h) - w + 1, dtype=np.int64)
+    return np.unique(pos) + 1
+
+
 def char_ngrams(text: Column | str, n: int = 5) -> Column:
     """Array of distinct character n-grams (for n-gram Jaccard)."""
     t = F.lower(F.trim(_c(text)))
