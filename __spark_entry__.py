@@ -6618,79 +6618,11 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a hot groupBy key — the count-distinct partial-aggregates
     map-side, and the join-back replicates only that anchor's own rows
     (no cross product), so hot anchors cost bandwidth, not a reducer
-    blowup."""
+    blowup. Pipeline: operators/dedup.py:dup_span_coverage_frame."""
     d = load_table(spark, sf_dir, "documents")
-
-    def batches(it):
-        import pandas as pd
-
-        for pdf in it:
-            ids, poss, grams = [], [], []
-            for doc_id, text in zip(pdf["doc_id"].tolist(), pdf["text"]):
-                t = (text or "").strip(" ").lower()
-                for p in TX.winnow_positions_np(t, _SPAN_N, _SPAN_W):
-                    ids.append(doc_id)
-                    poss.append(int(p))
-                    grams.append(t[p - 1 : p - 1 + _SPAN_N])
-            yield pd.DataFrame({"doc_id": ids, "pos": poss, "gram": grams})
-
-    sel = d.select("doc_id", "text").mapInPandas(
-        batches, schema="doc_id long, pos long, gram string"
-    )
-    shared = (
-        sel.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
-        .where(F.col("n_docs") >= 2)
-    )
-    matched = sel.join(shared.select("gram"), "gram").select(
-        "doc_id", "pos", (F.col("pos") + F.length("gram")).alias("endp")
-    )
-    wprev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos", "endp")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    percov = (
-        matched.withColumn("prev_end", F.max("endp").over(wprev))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_matched"),
-            F.sum(
-                F.greatest(
-                    F.lit(0),
-                    F.col("endp")
-                    - F.greatest(
-                        F.col("pos"),
-                        F.coalesce(F.col("prev_end"), F.col("pos")),
-                    ),
-                )
-            ).alias("covered_chars"),
-        )
-    )
-    nsel = sel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_selected"))
-    base = d.select(
-        "doc_id", F.length(F.trim(F.col("text"))).alias("len_t")
-    )
-    cov = F.coalesce(F.col("covered_chars"), F.lit(0).cast("long"))
-    return (
-        base.join(nsel, "doc_id")
-        .join(percov, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_selected",
-            F.coalesce(F.col("n_matched"), F.lit(0).cast("long")).alias(
-                "n_matched"
-            ),
-            cov.alias("covered_chars"),
-            "len_t",
-            F.when(
-                F.col("len_t") > 0, cov / F.col("len_t")
-            )
-            .otherwise(F.lit(0.0))
-            .alias("dup_span_fraction"),
-        )
-        .orderBy("doc_id")
-    )
+    return dedup.dup_span_coverage_frame(
+        d, n=_SPAN_N, w=_SPAN_W
+    ).orderBy("doc_id")
 
 
 def _dup_span_sql() -> str:

@@ -78,11 +78,11 @@ def test_planted_shared_span_is_always_anchored():
 
 def test_query_end_to_end_planted(spark):
     """Two docs sharing an exact 60-char span + two unrelated docs:
-    the sharers get covered_chars >= span detectability floor, the
-    others exactly zero."""
-    from pyspark.sql import functions as F
-
+    the sharers get covered_chars > 0 (and never above doc length),
+    the others exactly zero — driven through the registered query's
+    actual operator (operators/dedup.py:dup_span_coverage_frame)."""
     import __spark_entry__ as m
+    from vector_search_optimization_spark.operators import dedup
 
     span = "this exact sixty character duplicated span appears twice okx"
     assert len(span) == 60
@@ -94,43 +94,18 @@ def test_query_end_to_end_planted(spark):
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
 
-    # drive the registered query's internals on a local frame by
-    # monkey-free composition: reuse the module-level constants
-    import vector_search_optimization_spark.functions.text as TXm
-
-    def run(df):
-        # replicate dup_span_coverage's pipeline on an arbitrary frame
-        def batches(it):
-            import pandas as pd
-
-            for pdf in it:
-                ids, poss, grams = [], [], []
-                for doc_id, text in zip(pdf["doc_id"].tolist(), pdf["text"]):
-                    t = (text or "").strip(" ").lower()
-                    for p in TXm.winnow_positions_np(t, m._SPAN_N, m._SPAN_W):
-                        ids.append(doc_id)
-                        poss.append(int(p))
-                        grams.append(t[p - 1 : p - 1 + m._SPAN_N])
-                yield pd.DataFrame(
-                    {"doc_id": ids, "pos": poss, "gram": grams}
-                )
-
-        sel = df.mapInPandas(
-            batches, schema="doc_id long, pos long, gram string"
-        )
-        shared = (
-            sel.groupBy("gram")
-            .agg(F.count_distinct("doc_id").alias("nd"))
-            .where(F.col("nd") >= 2)
-        )
-        return {
-            r["doc_id"]: r["n"]
-            for r in sel.join(shared.select("gram"), "gram")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-
-    matched = run(d)
-    assert matched.get(1, 0) > 0 and matched.get(2, 0) > 0
-    assert 3 not in matched and 4 not in matched
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.dup_span_coverage_frame(
+            d, n=m._SPAN_N, w=m._SPAN_W
+        ).collect()
+    }
+    assert out[1]["covered_chars"] > 0 and out[2]["covered_chars"] > 0
+    assert out[1]["n_matched"] > 0 and out[2]["n_matched"] > 0
+    for i in (3, 4):
+        assert out[i]["covered_chars"] == 0
+        assert out[i]["n_matched"] == 0
+        assert out[i]["dup_span_fraction"] == 0.0
+    for i in (1, 2, 3, 4):
+        assert 0 <= out[i]["covered_chars"] <= out[i]["len_t"]
+        assert out[i]["n_selected"] > 0

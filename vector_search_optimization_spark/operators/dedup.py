@@ -34,7 +34,7 @@ import numpy as np
 # scope — postponed annotations ('pd.Series' strings) fail to resolve
 # against a function-local import (CLAUDE.md)
 import pandas as pd  # noqa: F401
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -1101,3 +1101,111 @@ def jaccard_similarity_join(
     )
     out._vso_caches = [cand, sets]
     return out
+
+
+def winnow_anchor_rows(
+    d: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    w: int = 8,
+) -> DataFrame:
+    """Winnow-selected anchor grams WITH POSITIONS, one row per selected
+    (doc, pos): ``(id_col, pos (1-based into lower(trim(text))), gram)``.
+    Map-side Arrow kernel (functions/text.py:winnow_positions_np) —
+    ~1/w of the char n-grams; any cross-doc shared span of length
+    >= n + w - 1 is guaranteed to contribute an identical (gram) value
+    on both sides. The input rows for exact-span duplicate detection."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, poss, grams = [], [], []
+            for doc_id, text in zip(pdf[id_col].tolist(), pdf[text_col]):
+                t = (text or "").strip(" ").lower()
+                for p in TX.winnow_positions_np(t, n, w):
+                    ids.append(doc_id)
+                    poss.append(int(p))
+                    grams.append(t[p - 1 : p - 1 + n])
+            yield pd.DataFrame({id_col: ids, "pos": poss, "gram": grams})
+
+    id_type = dict(d.dtypes)[id_col]
+    return d.select(id_col, text_col).mapInPandas(
+        batches, schema=f"`{id_col}` {id_type}, pos long, gram string"
+    )
+
+
+def dup_span_coverage_frame(
+    d: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    w: int = 8,
+) -> DataFrame:
+    """Per-document exact-substring duplication coverage (the ExactSubstr
+    statistic, Lee et al. '21) without a suffix array and without ever
+    materializing a document pair:
+
+    anchors (map-side winnow kernel) → ONE combinable groupBy on the
+    anchor TEXT (exact equality — not a hash) counting distinct docs →
+    equi-join matched anchors back (co-partitioned with the groupBy) →
+    per-doc integer interval merge with a single lag window. Cost is
+    O(selected anchors) end to end; a hot boilerplate anchor costs
+    bandwidth on its own rows only (no cross product).
+
+    Returns ``(id_col, n_selected, n_matched, covered_chars, len_t,
+    dup_span_fraction)`` — all integers except the derived unrounded
+    fraction."""
+    sel = winnow_anchor_rows(d, id_col, text_col, n, w)
+    shared = (
+        sel.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    matched = sel.join(shared.select("gram"), "gram").select(
+        id_col, "pos", (F.col("pos") + F.length("gram")).alias("endp")
+    )
+    wprev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos", "endp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    percov = (
+        matched.withColumn("prev_end", F.max("endp").over(wprev))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(
+                F.greatest(
+                    F.lit(0),
+                    F.col("endp")
+                    - F.greatest(
+                        F.col("pos"),
+                        F.coalesce(F.col("prev_end"), F.col("pos")),
+                    ),
+                )
+            ).alias("covered_chars"),
+        )
+    )
+    nsel = sel.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_selected"))
+    base = d.select(
+        id_col, F.length(F.trim(F.col(text_col))).alias("len_t")
+    )
+    cov = F.coalesce(F.col("covered_chars"), F.lit(0).cast("long"))
+    return (
+        base.join(nsel, id_col)
+        .join(percov, id_col, "left")
+        .select(
+            id_col,
+            "n_selected",
+            F.coalesce(F.col("n_matched"), F.lit(0).cast("long")).alias(
+                "n_matched"
+            ),
+            cov.alias("covered_chars"),
+            "len_t",
+            F.when(F.col("len_t") > 0, cov / F.col("len_t"))
+            .otherwise(F.lit(0.0))
+            .alias("dup_span_fraction"),
+        )
+    )
