@@ -6688,6 +6688,292 @@ ORDER BY n.doc_id
 
 
 # ---------------------------------------------------------------------------
+# PageRank centrality (G2-adjacent; fixed-iteration power method)
+# ---------------------------------------------------------------------------
+
+
+def g3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the G1 event-type co-occurrence graph —
+    the centrality companion to g2_communities (TextRank / link-quality
+    weighting shape). Edge construction is the distributed G1 self-join;
+    graph.pagerank then runs 8 fixed power-method rounds, each ONE
+    equi-join of the rank vector onto a persisted normalized transition
+    frame + one combinable groupBy (shuffle bounded by |edges|+|nodes|
+    per round, no cartesian anywhere). Dangling mass is not
+    redistributed (documented simple variant; oracle computes the same
+    recurrence). Ranks round at 6dp — irrational-valued, tie-free."""
+    from vector_search_optimization_spark.operators import graph as GR
+
+    e = load_table(spark, sf_dir, "events")
+    verts = e.select(F.col("event_type").alias("id")).distinct()
+    edges = SIM.cooccurrence_edges(e, "user_id", "event_type")
+    pr = GR.pagerank(edges, verts, damping=0.85, iterations=8)
+    out = pr.select(
+        F.col("id").alias("event_type"),
+        F.round("rank", 6).alias("pagerank"),
+    ).orderBy("event_type")
+    out._vso_caches = getattr(pr, "_vso_caches", [])
+    return out
+
+
+def _g3_pagerank_sql(damping: float = 0.85, iterations: int = 8) -> str:
+    """Unrolled fixed-iteration PageRank: one CTE pair (contribution +
+    rank) per round — no recursion-with-aggregate, and every float
+    literal is the 17-significant-digit scientific form of the exact
+    Python double the Spark side uses, so both engines run the same IEEE
+    recurrence (summation-order last-ulp noise absorbed by the 6dp
+    round)."""
+    d_lit = f"{damping:.17e}"
+    base_lit = f"{(1.0 - damping):.17e}"
+    parts = [
+        """WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events),
+e0 AS (
+  SELECT a.event_type AS src, b.event_type AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM pairs a JOIN pairs b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+sym AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+wdeg AS (SELECT src, sum(w) AS wd FROM sym GROUP BY src),
+prop AS (
+  SELECT s.src, s.dst, s.w / wdeg.wd AS p
+  FROM sym s JOIN wdeg ON wdeg.src = s.src
+),
+nodes AS (SELECT DISTINCT event_type AS id FROM events),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT id, 1e0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT prop.dst AS id, sum(r.rank * prop.p) AS s
+  FROM prop JOIN r{i - 1} r ON r.id = prop.src GROUP BY prop.dst
+),
+r{i} AS (
+  SELECT n.id,
+         {base_lit} / (SELECT n FROM nn) + {d_lit} * coalesce(c.s, CAST(0 AS DOUBLE)) AS rank
+  FROM nodes n LEFT JOIN c{i} c ON c.id = n.id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT id AS event_type, round(rank, 6) AS pagerank
+FROM r{iterations} ORDER BY event_type"""
+    )
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup survivor selection (keep-best, not keep-min-id)
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization, production variant: the SAME verified
+    pair graph as dedup_canonical_groups (minhash-LSH candidates →
+    exact 5-gram jaccard >= 0.5), but each duplicate group keeps its
+    highest-QUALITY member (quality = trimmed char length — the
+    keep-the-longest-copy rule; ties break on min doc_id), reporting
+    what a dedup pass would retain vs discard. All exports are exact
+    integers. The per-group election window runs over group MEMBERS
+    only — the corpus never enters the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures_kernel(d)
+    cands = dedup.minhash_lsh_candidates(sigs, num_hashes=64)
+    verified = dedup.ngram_jaccard_pairs(d, cands, ngram_n=5, threshold=0.5)
+    quality = d.select(
+        "doc_id", F.length(F.trim(F.col("text"))).cast("long").alias("q")
+    )
+    return dedup.keep_best_duplicate_groups(verified, quality).orderBy(
+        F.desc("group_size"), "group_id"
+    )
+
+
+def _keep_best_sql() -> str:
+    head = (_minhash_sigs_sql() + _VERIFIED_PAIRS_CTES).replace(
+        "WITH toks", "WITH RECURSIVE toks", 1
+    )
+    return (
+        head
+        + r""", cedges AS (
+  SELECT id_a AS a, id_b AS b FROM vpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM vpairs
+), reach(a, b) AS (
+  SELECT a, b FROM cedges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a
+), lbls AS (
+  SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a
+), member AS (
+  SELECT l.comp, l.id, CAST(length(trim(d.text)) AS BIGINT) AS q
+  FROM lbls l JOIN documents d ON d.doc_id = l.id
+), ranked AS (
+  SELECT comp, id, q,
+         row_number() OVER (PARTITION BY comp ORDER BY q DESC, id) AS rk
+  FROM member
+)
+SELECT CAST(comp AS BIGINT) AS group_id,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(max(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS kept_doc_id,
+       CAST(max(CASE WHEN rk = 1 THEN q END) AS BIGINT) AS kept_quality,
+       CAST(sum(CASE WHEN rk > 1 THEN q ELSE 0 END) AS BIGINT)
+         AS discarded_quality
+FROM ranked GROUP BY comp HAVING count(*) >= 2
+ORDER BY group_size DESC, group_id"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC between two table snapshots)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change detection between two simulated snapshots of the orders
+    table (the nightly-ingest CDC step that precedes a keyed upsert):
+    old = keys % 3 != 0, new = keys % 5 != 0 with prices bumped +1.00
+    on keys % 7 == 0 — so every class (added/removed/changed/unchanged)
+    is populated deterministically. upsert.snapshot_diff reduces each
+    side map-side to (key, sha256 fingerprint) over canonicalized
+    columns (prices as exact integer cents via round(x*100) — the
+    2-decimal doubles sit ~1e-9 from integers, never near a rounding
+    tie; dates via the proven date_format/strftime string form), then
+    ONE co-partitioned full-outer join classifies. Exports per-class
+    count + exact key sum."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias(
+            "price_cents"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "odate"
+        ),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    old = base.where(F.col("o_orderkey") % 3 != 0)
+    new = base.where(F.col("o_orderkey") % 5 != 0).withColumn(
+        "price_cents",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("price_cents") + 100
+        ).otherwise(F.col("price_cents")),
+    )
+    diff = upsert.snapshot_diff(
+        old, new, ["o_orderkey"], ["status", "price_cents", "odate", "priority"]
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("change_type")
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH base AS (
+  SELECT o_orderkey,
+         o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
+         o_orderpriority AS priority
+  FROM orders
+), old AS (
+  SELECT o_orderkey,
+         sha256(concat_ws('|', status, CAST(price_cents AS VARCHAR),
+                          odate, priority)) AS fp
+  FROM base WHERE o_orderkey % 3 <> 0
+), new AS (
+  SELECT o_orderkey,
+         sha256(concat_ws('|', status,
+             CAST(CASE WHEN o_orderkey % 7 = 0 THEN price_cents + 100
+                  ELSE price_cents END AS VARCHAR),
+             odate, priority)) AS fp
+  FROM base WHERE o_orderkey % 5 <> 0
+), j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+         CASE WHEN o.fp IS NULL THEN 'added'
+              WHEN n.fp IS NULL THEN 'removed'
+              WHEN o.fp = n.fp THEN 'unchanged'
+              ELSE 'changed' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM j GROUP BY change_type ORDER BY change_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample KS drift (integer-numerator, tie-free)
+# ---------------------------------------------------------------------------
+
+
+def evt_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift per event_type: the
+    early cohort (events at or before the global median epoch —
+    F.percentile == DuckDB quantile_cont, CLAUDE.md's proven pair)
+    against the late cohort, D computed by drift.ks_two_sample as an
+    INTEGER max |k_a·n_b − k_b·n_a| over the distinct-value grid with
+    ks_stat derived by one shared IEEE division (evt_gap_fill
+    derived-ratio rule — no rounded floats in the hash). One combinable
+    (type, value) groupBy + one cardinality-bounded window; raw events
+    shuffle once."""
+    from vector_search_optimization_spark.operators import drift as DR
+
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    sec = F.unix_timestamp(F.col("ts"))
+    med = e.agg(F.percentile(sec, F.lit(0.5)).alias("med"))
+    tagged = e.join(F.broadcast(med)).select(
+        "event_type", "value", (sec <= F.col("med")).alias("is_early")
+    )
+    return DR.ks_two_sample(
+        tagged, "event_type", "value", "is_early",
+        a_name="n_early", b_name="n_late",
+    ).orderBy("event_type")
+
+
+_KS_DRIFT_SQL = """
+WITH e AS (
+  SELECT event_type, value, floor(epoch(ts)) AS sec
+  FROM events WHERE value IS NOT NULL
+), med AS (SELECT quantile_cont(sec, 0.5) AS med FROM e),
+tagged AS (
+  SELECT event_type, value, sec <= (SELECT med FROM med) AS is_early FROM e
+), per_v AS (
+  SELECT event_type, value,
+         CAST(sum(CASE WHEN is_early THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN NOT is_early THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM tagged GROUP BY event_type, value
+), cum AS (
+  SELECT event_type,
+         CAST(sum(ca) OVER w AS BIGINT) AS ka,
+         CAST(sum(cb) OVER w AS BIGINT) AS kb
+  FROM per_v
+  WINDOW w AS (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_early,
+         CAST(sum(cb) AS BIGINT) AS n_late
+  FROM per_v GROUP BY event_type
+)
+SELECT t.event_type, t.n_early, t.n_late,
+       CAST(max(abs(c.ka * t.n_late - c.kb * t.n_early)) AS BIGINT) AS d_num,
+       CAST(max(abs(c.ka * t.n_late - c.kb * t.n_early)) AS DOUBLE)
+         / CAST(t.n_early * t.n_late AS DOUBLE) AS ks_stat
+FROM cum c JOIN tot t USING (event_type)
+WHERE t.n_early > 0 AND t.n_late > 0
+GROUP BY t.event_type, t.n_early, t.n_late
+ORDER BY t.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
 
@@ -6695,27 +6981,33 @@ ORDER BY n.doc_id
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-9:   the 10 NEW r6 queries (corpus heavy hitters,
+#   positions 0-13:  the 14 NEW r6 queries (pagerank, keep-best dedup,
+#                    snapshot diff, KS drift, corpus heavy hitters,
 #                    linear probe, dup-span coverage, line repetition,
 #                    semantic dedup, incremental corpus dedup, bloom
 #                    decontam, mixture weights + apply, boilerplate
 #                    strip) — never audited;
-#   positions 10-21: the 12 queries whose exports/oracles CHANGED in r6
+#   positions 14-25: the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 22-40: the 19 r2-audited entries (16 basics — j1 moved to
+#   positions 26-44: the 19 r2-audited entries (16 basics — j1 moved to
 #                    the changed group — + m4_dbscan/g1/g2), stalest;
-#   positions 41-49: 9 of the r3-audited half (roundtrips, f5/f7/j5map,
-#                    m1, ep3_lloyd_audit; m2/m3/m10 displaced by the r6
-#                    front inserts).
-# Behind the window: the r3-audited leftovers (m11, a16, p8, f10, f11,
-# s7 converters, doc_chunking, mm_asset_features — rotate these forward
-# FIRST in r7), then the r4/r5-audited bulk (freshest driver rows).
+#   positions 45-49: 5 of the r3-audited half (s1/s2 roundtrips, f5,
+#                    f7, ep3_lloyd_audit; s6/s3_orc/j5map/m1-m3/m10
+#                    displaced by the r6 front inserts).
+# Behind the window: the r3-audited leftovers (s6, s3_orc, j5map, m1,
+# m2, m3, m10, m11, a16, p8, f10, f11, s7 converters, doc_chunking,
+# mm_asset_features — rotate these forward FIRST in r7), then the
+# r4/r5-audited bulk (freshest driver rows).
 # NOTE decontaminate_overlap/decontaminate_bloom share _decon_sql and
 # their contaminated_pct export changed in r6 (unrounded derived) —
 # decontaminate_overlap sits behind the window; local gate covers it.
 # tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "g3_pagerank": (g3_pagerank, _g3_pagerank_sql()),
+    "dedup_keep_best": (dedup_keep_best, _keep_best_sql()),
+    "snapshot_diff_orders": (snapshot_diff_orders, _SNAPSHOT_DIFF_SQL),
+    "evt_ks_drift": (evt_ks_drift, _KS_DRIFT_SQL),
     "corpus_heavy_hitters": (corpus_heavy_hitters, _HH_SQL),
     "quality_linear_probe": (quality_linear_probe, _linear_probe_sql),
     "dup_span_coverage": (dup_span_coverage, _dup_span_sql()),

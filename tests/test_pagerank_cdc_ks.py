@@ -1,0 +1,173 @@
+"""Round-6 additions: PageRank centrality, quality-aware dedup survivor
+selection, snapshot diff (CDC), and the exact two-sample KS statistic.
+
+Each operator is pinned against an independent driver-side computation
+on planted inputs (numpy power method for PageRank; hand-enumerated
+classifications for CDC; closed-form D for KS), not against its own
+registered oracle — the oracle parity test covers that side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_optimization_spark.operators import dedup, drift, upsert
+from vector_search_optimization_spark.operators import graph as GR
+
+
+# --- PageRank ---------------------------------------------------------------
+
+
+def _numpy_pagerank(nodes, edges, damping=0.85, iterations=8):
+    """Reference power method: same simple no-dangling-redistribution
+    variant, same iteration count."""
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for s, d, wt in edges:
+        w[idx[s], idx[d]] += wt
+        w[idx[d], idx[s]] += wt
+    out = w.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        for i in range(n):
+            if out[i] > 0:
+                contrib += r[i] * w[i] / out[i]
+        r = (1.0 - damping) / n + damping * contrib
+    return {node: r[idx[node]] for node in nodes}
+
+
+def test_pagerank_matches_numpy_power_method(spark):
+    nodes = ["a", "b", "c", "d", "e"]
+    edges = [("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0), ("c", "d", 3.0)]
+    vdf = spark.createDataFrame([(n,) for n in nodes], "id string")
+    edf = spark.createDataFrame(edges, "src string, dst string, weight double")
+    got = {
+        r["id"]: r["rank"]
+        for r in GR.pagerank(edf, vdf, damping=0.85, iterations=8).collect()
+    }
+    want = _numpy_pagerank(nodes, edges)
+    assert set(got) == set(want)
+    for n in nodes:
+        assert got[n] == pytest.approx(want[n], rel=1e-12), n
+
+
+def test_pagerank_star_center_dominates_and_isolated_gets_base(spark):
+    # star: center x linked to 4 leaves; plus isolated node z
+    edges = [("x", f"l{i}", 1.0) for i in range(4)]
+    nodes = ["x", "z"] + [f"l{i}" for i in range(4)]
+    vdf = spark.createDataFrame([(n,) for n in nodes], "id string")
+    edf = spark.createDataFrame(edges, "src string, dst string, weight double")
+    pr = GR.pagerank(edf, vdf, damping=0.85, iterations=8)
+    got = {r["id"]: r["rank"] for r in pr.collect()}
+    assert got["x"] == max(got.values())
+    # isolated node receives no contributions: exactly the base term
+    assert got["z"] == pytest.approx((1.0 - 0.85) / len(nodes), rel=0, abs=0)
+    # leaked dangling mass ⇒ total strictly below 1, but positive everywhere
+    assert 0 < sum(got.values()) <= 1.0 + 1e-12
+    for c in getattr(pr, "_vso_caches", []):
+        c.unpersist()
+
+
+# --- keep-best dedup ---------------------------------------------------------
+
+
+def test_keep_best_elects_highest_quality_with_id_tiebreak(spark):
+    # group {1,2,3} transitively linked; 2 has the best quality.
+    # group {7,8}: equal quality → min id 7 wins.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 30), (7, 20), (8, 20), (9, 99)],
+        "doc_id long, q long",
+    )
+    out = {
+        r["group_id"]: r.asDict()
+        for r in dedup.keep_best_duplicate_groups(pairs, quality).collect()
+    }
+    assert set(out) == {1, 7}  # component label = min member id; 9 untouched
+    g1, g7 = out[1], out[7]
+    assert g1["group_size"] == 3
+    assert g1["kept_doc_id"] == 2 and g1["kept_quality"] == 50
+    assert g1["discarded_quality"] == 40
+    assert g7["group_size"] == 2
+    assert g7["kept_doc_id"] == 7 and g7["kept_quality"] == 20
+    assert g7["discarded_quality"] == 20
+
+
+# --- snapshot diff ------------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_all_four_ways(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 31), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in upsert.snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_composite_key(spark):
+    old = spark.createDataFrame([(1, "x", 5)], "k1 long, k2 string, v long")
+    new = spark.createDataFrame([(1, "y", 5)], "k1 long, k2 string, v long")
+    got = {
+        (r["k1"], r["k2"]): r["change_type"]
+        for r in upsert.snapshot_diff(
+            old, new, ["k1", "k2"], ["v"]
+        ).collect()
+    }
+    assert got == {(1, "x"): "removed", (1, "y"): "added"}
+
+
+# --- KS two-sample -------------------------------------------------------------
+
+
+def _ks_rows(spark, rows):
+    df = spark.createDataFrame(
+        rows, "g string, value double, is_a boolean"
+    )
+    return {
+        r["g"]: r.asDict()
+        for r in drift.ks_two_sample(df, "g", "value", "is_a").collect()
+    }
+
+
+def test_ks_identical_samples_is_zero(spark):
+    rows = [("g", float(v), tag) for v in (1, 2, 3) for tag in (True, False)]
+    out = _ks_rows(spark, rows)
+    assert out["g"]["d_num"] == 0 and out["g"]["ks_stat"] == 0.0
+
+
+def test_ks_disjoint_samples_is_one(spark):
+    rows = [("g", 1.0, True), ("g", 2.0, True), ("g", 10.0, False)]
+    out = _ks_rows(spark, rows)
+    g = out["g"]
+    assert g["n_a"] == 2 and g["n_b"] == 1
+    assert g["d_num"] == g["n_a"] * g["n_b"]  # fully separated → D = 1
+    assert g["ks_stat"] == 1.0
+
+
+def test_ks_known_value_and_empty_side_dropped(spark):
+    # A = {1, 3}, B = {2, 3, 4}: CDF gaps at v=1: |1/2-0| = 1/2 (num 3),
+    # v=2: |1/2-1/3| (num 1), v=3: |1-2/3| (num 2), v=4: 0 → D = 1/2
+    rows = [
+        ("g", 1.0, True), ("g", 3.0, True),
+        ("g", 2.0, False), ("g", 3.0, False), ("g", 4.0, False),
+        ("only_a", 1.0, True),  # no B sample → dropped
+    ]
+    out = _ks_rows(spark, rows)
+    assert set(out) == {"g"}
+    g = out["g"]
+    assert (g["n_a"], g["n_b"], g["d_num"]) == (2, 3, 3)
+    assert g["ks_stat"] == pytest.approx(0.5, rel=0, abs=0)

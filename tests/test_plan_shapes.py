@@ -120,6 +120,8 @@ _NESTED_LOOP_OK = {
                                # sampling.mixture_weights for its rates)
     "corpus_heavy_hitters",    # 1-row total-count frame broadcast to the
                                # bounded verified-candidate set
+    "evt_ks_drift",            # 1-row global-median frame broadcast to
+                               # tag the early/late cohorts
 }
 
 

@@ -1209,3 +1209,56 @@ def dup_span_coverage_frame(
             .alias("dup_span_fraction"),
         )
     )
+
+
+def keep_best_duplicate_groups(
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "q",
+    min_group_size: int = 2,
+) -> DataFrame:
+    """Quality-aware survivor selection over a verified duplicate-pair
+    graph — the production refinement of canonical_duplicate_groups:
+    real pipelines keep the BEST copy per duplicate cluster (longest /
+    highest-quality), not the lowest id. Connected components label the
+    groups (same contraction-first machinery), one join attaches each
+    member's quality, and a per-group row_number window (quality DESC,
+    id ASC — fully deterministic tie-break) elects the survivor.
+
+    Returns (group_id, group_size, kept_doc_id, kept_quality,
+    discarded_quality) per group of >= min_group_size, where group_id is
+    the component label (min member id), kept_* describe the elected
+    survivor, and discarded_quality sums the quality of the members a
+    dedup pass would drop. All-integer exports when ``quality`` is
+    integral — tie-free for the oracle hash.
+
+    Scale: the window partitions by component over GROUP MEMBERS only
+    (the corpus never enters), and duplicate groups are small by
+    construction, so the window shuffle is bounded by the verified-pair
+    node count — the same order as the component labeling itself."""
+    from .graph import connected_components
+
+    comps = connected_components(pairs, src="id_a", dst="id_b", id_col=id_col)
+    member = comps.join(
+        quality.select(F.col(id_col), F.col(quality_col).alias("__q")),
+        id_col,
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("__q"), id_col)
+    ranked = member.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("component").alias("group_id"))
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.max(F.when(F.col("__rk") == 1, F.col(id_col))).alias(
+                "kept_doc_id"
+            ),
+            F.max(F.when(F.col("__rk") == 1, F.col("__q"))).alias(
+                "kept_quality"
+            ),
+            F.sum(
+                F.when(F.col("__rk") > 1, F.col("__q")).otherwise(F.lit(0))
+            ).alias("discarded_quality"),
+        )
+        .where(F.col("group_size") >= min_group_size)
+    )

@@ -23,7 +23,7 @@ count), never rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 EPS = 1e-6  # proportion floor — the standard zero-bucket smoothing
@@ -155,3 +155,78 @@ def psi_drift(
         )
     )
     return psi_from_counts(counts, group_col).orderBy(group_col)
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    sample_col: str,
+    a_name: str = "n_a",
+    b_name: str = "n_b",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance per group — the
+    distribution-shift test PSI approximates with buckets, computed
+    EXACTLY and integer-first so the oracle comparison is tie-free:
+
+    D = max_v |F_a(v) − F_b(v)| = max_v |k_a(v)·n_b − k_b(v)·n_a| / (n_a·n_b)
+
+    ``sample_col`` is a boolean column (true → sample A). Pipeline: ONE
+    combinable groupBy on (group, value) producing per-value counts for
+    both samples (map-side partials — the raw rows never shuffle twice),
+    a cumulative window per group over the value grid (value-DISTINCT
+    rows only, so the window input is bounded by cardinality, not row
+    count), then max of the INTEGER numerator |k_a·n_b − k_b·n_a|. The
+    exported ``ks_stat`` is DERIVED from the integer numerator and the
+    integer counts by one IEEE double division — bit-identical across
+    engines (the evt_gap_fill derived-ratio rule). Groups where either
+    sample is empty are dropped (D is undefined there).
+
+    Numerator overflow bound: k·n ≤ n_a·n_b must fit a signed 64-bit —
+    holds to ~3e9 rows per side per group; beyond that swap the
+    numerator math to double (the statistic itself, not the gate,
+    degrades gracefully).
+
+    Returns (group_col, n_a, n_b, d_num, ks_stat)."""
+    per_v = df.groupBy(group_col, value_col).agg(
+        F.sum(F.when(F.col(sample_col), 1).otherwise(0))
+        .cast("long")
+        .alias("__ca"),
+        F.sum(F.when(~F.col(sample_col), 1).otherwise(0))
+        .cast("long")
+        .alias("__cb"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_v.select(
+        group_col,
+        F.sum("__ca").over(w).alias("__ka"),
+        F.sum("__cb").over(w).alias("__kb"),
+    )
+    tot = per_v.groupBy(group_col).agg(
+        F.sum("__ca").alias(a_name), F.sum("__cb").alias(b_name)
+    )
+    na, nb = F.col(a_name), F.col(b_name)
+    return (
+        cum.join(tot, group_col)
+        .groupBy(group_col, a_name, b_name)
+        .agg(
+            F.max(
+                F.abs(F.col("__ka") * nb - F.col("__kb") * na)
+            ).alias("d_num")
+        )
+        .where((na > 0) & (nb > 0))
+        .select(
+            group_col,
+            a_name,
+            b_name,
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (na * nb).cast("double")
+            ).alias("ks_stat"),
+        )
+    )

@@ -351,3 +351,77 @@ def _greedy_modularity_fallback(nodes, edges, weighted: bool) -> list[set]:
             best_q += best_gain
             improved = True
     return comms
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    id_col: str = "id",
+) -> DataFrame:
+    """Weighted PageRank over an undirected graph (G2-adjacent centrality
+    — the importance score TextRank/link-quality weighting pipelines put
+    next to community structure), as a FIXED-iteration power method in
+    pure DataFrame algebra — the classic edge-partitioned formulation:
+
+    rank_{t+1}(v) = (1-d)/N + d * Σ_{u→v} rank_t(u) · w(u,v)/wdeg(u)
+
+    The symmetrized edge list is normalized ONCE into a persisted
+    transition frame (src, dst, p = w/wdeg); each of the ``iterations``
+    rounds is then one equi-join of the (nodes-sized) rank vector onto
+    that frame plus one combinable groupBy — partial aggregation
+    map-side, shuffle volume bounded by |edges| + |nodes| per round,
+    never a cartesian. Dangling mass is NOT redistributed (nodes without
+    out-edges leak their damped mass — the simple variant; both engines
+    of the oracle pair compute the same recurrence, so the deviation is
+    shared). N is one bounded driver scalar (`vertices.count()`).
+
+    At 100 TB the loop is the standard Pregel-free PageRank: the
+    transition frame shuffles once per round on src (AQE coalesces the
+    tiny rank side), and a fixed iteration count keeps the plan depth
+    static — callers wanting convergence detection should compare
+    successive vectors themselves (one extra agg per round).
+
+    Returns (id_col, rank). The persisted transition frame is attached
+    as ``out._vso_caches`` for callers to release (the
+    jaccard_similarity_join convention)."""
+    w_d = F.col(weight).cast("double")
+    sym = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d"), w_d.alias("__w")
+    ).unionByName(
+        edges.select(
+            F.col(dst).alias("__s"), F.col(src).alias("__d"), w_d.alias("__w")
+        )
+    )
+    wdeg = sym.groupBy("__s").agg(F.sum("__w").alias("__wdeg"))
+    trans = (
+        sym.join(wdeg, "__s")
+        .select("__s", "__d", (F.col("__w") / F.col("__wdeg")).alias("__p"))
+        .persist()
+    )
+    n = vertices.count()
+    base = (1.0 - damping) / n
+    ranks = vertices.select(F.col(id_col), F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            trans.join(ranks, trans["__s"] == ranks[id_col])
+            .select(
+                F.col("__d").alias(id_col),
+                (F.col("rank") * F.col("__p")).alias("__c"),
+            )
+            .groupBy(id_col)
+            .agg(F.sum("__c").alias("__sum"))
+        )
+        ranks = vertices.join(contrib, id_col, "left").select(
+            id_col,
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("__sum"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    ranks._vso_caches = [trans]
+    return ranks
