@@ -6974,6 +6974,132 @@ ORDER BY t.event_type
 
 
 # ---------------------------------------------------------------------------
+# One-pass table profiling + CUBE report
+# ---------------------------------------------------------------------------
+
+
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column profiling (the discovery step before
+    dq_constraints can be written): null count, EXACT distinct count,
+    min and max for six orders columns in ONE aggregation pass — Spark
+    plans the multi-column distinct aggregates as a single Expand +
+    partial/final aggregate, so the scan happens once and the shuffle
+    carries tiny partial states (×columns row expansion map-side, the
+    documented cost of exactness). At 100 TB the distinct counters swap
+    to approx_count_distinct (HLL partials, no Expand) — the profile
+    shape and this query's contract are unchanged; exact is kept here
+    because the oracle hash needs exact values. Numeric min/max compute
+    numerically and export as strings so one stacked schema fits every
+    column (prices canonicalized to integer cents first; timestamps via
+    the proven date_format string form, whose fixed layout makes string
+    min/max chronological)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias(
+            "price_cents"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("odate"),
+        "o_orderpriority",
+    )
+    cols = base.columns
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = base.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_null, n_distinct, min_value, max_value)"
+        ),
+    ).select(
+        "column_name", "n_rows", "n_null", "n_distinct",
+        "min_value", "max_value",
+    ).orderBy("column_name")
+
+
+def _table_profile_sql() -> str:
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "price_cents",
+        "odate",
+        "o_orderpriority",
+    ]
+    selects = [
+        f"""SELECT '{c}' AS column_name,
+       (SELECT count(*) FROM base) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM base"""
+        for c in cols
+    ]
+    return (
+        """WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
+         o_orderpriority
+  FROM orders
+)
+"""
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY column_name"
+    )
+
+
+def evt_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE report (the grouping-sets shape evt_rollup's ROLLUP doesn't
+    cover): per-(event_type, hour-of-day) cells plus BOTH marginals and
+    the grand total in ONE Expand + aggregate pass — four report levels,
+    one shuffle of combinable partials. grouping_level uses the pinned
+    Spark↔DuckDB bit mapping (GROUPING(event_type)*2 +
+    GROUPING(hod)). The carried metric is the tie-free rounded SUM
+    (decimal-mean rule)."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.select("event_type", F.hour("ts").alias("hod"), "value")
+    return (
+        cells.cube("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.grouping_id().alias("grouping_level"),
+        )
+        .select("event_type", "hod", "n", "sum_value", "grouping_level")
+    )
+
+
+_EVT_CUBE_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(date_part('hour', ts) AS INTEGER) AS hod, value
+  FROM events
+)
+SELECT event_type, hod,
+       count(*) AS n, round(sum(value), 2) AS sum_value,
+       CAST(GROUPING(event_type) * 2 + GROUPING(hod) AS BIGINT)
+         AS grouping_level
+FROM cells
+GROUP BY CUBE(event_type, hod)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
 
@@ -6981,24 +7107,25 @@ ORDER BY t.event_type
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-13:  the 14 NEW r6 queries (pagerank, keep-best dedup,
-#                    snapshot diff, KS drift, corpus heavy hitters,
-#                    linear probe, dup-span coverage, line repetition,
-#                    semantic dedup, incremental corpus dedup, bloom
-#                    decontam, mixture weights + apply, boilerplate
-#                    strip) — never audited;
-#   positions 14-25: the 12 queries whose exports/oracles CHANGED in r6
+#   positions 0-15:  the 16 NEW r6 queries (pagerank, keep-best dedup,
+#                    snapshot diff, KS drift, table profile, cube,
+#                    corpus heavy hitters, linear probe, dup-span
+#                    coverage, line repetition, semantic dedup,
+#                    incremental corpus dedup, bloom decontam, mixture
+#                    weights + apply, boilerplate strip) — never
+#                    audited;
+#   positions 16-27: the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 26-44: the 19 r2-audited entries (16 basics — j1 moved to
+#   positions 28-46: the 19 r2-audited entries (16 basics — j1 moved to
 #                    the changed group — + m4_dbscan/g1/g2), stalest;
-#   positions 45-49: 5 of the r3-audited half (s1/s2 roundtrips, f5,
-#                    f7, ep3_lloyd_audit; s6/s3_orc/j5map/m1-m3/m10
+#   positions 47-49: 3 of the r3-audited half (s1/s2 roundtrips, f5;
+#                    f7/ep3_lloyd_audit/s6/s3_orc/j5map/m1-m3/m10
 #                    displaced by the r6 front inserts).
-# Behind the window: the r3-audited leftovers (s6, s3_orc, j5map, m1,
-# m2, m3, m10, m11, a16, p8, f10, f11, s7 converters, doc_chunking,
-# mm_asset_features — rotate these forward FIRST in r7), then the
-# r4/r5-audited bulk (freshest driver rows).
+# Behind the window: the r3-audited leftovers (f7, ep3_lloyd_audit, s6,
+# s3_orc, j5map, m1, m2, m3, m10, m11, a16, p8, f10, f11, s7
+# converters, doc_chunking, mm_asset_features — rotate these forward
+# FIRST in r7), then the r4/r5-audited bulk (freshest driver rows).
 # NOTE decontaminate_overlap/decontaminate_bloom share _decon_sql and
 # their contaminated_pct export changed in r6 (unrounded derived) —
 # decontaminate_overlap sits behind the window; local gate covers it.
@@ -7008,6 +7135,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_keep_best": (dedup_keep_best, _keep_best_sql()),
     "snapshot_diff_orders": (snapshot_diff_orders, _SNAPSHOT_DIFF_SQL),
     "evt_ks_drift": (evt_ks_drift, _KS_DRIFT_SQL),
+    "table_profile_orders": (table_profile_orders, _table_profile_sql()),
+    "evt_cube": (evt_cube, _EVT_CUBE_SQL),
     "corpus_heavy_hitters": (corpus_heavy_hitters, _HH_SQL),
     "quality_linear_probe": (quality_linear_probe, _linear_probe_sql),
     "dup_span_coverage": (dup_span_coverage, _dup_span_sql()),
