@@ -6974,6 +6974,87 @@ ORDER BY t.event_type
 
 
 # ---------------------------------------------------------------------------
+# Hashing-trick featurizer (HashingTF shape, oracle-computable hash)
+# ---------------------------------------------------------------------------
+
+
+def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words over documents (the no-vocabulary, no-fit
+    featurizer — MLlib HashingTF's shape with the engine's shared
+    poly-hash so every bucket is recomputable in SQL): 64 buckets,
+    canonical sorted bucket:count CSV per doc. Map-only (one Arrow
+    pass, zero shuffle — plan-pinned)."""
+    from vector_search_optimization_spark.operators import features as FE
+
+    d = load_table(spark, sf_dir, "documents")
+    return FE.hashing_trick_features(d, num_buckets=64).orderBy("doc_id")
+
+
+def _hashing_features_sql() -> str:
+    poly = _POLY_SQL.format(s="tok", base=TX.POLY_BASE)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+), b AS (
+  SELECT doc_id, ({poly}) % 64 AS bucket FROM toks
+), per_b AS (
+  SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(c AS VARCHAR),
+                  ',' ORDER BY bucket) AS features
+FROM per_b GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame trailing window (time-based, not row-based)
+# ---------------------------------------------------------------------------
+
+
+def evt_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour activity (the rate-limiter / velocity-
+    feature staple): for every event, how many events and how much
+    value the SAME user produced in the preceding 3600 seconds —
+    a RANGE frame over event-time seconds (W-family shape the
+    row-based windows don't cover: peers at the same timestamp all see
+    the full peer group, and gaps wider than the horizon contribute
+    nothing). ONE user-keyed shuffle; within each partition the frame
+    is a sliding two-pointer over the sorted events — no self-join, no
+    spine. The trailing sum exports as the tie-free rounded SUM
+    (decimal-mean rule); n_1h is exact."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_value_1h"),
+    ).orderBy("event_id")
+
+
+_EVT_TRAILING_SQL = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 2) AS sum_value_1h
+FROM (SELECT event_id, user_id, value, floor(epoch(ts)) AS sec FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # One-pass table profiling + CUBE report
 # ---------------------------------------------------------------------------
 
@@ -7107,25 +7188,24 @@ GROUP BY CUBE(event_type, hod)
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-15:  the 16 NEW r6 queries (pagerank, keep-best dedup,
+#   positions 0-17:  the 18 NEW r6 queries (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
-#                    corpus heavy hitters, linear probe, dup-span
-#                    coverage, line repetition, semantic dedup,
-#                    incremental corpus dedup, bloom decontam, mixture
-#                    weights + apply, boilerplate strip) — never
-#                    audited;
-#   positions 16-27: the 12 queries whose exports/oracles CHANGED in r6
+#                    trailing RANGE window, hashing features, corpus
+#                    heavy hitters, linear probe, dup-span coverage,
+#                    line repetition, semantic dedup, incremental
+#                    corpus dedup, bloom decontam, mixture weights +
+#                    apply, boilerplate strip) — never audited;
+#   positions 18-29: the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 28-46: the 19 r2-audited entries (16 basics — j1 moved to
+#   positions 30-48: the 19 r2-audited entries (16 basics — j1 moved to
 #                    the changed group — + m4_dbscan/g1/g2), stalest;
-#   positions 47-49: 3 of the r3-audited half (s1/s2 roundtrips, f5;
-#                    f7/ep3_lloyd_audit/s6/s3_orc/j5map/m1-m3/m10
-#                    displaced by the r6 front inserts).
-# Behind the window: the r3-audited leftovers (f7, ep3_lloyd_audit, s6,
-# s3_orc, j5map, m1, m2, m3, m10, m11, a16, p8, f10, f11, s7
-# converters, doc_chunking, mm_asset_features — rotate these forward
-# FIRST in r7), then the r4/r5-audited bulk (freshest driver rows).
+#   position  49:    1 r3-audited entry (ep3_lloyd_audit; the rest of
+#                    the r3 half displaced by the r6 front inserts).
+# Behind the window: the r3-audited leftovers (s1, s2, s6, s3_orc, f5,
+# f7, j5map, m1, m2, m3, m10, m11, a16, p8, f10, f11, s7 converters,
+# doc_chunking, mm_asset_features — rotate these forward FIRST in r7),
+# then the r4/r5-audited bulk (freshest driver rows).
 # NOTE decontaminate_overlap/decontaminate_bloom share _decon_sql and
 # their contaminated_pct export changed in r6 (unrounded derived) —
 # decontaminate_overlap sits behind the window; local gate covers it.
@@ -7137,6 +7217,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_ks_drift": (evt_ks_drift, _KS_DRIFT_SQL),
     "table_profile_orders": (table_profile_orders, _table_profile_sql()),
     "evt_cube": (evt_cube, _EVT_CUBE_SQL),
+    "evt_trailing_window": (evt_trailing_window, _EVT_TRAILING_SQL),
+    "text_hashing_features": (text_hashing_features, _hashing_features_sql()),
     "corpus_heavy_hitters": (corpus_heavy_hitters, _HH_SQL),
     "quality_linear_probe": (quality_linear_probe, _linear_probe_sql),
     "dup_span_coverage": (dup_span_coverage, _dup_span_sql()),

@@ -119,3 +119,57 @@ def test_batch_psi_survives_one_sided_group(spark):
     got = {r.event_type: r for r in
            DR.psi_drift(df, F.col("event_id") % 2 == 0).collect()}
     assert got["cur_only"].drifted
+
+
+def test_stream_ks_equals_batch(spark, sf_small, tmpdirs):
+    from vector_search_optimization_spark.streaming.drift import (
+        stream_ks_monitor,
+    )
+
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "event_type", "value"
+    ).where(F.col("value").isNotNull())
+    is_ref = F.col("event_id") % 2 == 0
+
+    batch = {
+        r.event_type: (r.n_ref_total, r.n_cur_total, r.d_num, r.ks_stat)
+        for r in DR.ks_two_sample(
+            events.withColumn("__is_ref", is_ref),
+            "event_type", "value", "__is_ref",
+            a_name="n_ref_total", b_name="n_cur_total",
+        ).collect()
+    }
+
+    ref_counts = (
+        events.where(is_ref)
+        .groupBy("event_type", "value")
+        .count()
+        .withColumnRenamed("count", "n_ref")
+    )
+
+    cur = events.where(~is_ref).select("event_type", "value")
+    drop = f"{tmpdirs}/ks_drop"
+    cur.where(F.col("value") < 30).write.mode("overwrite").parquet(drop)
+    cur.where(F.col("value") >= 30).write.mode("append").parquet(drop)
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = stream_ks_monitor(
+        stream,
+        ref_counts,
+        out_path=f"{tmpdirs}/ks_scores",
+        checkpoint_dir=f"{tmpdirs}/ks_ckpt",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.event_type: (r.n_ref_total, r.n_cur_total, r.d_num, r.ks_stat)
+        for r in spark.read.parquet(f"{tmpdirs}/ks_scores").collect()
+    }
+    assert got == batch

@@ -196,6 +196,25 @@ def ks_two_sample(
         .cast("long")
         .alias("__cb"),
     )
+    return ks_from_value_counts(
+        per_v, group_col, value_col, "__ca", "__cb", a_name, b_name
+    )
+
+
+def ks_from_value_counts(
+    per_v: DataFrame,
+    group_col: str,
+    value_col: str,
+    a_col: str,
+    b_col: str,
+    a_name: str = "n_a",
+    b_name: str = "n_b",
+) -> DataFrame:
+    """The counts→D combine of ks_two_sample, factored out so the
+    streaming monitor (streaming.drift.stream_ks_monitor) applies the
+    EXACT batch definition to its maintained (group, value) count state
+    — the one-definition rule the PSI pair follows. Input: one row per
+    (group, value) with per-sample counts ``a_col``/``b_col``."""
     w = (
         Window.partitionBy(group_col)
         .orderBy(value_col)
@@ -203,11 +222,11 @@ def ks_two_sample(
     )
     cum = per_v.select(
         group_col,
-        F.sum("__ca").over(w).alias("__ka"),
-        F.sum("__cb").over(w).alias("__kb"),
+        F.sum(a_col).over(w).alias("__ka"),
+        F.sum(b_col).over(w).alias("__kb"),
     )
     tot = per_v.groupBy(group_col).agg(
-        F.sum("__ca").alias(a_name), F.sum("__cb").alias(b_name)
+        F.sum(a_col).alias(a_name), F.sum(b_col).alias(b_name)
     )
     na, nb = F.col(a_name), F.col(b_name)
     return (
