@@ -6974,6 +6974,62 @@ ORDER BY t.event_type
 
 
 # ---------------------------------------------------------------------------
+# Anti join (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+
+def j11_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with NO urgent-priority order, summarized per nation
+    (the TPC-H Q22 / dormant-accounts shape; the registry's internal
+    left_anti uses — dedup keep-sets, boilerplate line removal — get
+    their own exercised surface here; the priority restriction keeps
+    the result non-trivial — every synthetic customer has SOME order).
+    Plan: the filter pushes into the orders scan, the anti-join hashes
+    on the key; per-nation summary is one combinable agg. Balance
+    exports as the tie-free rounded SUM + count with the mean DERIVED
+    unrounded (decimal-tie rule)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    inactive = c.join(
+        o.where(F.col("o_orderpriority") == "1-URGENT").select(
+            F.col("o_custkey").alias("c_custkey")
+        ),
+        "c_custkey",
+        "left_anti",
+    )
+    return (
+        inactive.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_inactive"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .select(
+            "c_nationkey",
+            "n_inactive",
+            "sum_acctbal",
+            (F.col("sum_acctbal") / F.col("n_inactive")).alias(
+                "avg_acctbal"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_J11_ANTI_SQL = """
+SELECT c_nationkey,
+       count(*) AS n_inactive,
+       round(sum(c_acctbal), 2) AS sum_acctbal,
+       round(sum(c_acctbal), 2) / count(*) AS avg_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Hashing-trick featurizer (HashingTF shape, oracle-computable hash)
 # ---------------------------------------------------------------------------
 
@@ -7188,24 +7244,23 @@ GROUP BY CUBE(event_type, hod)
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-17:  the 18 NEW r6 queries (pagerank, keep-best dedup,
+#   positions 0-18:  the 19 NEW r6 queries (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
-#                    trailing RANGE window, hashing features, corpus
-#                    heavy hitters, linear probe, dup-span coverage,
-#                    line repetition, semantic dedup, incremental
-#                    corpus dedup, bloom decontam, mixture weights +
-#                    apply, boilerplate strip) — never audited;
-#   positions 18-29: the 12 queries whose exports/oracles CHANGED in r6
+#                    trailing RANGE window, hashing features, anti
+#                    join, corpus heavy hitters, linear probe,
+#                    dup-span coverage, line repetition, semantic
+#                    dedup, incremental corpus dedup, bloom decontam,
+#                    mixture weights + apply, boilerplate strip) —
+#                    never audited;
+#   positions 19-30: the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 30-48: the 19 r2-audited entries (16 basics — j1 moved to
-#                    the changed group — + m4_dbscan/g1/g2), stalest;
-#   position  49:    1 r3-audited entry (ep3_lloyd_audit; the rest of
-#                    the r3 half displaced by the r6 front inserts).
-# Behind the window: the r3-audited leftovers (s1, s2, s6, s3_orc, f5,
-# f7, j5map, m1, m2, m3, m10, m11, a16, p8, f10, f11, s7 converters,
-# doc_chunking, mm_asset_features — rotate these forward FIRST in r7),
-# then the r4/r5-audited bulk (freshest driver rows).
+#   positions 31-49: the 19 r2-audited entries (16 basics — j1 moved to
+#                    the changed group — + m4_dbscan/g1/g2), stalest.
+# Behind the window: the r3-audited half (ep3_lloyd_audit, s1, s2, s6,
+# s3_orc, f5, f7, j5map, m1, m2, m3, m10, m11, a16, p8, f10, f11, s7
+# converters, doc_chunking, mm_asset_features — rotate these forward
+# FIRST in r7), then the r4/r5-audited bulk (freshest driver rows).
 # NOTE decontaminate_overlap/decontaminate_bloom share _decon_sql and
 # their contaminated_pct export changed in r6 (unrounded derived) —
 # decontaminate_overlap sits behind the window; local gate covers it.
@@ -7219,6 +7274,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_cube": (evt_cube, _EVT_CUBE_SQL),
     "evt_trailing_window": (evt_trailing_window, _EVT_TRAILING_SQL),
     "text_hashing_features": (text_hashing_features, _hashing_features_sql()),
+    "j11_anti_join": (j11_anti_join, _J11_ANTI_SQL),
     "corpus_heavy_hitters": (corpus_heavy_hitters, _HH_SQL),
     "quality_linear_probe": (quality_linear_probe, _linear_probe_sql),
     "dup_span_coverage": (dup_span_coverage, _dup_span_sql()),
