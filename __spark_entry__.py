@@ -6974,6 +6974,160 @@ ORDER BY t.event_type
 
 
 # ---------------------------------------------------------------------------
+# Association rules over order baskets (A-priori level 2)
+# ---------------------------------------------------------------------------
+
+
+def basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over order baskets (the market-basket
+    staple; baskets = the distinct part BRANDS in each order — 25
+    brands keep the pair space C(25,2)-bounded and the counts dense):
+    directional (antecedent → consequent) support / confidence / lift
+    with n_ab >= 20. Plan: broadcast the part dim onto lineitem, ONE
+    distinct (order, brand) pass (persisted — it feeds the totals and
+    the pair self-join; handle attached as _vso_caches), self-join on
+    the order key (fan-out bounded by brands-per-order², not order
+    size), then two tiny broadcast-joined total frames. N is one
+    bounded driver scalar. All ratio exports are DERIVED from exact
+    integer counts by single IEEE divisions (decimal-tie rule) —
+    ordering is on the string keys, never the floats."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    bk = (
+        li.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(pt.select("p_partkey", "p_brand")),
+            li["l_partkey"] == pt["p_partkey"],
+        )
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+        .persist()
+    )
+    n_baskets = bk.select("o").distinct().count()
+    tot = bk.groupBy(F.col("b")).agg(F.count(F.lit(1)).alias("n_item"))
+    a = bk.select(F.col("o"), F.col("b").alias("antecedent"))
+    c = bk.select(F.col("o"), F.col("b").alias("consequent"))
+    pairs = (
+        a.join(c, "o")
+        .where(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 20)
+    )
+    ta = tot.select(
+        F.col("b").alias("antecedent"), F.col("n_item").alias("n_antecedent")
+    )
+    tc = tot.select(
+        F.col("b").alias("consequent"), F.col("n_item").alias("n_consequent")
+    )
+    out = (
+        pairs.join(F.broadcast(ta), "antecedent")
+        .join(F.broadcast(tc), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_antecedent",
+            "n_consequent",
+            (
+                F.col("n_ab").cast("double") / F.lit(float(n_baskets))
+            ).alias("support"),
+            (
+                F.col("n_ab").cast("double")
+                / F.col("n_antecedent").cast("double")
+            ).alias("confidence"),
+            (
+                (F.col("n_ab") * F.lit(n_baskets)).cast("double")
+                / (F.col("n_antecedent") * F.col("n_consequent")).cast(
+                    "double"
+                )
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+    out._vso_caches = [bk]
+    return out
+
+
+_BASKET_RULES_SQL = """
+WITH bk AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n AS (SELECT count(DISTINCT o) AS nn FROM bk),
+tot AS (SELECT b, CAST(count(*) AS BIGINT) AS n_item FROM bk GROUP BY b),
+pairs AS (
+  SELECT a.b AS antecedent, c.b AS consequent,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM bk a JOIN bk c ON a.o = c.o AND a.b <> c.b
+  GROUP BY 1, 2
+)
+SELECT p.antecedent, p.consequent, p.n_ab,
+       ta.n_item AS n_antecedent, tc.n_item AS n_consequent,
+       CAST(p.n_ab AS DOUBLE) / CAST((SELECT nn FROM n) AS DOUBLE)
+         AS support,
+       CAST(p.n_ab AS DOUBLE) / CAST(ta.n_item AS DOUBLE) AS confidence,
+       CAST(p.n_ab * (SELECT nn FROM n) AS DOUBLE)
+         / CAST(ta.n_item * tc.n_item AS DOUBLE) AS lift
+FROM pairs p
+JOIN tot ta ON ta.b = p.antecedent
+JOIN tot tc ON tc.b = p.consequent
+WHERE p.n_ab >= 20
+ORDER BY p.antecedent, p.consequent
+"""
+
+
+# ---------------------------------------------------------------------------
+# NTILE equi-depth bucketing
+# ---------------------------------------------------------------------------
+
+
+def a17_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth quartiles of customer balance per market segment
+    (NTILE — the A-family's missing bucketing shape: a10's histogram is
+    equi-WIDTH; this is the rank-based equi-DEPTH cut). Order is pinned
+    (acctbal, custkey) so the quartile boundary is engine-deterministic
+    at duplicate balances. Exports the per-(segment, quartile) count +
+    tie-free rounded balance sum with the mean derived unrounded."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .select(
+            "c_mktsegment",
+            "quartile",
+            "n",
+            "sum_acctbal",
+            (F.col("sum_acctbal") / F.col("n")).alias("avg_acctbal"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+_A17_NTILE_SQL = """
+WITH q AS (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT c_mktsegment, quartile, count(*) AS n,
+       round(sum(c_acctbal), 2) AS sum_acctbal,
+       round(sum(c_acctbal), 2) / count(*) AS avg_acctbal
+FROM q GROUP BY c_mktsegment, quartile
+ORDER BY c_mktsegment, quartile
+"""
+
+
+# ---------------------------------------------------------------------------
 # Anti join (TPC-H Q22 shape)
 # ---------------------------------------------------------------------------
 
@@ -7244,23 +7398,25 @@ GROUP BY CUBE(event_type, hod)
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-18:  the 19 NEW r6 queries (pagerank, keep-best dedup,
+#   positions 0-20:  the 21 NEW r6 queries (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
 #                    trailing RANGE window, hashing features, anti
-#                    join, corpus heavy hitters, linear probe,
-#                    dup-span coverage, line repetition, semantic
-#                    dedup, incremental corpus dedup, bloom decontam,
-#                    mixture weights + apply, boilerplate strip) —
-#                    never audited;
-#   positions 19-30: the 12 queries whose exports/oracles CHANGED in r6
+#                    join, basket rules, ntile buckets, corpus heavy
+#                    hitters, linear probe, dup-span coverage, line
+#                    repetition, semantic dedup, incremental corpus
+#                    dedup, bloom decontam, mixture weights + apply,
+#                    boilerplate strip) — never audited;
+#   positions 21-32: the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 31-49: the 19 r2-audited entries (16 basics — j1 moved to
-#                    the changed group — + m4_dbscan/g1/g2), stalest.
-# Behind the window: the r3-audited half (ep3_lloyd_audit, s1, s2, s6,
-# s3_orc, f5, f7, j5map, m1, m2, m3, m10, m11, a16, p8, f10, f11, s7
-# converters, doc_chunking, mm_asset_features — rotate these forward
-# FIRST in r7), then the r4/r5-audited bulk (freshest driver rows).
+#   positions 33-49: 17 of the 19 r2-audited entries (16 basics — j1
+#                    moved to the changed group — + m4_dbscan), stalest;
+#                    g1/g2 displaced by the late r6 inserts.
+# Behind the window: g1_cooccurrence_edges + g2_communities (r2-stale —
+# rotate these forward FIRST in r7) and the r3-audited half
+# (ep3_lloyd_audit, s1, s2, s6, s3_orc, f5, f7, j5map, m1, m2, m3, m10,
+# m11, a16, p8, f10, f11, s7 converters, doc_chunking,
+# mm_asset_features), then the r4/r5-audited bulk (freshest rows).
 # NOTE decontaminate_overlap/decontaminate_bloom share _decon_sql and
 # their contaminated_pct export changed in r6 (unrounded derived) —
 # decontaminate_overlap sits behind the window; local gate covers it.
@@ -7275,6 +7431,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_trailing_window": (evt_trailing_window, _EVT_TRAILING_SQL),
     "text_hashing_features": (text_hashing_features, _hashing_features_sql()),
     "j11_anti_join": (j11_anti_join, _J11_ANTI_SQL),
+    "basket_brand_rules": (basket_brand_rules, _BASKET_RULES_SQL),
+    "a17_ntile_buckets": (a17_ntile_buckets, _A17_NTILE_SQL),
     "corpus_heavy_hitters": (corpus_heavy_hitters, _HH_SQL),
     "quality_linear_probe": (quality_linear_probe, _linear_probe_sql),
     "dup_span_coverage": (dup_span_coverage, _dup_span_sql()),
