@@ -6974,6 +6974,80 @@ ORDER BY t.event_type
 
 
 # ---------------------------------------------------------------------------
+# Winsorization (percentile clipping) per group
+# ---------------------------------------------------------------------------
+
+
+def evt_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorized statistics (the outlier-robust preprocessing
+    staple: clip values into the group's [p01, p99] before aggregating
+    — M6/M7's detection turned into a transform): ONE exact-percentile
+    aggregate per type (F.percentile ≡ DuckDB quantile_cont, the
+    proven pair) broadcast-joined back onto the fact rows, map-side
+    clip, then one combinable agg. Exports exact clip counts and the
+    tie-free rounded sums of raw vs clipped values with means derived
+    unrounded (decimal-tie rule); the percentile bounds round at 6dp
+    (interpolated — irrational-adjacent, measure-zero tie risk)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bounds = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    j = e.join(F.broadcast(bounds), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("p01"), 6).alias("p01"),
+            F.round(F.min("p99"), 6).alias("p99"),
+            F.sum(
+                F.when(F.col("value") < F.col("p01"), 1).otherwise(0)
+            ).alias("n_clipped_low"),
+            F.sum(
+                F.when(F.col("value") > F.col("p99"), 1).otherwise(0)
+            ).alias("n_clipped_high"),
+            F.round(F.sum("value"), 2).alias("sum_raw"),
+            F.round(F.sum(clipped), 4).alias("sum_winsorized"),
+        )
+        .select(
+            "event_type", "n", "p01", "p99",
+            "n_clipped_low", "n_clipped_high",
+            "sum_raw", "sum_winsorized",
+            (F.col("sum_winsorized") / F.col("n")).alias("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_WINSOR_SQL = """
+WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS p01,
+         quantile_cont(value, 0.99) AS p99
+  FROM e GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       round(min(b.p01), 6) AS p01,
+       round(min(b.p99), 6) AS p99,
+       CAST(sum(CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(sum(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       round(sum(e.value), 2) AS sum_raw,
+       round(sum(least(greatest(e.value, b.p01), b.p99)), 4)
+         AS sum_winsorized,
+       round(sum(least(greatest(e.value, b.p01), b.p99)), 4) / count(*)
+         AS mean_winsorized
+FROM e JOIN b ON b.event_type = e.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Association rules over order baskets (A-priori level 2)
 # ---------------------------------------------------------------------------
 
@@ -7398,24 +7472,25 @@ GROUP BY CUBE(event_type, hod)
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-20:  the 21 NEW r6 queries (pagerank, keep-best dedup,
+#   positions 0-21:  the 22 NEW r6 queries (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
 #                    trailing RANGE window, hashing features, anti
-#                    join, basket rules, ntile buckets, corpus heavy
-#                    hitters, linear probe, dup-span coverage, line
-#                    repetition, semantic dedup, incremental corpus
-#                    dedup, bloom decontam, mixture weights + apply,
-#                    boilerplate strip) — never audited;
-#   positions 21-32: the 12 queries whose exports/oracles CHANGED in r6
+#                    join, basket rules, ntile buckets, winsorized
+#                    stats, corpus heavy hitters, linear probe,
+#                    dup-span coverage, line repetition, semantic
+#                    dedup, incremental corpus dedup, bloom decontam,
+#                    mixture weights + apply, boilerplate strip) —
+#                    never audited;
+#   positions 22-33: the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 33-49: 17 of the 19 r2-audited entries (16 basics — j1
-#                    moved to the changed group — + m4_dbscan), stalest;
-#                    g1/g2 displaced by the late r6 inserts.
-# Behind the window: g1_cooccurrence_edges + g2_communities (r2-stale —
-# rotate these forward FIRST in r7) and the r3-audited half
-# (ep3_lloyd_audit, s1, s2, s6, s3_orc, f5, f7, j5map, m1, m2, m3, m10,
-# m11, a16, p8, f10, f11, s7 converters, doc_chunking,
+#   positions 34-49: 16 of the 19 r2-audited entries (the 16 basics —
+#                    j1 moved to the changed group), stalest;
+#                    m4_dbscan/g1/g2 displaced by the late r6 inserts.
+# Behind the window: m4_dbscan_stats + g1_cooccurrence_edges +
+# g2_communities (r2-stale — rotate these forward FIRST in r7) and the
+# r3-audited half (ep3_lloyd_audit, s1, s2, s6, s3_orc, f5, f7, j5map,
+# m1, m2, m3, m10, m11, a16, p8, f10, f11, s7 converters, doc_chunking,
 # mm_asset_features), then the r4/r5-audited bulk (freshest rows).
 # NOTE decontaminate_overlap/decontaminate_bloom share _decon_sql and
 # their contaminated_pct export changed in r6 (unrounded derived) —
@@ -7433,6 +7508,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "j11_anti_join": (j11_anti_join, _J11_ANTI_SQL),
     "basket_brand_rules": (basket_brand_rules, _BASKET_RULES_SQL),
     "a17_ntile_buckets": (a17_ntile_buckets, _A17_NTILE_SQL),
+    "evt_winsorized_stats": (evt_winsorized_stats, _WINSOR_SQL),
     "corpus_heavy_hitters": (corpus_heavy_hitters, _HH_SQL),
     "quality_linear_probe": (quality_linear_probe, _linear_probe_sql),
     "dup_span_coverage": (dup_span_coverage, _dup_span_sql()),
