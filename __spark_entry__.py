@@ -6974,6 +6974,74 @@ ORDER BY t.event_type
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy string join (blocked levenshtein — entity-resolution shape)
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join over part names (the record-linkage /
+    entity-resolution shape): near-matching name pairs within edit
+    distance 3. The scale design is collapse-then-block-then-verify:
+    (1) reduce to DISTINCT names + occurrence counts FIRST (one
+    combinable agg — the quadratic step must never see row
+    multiplicity; this corpus has 2,000 parts but 64 names), (2) block
+    on the first name token (equi-join — candidates only within a
+    block), (3) cheap length-difference prefilter (|len diff| > 3 can't
+    be within distance 3), (4) exact levenshtein verify (JVM codegen'd
+    in Spark, native in DuckDB — a cross-engine-stable integer).
+    Widening the blocking key (first token + length band) is the dial
+    when blocks grow hot at corpus scale."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n"))
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n").alias("n_a"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n").alias("n_b"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .where(
+            F.abs(F.length("name_a") - F.length("name_b")) <= 3
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+            "n_a",
+            "n_b",
+        )
+        .where(F.col("edit_dist") <= 3)
+        .orderBy("name_a", "name_b")
+    )
+
+
+_FUZZY_NAMES_SQL = """
+WITH names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n FROM part GROUP BY p_name
+), blocked AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b,
+         a.n AS n_a, b.n AS n_b
+  FROM (SELECT p_name, n, string_split(p_name, ' ')[1] AS blk FROM names) a
+  JOIN (SELECT p_name, n, string_split(p_name, ' ')[1] AS blk FROM names) b
+    ON a.blk = b.blk AND a.p_name < b.p_name
+  WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS INTEGER) AS edit_dist,
+       n_a, n_b
+FROM blocked
+WHERE levenshtein(name_a, name_b) <= 3
+ORDER BY name_a, name_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Winsorization (percentile clipping) per group
 # ---------------------------------------------------------------------------
 
@@ -7472,26 +7540,26 @@ GROUP BY CUBE(event_type, hod)
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-21:  the 22 NEW r6 queries (pagerank, keep-best dedup,
+#   positions 0-22:  the 23 NEW r6 queries (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
 #                    trailing RANGE window, hashing features, anti
 #                    join, basket rules, ntile buckets, winsorized
-#                    stats, corpus heavy hitters, linear probe,
-#                    dup-span coverage, line repetition, semantic
-#                    dedup, incremental corpus dedup, bloom decontam,
-#                    mixture weights + apply, boilerplate strip) —
-#                    never audited;
-#   positions 22-33: the 12 queries whose exports/oracles CHANGED in r6
+#                    stats, fuzzy name pairs, corpus heavy hitters,
+#                    linear probe, dup-span coverage, line repetition,
+#                    semantic dedup, incremental corpus dedup, bloom
+#                    decontam, mixture weights + apply, boilerplate
+#                    strip) — never audited;
+#   positions 23-34: the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 34-49: 16 of the 19 r2-audited entries (the 16 basics —
-#                    j1 moved to the changed group), stalest;
-#                    m4_dbscan/g1/g2 displaced by the late r6 inserts.
-# Behind the window: m4_dbscan_stats + g1_cooccurrence_edges +
-# g2_communities (r2-stale — rotate these forward FIRST in r7) and the
-# r3-audited half (ep3_lloyd_audit, s1, s2, s6, s3_orc, f5, f7, j5map,
-# m1, m2, m3, m10, m11, a16, p8, f10, f11, s7 converters, doc_chunking,
-# mm_asset_features), then the r4/r5-audited bulk (freshest rows).
+#   positions 35-49: 15 of the 19 r2-audited entries, stalest;
+#                    q3/m4_dbscan/g1/g2 displaced by the late inserts.
+# Behind the window: q3_shipping_priority + m4_dbscan_stats +
+# g1_cooccurrence_edges + g2_communities (r2-stale — rotate these
+# forward FIRST in r7) and the r3-audited half (ep3_lloyd_audit, s1,
+# s2, s6, s3_orc, f5, f7, j5map, m1, m2, m3, m10, m11, a16, p8, f10,
+# f11, s7 converters, doc_chunking, mm_asset_features), then the
+# r4/r5-audited bulk (freshest rows).
 # NOTE decontaminate_overlap/decontaminate_bloom share _decon_sql and
 # their contaminated_pct export changed in r6 (unrounded derived) —
 # decontaminate_overlap sits behind the window; local gate covers it.
@@ -7509,6 +7577,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "basket_brand_rules": (basket_brand_rules, _BASKET_RULES_SQL),
     "a17_ntile_buckets": (a17_ntile_buckets, _A17_NTILE_SQL),
     "evt_winsorized_stats": (evt_winsorized_stats, _WINSOR_SQL),
+    "fuzzy_name_pairs": (fuzzy_name_pairs, _FUZZY_NAMES_SQL),
     "corpus_heavy_hitters": (corpus_heavy_hitters, _HH_SQL),
     "quality_linear_probe": (quality_linear_probe, _linear_probe_sql),
     "dup_span_coverage": (dup_span_coverage, _dup_span_sql()),
