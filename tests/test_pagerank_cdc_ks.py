@@ -118,6 +118,33 @@ def test_snapshot_diff_classifies_all_four_ways(spark):
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
 
 
+def test_snapshot_diff_null_and_delimiter_safety(spark):
+    """NULL is not dropped from the fingerprint (concat_ws would make
+    (a, NULL, b) ≡ (a, b, NULL)) and values containing the join
+    delimiter cannot re-segment across fields."""
+    old = spark.createDataFrame(
+        [(1, "a", None, "b"), (2, "a|v|b", "c", "x")],
+        "k long, c1 string, c2 string, c3 string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "b", None), (2, "a", "b|v|c", "x")],
+        "k long, c1 string, c2 string, c3 string",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in upsert.snapshot_diff(
+            old, new, ["k"], ["c1", "c2", "c3"]
+        ).collect()
+    }
+    assert got == {1: "changed", 2: "changed"}
+
+    # and a NULL that stays NULL on both sides is unchanged
+    old2 = spark.createDataFrame([(1, None, "z")], "k long, a string, b string")
+    new2 = spark.createDataFrame([(1, None, "z")], "k long, a string, b string")
+    [r] = upsert.snapshot_diff(old2, new2, ["k"], ["a", "b"]).collect()
+    assert r["change_type"] == "unchanged"
+
+
 def test_snapshot_diff_composite_key(spark):
     old = spark.createDataFrame([(1, "x", 5)], "k1 long, k2 string, v long")
     new = spark.createDataFrame([(1, "y", 5)], "k1 long, k2 string, v long")

@@ -66,14 +66,17 @@ def snapshot_diff(
     in ``new``), ``removed`` (only in ``old``), ``changed`` (both, some
     compare column differs) or ``unchanged``.
 
-    Plan: each side is reduced MAP-SIDE to (keys, fingerprint) where the
-    fingerprint is sha256 over the '|'-joined string forms of
-    ``compare_cols`` — so the one full-outer shuffle join carries a
-    64-hex digest per row instead of the full payload, and both sides
+    Plan: each side is reduced MAP-SIDE to (keys, fingerprint), a
+    sha256 row digest over ``compare_cols`` — so the one full-outer
+    shuffle join carries a 64-hex digest per row instead of the full
+    payload, and both sides
     hash-partition on the same key (co-partitioned exchange, no
-    broadcast asymmetry to get wrong). NULL compare values serialize as
-    concat_ws-dropped fields; callers needing NULL≠'' semantics should
-    pre-coalesce with a sentinel.
+    broadcast asymmetry to get wrong). The fingerprint is
+    delimiter-ambiguity-proof: each field hashes SEPARATELY first
+    (fixed 64-hex tokens, so no concatenation of raw values can
+    re-segment — a naive '|' join makes ("a|v|b","c") and ("a","b|v|c")
+    collide), NULL fields serialize as a token no hex digest can equal,
+    and the row fingerprint hashes the fixed-width token string.
 
     At 100 TB: this is two scans + one key-partitioned join — the
     minimum for snapshot diffing without a changelog. With bucketed or
@@ -83,14 +86,15 @@ def snapshot_diff(
     Returns (key_cols..., change_type)."""
 
     def fingerprint(df: DataFrame, out: str) -> DataFrame:
+        field_tokens = [
+            F.coalesce(
+                F.sha2(F.col(c).cast("string"), 256), F.lit("<NULL>")
+            )
+            for c in compare_cols
+        ]
         return df.select(
             *key_cols,
-            F.sha2(
-                F.concat_ws(
-                    "|", *[F.col(c).cast("string") for c in compare_cols]
-                ),
-                256,
-            ).alias(out),
+            F.sha2(F.concat_ws("|", *field_tokens), 256).alias(out),
         )
 
     o = fingerprint(old, "__fp_old")
