@@ -72,6 +72,24 @@ def test_pagerank_star_center_dominates_and_isolated_gets_base(spark):
         c.unpersist()
 
 
+def test_pagerank_checkpointing_is_bit_identical(spark):
+    nodes = ["a", "b", "c", "d"]
+    edges = [("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 1.0), ("d", "a", 3.0)]
+    vdf = spark.createDataFrame([(n,) for n in nodes], "id string")
+    edf = spark.createDataFrame(edges, "src string, dst string, weight double")
+    plain = {
+        r["id"]: r["rank"]
+        for r in GR.pagerank(edf, vdf, iterations=6).collect()
+    }
+    ckpt = {
+        r["id"]: r["rank"]
+        for r in GR.pagerank(
+            edf, vdf, iterations=6, checkpoint_every=2
+        ).collect()
+    }
+    assert plain == ckpt  # exact float equality — same arithmetic
+
+
 # --- keep-best dedup ---------------------------------------------------------
 
 

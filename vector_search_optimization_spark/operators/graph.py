@@ -362,6 +362,7 @@ def pagerank(
     dst: str = "dst",
     weight: str = "weight",
     id_col: str = "id",
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Weighted PageRank over an undirected graph (G2-adjacent centrality
     — the importance score TextRank/link-quality weighting pipelines put
@@ -384,7 +385,12 @@ def pagerank(
     transition frame shuffles once per round on src (AQE coalesces the
     tiny rank side), and a fixed iteration count keeps the plan depth
     static — callers wanting convergence detection should compare
-    successive vectors themselves (one extra agg per round).
+    successive vectors themselves (one extra agg per round). For
+    iteration counts well past the default, ``checkpoint_every=k``
+    localCheckpoints the rank vector every k rounds, truncating the
+    otherwise-doubling lineage tree (the connected_components
+    discipline); results are bit-identical either way
+    (pytest-pinned).
 
     Returns (id_col, rank). The persisted transition frame is attached
     as ``out._vso_caches`` for callers to release (the
@@ -406,7 +412,7 @@ def pagerank(
     n = vertices.count()
     base = (1.0 - damping) / n
     ranks = vertices.select(F.col(id_col), F.lit(1.0 / n).alias("rank"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             trans.join(ranks, trans["__s"] == ranks[id_col])
             .select(
@@ -423,5 +429,7 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("__sum"), F.lit(0.0))
             ).alias("rank"),
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     ranks._vso_caches = [trans]
     return ranks
