@@ -6696,10 +6696,13 @@ def g3_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the G1 event-type co-occurrence graph —
     the centrality companion to g2_communities (TextRank / link-quality
     weighting shape). Edge construction is the distributed G1 self-join;
-    graph.pagerank then runs 8 fixed power-method rounds, each ONE
-    equi-join of the rank vector onto a persisted normalized transition
-    frame + one combinable groupBy (shuffle bounded by |edges|+|nodes|
-    per round, no cartesian anywhere). Dangling mass is not
+    graph.pagerank runs 8 fixed power-method rounds — on graphs past
+    its driver bounds as per-round equi-join + combinable groupBy
+    (shuffle ≤ |edges|+|nodes|/round, exercised by
+    tools/probe_graph_cdc_ks.py at 1-3M nodes), and on small graphs
+    like this one (≤ tens of event types even at 100 TB) as vectorized
+    numpy bincount rounds over one bounded collect (the CC/g2
+    small-side driver-finish discipline). Dangling mass is not
     redistributed (documented simple variant; oracle computes the same
     recurrence). Ranks round at 6dp — irrational-valued, tie-free."""
     from vector_search_optimization_spark.operators import graph as GR

@@ -40,19 +40,25 @@ def _numpy_pagerank(nodes, edges, damping=0.85, iterations=8):
     return {node: r[idx[node]] for node in nodes}
 
 
-def test_pagerank_matches_numpy_power_method(spark):
+@pytest.mark.parametrize("node_limit", [10_000, 0])
+def test_pagerank_matches_numpy_power_method(spark, node_limit):
+    """node_limit=10_000 → driver fast path; 0 → distributed loop.
+    Both must match the reference power method (and hence each other)
+    to summation-order precision."""
     nodes = ["a", "b", "c", "d", "e"]
     edges = [("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0), ("c", "d", 3.0)]
     vdf = spark.createDataFrame([(n,) for n in nodes], "id string")
     edf = spark.createDataFrame(edges, "src string, dst string, weight double")
-    got = {
-        r["id"]: r["rank"]
-        for r in GR.pagerank(edf, vdf, damping=0.85, iterations=8).collect()
-    }
+    pr = GR.pagerank(
+        edf, vdf, damping=0.85, iterations=8, driver_node_limit=node_limit
+    )
+    got = {r["id"]: r["rank"] for r in pr.collect()}
     want = _numpy_pagerank(nodes, edges)
     assert set(got) == set(want)
     for n in nodes:
         assert got[n] == pytest.approx(want[n], rel=1e-12), n
+    for c in getattr(pr, "_vso_caches", []):
+        c.unpersist()
 
 
 def test_pagerank_star_center_dominates_and_isolated_gets_base(spark):
@@ -79,12 +85,14 @@ def test_pagerank_checkpointing_is_bit_identical(spark):
     edf = spark.createDataFrame(edges, "src string, dst string, weight double")
     plain = {
         r["id"]: r["rank"]
-        for r in GR.pagerank(edf, vdf, iterations=6).collect()
+        for r in GR.pagerank(
+            edf, vdf, iterations=6, driver_node_limit=0
+        ).collect()
     }
     ckpt = {
         r["id"]: r["rank"]
         for r in GR.pagerank(
-            edf, vdf, iterations=6, checkpoint_every=2
+            edf, vdf, iterations=6, checkpoint_every=2, driver_node_limit=0
         ).collect()
     }
     assert plain == ckpt  # exact float equality — same arithmetic

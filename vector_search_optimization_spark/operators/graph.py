@@ -363,6 +363,8 @@ def pagerank(
     weight: str = "weight",
     id_col: str = "id",
     checkpoint_every: int = 0,
+    driver_node_limit: int = 10_000,
+    driver_edge_limit: int = 2_000_000,
 ) -> DataFrame:
     """Weighted PageRank over an undirected graph (G2-adjacent centrality
     — the importance score TextRank/link-quality weighting pipelines put
@@ -392,9 +394,59 @@ def pagerank(
     discipline); results are bit-identical either way
     (pytest-pinned).
 
-    Returns (id_col, rank). The persisted transition frame is attached
-    as ``out._vso_caches`` for callers to release (the
-    jaccard_similarity_join convention)."""
+    Small-graph fast path (the connected_components / g2 discipline —
+    "Spark builds the edge list at scale, the driver does the tiny
+    graph algorithm"): when the graph fits the driver bounds
+    (``driver_node_limit`` nodes AND ``driver_edge_limit`` edge rows),
+    the 8-round loop runs as vectorized numpy bincount passes over ONE
+    bounded collect instead of paying 2×iterations distributed stage
+    floors — same recurrence, same values up to summation-order ulps
+    (the queries' 6dp round absorbs both engines' noise; the
+    numpy-vs-distributed equality is pytest-pinned). Pass
+    ``driver_node_limit=0`` to force the distributed loop.
+
+    Returns (id_col, rank). In the distributed path the persisted
+    transition frame is attached as ``out._vso_caches`` for callers to
+    release (the jaccard_similarity_join convention)."""
+    n = vertices.count()
+    base = (1.0 - damping) / n
+    if 0 < n <= driver_node_limit and edges.count() <= driver_edge_limit:
+        import numpy as np
+
+        node_rows = [r[0] for r in vertices.select(id_col).collect()]
+        idx = {node: i for i, node in enumerate(node_rows)}
+        # endpoints outside ``vertices`` contribute nothing in the
+        # distributed path (the rank join drops them) — mirror that
+        erows = [
+            r
+            for r in edges.select(src, dst, weight).collect()
+            if r[0] in idx and r[1] in idx
+        ]
+        s = np.fromiter(
+            (idx[r[0]] for r in erows), dtype=np.int64, count=len(erows)
+        )
+        d = np.fromiter(
+            (idx[r[1]] for r in erows), dtype=np.int64, count=len(erows)
+        )
+        w = np.fromiter(
+            (float(r[2]) for r in erows), dtype=np.float64, count=len(erows)
+        )
+        ss = np.concatenate([s, d])  # symmetrize
+        dd = np.concatenate([d, s])
+        ww = np.concatenate([w, w])
+        wdeg_v = np.bincount(ss, weights=ww, minlength=n)
+        p = ww / wdeg_v[ss]
+        r = np.full(n, 1.0 / n)
+        for _ in range(iterations):
+            contrib = np.bincount(dd, weights=r[ss] * p, minlength=n)
+            r = base + damping * contrib
+        out = vertices.sparkSession.createDataFrame(
+            [(node, float(r[i])) for node, i in idx.items()],
+            schema=vertices.select(id_col).schema.add("rank", "double"),
+        )
+        out._vso_caches = []
+        return out
+
     w_d = F.col(weight).cast("double")
     sym = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d"), w_d.alias("__w")
@@ -409,8 +461,6 @@ def pagerank(
         .select("__s", "__d", (F.col("__w") / F.col("__wdeg")).alias("__p"))
         .persist()
     )
-    n = vertices.count()
-    base = (1.0 - damping) / n
     ranks = vertices.select(F.col(id_col), F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
         contrib = (
