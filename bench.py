@@ -72,6 +72,14 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         KMeans(k=2, seed=1, featuresCol="v").fit(vecs)
 
+        # NOT warmed deliberately: the first dedup-CC query in registry
+        # order pays ~8-11s of pipeline first-execution cost (measured:
+        # canonical-first 10.9s → keep_best 3.9s; keep_best-first reads
+        # the same shape). A 50-row warm run does NOT transfer — AQE
+        # picks different join strategies at that size, so the compiled
+        # codegen classes differ from the at-scale plan's. The cost is
+        # real one-time init, amortized at scale; CLAUDE.md documents
+        # which query absorbs it per ordering.
         entrymod.prepare(spark, SF_DIR)
     except Exception:  # noqa: BLE001
         pass
