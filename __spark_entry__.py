@@ -6977,6 +6977,64 @@ ORDER BY t.event_type
 
 
 # ---------------------------------------------------------------------------
+# Z-order (Morton) layout audit
+# ---------------------------------------------------------------------------
+
+
+def zorder_events_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order locality audit (the Delta/Iceberg OPTIMIZE ZORDER
+    technique on plain parquet — operators/layout.py): quantize events
+    to (user_id mod 1024, floor(value) mod 1024), interleave into a
+    20-bit Morton key (pure unrolled bit math — whole-stage codegen'd,
+    exact DuckDB twin), and report per z-range bucket (key >> 12, 256
+    buckets) the row count and BOTH dimensions' min/max — demonstrating
+    the property zone-map pruning relies on: every bucket covers a
+    narrow range of EVERY interleaved column simultaneously (a
+    single-column sort gives this for one column only). The physical
+    write path (one range shuffle + partition-local sort) and the
+    footer-level pruning effectiveness are pinned in
+    tests/test_layout.py. All-integer exports."""
+    from vector_search_optimization_spark.operators import layout as LO
+
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    q = e.select(
+        (F.col("user_id") % 1024).alias("uq"),
+        (F.floor("value").cast("long") % 1024).alias("vq"),
+    )
+    z = LO.z_value(["uq", "vq"], bits=10)
+    return (
+        q.select("uq", "vq", F.shiftright(z, 12).alias("z_bucket"))
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("uq").alias("u_min"),
+            F.max("uq").alias("u_max"),
+            F.min("vq").alias("v_min"),
+            F.max("vq").alias("v_max"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def _zorder_sql() -> str:
+    from vector_search_optimization_spark.operators.layout import z_value_sql
+
+    zexpr = z_value_sql(["uq", "vq"], bits=10)
+    return f"""
+WITH q AS (
+  SELECT user_id % 1024 AS uq,
+         CAST(floor(value) AS BIGINT) % 1024 AS vq
+  FROM events WHERE value IS NOT NULL
+)
+SELECT {zexpr} >> 12 AS z_bucket,
+       count(*) AS n,
+       min(uq) AS u_min, max(uq) AS u_max,
+       min(vq) AS v_min, max(vq) AS v_max
+FROM q GROUP BY 1 ORDER BY z_bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # Fuzzy string join (blocked levenshtein — entity-resolution shape)
 # ---------------------------------------------------------------------------
 
@@ -7543,26 +7601,26 @@ GROUP BY CUBE(event_type, hod)
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-22:  the 23 NEW r6 queries (pagerank, keep-best dedup,
+#   positions 0-23:  the 24 NEW r6 queries (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
 #                    trailing RANGE window, hashing features, anti
 #                    join, basket rules, ntile buckets, winsorized
-#                    stats, fuzzy name pairs, corpus heavy hitters,
-#                    linear probe, dup-span coverage, line repetition,
-#                    semantic dedup, incremental corpus dedup, bloom
-#                    decontam, mixture weights + apply, boilerplate
-#                    strip) — never audited;
-#   positions 23-34: the 12 queries whose exports/oracles CHANGED in r6
+#                    stats, fuzzy name pairs, z-order audit, corpus
+#                    heavy hitters, linear probe, dup-span coverage,
+#                    line repetition, semantic dedup, incremental
+#                    corpus dedup, bloom decontam, mixture weights +
+#                    apply, boilerplate strip) — never audited;
+#   positions 24-35: the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 35-49: 15 of the 19 r2-audited entries, stalest;
-#                    q3/m4_dbscan/g1/g2 displaced by the late inserts.
-# Behind the window: q3_shipping_priority + m4_dbscan_stats +
-# g1_cooccurrence_edges + g2_communities (r2-stale — rotate these
-# forward FIRST in r7) and the r3-audited half (ep3_lloyd_audit, s1,
-# s2, s6, s3_orc, f5, f7, j5map, m1, m2, m3, m10, m11, a16, p8, f10,
-# f11, s7 converters, doc_chunking, mm_asset_features), then the
-# r4/r5-audited bulk (freshest rows).
+#   positions 36-49: 14 of the 19 r2-audited entries, stalest;
+#                    j2/q3/m4_dbscan/g1/g2 displaced by late inserts.
+# Behind the window: j2_left_join_flags + q3_shipping_priority +
+# m4_dbscan_stats + g1_cooccurrence_edges + g2_communities (r2-stale —
+# rotate these forward FIRST in r7) and the r3-audited half
+# (ep3_lloyd_audit, s1, s2, s6, s3_orc, f5, f7, j5map, m1, m2, m3,
+# m10, m11, a16, p8, f10, f11, s7 converters, doc_chunking,
+# mm_asset_features), then the r4/r5-audited bulk (freshest rows).
 # NOTE decontaminate_overlap/decontaminate_bloom share _decon_sql and
 # their contaminated_pct export changed in r6 (unrounded derived) —
 # decontaminate_overlap sits behind the window; local gate covers it.
@@ -7581,6 +7639,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "a17_ntile_buckets": (a17_ntile_buckets, _A17_NTILE_SQL),
     "evt_winsorized_stats": (evt_winsorized_stats, _WINSOR_SQL),
     "fuzzy_name_pairs": (fuzzy_name_pairs, _FUZZY_NAMES_SQL),
+    "zorder_events_audit": (zorder_events_audit, _zorder_sql()),
     "corpus_heavy_hitters": (corpus_heavy_hitters, _HH_SQL),
     "quality_linear_probe": (quality_linear_probe, _linear_probe_sql),
     "dup_span_coverage": (dup_span_coverage, _dup_span_sql()),
