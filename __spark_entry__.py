@@ -6726,10 +6726,7 @@ def _g3_pagerank_sql(damping: float = 0.85, iterations: int = 8) -> str:
     Python double the Spark side uses, so both engines run the same IEEE
     recurrence (summation-order last-ulp noise absorbed by the 6dp
     round)."""
-    d_lit = f"{damping:.17e}"
-    base_lit = f"{(1.0 - damping):.17e}"
-    parts = [
-        """WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events),
+    graph = """WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events),
 e0 AS (
   SELECT a.event_type AS src, b.event_type AS dst,
          CAST(count(*) AS DOUBLE) AS w
@@ -6737,13 +6734,35 @@ e0 AS (
     ON a.user_id = b.user_id AND a.event_type < b.event_type
   GROUP BY 1, 2
 ),
+nodes AS (SELECT DISTINCT event_type AS id FROM events)"""
+    return _pagerank_cte_sql(
+        graph,
+        f"""
+SELECT id AS event_type, round(rank, 6) AS pagerank
+FROM r{iterations} ORDER BY event_type""",
+        damping,
+        iterations,
+    )
+
+
+def _pagerank_cte_sql(
+    graph_prefix: str, select_suffix: str, damping: float, iterations: int
+) -> str:
+    """Shared unrolled-PageRank SQL builder: ``graph_prefix`` must open
+    the WITH chain and define ``e0(src, dst, w)`` (undirected, one row
+    per unordered pair) and ``nodes(id)``; ``select_suffix`` reads the
+    final ``r{iterations}(id, rank)``."""
+    d_lit = f"{damping:.17e}"
+    base_lit = f"{(1.0 - damping):.17e}"
+    parts = [
+        graph_prefix
+        + """,
 sym AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
 wdeg AS (SELECT src, sum(w) AS wd FROM sym GROUP BY src),
 prop AS (
   SELECT s.src, s.dst, s.w / wdeg.wd AS p
   FROM sym s JOIN wdeg ON wdeg.src = s.src
 ),
-nodes AS (SELECT DISTINCT event_type AS id FROM events),
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
 r0 AS (SELECT id, 1e0 / (SELECT n FROM nn) AS rank FROM nodes)"""
     ]
@@ -6760,12 +6779,101 @@ r{i} AS (
   FROM nodes n LEFT JOIN c{i} c ON c.id = n.id
 )"""
         )
-    parts.append(
-        f"""
-SELECT id AS event_type, round(rank, 6) AS pagerank
-FROM r{iterations} ORDER BY event_type"""
-    )
+    parts.append(select_suffix)
     return "".join(parts)
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords (Mihalcea & Tarau '04): PageRank over
+    the word co-occurrence graph — the graph-based companion to
+    tfidf_keywords. Candidates are non-stopword tokens of length >= 3;
+    an edge joins tokens co-occurring within 3 positions in a document,
+    weighted by corpus-wide co-occurrence count. The positional join is
+    the SCALABLE formulation: three shifted projections equi-joined on
+    (doc_id, pos) — each token meets at most its 3 successors, so
+    fan-out is window-bounded, never per-doc quadratic (a doc-keyed
+    self-join would be). graph.pagerank runs 8 rounds (driver fast
+    path under 10k vocab, distributed loop above). Top 20 by ROUNDED
+    rank with token tie-break — the rank-on-rounded-scores rule, so
+    the cut is engine-deterministic."""
+    from vector_search_optimization_spark.functions.text import _STOPWORDS
+    from vector_search_optimization_spark.operators import graph as GR
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    cand = toks.where(
+        (F.length("tok") >= 3)
+        & ~F.col("tok").isin(*sorted(_STOPWORDS["en"]))
+    )
+    shifted = [
+        cand.select(
+            "doc_id", (F.col("pos") - k).alias("pos"),
+            F.col("tok").alias("tok_b"),
+        )
+        for k in (1, 2, 3)
+    ]
+    pairs = None
+    for s in shifted:
+        e = (
+            cand.join(s, ["doc_id", "pos"])
+            .where(F.col("tok") != F.col("tok_b"))
+            .select(
+                F.least("tok", "tok_b").alias("src"),
+                F.greatest("tok", "tok_b").alias("dst"),
+            )
+        )
+        pairs = e if pairs is None else pairs.unionByName(e)
+    edges = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("weight")
+    )
+    verts = cand.select(F.col("tok").alias("id")).distinct()
+    pr = GR.pagerank(edges, verts, damping=0.85, iterations=8)
+    out = (
+        pr.select(
+            F.col("id").alias("token"), F.round("rank", 6).alias("textrank")
+        )
+        .orderBy(F.desc("textrank"), "token")
+        .limit(20)
+    )
+    out._vso_caches = getattr(pr, "_vso_caches", [])
+    return out
+
+
+def _textrank_sql(damping: float = 0.85, iterations: int = 8) -> str:
+    from vector_search_optimization_spark.functions.text import _STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS["en"]))
+    graph = rf"""WITH toks AS (
+  SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        FROM documents)
+),
+cand AS (
+  SELECT doc_id, pos, tok FROM toks
+  WHERE length(tok) >= 3 AND tok NOT IN ({stop})
+),
+e0 AS (
+  SELECT least(a.tok, b.tok) AS src, greatest(a.tok, b.tok) AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM cand a JOIN cand b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2, 3)
+  WHERE a.tok <> b.tok
+  GROUP BY 1, 2
+),
+nodes AS (SELECT DISTINCT tok AS id FROM cand)"""
+    return _pagerank_cte_sql(
+        graph,
+        f"""
+SELECT id AS token, round(rank, 6) AS textrank
+FROM r{iterations} ORDER BY textrank DESC, token LIMIT 20""",
+        damping,
+        iterations,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -7601,25 +7709,26 @@ GROUP BY CUBE(event_type, hod)
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-23:  the 24 NEW r6 queries (pagerank, keep-best dedup,
+#   positions 0-24:  the 25 NEW r6 queries (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
 #                    trailing RANGE window, hashing features, anti
 #                    join, basket rules, ntile buckets, winsorized
-#                    stats, fuzzy name pairs, z-order audit, corpus
-#                    heavy hitters, linear probe, dup-span coverage,
-#                    line repetition, semantic dedup, incremental
-#                    corpus dedup, bloom decontam, mixture weights +
-#                    apply, boilerplate strip) — never audited;
-#   positions 24-35: the 12 queries whose exports/oracles CHANGED in r6
+#                    stats, fuzzy name pairs, z-order audit, textrank,
+#                    corpus heavy hitters, linear probe, dup-span
+#                    coverage, line repetition, semantic dedup,
+#                    incremental corpus dedup, bloom decontam, mixture
+#                    weights + apply, boilerplate strip) — never
+#                    audited;
+#   positions 25-36: the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 36-49: 14 of the 19 r2-audited entries, stalest;
-#                    j2/q3/m4_dbscan/g1/g2 displaced by late inserts.
-# Behind the window: j2_left_join_flags + q3_shipping_priority +
-# m4_dbscan_stats + g1_cooccurrence_edges + g2_communities (r2-stale —
-# rotate these forward FIRST in r7) and the r3-audited half
-# (ep3_lloyd_audit, s1, s2, s6, s3_orc, f5, f7, j5map, m1, m2, m3,
-# m10, m11, a16, p8, f10, f11, s7 converters, doc_chunking,
+#   positions 37-49: 13 of the 19 r2-audited entries, stalest;
+#                    evt_sliding/j2/q3/m4_dbscan/g1/g2 displaced.
+# Behind the window: evt_sliding_window + j2_left_join_flags +
+# q3_shipping_priority + m4_dbscan_stats + g1_cooccurrence_edges +
+# g2_communities (r2-stale — rotate these forward FIRST in r7) and the
+# r3-audited half (ep3_lloyd_audit, s1, s2, s6, s3_orc, f5, f7, j5map,
+# m1, m2, m3, m10, m11, a16, p8, f10, f11, s7 converters, doc_chunking,
 # mm_asset_features), then the r4/r5-audited bulk (freshest rows).
 # NOTE decontaminate_overlap/decontaminate_bloom share _decon_sql and
 # their contaminated_pct export changed in r6 (unrounded derived) —
@@ -7640,6 +7749,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_winsorized_stats": (evt_winsorized_stats, _WINSOR_SQL),
     "fuzzy_name_pairs": (fuzzy_name_pairs, _FUZZY_NAMES_SQL),
     "zorder_events_audit": (zorder_events_audit, _zorder_sql()),
+    "textrank_keywords": (textrank_keywords, _textrank_sql()),
     "corpus_heavy_hitters": (corpus_heavy_hitters, _HH_SQL),
     "quality_linear_probe": (quality_linear_probe, _linear_probe_sql),
     "dup_span_coverage": (dup_span_coverage, _dup_span_sql()),
