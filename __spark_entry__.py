@@ -7085,6 +7085,107 @@ ORDER BY t.event_type
 
 
 # ---------------------------------------------------------------------------
+# Deterministic Poisson-bootstrap A/B confidence interval
+# ---------------------------------------------------------------------------
+
+
+def evt_ab_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B mean-difference with a Poisson-bootstrap CI (Chamandy et al.
+    '12 — the one-pass massive-data uncertainty technique), fully
+    deterministic: every resample weight is an inverse-CDF Poisson(1)
+    draw from sha256(event_id | replicate) (operators/bootstrap.py), so
+    the CI is a pure function of the data and the DuckDB oracle
+    recomputes the identical 64 replicates. Cohorts split on user_id
+    parity. Point estimates derive tie-free (exact counts + rounded
+    sums, means divided unrounded); the CI quantiles round at 6dp
+    (weighted-ratio values — measure-zero tie risk). The two 1-row
+    frames join via a whitelisted 1×1 broadcast."""
+    from vector_search_optimization_spark.operators import bootstrap as BS
+
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    tagged = e.select(
+        "event_id",
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+        F.col("value").cast("double").alias("v"),
+    )
+    ci = BS.poisson_bootstrap_mean_diff(
+        tagged, "event_id", "is_a", "v", n_boot=64, alpha=0.05
+    )
+    pt = tagged.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.round(F.sum(F.when(F.col("is_a"), F.col("v"))), 2).alias("sum_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.round(F.sum(F.when(~F.col("is_a"), F.col("v"))), 2).alias(
+            "sum_b"
+        ),
+    )
+    return pt.crossJoin(F.broadcast(ci)).select(
+        "n_a",
+        "sum_a",
+        (F.col("sum_a") / F.col("n_a")).alias("mean_a"),
+        "n_b",
+        "sum_b",
+        (F.col("sum_b") / F.col("n_b")).alias("mean_b"),
+        (
+            F.col("sum_a") / F.col("n_a") - F.col("sum_b") / F.col("n_b")
+        ).alias("mean_diff"),
+        "n_boot",
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+def _ab_bootstrap_sql() -> str:
+    from vector_search_optimization_spark.operators.bootstrap import (
+        poisson1_weight_sql,
+    )
+
+    wcase = poisson1_weight_sql("u")
+    return f"""
+WITH e AS (
+  SELECT event_id AS k, user_id % 2 = 0 AS g, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), rep AS (
+  SELECT e.k, e.g, e.v, t.b,
+         CAST(concat('0x', substr(sha256(concat_ws('|',
+             CAST(e.k AS VARCHAR), CAST(t.b AS VARCHAR))), 1, 13))
+           AS BIGINT) / 4503599627370496e0 AS u
+  FROM e, range(0, 64) t(b)
+), wtd AS (
+  SELECT b, g, v, CAST({wcase} AS DOUBLE) AS w FROM rep
+), agg AS (
+  SELECT b, g, sum(w * v) AS ws, sum(w) AS ww FROM wtd GROUP BY b, g
+), per_b AS (
+  SELECT b,
+         max(CASE WHEN g THEN ws END) / max(CASE WHEN g THEN ww END)
+       - max(CASE WHEN NOT g THEN ws END) / max(CASE WHEN NOT g THEN ww END)
+           AS d
+  FROM agg GROUP BY b
+), ci AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_boot,
+         round(quantile_cont(d, 0.025), 6) AS ci_lo,
+         round(quantile_cont(d, 0.975), 6) AS ci_hi
+  FROM per_b
+), pt AS (
+  SELECT CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         round(sum(CASE WHEN g THEN v END), 2) AS sum_a,
+         CAST(sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         round(sum(CASE WHEN NOT g THEN v END), 2) AS sum_b
+  FROM e
+)
+SELECT pt.n_a, pt.sum_a, pt.sum_a / pt.n_a AS mean_a,
+       pt.n_b, pt.sum_b, pt.sum_b / pt.n_b AS mean_b,
+       pt.sum_a / pt.n_a - pt.sum_b / pt.n_b AS mean_diff,
+       ci.n_boot, ci.ci_lo, ci.ci_hi
+FROM pt, ci
+"""
+
+
+# ---------------------------------------------------------------------------
 # Z-order (Morton) layout audit
 # ---------------------------------------------------------------------------
 
@@ -7709,27 +7810,29 @@ GROUP BY CUBE(event_type, hod)
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-24:  the 25 NEW r6 queries (pagerank, keep-best dedup,
+#   positions 0-25:  the 26 NEW r6 queries (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
 #                    trailing RANGE window, hashing features, anti
 #                    join, basket rules, ntile buckets, winsorized
-#                    stats, fuzzy name pairs, z-order audit, textrank,
-#                    corpus heavy hitters, linear probe, dup-span
-#                    coverage, line repetition, semantic dedup,
-#                    incremental corpus dedup, bloom decontam, mixture
-#                    weights + apply, boilerplate strip) — never
-#                    audited;
-#   positions 25-36: the 12 queries whose exports/oracles CHANGED in r6
+#                    stats, fuzzy name pairs, bootstrap CI, z-order
+#                    audit, textrank, corpus heavy hitters, linear
+#                    probe, dup-span coverage, line repetition,
+#                    semantic dedup, incremental corpus dedup, bloom
+#                    decontam, mixture weights + apply, boilerplate
+#                    strip) — never audited;
+#   positions 26-37: the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 37-49: 13 of the 19 r2-audited entries, stalest;
-#                    evt_sliding/j2/q3/m4_dbscan/g1/g2 displaced.
-# Behind the window: evt_sliding_window + j2_left_join_flags +
-# q3_shipping_priority + m4_dbscan_stats + g1_cooccurrence_edges +
-# g2_communities (r2-stale — rotate these forward FIRST in r7) and the
-# r3-audited half (ep3_lloyd_audit, s1, s2, s6, s3_orc, f5, f7, j5map,
-# m1, m2, m3, m10, m11, a16, p8, f10, f11, s7 converters, doc_chunking,
-# mm_asset_features), then the r4/r5-audited bulk (freshest rows).
+#   positions 38-49: 12 of the 19 r2-audited entries, stalest;
+#                    evt_tumbling/evt_sliding/j2/q3/m4_dbscan/g1/g2
+#                    displaced.
+# Behind the window: evt_tumbling_window + evt_sliding_window +
+# j2_left_join_flags + q3_shipping_priority + m4_dbscan_stats +
+# g1_cooccurrence_edges + g2_communities (r2-stale — rotate these
+# forward FIRST in r7) and the r3-audited half (ep3_lloyd_audit, s1,
+# s2, s6, s3_orc, f5, f7, j5map, m1, m2, m3, m10, m11, a16, p8, f10,
+# f11, s7 converters, doc_chunking, mm_asset_features), then the
+# r4/r5-audited bulk (freshest rows).
 # NOTE decontaminate_overlap/decontaminate_bloom share _decon_sql and
 # their contaminated_pct export changed in r6 (unrounded derived) —
 # decontaminate_overlap sits behind the window; local gate covers it.
@@ -7750,6 +7853,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "fuzzy_name_pairs": (fuzzy_name_pairs, _FUZZY_NAMES_SQL),
     "zorder_events_audit": (zorder_events_audit, _zorder_sql()),
     "textrank_keywords": (textrank_keywords, _textrank_sql()),
+    "evt_ab_bootstrap": (evt_ab_bootstrap, _ab_bootstrap_sql()),
     "corpus_heavy_hitters": (corpus_heavy_hitters, _HH_SQL),
     "quality_linear_probe": (quality_linear_probe, _linear_probe_sql),
     "dup_span_coverage": (dup_span_coverage, _dup_span_sql()),

@@ -122,6 +122,7 @@ _NESTED_LOOP_OK = {
                                # bounded verified-candidate set
     "evt_ks_drift",            # 1-row global-median frame broadcast to
                                # tag the early/late cohorts
+    "evt_ab_bootstrap",        # 1-row point-stats × 1-row CI frame join
 }
 
 
