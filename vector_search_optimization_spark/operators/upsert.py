@@ -83,6 +83,11 @@ def snapshot_diff(
     Delta/Iceberg tables the exchange disappears entirely (bucket-join /
     MERGE source pushdown); the operator's contract is unchanged.
 
+    Contract: ``key_cols`` must uniquely identify a row within each
+    snapshot (the usual CDC precondition) — duplicate keys would fan
+    out through the full-outer join; run a dq_constraints ``unique``
+    rule upstream when in doubt.
+
     Returns (key_cols..., change_type)."""
 
     def fingerprint(df: DataFrame, out: str) -> DataFrame:
