@@ -7085,6 +7085,146 @@ ORDER BY t.event_type
 
 
 # ---------------------------------------------------------------------------
+# Bounded-hop shortest paths (G-family: BFS distance)
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 6
+
+
+def g4_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from a deterministic source (the lexicographically
+    first event_type) over the G1 co-occurrence graph — bounded-depth
+    BFS as fixed-round min-distance propagation (the label-propagation
+    sibling of pagerank's power rounds): dist_{t+1}(v) = min(dist_t(v),
+    1 + min_{u~v} dist_t(u)), 6 rounds (≥ any co-occurrence graph's
+    observed diameter; unreached nodes export -1). Each round is one
+    equi-join of the (nodes-sized) distance vector onto the symmetrized
+    edge list + one combinable min-agg — the same |edges|+|nodes|
+    shuffle bound as pagerank, fixed plan depth. Oracle: depth-bounded
+    recursive CTE + min per node (the bound makes the recursion
+    terminate under cycles on both sides)."""
+    e = load_table(spark, sf_dir, "events")
+    edges = SIM.cooccurrence_edges(e, "user_id", "event_type")
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = e.select(F.col("event_type").alias("id")).distinct()
+    src = nodes.agg(F.min("id")).first()[0]  # bounded driver scalar
+    dist = nodes.select(
+        "id",
+        F.when(F.col("id") == src, F.lit(0)).otherwise(F.lit(None)).alias(
+            "d"
+        ),
+    )
+    for _ in range(_BFS_ROUNDS):
+        reach = (
+            sym.join(dist, sym["src"] == dist["id"])
+            .where(F.col("d").isNotNull())
+            .select(F.col("dst").alias("id"), (F.col("d") + 1).alias("nd"))
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        dist = (
+            dist.join(reach, "id", "left")
+            .select("id", F.least("d", "nd").alias("d"))
+        )
+    return dist.select(
+        F.col("id").alias("event_type"),
+        F.coalesce(F.col("d"), F.lit(-1)).cast("int").alias("hop_dist"),
+    ).orderBy("event_type")
+
+
+_G4_BFS_SQL = f"""
+WITH RECURSIVE pairs AS (SELECT DISTINCT user_id, event_type FROM events),
+e0 AS (
+  SELECT a.event_type AS src, b.event_type AS dst
+  FROM pairs a JOIN pairs b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT event_type AS id FROM events),
+walk(id, d) AS (
+  SELECT (SELECT min(id) FROM nodes), 0
+  UNION
+  SELECT sym.dst, w.d + 1
+  FROM walk w JOIN sym ON sym.src = w.id
+  WHERE w.d < {_BFS_ROUNDS}
+),
+best AS (SELECT id, min(d) AS d FROM walk GROUP BY id)
+SELECT n.id AS event_type,
+       CAST(coalesce(best.d, -1) AS INTEGER) AS hop_dist
+FROM nodes n LEFT JOIN best ON best.id = n.id
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (trapezoid-free step-hold TWA)
+# ---------------------------------------------------------------------------
+
+
+def evt_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per event_type (the IoT/ops metric that a
+    plain mean gets wrong under irregular sampling): hold each value
+    until the next observation, weight it by the hold duration, divide
+    by the observed span. ONE type-keyed shuffle: a lead window gives
+    each row its hold seconds, one combinable agg does the rest. The
+    weighted sum is tie-free at 4dp (2-decimal values × integer
+    seconds → 2-decimal products); the TWA derives unrounded from the
+    rounded numerator and the exact integer span."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    sec = F.unix_timestamp(F.col("ts"))
+    w = Window.partitionBy("event_type").orderBy(sec, "event_id")
+    held = e.select(
+        "event_type",
+        "value",
+        (F.lead(sec).over(w) - sec).alias("hold_s"),
+        sec.alias("sec"),
+    )
+    return (
+        held.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("sec") - F.min("sec")).alias("span_s"),
+            F.round(
+                F.sum(F.col("value") * F.col("hold_s")), 4
+            ).alias("weighted_sum"),
+        )
+        .where(F.col("span_s") > 0)
+        .select(
+            "event_type",
+            "n",
+            "span_s",
+            "weighted_sum",
+            (
+                F.col("weighted_sum") / F.col("span_s").cast("double")
+            ).alias("twa"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVT_TWA_SQL = """
+WITH held AS (
+  SELECT event_type, value,
+         lead(floor(epoch(ts))) OVER w - floor(epoch(ts)) AS hold_s,
+         floor(epoch(ts)) AS sec
+  FROM events WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY event_type ORDER BY floor(epoch(ts)), event_id)
+)
+SELECT event_type, count(*) AS n,
+       CAST(max(sec) - min(sec) AS BIGINT) AS span_s,
+       round(sum(value * hold_s), 4) AS weighted_sum,
+       round(sum(value * hold_s), 4) / CAST(max(sec) - min(sec) AS DOUBLE)
+         AS twa
+FROM held GROUP BY event_type
+HAVING max(sec) - min(sec) > 0
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic Poisson-bootstrap A/B confidence interval
 # ---------------------------------------------------------------------------
 
@@ -7810,28 +7950,27 @@ GROUP BY CUBE(event_type, hod)
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-25:  the 26 NEW r6 queries (pagerank, keep-best dedup,
+#   positions 0-27:  the 28 NEW r6 queries (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
 #                    trailing RANGE window, hashing features, anti
 #                    join, basket rules, ntile buckets, winsorized
-#                    stats, fuzzy name pairs, bootstrap CI, z-order
-#                    audit, textrank, corpus heavy hitters, linear
-#                    probe, dup-span coverage, line repetition,
-#                    semantic dedup, incremental corpus dedup, bloom
-#                    decontam, mixture weights + apply, boilerplate
-#                    strip) — never audited;
-#   positions 26-37: the 12 queries whose exports/oracles CHANGED in r6
+#                    stats, fuzzy name pairs, bootstrap CI, BFS
+#                    shortest paths, time-weighted avg, z-order audit,
+#                    textrank, corpus heavy hitters, linear probe,
+#                    dup-span coverage, line repetition, semantic
+#                    dedup, incremental corpus dedup, bloom decontam,
+#                    mixture weights + apply, boilerplate strip) —
+#                    never audited;
+#   positions 28-39: the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 38-49: 12 of the 19 r2-audited entries, stalest;
-#                    evt_tumbling/evt_sliding/j2/q3/m4_dbscan/g1/g2
-#                    displaced.
-# Behind the window: evt_tumbling_window + evt_sliding_window +
-# j2_left_join_flags + q3_shipping_priority + m4_dbscan_stats +
-# g1_cooccurrence_edges + g2_communities (r2-stale — rotate these
-# forward FIRST in r7) and the r3-audited half (ep3_lloyd_audit, s1,
-# s2, s6, s3_orc, f5, f7, j5map, m1, m2, m3, m10, m11, a16, p8, f10,
-# f11, s7 converters, doc_chunking, mm_asset_features), then the
+#   positions 40-49: 10 of the 19 r2-audited entries, stalest;
+#                    a11_a13/a12/evt_tumbling/evt_sliding/j2/q3/
+#                    m4_dbscan/g1/g2 displaced.
+# Behind the window: the 9 displaced r2-audited entries above (rotate
+# these forward FIRST in r7) and the r3-audited half (ep3_lloyd_audit,
+# s1, s2, s6, s3_orc, f5, f7, j5map, m1, m2, m3, m10, m11, a16, p8,
+# f10, f11, s7 converters, doc_chunking, mm_asset_features), then the
 # r4/r5-audited bulk (freshest rows).
 # NOTE decontaminate_overlap/decontaminate_bloom share _decon_sql and
 # their contaminated_pct export changed in r6 (unrounded derived) —
@@ -7854,6 +7993,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "zorder_events_audit": (zorder_events_audit, _zorder_sql()),
     "textrank_keywords": (textrank_keywords, _textrank_sql()),
     "evt_ab_bootstrap": (evt_ab_bootstrap, _ab_bootstrap_sql()),
+    "g4_shortest_paths": (g4_shortest_paths, _G4_BFS_SQL),
+    "evt_time_weighted_avg": (evt_time_weighted_avg, _EVT_TWA_SQL),
     "corpus_heavy_hitters": (corpus_heavy_hitters, _HH_SQL),
     "quality_linear_probe": (quality_linear_probe, _linear_probe_sql),
     "dup_span_coverage": (dup_span_coverage, _dup_span_sql()),
