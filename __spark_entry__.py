@@ -7100,38 +7100,22 @@ def g4_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed diameter; unreached nodes export -1). Each round is one
     equi-join of the (nodes-sized) distance vector onto the symmetrized
     edge list + one combinable min-agg — the same |edges|+|nodes|
-    shuffle bound as pagerank, fixed plan depth. Oracle: depth-bounded
-    recursive CTE + min per node (the bound makes the recursion
-    terminate under cycles on both sides)."""
+    shuffle bound as pagerank, fixed plan depth — and small graphs take
+    graph.bfs_distances' driver fast path (frontier walk over one
+    bounded collect; path equality pytest-pinned). Oracle:
+    depth-bounded recursive CTE + min per node (the bound makes the
+    recursion terminate under cycles on both sides)."""
+    from vector_search_optimization_spark.operators import graph as GR
+
     e = load_table(spark, sf_dir, "events")
     edges = SIM.cooccurrence_edges(e, "user_id", "event_type")
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
     nodes = e.select(F.col("event_type").alias("id")).distinct()
     src = nodes.agg(F.min("id")).first()[0]  # bounded driver scalar
-    dist = nodes.select(
-        "id",
-        F.when(F.col("id") == src, F.lit(0)).otherwise(F.lit(None)).alias(
-            "d"
-        ),
+    return (
+        GR.bfs_distances(edges, nodes, src, max_hops=_BFS_ROUNDS)
+        .select(F.col("id").alias("event_type"), "hop_dist")
+        .orderBy("event_type")
     )
-    for _ in range(_BFS_ROUNDS):
-        reach = (
-            sym.join(dist, sym["src"] == dist["id"])
-            .where(F.col("d").isNotNull())
-            .select(F.col("dst").alias("id"), (F.col("d") + 1).alias("nd"))
-            .groupBy("id")
-            .agg(F.min("nd").alias("nd"))
-        )
-        dist = (
-            dist.join(reach, "id", "left")
-            .select("id", F.least("d", "nd").alias("d"))
-        )
-    return dist.select(
-        F.col("id").alias("event_type"),
-        F.coalesce(F.col("d"), F.lit(-1)).cast("int").alias("hop_dist"),
-    ).orderBy("event_type")
 
 
 _G4_BFS_SQL = f"""

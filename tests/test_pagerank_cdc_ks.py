@@ -224,3 +224,36 @@ def test_ks_known_value_and_empty_side_dropped(spark):
     g = out["g"]
     assert (g["n_a"], g["n_b"], g["d_num"]) == (2, 3, 3)
     assert g["ks_stat"] == pytest.approx(0.5, rel=0, abs=0)
+
+
+def test_bfs_distances_paths_agree_and_bound_unreached(spark):
+    # path graph a-b-c-d plus isolated z; source a
+    edges = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0)]
+    nodes = ["a", "b", "c", "d", "z"]
+    vdf = spark.createDataFrame([(n,) for n in nodes], "id string")
+    edf = spark.createDataFrame(edges, "src string, dst string, weight double")
+    fast = {
+        r["id"]: r["hop_dist"]
+        for r in GR.bfs_distances(edf, vdf, "a", max_hops=6).collect()
+    }
+    dist = {
+        r["id"]: r["hop_dist"]
+        for r in GR.bfs_distances(
+            edf, vdf, "a", max_hops=6, driver_node_limit=0
+        ).collect()
+    }
+    assert fast == dist == {"a": 0, "b": 1, "c": 2, "d": 3, "z": -1}
+
+    # depth bound: with max_hops=2, d is out of reach on both paths
+    fast2 = {
+        r["id"]: r["hop_dist"]
+        for r in GR.bfs_distances(edf, vdf, "a", max_hops=2).collect()
+    }
+    dist2 = {
+        r["id"]: r["hop_dist"]
+        for r in GR.bfs_distances(
+            edf, vdf, "a", max_hops=2, driver_node_limit=0
+        ).collect()
+    }
+    assert fast2 == dist2
+    assert fast2["d"] == -1 and fast2["c"] == 2

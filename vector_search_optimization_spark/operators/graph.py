@@ -483,3 +483,80 @@ def pagerank(
             ranks = ranks.localCheckpoint(eager=True)
     ranks._vso_caches = [trans]
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    vertices: DataFrame,
+    source,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    driver_node_limit: int = 10_000,
+    driver_edge_limit: int = 2_000_000,
+) -> DataFrame:
+    """Bounded-depth BFS hop distances from ``source`` over an
+    undirected graph — pagerank's label-propagation sibling:
+    dist_{t+1}(v) = min(dist_t(v), 1 + min_{u~v} dist_t(u)), run for
+    ``max_hops`` fixed rounds (each ONE equi-join of the nodes-sized
+    distance vector + one combinable min-agg; shuffle bounded by
+    |edges|+|nodes| per round). Unreached nodes return -1.
+
+    Small-graph fast path (the CC / pagerank discipline): within the
+    driver bounds the BFS runs as a plain python frontier walk over one
+    bounded collect — identical distances, no per-round stage floors.
+    Pass ``driver_node_limit=0`` to force the distributed loop
+    (pytest-pinned equal)."""
+    n = vertices.count()
+    if 0 < n <= driver_node_limit and edges.count() <= driver_edge_limit:
+        node_rows = [r[0] for r in vertices.select(id_col).collect()]
+        adj: dict = {v: [] for v in node_rows}
+        for r in edges.select(src, dst).collect():
+            if r[0] in adj and r[1] in adj:
+                adj[r[0]].append(r[1])
+                adj[r[1]].append(r[0])
+        dist = {source: 0} if source in adj else {}
+        frontier = [source] if source in adj else []
+        for hop in range(1, max_hops + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = hop
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier = nxt
+        out = vertices.sparkSession.createDataFrame(
+            [(v, int(dist.get(v, -1))) for v in node_rows],
+            schema=vertices.select(id_col).schema.add("hop_dist", "integer"),
+        )
+        return out
+
+    sym = edges.select(src, dst).unionByName(
+        edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
+    )
+    distf = vertices.select(
+        id_col,
+        F.when(F.col(id_col) == source, F.lit(0))
+        .otherwise(F.lit(None))
+        .alias("__d"),
+    )
+    for _ in range(max_hops):
+        reach = (
+            sym.join(distf, sym[src] == distf[id_col])
+            .where(F.col("__d").isNotNull())
+            .select(
+                F.col(dst).alias(id_col), (F.col("__d") + 1).alias("__nd")
+            )
+            .groupBy(id_col)
+            .agg(F.min("__nd").alias("__nd"))
+        )
+        distf = distf.join(reach, id_col, "left").select(
+            id_col, F.least("__d", "__nd").alias("__d")
+        )
+    return distf.select(
+        id_col,
+        F.coalesce(F.col("__d"), F.lit(-1)).cast("int").alias("hop_dist"),
+    )
