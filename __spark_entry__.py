@@ -497,6 +497,213 @@ ORDER BY 1, 2, 3
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped: per-priority count of orders that have at least one
+    lineitem shipped >60 days after the order date, inside one quarter.
+
+    Deliberately written as SQL with a correlated EXISTS (non-equi
+    correlation ``l_shipdate > o_orderdate + 60 days``) so Catalyst's
+    subquery decorrelation is exercised: the optimizer must rewrite the
+    EXISTS into a LEFT SEMI join on ``l_orderkey = o_orderkey`` carrying
+    the date predicate as a join condition — plan-pinned in
+    tests/test_plan_shapes.py. The quarter filter pushes to the orders
+    scan, so at 100 TB the semi join probes only one quarter of orders."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q4_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q4_lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM q4_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (
+            SELECT 1 FROM q4_lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAYS
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: top-20 customers by revenue lost to returned
+    lineitems in one quarter — fact-fact shuffle join (lineitem⋈orders,
+    both filtered before the join) with the customer and nation dims
+    broadcast.
+
+    Revenue is summed in EXACT integer arithmetic: each addend
+    ``round(price*100) * (100 - round(disc*100))`` is an exact integer
+    (price and discount are 2-decimal), so the per-customer sum is
+    bit-identical across engines — the first cut of this query rounded
+    the float sum to 2dp and hit a genuine decimal .005 tie on row 3
+    (307843.595: Spark .60, DuckDB .59). The exported double ``revenue``
+    is DERIVED from the exact integer (identical division → identical
+    bits), and the top-20 rank key is the integer itself with the unique
+    c_custkey as tiebreak."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between("1996-01-01", "1996-03-31 23:59:59")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("revenue_c4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .withColumn("revenue", F.col("revenue_c4") / F.lit(10000.0))
+        .select("c_custkey", "c_name", "n_name", "revenue_c4", "revenue", "n_lines")
+        .orderBy(F.desc("revenue_c4"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+WITH agg AS (
+  SELECT c_custkey, c_name, n_name,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS revenue_c4,
+         count(*) AS n_lines
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                        AND TIMESTAMP '1996-03-31 23:59:59'
+  GROUP BY c_custkey, c_name, n_name
+)
+SELECT c_custkey, c_name, n_name, revenue_c4,
+       revenue_c4 / 10000.0 AS revenue, n_lines
+FROM agg
+ORDER BY revenue_c4 DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped: per-brand revenue from lineitems whose quantity is
+    below 20% of that part's average quantity — the correlated scalar
+    subquery (``avg(l_quantity) where l2.l_partkey = l.l_partkey``)
+    decorrelated the idiomatic-Spark way: a per-part aggregate joined back
+    onto lineitem on the l_partkey equi key. The stats-side join strategy
+    is left to Catalyst's size estimate: one row per part broadcasts at
+    test scale but exceeds the threshold at 100 TB, where it falls back
+    to a shuffle join whose build side reuses the aggregate's l_partkey
+    Exchange — both strategies are equi-joins, no per-row re-scan.
+
+    The small-quantity predicate is evaluated in exact integer arithmetic
+    (``5 * l_quantity * n_q < sum_q`` ⟺ ``l_quantity < 0.2 * avg``,
+    quantities are integer-valued), so the threshold comparison is
+    bit-identical across engines — no float-division boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
+        F.sum("l_quantity").alias("sum_q"),
+        F.count(F.lit(1)).alias("n_q"),
+    )
+    return (
+        li.join(per_part, li.l_partkey == per_part.pp_partkey)
+        .where(5 * F.col("l_quantity") * F.col("n_q") < F.col("sum_q"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_Q17_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS pp_partkey,
+         sum(l_quantity) AS sum_q, count(*) AS n_q
+  FROM lineitem GROUP BY 1
+)
+SELECT p_brand,
+       round(sum(l_extendedprice), 2) AS small_qty_revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN per_part ON l_partkey = pp_partkey
+JOIN part ON l_partkey = p_partkey
+WHERE 5 * l_quantity * n_q < sum_q
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: orders whose total quantity exceeds 250, with the
+    customer attached — written as SQL with an IN subquery over a grouped
+    HAVING so Catalyst rewrites it into a LEFT SEMI join against the
+    aggregated lineitem (plan-pinned). The outer re-aggregation groups by
+    the unique o_orderkey, so the semi-join output shrinks to the handful
+    of qualifying orders before the customer broadcast join."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q18_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q18_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q18_lineitem")
+    return spark.sql("""
+        SELECT c_name, c_custkey, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate_s,
+               o_totalprice,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM q18_customer
+        JOIN q18_orders ON c_custkey = o_custkey
+        JOIN q18_lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM q18_lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+        )
+        GROUP BY c_name, c_custkey, o_orderkey,
+                 date_format(o_orderdate, 'yyyy-MM-dd'), o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """)
+
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+       o_totalprice,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d'), o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
 def j3_group_agg_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 — group aggregate joined back onto the fact table as enrichment
     (per-category centroid onto every row, main-script1.ipynb:990 c34
@@ -7934,7 +8141,11 @@ GROUP BY CUBE(event_type, hod)
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-27:  the 28 NEW r6 queries (pagerank, keep-best dedup,
+#   positions 0-3:   the 4 NEWEST r6 queries (TPC-H Q4/Q10/Q17/Q18
+#                    shapes — correlated EXISTS / IN-HAVING subquery
+#                    decorrelation, returned-items top-k, per-part
+#                    scalar-subquery join-back) — never audited;
+#   positions 4-31:  the 28 earlier NEW r6 queries (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
 #                    trailing RANGE window, hashing features, anti
 #                    join, basket rules, ntile buckets, winsorized
@@ -7945,13 +8156,14 @@ GROUP BY CUBE(event_type, hod)
 #                    dedup, incremental corpus dedup, bloom decontam,
 #                    mixture weights + apply, boilerplate strip) —
 #                    never audited;
-#   positions 28-39: the 12 queries whose exports/oracles CHANGED in r6
+#   positions 32-43: the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 40-49: 10 of the 19 r2-audited entries, stalest;
+#   positions 44-49: 6 of the 19 r2-audited entries (p_filters, u_set_ops,
+#                    w1_w2, w3, w5, o5), stalest; pivot/a1_a3/a9/a10/
 #                    a11_a13/a12/evt_tumbling/evt_sliding/j2/q3/
-#                    m4_dbscan/g1/g2 displaced.
-# Behind the window: the 9 displaced r2-audited entries above (rotate
+#                    m4_dbscan/g1/g2 displaced (13 total).
+# Behind the window: the 13 displaced r2-audited entries above (rotate
 # these forward FIRST in r7) and the r3-audited half (ep3_lloyd_audit,
 # s1, s2, s6, s3_orc, f5, f7, j5map, m1, m2, m3, m10, m11, a16, p8,
 # f10, f11, s7 converters, doc_chunking, mm_asset_features), then the
@@ -7961,6 +8173,10 @@ GROUP BY CUBE(event_type, hod)
 # decontaminate_overlap sits behind the window; local gate covers it.
 # tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q4_order_priority": (q4_order_priority, _Q4_SQL),
+    "q10_returned_items": (q10_returned_items, _Q10_SQL),
+    "q17_small_qty_revenue": (q17_small_qty_revenue, _Q17_SQL),
+    "q18_large_orders": (q18_large_orders, _Q18_SQL),
     "g3_pagerank": (g3_pagerank, _g3_pagerank_sql()),
     "dedup_keep_best": (dedup_keep_best, _keep_best_sql()),
     "snapshot_diff_orders": (snapshot_diff_orders, _SNAPSHOT_DIFF_SQL),

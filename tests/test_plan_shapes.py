@@ -339,3 +339,48 @@ def test_matryoshka_stages_are_take_ordered(spark, sf_small):
     TakeOrdered — no global sort at either stage."""
     plan = _plan(m.queries()["ann_matryoshka_topk"](spark, sf_small))
     assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark, sf_small):
+    """The correlated EXISTS (non-equi date correlation) must decorrelate
+    into ONE left-semi join on l_orderkey — no nested-loop re-execution
+    of the subquery, no cartesian."""
+    plan = _plan(m.queries()["q4_order_priority"](spark, sf_small))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the quarter filter reaches the orders scan
+    assert "PushedFilters: [" in plan
+
+
+def test_q18_in_having_decorrelates_to_semi_join(spark, sf_small):
+    """IN over a grouped-HAVING subquery must become an aggregate feeding a
+    left-semi join, and the final top-k must be TakeOrdered — no global
+    sort of the joined fact."""
+    plan = _plan(m.queries()["q18_large_orders"](spark, sf_small))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_dims_broadcast(spark, sf_small):
+    """Customer and nation are broadcast onto the filtered fact-fact join;
+    the top-20 is TakeOrdered."""
+    plan = _plan(m.queries()["q10_returned_items"](spark, sf_small))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q17_scalar_subquery_decorrelates_to_single_agg(spark, sf_small):
+    """The correlated scalar subquery must become ONE per-part aggregate
+    (map-side partial on l_quantity) joined back on the l_partkey equi
+    key — never a per-row re-scan, never a cartesian. The stats-side
+    join STRATEGY is deliberately left to Catalyst's size estimate:
+    at test scale the tiny aggregate broadcasts (optimal); at 100 TB it
+    exceeds the broadcast threshold and falls back to a shuffle join on
+    l_partkey — both are equi-joins on the same key."""
+    plan = _plan(m.queries()["q17_small_qty_revenue"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan  # decorrelated agg, map-side combine
+    # exactly two lineitem scans: probe side + stats side (no N-times re-scan)
+    assert plan.count("lineitem.parquet") == 2
