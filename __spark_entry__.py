@@ -7350,6 +7350,109 @@ ORDER BY event_type
 """
 
 
+def g5_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 — per-node triangle counts over the strong co-occurrence graph:
+    G1 edges kept when ``2*weight >= max(weight)`` (a relative threshold,
+    so the sparsification is scale-free across sf — an absolute cutoff
+    would keep everything at sf0.1 and nothing at sf0.001). The max is a
+    1-row agg broadcast back (whitelisted nested-loop, the scalar-subquery
+    pattern). Counting runs graph.triangle_count — degree-ordered wedge
+    enumeration + one equi-join closure, O(m^1.5) intermediate at any
+    scale. Oracle: DuckDB closes wedges in plain id order (orientation
+    only changes WHERE a triangle is found, never whether)."""
+    from vector_search_optimization_spark.operators import graph as GR
+
+    e = load_table(spark, sf_dir, "events")
+    edges = SIM.cooccurrence_edges(e, "user_id", "event_type")
+    maxw = edges.agg(F.max("weight").alias("max_w"))
+    kept = (
+        edges.crossJoin(F.broadcast(maxw))
+        .where(2 * F.col("weight") >= F.col("max_w"))
+        .select("src", "dst")
+    )
+    return (
+        GR.triangle_count(kept)
+        .select(F.col("node").alias("event_type"), "n_triangles")
+        .orderBy("event_type")
+    )
+
+
+_G5_TRIANGLE_SQL = """
+WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events),
+e0 AS (
+  SELECT a.event_type AS src, b.event_type AS dst, count(*) AS weight
+  FROM pairs a JOIN pairs b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+kept AS (
+  SELECT src, dst FROM e0 WHERE 2 * weight >= (SELECT max(weight) FROM e0)
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM kept e1
+  JOIN kept e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN kept e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node AS event_type, count(*) AS n_triangles
+FROM corners GROUP BY 1 ORDER BY 1
+"""
+
+
+def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention cohorts — the canonical product-analytics query:
+    users grouped by the epoch-day of their FIRST event, counted
+    distinctly at each day-offset since (daily because the events table
+    spans ~30 days; weekly collapses to one cohort). Two user_id-keyed
+    shuffles (the first-event agg, the join back — same key, AQE reuses
+    the partitioning) + the cohort-cell agg. Day math is integer indices
+    from floor(epoch/86400) (Spark unix_timestamp == DuckDB
+    floor(epoch(ts)) — the project's cross-engine timestamp identity),
+    so no date-type or timezone semantics cross engines."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0))
+    ev = e.select("user_id", day.alias("day_idx"))
+    first = ev.groupBy("user_id").agg(F.min("day_idx").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "cohort_day",
+            (F.col("day_idx") - F.col("cohort_day")).alias("days_since"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "days_since")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("cohort_day", "days_since")
+    )
+
+
+_EVT_RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS day_idx
+  FROM events
+),
+first AS (
+  SELECT user_id, min(day_idx) AS cohort_day FROM ev GROUP BY 1
+)
+SELECT cohort_day,
+       day_idx - cohort_day AS days_since,
+       count(DISTINCT ev.user_id) AS n_users,
+       count(*) AS n_events
+FROM ev JOIN first ON ev.user_id = first.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Time-weighted average (trapezoid-free step-hold TWA)
 # ---------------------------------------------------------------------------
@@ -8141,11 +8244,12 @@ GROUP BY CUBE(event_type, hod)
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-3:   the 4 NEWEST r6 queries (TPC-H Q4/Q10/Q17/Q18
+#   positions 0-5:   the 6 NEWEST r6 queries (triangle counting,
+#                    retention cohorts, and the TPC-H Q4/Q10/Q17/Q18
 #                    shapes — correlated EXISTS / IN-HAVING subquery
 #                    decorrelation, returned-items top-k, per-part
 #                    scalar-subquery join-back) — never audited;
-#   positions 4-31:  the 28 earlier NEW r6 queries (pagerank, keep-best dedup,
+#   positions 6-33:  the 28 earlier NEW r6 queries (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
 #                    trailing RANGE window, hashing features, anti
 #                    join, basket rules, ntile buckets, winsorized
@@ -8156,14 +8260,14 @@ GROUP BY CUBE(event_type, hod)
 #                    dedup, incremental corpus dedup, bloom decontam,
 #                    mixture weights + apply, boilerplate strip) —
 #                    never audited;
-#   positions 32-43: the 12 queries whose exports/oracles CHANGED in r6
+#   positions 34-45: the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 44-49: 6 of the 19 r2-audited entries (p_filters, u_set_ops,
-#                    w1_w2, w3, w5, o5), stalest; pivot/a1_a3/a9/a10/
+#   positions 46-49: 4 of the 19 r2-audited entries (p_filters, u_set_ops,
+#                    w1_w2, w3), stalest; w5/o5/pivot/a1_a3/a9/a10/
 #                    a11_a13/a12/evt_tumbling/evt_sliding/j2/q3/
-#                    m4_dbscan/g1/g2 displaced (13 total).
-# Behind the window: the 13 displaced r2-audited entries above (rotate
+#                    m4_dbscan/g1/g2 displaced (15 total).
+# Behind the window: the 15 displaced r2-audited entries above (rotate
 # these forward FIRST in r7) and the r3-audited half (ep3_lloyd_audit,
 # s1, s2, s6, s3_orc, f5, f7, j5map, m1, m2, m3, m10, m11, a16, p8,
 # f10, f11, s7 converters, doc_chunking, mm_asset_features), then the
@@ -8173,6 +8277,8 @@ GROUP BY CUBE(event_type, hod)
 # decontaminate_overlap sits behind the window; local gate covers it.
 # tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "g5_triangle_count": (g5_triangle_count, _G5_TRIANGLE_SQL),
+    "evt_retention_cohorts": (evt_retention_cohorts, _EVT_RETENTION_SQL),
     "q4_order_priority": (q4_order_priority, _Q4_SQL),
     "q10_returned_items": (q10_returned_items, _Q10_SQL),
     "q17_small_qty_revenue": (q17_small_qty_revenue, _Q17_SQL),

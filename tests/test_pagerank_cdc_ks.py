@@ -257,3 +257,50 @@ def test_bfs_distances_paths_agree_and_bound_unreached(spark):
     }
     assert fast2 == dist2
     assert fast2["d"] == -1 and fast2["c"] == 2
+
+
+def test_triangle_count_matches_networkx(spark):
+    """Independent oracle: the distributed degree-ordered wedge count must
+    equal networkx's per-node triangle counts on a random-ish graph with
+    skewed degrees (a hub, a clique, pendants)."""
+    nx = pytest.importorskip("networkx")
+    g = nx.Graph()
+    g.add_edges_from(nx.complete_graph(6).edges)          # clique 0-5
+    g.add_edges_from((0, i) for i in range(6, 20))        # hub fan-out
+    g.add_edges_from([(6, 7), (7, 8), (8, 6), (19, 20)])  # side triangle + pendant
+    edges = spark.createDataFrame(
+        [(str(u), str(v)) for u, v in g.edges], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in GR.triangle_count(edges).collect()
+    }
+    want = {str(n): c for n, c in nx.triangles(g).items() if c > 0}
+    assert got == want
+
+
+def test_triangle_count_ignores_duplicates_loops_and_direction(spark):
+    """Dup edges, reversed dups, and self-loops must not change counts."""
+    base = [("a", "b"), ("b", "c"), ("a", "c")]
+    noisy = base + [("b", "a"), ("c", "b"), ("a", "a"), ("a", "b")]
+    e1 = spark.createDataFrame(base, "src string, dst string")
+    e2 = spark.createDataFrame(noisy, "src string, dst string")
+    r1 = sorted(map(tuple, GR.triangle_count(e1).collect()))
+    r2 = sorted(map(tuple, GR.triangle_count(e2).collect()))
+    assert r1 == r2 == [("a", 1), ("b", 1), ("c", 1)]
+
+
+def test_triangle_count_closure_is_equi_join(spark):
+    """The wedge-closure join must plan as an equi-join (hash or sort-merge)
+    — an OR-of-orientations condition would silently degrade to a
+    nested-loop over the wedge set."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    plan = (
+        GR.triangle_count(edges)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

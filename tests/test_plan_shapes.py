@@ -123,6 +123,8 @@ _NESTED_LOOP_OK = {
     "evt_ks_drift",            # 1-row global-median frame broadcast to
                                # tag the early/late cohorts
     "evt_ab_bootstrap",        # 1-row point-stats × 1-row CI frame join
+    "g5_triangle_count",       # 1-row max-weight frame broadcast for the
+                               # relative edge-sparsification threshold
 }
 
 

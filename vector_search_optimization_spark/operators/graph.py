@@ -560,3 +560,62 @@ def bfs_distances(
         id_col,
         F.coalesce(F.col("__d"), F.lit(-1)).cast("int").alias("hop_dist"),
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph —
+    the degree-ordered wedge-check algorithm (Schank/Wagner; the shape
+    MapReduce/GraphX use): orient every edge from the lower-(degree, id)
+    endpoint to the higher, enumerate wedges anchored at each low vertex,
+    and close them with ONE semi-check join against the oriented edge set.
+
+    Degree ordering is the 100 TB lever: wedge volume is Σ out_deg(v)²
+    and orienting toward higher degree caps out-degree at O(√m), so the
+    intermediate is O(m^1.5) instead of Σ deg² (unbounded under skew —
+    a celebrity node with 10M neighbors would otherwise emit 10M² wedges).
+    Three shuffles total: the degree agg, the wedge self-join on the
+    anchor, the closure join on (b, c). Each triangle is counted exactly
+    once (its rank-lowest vertex anchors the only closing wedge), then
+    re-attributed to all 3 corners with one explode + count.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).where(F.col("u") != F.col("v"))
+    sym = sym.unionByName(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # orient low-(degree, id) -> high; struct comparison is lexicographic
+    with_deg = (
+        sym.join(deg, "u")
+        .withColumnRenamed("d", "du")
+        .join(deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    oriented = with_deg.where(
+        F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    ).select(F.col("u").alias("a"), F.col("v").alias("b"))
+    # wedges at the anchor a: (a,b) x (a,c) with the candidate third edge
+    # normalized to plain id order — the closure check is then ONE
+    # equi-join on (lo, hi) against the id-canonical edge set (an OR of
+    # the two orientations would force a nested-loop join).
+    w1 = oriented.select("a", "b")
+    w2 = oriented.select(F.col("a"), F.col("b").alias("c"))
+    wedges = (
+        w1.join(w2, "a")
+        .where(F.col("b") < F.col("c"))  # each unordered pair once, id order
+        .select("a", F.col("b").alias("lo"), F.col("c").alias("hi"))
+    )
+    canon = sym.where(F.col("u") < F.col("v")).select(
+        F.col("u").alias("lo"), F.col("v").alias("hi")
+    )
+    tri = wedges.join(canon, ["lo", "hi"], "inner").select(
+        "a", F.col("lo").alias("b"), F.col("hi").alias("c")
+    )
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
