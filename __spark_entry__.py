@@ -7453,6 +7453,108 @@ ORDER BY 1, 2
 """
 
 
+def scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history folded from four simulated snapshot versions of
+    orders (the accumulation step after snapshot_diff's single-transition
+    CDC): presence churns on ``(key + 3v) % 11``, the status attribute
+    flips on ``(key + v) % 13``, price bumps on ``(key + v) % 17`` — so
+    runs break by change, delete+re-add gap, and late arrival, all
+    deterministically. upsert.scd2_intervals does the fold in ONE
+    key-partitioned shuffle (fingerprint lag + run numbering + interval
+    agg, no join). Exports interval-cell counts + exact key/price sums;
+    valid_to is NULL while current, so both engines order by
+    coalesce(valid_to, -1) (Spark defaults NULLS FIRST, DuckDB NULLS
+    LAST — never rely on engine NULL order)."""
+    o = load_table(spark, sf_dir, "orders")
+    v = F.col("version")
+    k = F.col("o_orderkey")
+    snaps = (
+        o.select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "price_cents"
+            ),
+            F.explode(F.array(*[F.lit(i) for i in range(1, 5)])).alias(
+                "version"
+            ),
+        )
+        .where((k + 3 * v) % 11 != 0)
+        .withColumn(
+            "status",
+            F.when((k + v) % 13 == 0, F.lit("REVISED")).otherwise(
+                F.col("status")
+            ),
+        )
+        .withColumn(
+            "price_cents",
+            F.when((k + v) % 17 == 0, F.col("price_cents") + 100 * v)
+            .otherwise(F.col("price_cents")),
+        )
+    )
+    hist = upsert.scd2_intervals(
+        snaps,
+        ["o_orderkey"],
+        ["status", "price_cents"],
+        "version",
+        latest_version=4,
+    )
+    return (
+        hist.groupBy("valid_from", "valid_to", "is_current")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("price_cents").alias("price_sum"),
+        )
+        .orderBy("valid_from", F.coalesce("valid_to", F.lit(-1)), "is_current")
+    )
+
+
+_SCD2_SQL = """
+WITH snaps AS (
+  SELECT o_orderkey,
+         CASE WHEN (o_orderkey + v) % 13 = 0 THEN 'REVISED'
+              ELSE o_orderstatus END AS status,
+         CASE WHEN (o_orderkey + v) % 17 = 0
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) + 100 * v
+              ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+         END AS price_cents,
+         v AS version
+  FROM orders, unnest([1, 2, 3, 4]) AS t(v)
+  WHERE (o_orderkey + 3 * v) % 11 <> 0
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN lag(version) OVER w IS NULL THEN 1
+         WHEN lag(status) OVER w IS DISTINCT FROM status THEN 1
+         WHEN lag(price_cents) OVER w IS DISTINCT FROM price_cents THEN 1
+         WHEN lag(version) OVER w <> version - 1 THEN 1
+         ELSE 0 END AS chg
+  FROM snaps WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)
+),
+runs AS (
+  SELECT *, sum(chg) OVER (
+    PARTITION BY o_orderkey ORDER BY version ROWS UNBOUNDED PRECEDING
+  ) AS run
+  FROM flagged
+),
+hist AS (
+  SELECT o_orderkey, any_value(price_cents) AS price_cents,
+         min(version) AS valid_from, max(version) AS last_v
+  FROM runs GROUP BY o_orderkey, run
+)
+SELECT valid_from,
+       CASE WHEN last_v < 4 THEN last_v + 1 END AS valid_to,
+       last_v = 4 AS is_current,
+       count(*) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(price_cents) AS BIGINT) AS price_sum
+FROM hist
+GROUP BY 1, 2, 3
+ORDER BY valid_from, coalesce(valid_to, -1), is_current
+"""
+
+
 # ---------------------------------------------------------------------------
 # Time-weighted average (trapezoid-free step-hold TWA)
 # ---------------------------------------------------------------------------
@@ -8244,12 +8346,13 @@ GROUP BY CUBE(event_type, hod)
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-5:   the 6 NEWEST r6 queries (triangle counting,
-#                    retention cohorts, and the TPC-H Q4/Q10/Q17/Q18
-#                    shapes — correlated EXISTS / IN-HAVING subquery
-#                    decorrelation, returned-items top-k, per-part
-#                    scalar-subquery join-back) — never audited;
-#   positions 6-33:  the 28 earlier NEW r6 queries (pagerank, keep-best dedup,
+#   positions 0-6:   the 7 NEWEST r6 queries (SCD2 history fold,
+#                    triangle counting, retention cohorts, and the
+#                    TPC-H Q4/Q10/Q17/Q18 shapes — correlated EXISTS /
+#                    IN-HAVING subquery decorrelation, returned-items
+#                    top-k, per-part scalar-subquery join-back) —
+#                    never audited;
+#   positions 7-34:  the 28 earlier NEW r6 queries (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
 #                    trailing RANGE window, hashing features, anti
 #                    join, basket rules, ntile buckets, winsorized
@@ -8260,14 +8363,14 @@ GROUP BY CUBE(event_type, hod)
 #                    dedup, incremental corpus dedup, bloom decontam,
 #                    mixture weights + apply, boilerplate strip) —
 #                    never audited;
-#   positions 34-45: the 12 queries whose exports/oracles CHANGED in r6
+#   positions 35-46: the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 46-49: 4 of the 19 r2-audited entries (p_filters, u_set_ops,
-#                    w1_w2, w3), stalest; w5/o5/pivot/a1_a3/a9/a10/
+#   positions 47-49: 3 of the 19 r2-audited entries (p_filters, u_set_ops,
+#                    w1_w2), stalest; w3/w5/o5/pivot/a1_a3/a9/a10/
 #                    a11_a13/a12/evt_tumbling/evt_sliding/j2/q3/
-#                    m4_dbscan/g1/g2 displaced (15 total).
-# Behind the window: the 15 displaced r2-audited entries above (rotate
+#                    m4_dbscan/g1/g2 displaced (16 total).
+# Behind the window: the 16 displaced r2-audited entries above (rotate
 # these forward FIRST in r7) and the r3-audited half (ep3_lloyd_audit,
 # s1, s2, s6, s3_orc, f5, f7, j5map, m1, m2, m3, m10, m11, a16, p8,
 # f10, f11, s7 converters, doc_chunking, mm_asset_features), then the
@@ -8277,6 +8380,7 @@ GROUP BY CUBE(event_type, hod)
 # decontaminate_overlap sits behind the window; local gate covers it.
 # tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "scd2_orders_history": (scd2_orders_history, _SCD2_SQL),
     "g5_triangle_count": (g5_triangle_count, _G5_TRIANGLE_SQL),
     "evt_retention_cohorts": (evt_retention_cohorts, _EVT_RETENTION_SQL),
     "q4_order_priority": (q4_order_priority, _Q4_SQL),

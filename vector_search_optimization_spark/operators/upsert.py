@@ -112,3 +112,89 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
         .alias("change_type"),
     )
+
+
+def scd2_intervals(
+    snapshots: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    version_col: str = "version",
+    latest_version=None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from stacked snapshots —
+    the accumulation half of the CDC story (snapshot_diff classifies ONE
+    transition; this folds N versioned snapshots into validity
+    intervals).
+
+    Input: one frame holding every snapshot, tagged by ``version_col``
+    (consecutive integers). Output: one row per (key, attribute-run) with
+    ``valid_from`` (first version the attribute tuple held),
+    ``valid_to`` (the version it stopped — by change OR delete; NULL
+    while still current) and ``is_current``.
+
+    Plan: map-side row fingerprints (the snapshot_diff token scheme —
+    per-field sha256 so no delimiter re-segmentation, NULL-safe), then
+    ONE hash-partition by key drives both window passes (lag to flag
+    run starts — attribute change, first appearance, or a PRESENCE GAP,
+    the delete+re-add case the naive lag-only fold merges — and a
+    running sum to number runs) and the per-run min/max agg shares the
+    same key prefix. No join at all: at 100 TB this is one shuffle of
+    (key, version, fp) plus the tiny interval agg.
+
+    ``latest_version`` bounds open intervals; when None it is taken
+    from the data (one scalar agg — a bounded driver finish)."""
+    if latest_version is None:
+        latest_version = snapshots.agg(F.max(version_col)).first()[0]
+    from pyspark.sql import Window
+
+    field_tokens = [
+        F.coalesce(F.sha2(F.col(c).cast("string"), 256), F.lit("<NULL>"))
+        for c in compare_cols
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(version_col)
+    flagged = (
+        snapshots.select(
+            *key_cols,
+            F.col(version_col).alias("__v"),
+            *compare_cols,
+            F.sha2(F.concat_ws("|", *field_tokens), 256).alias("__fp"),
+        )
+        .withColumn("__prev_fp", F.lag("__fp").over(
+            Window.partitionBy(*key_cols).orderBy("__v")))
+        .withColumn("__prev_v", F.lag("__v").over(
+            Window.partitionBy(*key_cols).orderBy("__v")))
+        .withColumn(
+            "__chg",
+            F.when(F.col("__prev_fp").isNull(), 1)          # first appearance
+            .when(F.col("__prev_fp") != F.col("__fp"), 1)   # attribute change
+            .when(F.col("__prev_v") != F.col("__v") - 1, 1)  # presence gap
+            .otherwise(0),
+        )
+        .withColumn(
+            "__run",
+            F.sum("__chg").over(
+                Window.partitionBy(*key_cols)
+                .orderBy("__v")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    firsts = [F.first(c).alias(c) for c in compare_cols]  # constant per run
+    return (
+        flagged.groupBy(*key_cols, "__run")
+        .agg(
+            F.min("__v").alias("valid_from"),
+            F.max("__v").alias("__last"),
+            *firsts,
+        )
+        .select(
+            *key_cols,
+            *compare_cols,
+            "valid_from",
+            F.when(
+                F.col("__last") < F.lit(latest_version),
+                F.col("__last") + 1,
+            ).alias("valid_to"),
+            (F.col("__last") == F.lit(latest_version)).alias("is_current"),
+        )
+    )
