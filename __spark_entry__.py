@@ -7847,6 +7847,75 @@ ORDER BY name_a, name_b
 """
 
 
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the entity-resolution story: fuzzy_name_pairs finds the
+    match PAIRS; this query folds them into canonical ENTITIES —
+    connected components over the match graph (graph.connected_components,
+    the same partition-local union-find contraction that canonicalizes
+    near-duplicate docs), labeled by the lexicographically-min member.
+    Singleton names (no fuzzy match) stay their own entity via the nodes
+    frame. Exports per-entity size, total row occurrences, and the
+    ','-joined sorted member list (the canonical dict-serialization
+    pattern, cross-engine-stable for ASCII names). Oracle: transitive
+    closure by recursive CTE + min-reachable label — tiny on the
+    collapsed name graph, which is the point: the quadratic/iterative
+    work happens on DISTINCT names (64 at sf0.01), never on rows."""
+    from vector_search_optimization_spark.operators import graph as GR
+
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n"))
+    pairs = fuzzy_name_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("name_a").alias("src"), F.col("name_b").alias("dst"))
+    comp = GR.connected_components(
+        edges, nodes=names.select(F.col("p_name").alias("pid")), id_col="pid"
+    )
+    return (
+        comp.join(names, comp.pid == names.p_name)
+        .groupBy(F.col("component").alias("canonical_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_names"),
+            F.sum("n").alias("n_rows"),
+            F.array_join(F.array_sort(F.collect_list("p_name")), ",").alias(
+                "members"
+            ),
+        )
+        .orderBy("canonical_name")
+    )
+
+
+_ENTITY_CLUSTERS_SQL = """
+WITH RECURSIVE names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n FROM part GROUP BY p_name
+), blocked AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b
+  FROM (SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM names) a
+  JOIN (SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM names) b
+    ON a.blk = b.blk AND a.p_name < b.p_name
+  WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+    AND levenshtein(a.p_name, b.p_name) <= 3
+), sym AS (
+  SELECT name_a AS s, name_b AS d FROM blocked
+  UNION SELECT name_b, name_a FROM blocked
+), walk(a, b) AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT w.a, s.d FROM walk w JOIN sym s ON w.b = s.s
+), lbl AS (
+  SELECT n.p_name,
+         least(n.p_name, coalesce(min(w.b), n.p_name)) AS component
+  FROM names n LEFT JOIN walk w ON w.a = n.p_name
+  GROUP BY n.p_name
+)
+SELECT l.component AS canonical_name,
+       count(*) AS n_names,
+       CAST(sum(n.n) AS BIGINT) AS n_rows,
+       string_agg(l.p_name, ',' ORDER BY l.p_name) AS members
+FROM lbl l JOIN names n ON n.p_name = l.p_name
+GROUP BY l.component
+ORDER BY canonical_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Winsorization (percentile clipping) per group
 # ---------------------------------------------------------------------------
@@ -8346,13 +8415,13 @@ GROUP BY CUBE(event_type, hod)
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-6:   the 7 NEWEST r6 queries (SCD2 history fold,
-#                    triangle counting, retention cohorts, and the
-#                    TPC-H Q4/Q10/Q17/Q18 shapes — correlated EXISTS /
-#                    IN-HAVING subquery decorrelation, returned-items
-#                    top-k, per-part scalar-subquery join-back) —
-#                    never audited;
-#   positions 7-34:  the 28 earlier NEW r6 queries (pagerank, keep-best dedup,
+#   positions 0-7:   the 8 NEWEST r6 queries (entity-resolution
+#                    clusters, SCD2 history fold, triangle counting,
+#                    retention cohorts, and the TPC-H Q4/Q10/Q17/Q18
+#                    shapes — correlated EXISTS / IN-HAVING subquery
+#                    decorrelation, returned-items top-k, per-part
+#                    scalar-subquery join-back) — never audited;
+#   positions 8-35:  the 28 earlier NEW r6 queries (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
 #                    trailing RANGE window, hashing features, anti
 #                    join, basket rules, ntile buckets, winsorized
@@ -8363,14 +8432,14 @@ GROUP BY CUBE(event_type, hod)
 #                    dedup, incremental corpus dedup, bloom decontam,
 #                    mixture weights + apply, boilerplate strip) —
 #                    never audited;
-#   positions 35-46: the 12 queries whose exports/oracles CHANGED in r6
+#   positions 36-47: the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 47-49: 3 of the 19 r2-audited entries (p_filters, u_set_ops,
-#                    w1_w2), stalest; w3/w5/o5/pivot/a1_a3/a9/a10/
-#                    a11_a13/a12/evt_tumbling/evt_sliding/j2/q3/
-#                    m4_dbscan/g1/g2 displaced (16 total).
-# Behind the window: the 16 displaced r2-audited entries above (rotate
+#   positions 48-49: 2 of the 19 r2-audited entries (p_filters,
+#                    u_set_ops), stalest; w1_w2/w3/w5/o5/pivot/a1_a3/
+#                    a9/a10/a11_a13/a12/evt_tumbling/evt_sliding/j2/q3/
+#                    m4_dbscan/g1/g2 displaced (17 total).
+# Behind the window: the 17 displaced r2-audited entries above (rotate
 # these forward FIRST in r7) and the r3-audited half (ep3_lloyd_audit,
 # s1, s2, s6, s3_orc, f5, f7, j5map, m1, m2, m3, m10, m11, a16, p8,
 # f10, f11, s7 converters, doc_chunking, mm_asset_features), then the
@@ -8380,6 +8449,10 @@ GROUP BY CUBE(event_type, hod)
 # decontaminate_overlap sits behind the window; local gate covers it.
 # tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "entity_resolution_clusters": (
+        entity_resolution_clusters,
+        _ENTITY_CLUSTERS_SQL,
+    ),
     "scd2_orders_history": (scd2_orders_history, _SCD2_SQL),
     "g5_triangle_count": (g5_triangle_count, _G5_TRIANGLE_SQL),
     "evt_retention_cohorts": (evt_retention_cohorts, _EVT_RETENTION_SQL),
