@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from vector_search_optimization_spark.operators import heavy_hitters as HH
+from vector_search_optimization_spark.sources import load_table
 
 
 def _planted(spark, n_noise=3000, n_hot=400, parts=7):
@@ -80,3 +81,81 @@ def test_no_hitters_when_uniform(spark):
         [(i, f"k{i % 50}") for i in range(2000)], "i long, key string"
     ).select("key")
     assert HH.heavy_hitters(df, "key", 0.05).count() == 0
+
+
+def test_streaming_monitor_brackets_counts_and_bounds_state(spark, sf_small):
+    """Multi-batch replay: every summarized key's true count sits inside
+    the emitted [est, est+decs] bracket, and per-shard state never
+    exceeds ceil(1/phi) keys even though each shard sees ~75 distinct
+    users (trims genuinely fire)."""
+    import math
+
+    from vector_search_optimization_spark import streaming as S
+    from vector_search_optimization_spark.sources.replay_datasource import (
+        register_replay_source,
+    )
+
+    register_replay_source(spark)
+    phi, n_shards = 0.05, 2
+    ev = (
+        spark.readStream.format("events_replay")
+        .option("path", sf_small)
+        .option("rows_per_batch", "300")
+        .load()
+    )
+    out = S.run_stream_to_memory(
+        S.heavy_hitter_monitor_stream(ev, "user_id", phi, n_shards=n_shards),
+        "t_hh_user",
+        output_mode="update",
+    ).toPandas()
+    # final snapshot per shard = the emission with that shard's max row count
+    final = out[out.shard_rows == out.groupby("shard").shard_rows.transform("max")]
+    k = int(math.ceil(1.0 / phi))
+    assert (final.groupby("shard").size() <= k).all()
+    true = (
+        load_table(spark, sf_small, "events")
+        .groupBy(F.col("user_id").cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+        .set_index("key")["n"]
+    )
+    for r in final.itertuples():
+        assert r.est <= true[r.key] <= r.est + r.decs
+
+
+def test_streaming_monitor_candidates_superset_then_verify_equals_batch(
+    spark, sf_small
+):
+    """The stream-then-verify contract: streaming candidates contain every
+    exact batch heavy hitter, and the exact verify over the accumulated
+    table restricted to those candidates reproduces the batch operator's
+    output. With k >= distinct keys no trim ever fires, so est IS exact."""
+    from vector_search_optimization_spark import streaming as S
+    from vector_search_optimization_spark.operators.heavy_hitters import (
+        heavy_hitters,
+    )
+    from vector_search_optimization_spark.sources.replay_datasource import (
+        register_replay_source,
+    )
+
+    register_replay_source(spark)
+    ev = (
+        spark.readStream.format("events_replay")
+        .option("path", sf_small)
+        .option("rows_per_batch", "300")
+        .load()
+    )
+    out = S.run_stream_to_memory(
+        S.heavy_hitter_monitor_stream(ev, "event_type", 0.1, n_shards=2),
+        "t_hh_type",
+        output_mode="update",
+    ).toPandas()
+    final = out[out.shard_rows == out.groupby("shard").shard_rows.transform("max")]
+    assert (final.decs == 0).all()  # no eviction -> exact MG counts
+    batch = heavy_hitters(
+        load_table(spark, sf_small, "events"), "event_type", 0.1
+    ).toPandas()
+    assert set(batch.event_type.astype(str)) <= set(final.key)
+    got_counts = final.set_index("key").est
+    for r in batch.itertuples():
+        assert got_counts[str(r.event_type)] == r.n

@@ -10,3 +10,4 @@ from .windows import (  # noqa: F401
 )
 from .index_maintenance import stream_append_to_ivf_index  # noqa: F401
 from .dedup_maintenance import stream_dedup_against_corpus  # noqa: F401
+from .heavy_hitters import heavy_hitter_monitor_stream  # noqa: F401
