@@ -1176,6 +1176,78 @@ ORDER BY score DESC, vec_id ASC LIMIT 10
 """
 
 
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval (Carbonell/Goldstein MMR, the re-rank every
+    production search stack bolts onto plain top-k): exact cosine
+    shortlist of 50 (distributed — the brute_force_topk TakeOrdered
+    plan), greedy λ=0.5 MMR over the collected shortlist on the driver
+    (bounded finish, 50 rows by contract). Oracle: the generator runs
+    the SAME shared kernel (retrieval.mmr_select — 6dp-rounded cosines,
+    min-id tie-breaks) over the DuckDB-derived shortlist and inlines
+    only the (rank, vec_id) selection as literals; DuckDB independently
+    recomputes every exported value (sim_q, max-prior-sim via the
+    bounded k×k pair join, the derived mmr_score)."""
+    from vector_search_optimization_spark.operators import retrieval as RET
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.orderBy("vec_id").select("embedding").first()[0]
+    return RET.mmr_rerank(e, q, k=10, shortlist=50, lam=0.5)
+
+
+def _mmr_sql() -> str:
+    """Generated oracle for mmr_diverse_topk (at the oracle sf): DuckDB
+    rebuilds the rounded-score shortlist (the proven ann_topk boundary
+    discipline), the shared kernel picks the MMR selection, and the SQL
+    recomputes sims/penalties/scores from the inlined (rank, id) pairs."""
+    import duckdb
+
+    from vector_search_optimization_spark.operators.retrieval import mmr_select
+
+    cos_q = _mrl_cos_sql("embedding", "qv")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{_oracle_sf_dir()}/embeddings.parquet'"
+    )
+    short = con.execute(
+        "WITH q AS (SELECT embedding AS qv FROM embeddings"
+        " ORDER BY vec_id LIMIT 1)"
+        f" SELECT vec_id, {cos_q} AS score FROM embeddings, q"
+        " ORDER BY score DESC, vec_id ASC LIMIT 50"
+    ).df()
+    ids = [int(x) for x in short["vec_id"]]
+    qvec = con.execute(
+        "SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1"
+    ).fetchone()[0]
+    vmap = dict(
+        con.execute(
+            "SELECT vec_id, embedding FROM embeddings WHERE vec_id IN "
+            f"({','.join(map(str, ids))})"
+        ).fetchall()
+    )
+    con.close()
+    picks = mmr_select(ids, [vmap[i] for i in ids], qvec, k=10, lam=0.5)
+    sel_vals = ", ".join(f"({r}, {i})" for r, i, _, _ in picks)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+sel AS (SELECT * FROM (VALUES {sel_vals}) t(rank, vec_id)),
+scored AS (
+  SELECT s.rank, s.vec_id, {cos_q} AS sim_q, e.embedding
+  FROM sel s JOIN embeddings e ON e.vec_id = s.vec_id, q
+),
+pairs AS (
+  SELECT a.rank,
+         max({_mrl_cos_sql("a.embedding", "b.embedding")}) AS max_prior_sim
+  FROM scored a JOIN scored b ON b.rank < a.rank
+  GROUP BY a.rank
+)
+SELECT s.rank, s.vec_id, s.sim_q, p.max_prior_sim,
+       0.5 * s.sim_q - 0.5 * coalesce(p.max_prior_sim, 0.0) AS mmr_score
+FROM scored s LEFT JOIN pairs p ON p.rank = s.rank
+ORDER BY s.rank
+"""
+
+
 def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build-once cache of the materialized IVF index for a scale factor.
 
@@ -8415,13 +8487,14 @@ GROUP BY CUBE(event_type, hod)
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-7:   the 8 NEWEST r6 queries (entity-resolution
-#                    clusters, SCD2 history fold, triangle counting,
-#                    retention cohorts, and the TPC-H Q4/Q10/Q17/Q18
-#                    shapes — correlated EXISTS / IN-HAVING subquery
-#                    decorrelation, returned-items top-k, per-part
-#                    scalar-subquery join-back) — never audited;
-#   positions 8-35:  the 28 earlier NEW r6 queries (pagerank, keep-best dedup,
+#   positions 0-8:   the 9 NEWEST r6 queries (MMR diversified top-k,
+#                    entity-resolution clusters, SCD2 history fold,
+#                    triangle counting, retention cohorts, and the
+#                    TPC-H Q4/Q10/Q17/Q18 shapes — correlated EXISTS /
+#                    IN-HAVING subquery decorrelation, returned-items
+#                    top-k, per-part scalar-subquery join-back) —
+#                    never audited;
+#   positions 9-36:  the 28 earlier NEW r6 queries (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
 #                    trailing RANGE window, hashing features, anti
 #                    join, basket rules, ntile buckets, winsorized
@@ -8432,14 +8505,14 @@ GROUP BY CUBE(event_type, hod)
 #                    dedup, incremental corpus dedup, bloom decontam,
 #                    mixture weights + apply, boilerplate strip) —
 #                    never audited;
-#   positions 36-47: the 12 queries whose exports/oracles CHANGED in r6
+#   positions 37-48: the 12 queries whose exports/oracles CHANGED in r6
 #                    (ep3_label_pipeline now value-oracled, the
 #                    decimal-tie sweep, the sketch rank gate, o7);
-#   positions 48-49: 2 of the 19 r2-audited entries (p_filters,
-#                    u_set_ops), stalest; w1_w2/w3/w5/o5/pivot/a1_a3/
+#   position 49:     1 of the 19 r2-audited entries (p_filters),
+#                    stalest; u_set_ops/w1_w2/w3/w5/o5/pivot/a1_a3/
 #                    a9/a10/a11_a13/a12/evt_tumbling/evt_sliding/j2/q3/
-#                    m4_dbscan/g1/g2 displaced (17 total).
-# Behind the window: the 17 displaced r2-audited entries above (rotate
+#                    m4_dbscan/g1/g2 displaced (18 total).
+# Behind the window: the 18 displaced r2-audited entries above (rotate
 # these forward FIRST in r7) and the r3-audited half (ep3_lloyd_audit,
 # s1, s2, s6, s3_orc, f5, f7, j5map, m1, m2, m3, m10, m11, a16, p8,
 # f10, f11, s7 converters, doc_chunking, mm_asset_features), then the
@@ -8449,6 +8522,7 @@ GROUP BY CUBE(event_type, hod)
 # decontaminate_overlap sits behind the window; local gate covers it.
 # tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "mmr_diverse_topk": (mmr_diverse_topk, _mmr_sql),
     "entity_resolution_clusters": (
         entity_resolution_clusters,
         _ENTITY_CLUSTERS_SQL,

@@ -125,6 +125,8 @@ _NESTED_LOOP_OK = {
     "evt_ab_bootstrap",        # 1-row point-stats × 1-row CI frame join
     "g5_triangle_count",       # 1-row max-weight frame broadcast for the
                                # relative edge-sparsification threshold
+    "mmr_diverse_topk",        # k×k (≤10×10) selected-set pair join for
+                               # the engine-side max-prior-sim recompute
 }
 
 

@@ -84,3 +84,57 @@ def test_merge_documents_partial_update(index):
     assert got[1].etiqueta is None                        # other rows unchanged
     # chainable: search still works on the merged index
     assert merged.search_keyword(["shuffle"], k=1).count() == 1
+
+
+class TestMmrRerank:
+    def test_mmr_diversifies_across_planted_clusters(self, spark):
+        """Query sits in cluster A; plain top-k returns only A members,
+        MMR at lam=0.5 pulls in the B representative early."""
+        import numpy as np
+
+        from vector_search_optimization_spark.operators.retrieval import (
+            mmr_rerank,
+        )
+
+        rng = np.random.default_rng(7)
+        a = np.array([1.0, 0.0, 0.0])
+        b = np.array([0.6, 0.8, 0.0])
+        rows = []
+        for i in range(8):  # tight cluster around a
+            v = a + 0.01 * rng.standard_normal(3)
+            rows.append((i, [float(x) for x in v]))
+        rows.append((100, [float(x) for x in b]))  # one distinct direction
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = mmr_rerank(df, [1.0, 0.0, 0.0], k=3, shortlist=9, lam=0.3).collect()
+        assert [r["rank"] for r in out] == [1, 2, 3]
+        assert 100 in {r["vec_id"] for r in out}  # diversity pick
+        assert out[0]["max_prior_sim"] is None
+        for r in out[1:]:
+            assert r["max_prior_sim"] is not None
+            assert abs(
+                r["mmr_score"]
+                - (0.3 * r["sim_q"] - 0.7 * r["max_prior_sim"])
+            ) < 1e-12
+
+    def test_kernel_is_plain_topk_at_lambda_one(self, spark):
+        """lam=1.0 disables the penalty: selection must equal the plain
+        cosine top-k ordering (rounded-score, min-id tie-break)."""
+        import numpy as np
+
+        from vector_search_optimization_spark.operators.retrieval import (
+            mmr_select,
+        )
+
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((20, 8))
+        q = rng.standard_normal(8)
+        picks = mmr_select(list(range(20)), vecs.tolist(), q.tolist(), k=5, lam=1.0)
+        vf = vecs.astype(np.float32).astype(np.float64)
+        qf = np.asarray(q, dtype=np.float32).astype(np.float64)
+        sims = np.round(
+            (vf / np.linalg.norm(vf, axis=1, keepdims=True))
+            @ (qf / np.linalg.norm(qf)),
+            6,
+        )
+        want = sorted(range(20), key=lambda i: (-sims[i], i))[:5]
+        assert [i for _, i, _, _ in picks] == want

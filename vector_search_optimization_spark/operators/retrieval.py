@@ -278,3 +278,114 @@ class SearchIndex:
             self.text_col,
             self.vector_col,
         )
+
+
+def mmr_select(ids, vectors, qvec, k: int = 10, lam: float = 0.5):
+    """Shared greedy MMR kernel (Carbonell/Goldstein '98) — deterministic
+    by construction: works on 6dp-ROUNDED cosines with min-id tie-breaks,
+    and is run by BOTH the Spark driver (over the collected shortlist)
+    and the DuckDB oracle generator (over the SQL-derived shortlist), so
+    the selection literals agree as long as the shortlist does.
+
+    Returns [(rank, id, sim_q, max_prior_sim-or-None), ...]; sims here
+    are the kernel's own float64-over-float32 cosines (selection keys),
+    NOT the engine-exported values — each engine re-derives its exports.
+    """
+    import numpy as np
+
+    m = np.asarray(vectors, dtype=np.float32).astype(np.float64)
+    q = np.asarray(qvec, dtype=np.float32).astype(np.float64)
+    m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q_n = q / np.linalg.norm(q)
+    sim_q = np.round(m_n @ q_n, 6)
+    inter = np.round(m_n @ m_n.T, 6)
+    ids = list(ids)
+    selected: list[int] = []
+    out = []
+    remaining = list(range(len(ids)))
+    for rank in range(1, min(k, len(ids)) + 1):
+        if selected:
+            penalty = inter[:, selected].max(axis=1)
+        else:
+            penalty = np.zeros(len(ids))
+        mmr = np.round(lam * sim_q - (1.0 - lam) * penalty, 6)
+        # argmax over remaining, min-id tiebreak
+        best = min(remaining, key=lambda i: (-mmr[i], ids[i]))
+        out.append(
+            (
+                rank,
+                ids[best],
+                float(sim_q[best]),
+                float(penalty[best]) if selected else None,
+            )
+        )
+        selected.append(best)
+        remaining.remove(best)
+    return out
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    shortlist: int = 50,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Diversified top-k: exact cosine shortlist (distributed — map-side
+    score + TakeOrdered, the brute_force_topk plan), then greedy MMR over
+    the collected shortlist on the driver (a bounded finish: ``shortlist``
+    rows by contract, the same small-side discipline as the community /
+    centroid steps). Exported sims are recomputed engine-side at 6dp;
+    the kernel's sims only drive the selection."""
+    from .ann import brute_force_topk
+
+    top = brute_force_topk(
+        df, query, k=shortlist, id_col=id_col, vector_col=vector_col
+    )
+    rows = (
+        top.join(df.select(id_col, vector_col), id_col)
+        .select(id_col, vector_col)
+        .collect()
+    )
+    ids = [r[0] for r in rows]
+    vecs = [list(r[1]) for r in rows]
+    picks = mmr_select(ids, vecs, list(query), k=k, lam=lam)
+    spark = df.sparkSession
+    sel = spark.createDataFrame(
+        [(r, i) for r, i, _, _ in picks], schema="rank int, __sel_id long"
+    )
+    scored = df.join(
+        F.broadcast(sel), F.col(id_col) == F.col("__sel_id")
+    ).select(
+        "rank",
+        F.col(id_col),
+        F.round(V.cosine_similarity(vector_col, F.array([F.lit(float(x)) for x in query])), 6).alias("sim_q"),
+        F.col(vector_col).alias("__v"),
+    )
+    # max cosine to any HIGHER-ranked pick, recomputed engine-side: the
+    # selected set is <= k rows, so the pair join is k x k broadcast
+    pairs = scored.alias("a").join(
+        F.broadcast(scored.select("rank", "__v").alias("b")),
+        F.col("b.rank") < F.col("a.rank"),
+    ).groupBy("a.rank").agg(
+        F.max(
+            F.round(V.cosine_similarity("a.__v", F.col("b.__v")), 6)
+        ).alias("max_prior_sim")
+    )
+    lam_l = F.lit(lam)
+    return (
+        scored.join(pairs, "rank", "left")
+        .select(
+            "rank",
+            id_col,
+            "sim_q",
+            "max_prior_sim",
+            (
+                lam_l * F.col("sim_q")
+                - (1 - lam_l) * F.coalesce("max_prior_sim", F.lit(0.0))
+            ).alias("mmr_score"),
+        )
+        .orderBy("rank")
+    )
