@@ -704,6 +704,524 @@ LIMIT 100
 """
 
 
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped: distribution of customers by order count, with a
+    predicate folded into the LEFT JOIN's ON clause (here: pre-filtering
+    the right input, which is equivalent for a left join and lets the
+    priority filter push to the orders scan). Customers with zero
+    qualifying orders survive as c_count=0 via count(o_orderkey)
+    (non-null counting). The per-customer groupBy keys on the join key,
+    so at 100 TB it reuses the join's c_custkey hash partitioning with
+    no extra Exchange; the second agg reduces to ~tens of rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_SQL = """
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped: supplier(s) achieving the maximum quarterly
+    revenue — the VIEW + scalar-max self-reference expressed as one
+    revenue aggregate joined (equi, on the exact integer revenue value)
+    against its own broadcast 1-row max. Revenue is summed in exact
+    integer cents×(100-disc) arithmetic (the q10 pattern), so the
+    max-equality join key is bit-identical across engines — a float
+    revenue would make "equals the max" a coin flip in the low bits.
+    At 100 TB the date filter pushes to the lineitem scan and the
+    revenue agg is one combinable shuffle over ~suppliers rows."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1996-03-31 23:59:59")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("total_revenue_c4")
+    )
+    best = rev.agg(F.max("total_revenue_c4").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(best), F.col("total_revenue_c4") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "total_revenue_c4",
+            (F.col("total_revenue_c4") / F.lit(10000.0)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+           AS total_revenue_c4
+  FROM lineitem
+  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                       AND TIMESTAMP '1996-03-31 23:59:59'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue_c4,
+       total_revenue_c4 / 10000.0 AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue_c4 = (SELECT max(total_revenue_c4) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped: distinct-supplier variety per (brand, type, size)
+    over the lineitem association (this corpus has no partsupp table —
+    lineitem plays its role), excluding one brand / a type prefix / all
+    but 8 sizes, and excluding a supplier list via NOT IN (subquery).
+
+    Written as SQL so Catalyst's null-aware anti-join rewrite is
+    exercised: s_suppkey is non-null, so the NOT IN plans as a broadcast
+    anti join rather than a per-row subquery. The part-side predicates
+    prune the part scan before its broadcast; count(DISTINCT) runs as
+    the standard two-level Expand aggregate, combinable at 100 TB."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q16_lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q16_part")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q16_supplier")
+    return spark.sql("""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM q16_lineitem JOIN q16_part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM q16_supplier WHERE s_name LIKE '%7')
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """)
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped: revenue under a three-branch disjunctive
+    (brand × size-range × quantity-range) predicate spanning both join
+    sides. The shape Catalyst must get right: the join itself stays a
+    plain l_partkey equi-join (part broadcasts), the OR-of-ANDs is
+    evaluated post-join, and the derivable common conjuncts
+    (p_size >= 1, l_quantity <= 30) are pushed to the respective scans
+    as PushedFilters. Revenue uses the exact integer-cents pattern; the
+    exported double is one shared IEEE division of that integer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    branch = (
+        (F.col("p_brand") == "Brand#5")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#17")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(branch)
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("revenue_c4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .withColumn("revenue", F.col("revenue_c4") / F.lit(10000.0))
+        .select("revenue_c4", "revenue", "n_lines")
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_c4,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+         / 10000.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#5'  AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped: suppliers who were the SOLE late shipper in
+    finalized multi-supplier orders — the hardest decorrelation shape in
+    TPC-H: one correlated EXISTS (another supplier exists on the order)
+    AND one correlated NOT EXISTS (no OTHER supplier was late). This
+    corpus has no commit/receipt dates, so "late" = shipped more than
+    90 days after the order date; the NOT EXISTS subquery re-joins
+    orders internally (o3 = the same unique order) so its correlation is
+    a pure l_orderkey equi — Catalyst rewrites the pair into a LEFT SEMI
+    + LEFT ANTI join chain on l_orderkey, no per-row re-scan. At 100 TB
+    all three lineitem legs shuffle on the same l_orderkey key and AQE
+    can reuse the exchange."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q21_supplier")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q21_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q21_lineitem")
+    return spark.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM q21_supplier
+        JOIN q21_lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN q21_orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAYS
+          AND EXISTS (
+            SELECT 1 FROM q21_lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM q21_lineitem l3
+            JOIN q21_orders o3 ON l3.l_orderkey = o3.o_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAYS)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """)
+
+
+_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: high-balance customers with no recent orders,
+    grouped by a derived code (c_custkey % 7 stands in for the phone
+    country code; every customer here has SOME order, so the anti-join
+    is on orders after a cutoff). Two classic shapes in one plan: the
+    "above average" scalar subquery — evaluated tie-free as
+    cents(acctbal) * n_pos > sum_cents, all-integer (the q17/j3
+    boundary discipline: a float avg comparison can flip on engines'
+    partial-sum order) — and a correlated NOT EXISTS that Catalyst
+    rewrites to a LEFT ANTI join on c_custkey with the date predicate
+    pushed to the orders scan."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q22_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q22_orders")
+    return spark.sql("""
+        WITH pos AS (
+          SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+                 count(*) AS n_pos
+          FROM q22_customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_custkey % 7 AS cc, count(*) AS n_cust,
+               CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+                 AS bal_cents,
+               CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+                 / CAST(100 AS DOUBLE) AS total_bal
+        FROM q22_customer
+        WHERE CAST(round(c_acctbal*100) AS BIGINT) * (SELECT n_pos FROM pos)
+                > (SELECT sum_cents FROM pos)
+          AND NOT EXISTS (
+            SELECT 1 FROM q22_orders WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-07-01')
+        GROUP BY c_custkey % 7 ORDER BY cc
+    """)
+
+
+_Q22_SQL = """
+WITH pos AS (
+  SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+         count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_custkey % 7 AS cc, count(*) AS n_cust,
+       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents,
+       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_bal
+FROM customer
+WHERE CAST(round(c_acctbal*100) AS BIGINT) * (SELECT n_pos FROM pos)
+        > (SELECT sum_cents FROM pos)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-07-01')
+GROUP BY 1 ORDER BY cc
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped: the pure scan-side query — one year of lineitem,
+    a discount band and a quantity cap, no join at all. The whole WHERE
+    must reach the parquet scan as PushedFilters (date + quantity are
+    native column predicates; the discount band is expressed on the raw
+    column so it stays pushable) and the aggregate is a single
+    combinable partial — at 100 TB this is the "is your scan path
+    clean" canary. Discount-band membership is tested on exact cents
+    (round(disc*100) in [5,7]) so the band edge can't flip on float
+    representation (0.07*100 = 7.000000000000001)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.round(F.col("l_discount") * 100).cast("long").between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * F.round(F.col("l_discount") * 100).cast("long")
+            ).alias("revenue_c4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .withColumn("revenue", F.col("revenue_c4") / F.lit(10000.0))
+        .select("revenue_c4", "revenue", "n_lines")
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c4,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) / 10000.0
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped: NATION_1's supplier market share, by year, of
+    STANDARD-part volume sold to AFRICA-region customers — the widest
+    join in the suite (lineitem + orders fact-fact shuffle, then part /
+    customer / supplier / nation×2 / region all broadcast; nation plays
+    two roles). The share is a conditional-sum ratio DERIVED from two
+    exact integer volumes (one IEEE division per year, bit-identical
+    across engines); 100·volume_c4 stays far under 2^53."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31 23:59:59")
+    )
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AFRICA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("volume_c4"),
+            "supp_nation",
+        )
+    )
+    nation_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("volume_c4")).otherwise(
+            F.lit(0)
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            nation_vol.alias("nation_c4"),
+            F.sum("volume_c4").alias("total_c4"),
+        )
+        .withColumn("mkt_share", F.col("nation_c4") / F.col("total_c4"))
+        .orderBy("o_year")
+    )
+
+
+_Q8_SQL = """
+WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT)) AS volume_c4,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AFRICA'
+    AND p_type = 'STANDARD'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                        AND TIMESTAMP '1996-12-31 23:59:59'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume_c4 ELSE 0 END)
+            AS BIGINT) AS nation_c4,
+       CAST(sum(volume_c4) AS BIGINT) AS total_c4,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume_c4 ELSE 0 END)
+            AS BIGINT) / CAST(sum(volume_c4) AS BIGINT) AS mkt_share
+FROM vol GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped: conditional-aggregate classification of late
+    shipments (this corpus has no ship mode or commit/receipt dates, so
+    the class key is l_linestatus and "late" = shipped >90 days after
+    the order date — a join-side predicate, not scan-pushable, exactly
+    like the original's receipt-vs-commit comparison). One fact-fact
+    equi-join, then CASE-WHEN sums — both conditional counts come out
+    of a single combinable aggregate pass, no second scan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus AS ship_class,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped: promo-part revenue share for one month — the
+    CASE-WHEN-inside-ratio aggregate. One broadcast part join over a
+    month of lineitem (date pushed to the scan); both the promo and
+    total volumes are exact integers and the percentage is
+    (100.0 · promo) / total evaluated left-associatively on both
+    engines (100·promo_c4 < 2^53, so the product is exact and the
+    single division is bit-identical)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    vol = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    promo = F.sum(
+        F.when(F.col("p_type").startswith("PROMO"), vol).otherwise(F.lit(0))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(promo.alias("promo_c4"), F.sum(vol).alias("total_c4"))
+        .withColumn(
+            "promo_revenue_pct",
+            F.lit(100.0) * F.col("promo_c4") / F.col("total_c4"),
+        )
+        .select("promo_c4", "total_c4", "promo_revenue_pct")
+    )
+
+
+_Q14_SQL = """
+SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
+              CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT))
+            ELSE 0 END) AS BIGINT) AS promo_c4,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS total_c4,
+       100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
+              CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT))
+            ELSE 0 END) AS BIGINT)
+         / CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+              * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
 def j3_group_agg_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 — group aggregate joined back onto the fact table as enrichment
     (per-category centroid onto every row, main-script1.ipynb:990 c34
@@ -8487,14 +9005,36 @@ GROUP BY CUBE(event_type, hod)
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-8:   the 9 NEWEST r6 queries (MMR diversified top-k,
+#   positions 0-9:   the 10 NEWEST r6 queries — with these, every
+#                    non-partsupp TPC-H query shape is registered
+#                    (1,3,4,5,6,7,8,10,12,13,14,15,16,17,18,19,21,22;
+#                    2/9/11/20 need the partsupp table this corpus
+#                    doesn't ship): Q6 (pure scan-pushdown canary),
+#                    Q8 (widest join, nation in two roles, derived
+#                    market share), Q12 (conditional-agg
+#                    classification), Q14 (CASE-inside-ratio), Q13
+#                    (ON-clause left-join filter + zero-preserving
+#                    count), Q15 (scalar-max view self-reference as an
+#                    exact-integer equi-join), Q16 (NOT IN →
+#                    null-aware anti join), Q19 (disjunctive
+#                    cross-side predicate), Q21 (EXISTS + NOT EXISTS
+#                    sole-late-supplier decorrelation), Q22 (scalar
+#                    subquery + NOT EXISTS anti join) — never audited;
+#                    their addition displaces unpivot_metrics,
+#                    evt_asof_join, evt_range_join, evt_json_props,
+#                    o7_interleave, p_filters, q1_pricing_summary,
+#                    a5_two_level, j3_group_agg_enrichment and
+#                    j1_inner_join_agg below the window (all stay
+#                    green in the local full-registry gate; rotate
+#                    them forward in r7);
+#   positions 10-18: the 9 NEXT-newest r6 queries (MMR diversified top-k,
 #                    entity-resolution clusters, SCD2 history fold,
 #                    triangle counting, retention cohorts, and the
 #                    TPC-H Q4/Q10/Q17/Q18 shapes — correlated EXISTS /
 #                    IN-HAVING subquery decorrelation, returned-items
 #                    top-k, per-part scalar-subquery join-back) —
 #                    never audited;
-#   positions 9-36:  the 28 earlier NEW r6 queries (pagerank, keep-best dedup,
+#   positions 19-46: the 28 earlier NEW r6 queries (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
 #                    trailing RANGE window, hashing features, anti
 #                    join, basket rules, ntile buckets, winsorized
@@ -8505,15 +9045,17 @@ GROUP BY CUBE(event_type, hod)
 #                    dedup, incremental corpus dedup, bloom decontam,
 #                    mixture weights + apply, boilerplate strip) —
 #                    never audited;
-#   positions 37-48: the 12 queries whose exports/oracles CHANGED in r6
-#                    (ep3_label_pipeline now value-oracled, the
-#                    decimal-tie sweep, the sketch rank gate, o7);
-#   position 49:     1 of the 19 r2-audited entries (p_filters),
-#                    stalest; u_set_ops/w1_w2/w3/w5/o5/pivot/a1_a3/
-#                    a9/a10/a11_a13/a12/evt_tumbling/evt_sliding/j2/q3/
-#                    m4_dbscan/g1/g2 displaced (18 total).
-# Behind the window: the 18 displaced r2-audited entries above (rotate
-# these forward FIRST in r7) and the r3-audited half (ep3_lloyd_audit,
+#   positions 47-49: the first 3 of the 12 queries whose exports/oracles
+#                    CHANGED in r6 (ep3_label_pipeline now value-oracled,
+#                    evt_sketch_audit, tokenizer_fertility); the other
+#                    9 changed entries (q1, a5, j3, j1, unpivot_metrics,
+#                    evt_asof_join, evt_range_join, evt_json_props,
+#                    o7_interleave) plus p_filters fell below the
+#                    window when the 10 TPC-H shapes were added.
+# Behind the window: the 9 displaced r6-changed entries above + the 19
+# r2-audited entries (u_set_ops/w1_w2/w3/w5/o5/pivot/a1_a3/a9/a10/
+# a11_a13/a12/evt_tumbling/evt_sliding/j2/q3/m4_dbscan/g1/g2/p_filters
+# — rotate these forward FIRST in r7) and the r3-audited half (ep3_lloyd_audit,
 # s1, s2, s6, s3_orc, f5, f7, j5map, m1, m2, m3, m10, m11, a16, p8,
 # f10, f11, s7 converters, doc_chunking, mm_asset_features), then the
 # r4/r5-audited bulk (freshest rows).
@@ -8522,6 +9064,16 @@ GROUP BY CUBE(event_type, hod)
 # decontaminate_overlap sits behind the window; local gate covers it.
 # tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
+    "q8_market_share": (q8_market_share, _Q8_SQL),
+    "q12_late_shipment_priority": (q12_late_shipment_priority, _Q12_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
+    "q13_order_count_distribution": (q13_order_count_distribution, _Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, _Q15_SQL),
+    "q16_supplier_variety": (q16_supplier_variety, _Q16_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, _Q19_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, _Q21_SQL),
+    "q22_idle_balance": (q22_idle_balance, _Q22_SQL),
     "mmr_diverse_topk": (mmr_diverse_topk, _mmr_sql),
     "entity_resolution_clusters": (
         entity_resolution_clusters,

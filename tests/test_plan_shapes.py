@@ -388,3 +388,62 @@ def test_q17_scalar_subquery_decorrelates_to_single_agg(spark, sf_small):
     assert "partial_sum" in plan  # decorrelated agg, map-side combine
     # exactly two lineitem scans: probe side + stats side (no N-times re-scan)
     assert plan.count("lineitem.parquet") == 2
+
+
+def test_q6_filters_reach_the_scan(spark, sf_small):
+    """Q6 is the scan-path canary: the date window and quantity cap must
+    appear in PushedFilters, the scan must read only the 4 referenced
+    columns, and the whole query is one combinable aggregate — a single
+    Exchange, no join."""
+    plan = _plan(m.queries()["q6_forecast_revenue"](spark, sf_small))
+    assert "PushedFilters: [IsNotNull" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    # column pruning: the scan schema carries only the 4 used columns
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    assert "l_tax" not in scan and "l_returnflag" not in scan
+
+
+def test_q16_not_in_becomes_anti_join(spark, sf_small):
+    """NOT IN (subquery) over a non-null key must plan as ONE anti join
+    (null-aware, broadcast at this scale) — never a per-row subquery;
+    the distinct count runs as the standard two-level Expand aggregate."""
+    plan = _plan(m.queries()["q16_supplier_variety"](spark, sf_small))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # part predicates prune the part scan before its broadcast
+    assert "PushedFilters: [IsNotNull(p_brand)" in plan or "Brand#3" in plan
+
+
+def test_q21_exists_pair_decorrelates_to_semi_plus_anti(spark, sf_small):
+    """The EXISTS / NOT EXISTS pair must decorrelate into one LEFT SEMI
+    and one LEFT ANTI join on l_orderkey — the classic Q21 shape; a
+    failure here re-executes a subquery per outer row and dies at
+    100 TB."""
+    plan = _plan(m.queries()["q21_waiting_suppliers"](spark, sf_small))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_anti_join_and_scalar_subqueries(spark, sf_small):
+    """NOT EXISTS must become a LEFT ANTI join on c_custkey with the date
+    cutoff pushed to the orders scan; the above-average gate runs as
+    scalar subqueries (separate tiny jobs), not a joined cartesian."""
+    plan = _plan(m.queries()["q22_idle_balance"](spark, sf_small))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q8_fact_join_shuffles_dims_broadcast(spark, sf_small):
+    """Q8's eight-table join must keep exactly one fact-fact shuffle join
+    (lineitem⋈orders); part/customer/supplier/nation×2/region all
+    broadcast."""
+    plan = _plan(m.queries()["q8_market_share"](spark, sf_small))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
