@@ -6509,6 +6509,234 @@ ORDER BY r.source
 """
 
 
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence vs the corpus distribution — the
+    data-mixing diagnostic that tells you WHICH sources are
+    distributionally far from the blend (companion dial to
+    source_mixture_weights' size-based weighting: two same-size sources
+    can deserve very different temperatures if one is off-distribution).
+
+    KL(source ‖ corpus) = Σ_t (c_st/n_s)·ln((c_st/n_s)/(c_t/N)),
+    computed as (Σ c_st·[ln c_st − ln c_t])/n_s − ln n_s + ln N so the
+    only join is (source, token)-counts ⋈ token-totals on the token equi
+    key. Plan at 100 TB: one combinable (source, token) count shuffle
+    over the corpus (the only stage that sees raw tokens), a
+    vocab-sized second agg, a vocab-bounded equi-join, then a per-source
+    agg; the global N attaches via an empty-frame window over the
+    ~|sources|-row result (no 1-row broadcast join, no nested loop).
+    kl_nats rounds 6dp (sum of irrationals — tie-free); token counts
+    export exact."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    counts = (
+        d.select("source", F.explode(words).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    tok_tot = counts.groupBy("w").agg(F.sum("c_st").alias("c_t"))
+    per_src = (
+        counts.join(tok_tot, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("c_st").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(
+                F.col("c_st").cast("double")
+                * (
+                    F.log(F.col("c_st").cast("double"))
+                    - F.log(F.col("c_t").cast("double"))
+                )
+            ).alias("lnterm"),
+        )
+    )
+    return (
+        per_src.withColumn(
+            "n_total", F.sum("n_tokens").over(Window.partitionBy())
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.col("lnterm") / F.col("n_tokens")
+                - F.log(F.col("n_tokens").cast("double"))
+                + F.log(F.col("n_total").cast("double")),
+                6,
+            ).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+_SOURCE_KL_SQL = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS w
+  FROM documents
+), c AS (
+  SELECT source, w, count(*) AS c_st FROM tok GROUP BY 1, 2
+), t AS (
+  SELECT w, CAST(sum(c_st) AS BIGINT) AS c_t FROM c GROUP BY 1
+), s AS (
+  SELECT source, CAST(sum(c_st) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct,
+         sum(CAST(c_st AS DOUBLE)
+             * (ln(CAST(c_st AS DOUBLE)) - ln(CAST(c_t AS DOUBLE)))) AS lnterm
+  FROM c JOIN t USING (w) GROUP BY source
+)
+SELECT source, n_tokens, n_distinct,
+       round(lnterm / n_tokens - ln(CAST(n_tokens AS DOUBLE))
+             + ln(CAST(sum(n_tokens) OVER () AS DOUBLE)), 6) AS kl_nats
+FROM s ORDER BY source
+"""
+
+
+def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outliers per event type — the robust
+    sibling of m6's z-score gate (a handful of extreme values can drag a
+    mean/stddev threshold arbitrarily; the median/MAD pair has a 50%
+    breakdown point). Flag = |v − median| > 3·1.4826·MAD, the standard
+    normal-consistency scaling.
+
+    Cross-engine boundary discipline: values are 2-decimal, so the
+    median is a multiple of 0.005 and the MAD of 0.0025 — everything is
+    carried as scaled integers (v_c = cents; dev_c2 = 2×cents deviation;
+    mad_c4 = 4×cents MAD) and the flag is the all-integer comparison
+    10000·dev_c2 > 22239·mad_c4 (⟺ dev > 4.4478·MAD exactly; 22239 =
+    44478/2). A float threshold here could flip rows sitting on the
+    boundary between Spark's and DuckDB's low bits. F.percentile is
+    exact interpolating == quantile_cont (CLAUDE.md). Plan: two
+    combinable per-type aggs + two 5-row broadcast joins — the event
+    table streams through twice, never shuffles on anything but
+    event_type."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v_c")
+    )
+    med = base.groupBy("event_type").agg(
+        F.percentile("v_c", F.lit(0.5)).alias("med_c")
+    )
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_c",
+        F.round(F.abs(F.col("v_c") - F.col("med_c")) * 2)
+        .cast("long")
+        .alias("dev_c2"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("dev_c2", F.lit(0.5)) * 2)
+        .cast("long")
+        .alias("mad_c4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_c", "mad_c4")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("dev_c2") * 10000 > F.col("mad_c4") * 22239, 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "med_c",
+            "mad_c4",
+            "n_outliers",
+            (F.lit(100.0) * F.col("n_outliers") / F.col("n_events")).alias(
+                "outlier_pct"
+            ),
+            (F.col("mad_c4") / F.lit(400.0)).alias("mad_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVT_MAD_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS v_c FROM events
+), med AS (
+  SELECT event_type, quantile_cont(v_c, 0.5) AS med_c FROM base GROUP BY 1
+), dev AS (
+  SELECT b.event_type, m.med_c,
+         CAST(round(abs(b.v_c - m.med_c) * 2) AS BIGINT) AS dev_c2
+  FROM base b JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type,
+         CAST(round(quantile_cont(dev_c2, 0.5) * 2) AS BIGINT) AS mad_c4
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, count(*) AS n_events, d.med_c, m.mad_c4,
+       CAST(sum(CASE WHEN d.dev_c2*10000 > m.mad_c4*22239
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       100.0 * CAST(sum(CASE WHEN d.dev_c2*10000 > m.mad_c4*22239
+                             THEN 1 ELSE 0 END) AS BIGINT) / count(*)
+         AS outlier_pct,
+       m.mad_c4 / CAST(400 AS DOUBLE) AS mad_value
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type, d.med_c, m.mad_c4
+ORDER BY d.event_type
+"""
+
+
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document vocabulary entropy + type-token ratio — the
+    lexical-diversity quality signal (low-entropy docs are template/
+    keyword-stuffed spam; used alongside the repetition gates in
+    C4/Gopher-style curation). One map-side Arrow kernel pass
+    (functions.text.word_entropy_stats_expr — zero Exchange besides the
+    final sort; the declarative explode → per-word counts → agg
+    formulation is the DuckDB oracle and the pytest equivalence
+    target). entropy_nats rounds 6dp (irrational — tie-free); ttr is
+    DERIVED unrounded from the two exact integers (one shared IEEE
+    division)."""
+    d = load_table(spark, sf_dir, "documents")
+    st = TX.word_entropy_stats_expr("text")
+    return (
+        d.select("doc_id", st.alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.n_tokens").alias("n_tokens"),
+            F.col("s.n_distinct").alias("n_distinct"),
+            F.round(F.col("s.entropy_nats"), 6).alias("entropy_nats"),
+            F.when(
+                F.col("s.n_tokens") > 0,
+                F.col("s.n_distinct") / F.col("s.n_tokens"),
+            ).alias("ttr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_WORD_ENTROPY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS w
+  FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+), agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS lnsum
+  FROM wc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_distinct, 0) AS n_distinct,
+       round(ln(CAST(a.n_tokens AS DOUBLE)) - a.lnsum / a.n_tokens, 6)
+         AS entropy_nats,
+       CAST(a.n_distinct AS DOUBLE) / a.n_tokens AS ttr
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate-line removal (curation.
     strip_boilerplate_lines — the CCNet/RefinedWeb stage that drops
@@ -9005,7 +9233,12 @@ GROUP BY CUBE(event_type, hod)
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-9:   the 10 NEWEST r6 queries — with these, every
+#   positions 0-12:  the 13 NEWEST r6 queries — 3 pipeline-analytics
+#                    ops (source_token_kl per-source distribution
+#                    divergence, evt_anomaly_mad robust outliers with
+#                    an all-integer threshold, text_word_entropy
+#                    lexical-diversity kernel) followed by the 10
+#                    TPC-H completion shapes below — with these, every
 #                    non-partsupp TPC-H query shape is registered
 #                    (1,3,4,5,6,7,8,10,12,13,14,15,16,17,18,19,21,22;
 #                    2/9/11/20 need the partsupp table this corpus
@@ -9020,21 +9253,25 @@ GROUP BY CUBE(event_type, hod)
 #                    cross-side predicate), Q21 (EXISTS + NOT EXISTS
 #                    sole-late-supplier decorrelation), Q22 (scalar
 #                    subquery + NOT EXISTS anti join) — never audited;
-#                    their addition displaces unpivot_metrics,
-#                    evt_asof_join, evt_range_join, evt_json_props,
-#                    o7_interleave, p_filters, q1_pricing_summary,
-#                    a5_two_level, j3_group_agg_enrichment and
-#                    j1_inner_join_agg below the window (all stay
-#                    green in the local full-registry gate; rotate
-#                    them forward in r7);
-#   positions 10-18: the 9 NEXT-newest r6 queries (MMR diversified top-k,
+#                    their addition displaces ALL 12 r6-changed
+#                    entries (ep3_label_pipeline, evt_sketch_audit,
+#                    tokenizer_fertility, q1_pricing_summary,
+#                    a5_two_level, j3_group_agg_enrichment,
+#                    j1_inner_join_agg, unpivot_metrics, evt_asof_join,
+#                    evt_range_join, evt_json_props, o7_interleave)
+#                    plus p_filters below the window — the full window
+#                    is now 50 never-driver-audited r6 queries; the
+#                    displaced entries stay green in the local
+#                    full-registry gate (rotate them forward in r7,
+#                    changed-in-r6 first);
+#   positions 13-21: the 9 NEXT-newest r6 queries (MMR diversified top-k,
 #                    entity-resolution clusters, SCD2 history fold,
 #                    triangle counting, retention cohorts, and the
 #                    TPC-H Q4/Q10/Q17/Q18 shapes — correlated EXISTS /
 #                    IN-HAVING subquery decorrelation, returned-items
 #                    top-k, per-part scalar-subquery join-back) —
 #                    never audited;
-#   positions 19-46: the 28 earlier NEW r6 queries (pagerank, keep-best dedup,
+#   positions 22-49: the 28 earlier NEW r6 queries (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
 #                    trailing RANGE window, hashing features, anti
 #                    join, basket rules, ntile buckets, winsorized
@@ -9045,17 +9282,11 @@ GROUP BY CUBE(event_type, hod)
 #                    dedup, incremental corpus dedup, bloom decontam,
 #                    mixture weights + apply, boilerplate strip) —
 #                    never audited;
-#   positions 47-49: the first 3 of the 12 queries whose exports/oracles
-#                    CHANGED in r6 (ep3_label_pipeline now value-oracled,
-#                    evt_sketch_audit, tokenizer_fertility); the other
-#                    9 changed entries (q1, a5, j3, j1, unpivot_metrics,
-#                    evt_asof_join, evt_range_join, evt_json_props,
-#                    o7_interleave) plus p_filters fell below the
-#                    window when the 10 TPC-H shapes were added.
-# Behind the window: the 9 displaced r6-changed entries above + the 19
-# r2-audited entries (u_set_ops/w1_w2/w3/w5/o5/pivot/a1_a3/a9/a10/
-# a11_a13/a12/evt_tumbling/evt_sliding/j2/q3/m4_dbscan/g1/g2/p_filters
-# — rotate these forward FIRST in r7) and the r3-audited half (ep3_lloyd_audit,
+# Behind the window: the 13 displaced entries above (12 r6-changed +
+# p_filters — rotate the r6-changed ones forward FIRST in r7), the 18
+# other r2-audited entries (u_set_ops/w1_w2/w3/w5/o5/pivot/a1_a3/a9/a10/
+# a11_a13/a12/evt_tumbling/evt_sliding/j2/q3/m4_dbscan/g1/g2 — next in
+# r7), and the r3-audited half (ep3_lloyd_audit,
 # s1, s2, s6, s3_orc, f5, f7, j5map, m1, m2, m3, m10, m11, a16, p8,
 # f10, f11, s7 converters, doc_chunking, mm_asset_features), then the
 # r4/r5-audited bulk (freshest rows).
@@ -9064,6 +9295,9 @@ GROUP BY CUBE(event_type, hod)
 # decontaminate_overlap sits behind the window; local gate covers it.
 # tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "source_token_kl": (source_token_kl, _SOURCE_KL_SQL),
+    "evt_anomaly_mad": (evt_anomaly_mad, _EVT_MAD_SQL),
+    "text_word_entropy": (text_word_entropy, _WORD_ENTROPY_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
     "q8_market_share": (q8_market_share, _Q8_SQL),
     "q12_late_shipment_priority": (q12_late_shipment_priority, _Q12_SQL),

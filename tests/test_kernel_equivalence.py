@@ -295,3 +295,70 @@ def test_word_gram_stats_multi_matches_single(spark, sf_small):
             )
             assert st.n_grams == m[f"n_grams_{n}"]
             assert st.max_gram_count == m[f"max_gram_count_{n}"]
+
+
+def test_word_entropy_kernel_matches_declarative(spark, sf_small):
+    """word_entropy_stats_expr (map-side Arrow kernel) must reproduce the
+    declarative explode → per-(doc, word) counts → per-doc aggregate
+    formulation — n_tokens/n_distinct exactly, entropy to 1e-9 rel (the
+    kernel sums c·ln(c) over sorted counts, the shuffle in any order) —
+    on real documents and the empty/whitespace/NULL/single-word edges."""
+    import math
+
+    from vector_search_optimization_spark.functions import text as TX
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (9001, ""),
+            (9002, "   \t  "),
+            (9003, "word"),
+            (9004, "a a a a"),
+            (9005, "A a B b a"),
+            (9006, None),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.unionByName(edge)
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    decl = {
+        r.doc_id: r
+        for r in (
+            d.select("doc_id", F.explode(words).alias("w"))
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("c").alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.sum(
+                    F.col("c").cast("double")
+                    * F.log(F.col("c").cast("double"))
+                ).alias("lnsum"),
+            )
+            .collect()
+        )
+    }
+    kern = {
+        r.doc_id: r.st
+        for r in d.select(
+            "doc_id", TX.word_entropy_stats_expr("text").alias("st")
+        ).collect()
+    }
+    assert kern[9006].n_tokens is None  # NULL text null-propagates
+    assert (kern[9001].n_tokens, kern[9001].entropy_nats) == (0, None)
+    assert (kern[9002].n_tokens, kern[9002].entropy_nats) == (0, None)
+    assert kern[9003].entropy_nats == 0.0  # single word: H = 0
+    assert kern[9004].entropy_nats == 0.0  # uniform single type: H = 0
+    assert abs(kern[9005].entropy_nats - math.log(5) - (
+        -(3 / 5) * math.log(3 / 5) - (2 / 5) * math.log(2 / 5) - math.log(5)
+    )) < 1e-12  # lowercased: {a:3, b:2}
+    for doc_id, st in kern.items():
+        if st.n_tokens is None or st.n_tokens == 0:
+            continue
+        dr = decl[doc_id]
+        assert (st.n_tokens, st.n_distinct) == (dr.n_tokens, dr.n_distinct)
+        want = math.log(dr.n_tokens) - dr.lnsum / dr.n_tokens
+        assert abs(st.entropy_nats - want) <= 1e-9 * max(1.0, abs(want))

@@ -657,6 +657,60 @@ def line_stats_expr(text: Column | str) -> Column:
     return _u(_c(text))
 
 
+def word_entropy_py(
+    text: str | None,
+) -> tuple[int | None, int | None, float | None]:
+    """Python twin of the vocabulary-entropy pipeline — per document
+    ``(n_tokens, n_distinct, entropy_nats)`` where entropy is the
+    Shannon entropy of the document's unigram distribution in nats:
+    ``H = ln(n) - (Σ_w c_w·ln(c_w)) / n``. The second form is what the
+    declarative explode → per-word counts → agg formulation (and the
+    DuckDB oracle) computes, so the kernel mirrors it term-for-term.
+
+    Tokenization is :func:`word_tokens_py` (the canonical cross-engine
+    contract). NULL text → all-NULL; zero tokens → (0, 0, NULL) — a
+    0-token document has no distribution, and NULL keeps downstream
+    gates null-propagating instead of inventing H=0 (identical to the
+    oracle's NULLIF(n,0) guard). H is irrational for any non-uniform
+    document, so 6dp-rounded exports are tie-free (the decimal-mean
+    rule's irrational-value carve-out)."""
+    import math
+
+    if text is None:
+        return None, None, None
+    toks = word_tokens_py(text)
+    n = len(toks)
+    if n == 0:
+        return 0, 0, None
+    from collections import Counter
+
+    counts = Counter(toks)
+    lnsum = sum(c * math.log(c) for c in sorted(counts.values()))
+    return n, len(counts), math.log(n) - lnsum / n
+
+
+def word_entropy_stats_expr(text: Column | str) -> Column:
+    """Arrow-batched kernel twin of the explode → per-(doc, word) count →
+    per-doc entropy aggregation, as ONE map-side struct
+    ``struct<n_tokens, n_distinct, entropy_nats>`` — per-doc vocabulary
+    stats need no cross-doc state, so the Counter pass replaces two
+    shuffles (the CLAUDE.md kernel-twin discipline; the declarative
+    formulation survives as the DuckDB oracle and the pytest
+    equivalence target). ``c·ln(c)`` terms are summed over SORTED counts
+    so the kernel is batch-order deterministic."""
+
+    @F.pandas_udf(
+        "struct<n_tokens: long, n_distinct: long, entropy_nats: double>"
+    )
+    def _u(s: pd.Series) -> pd.DataFrame:
+        rows = [word_entropy_py(x) for x in s]
+        return pd.DataFrame(
+            rows, columns=["n_tokens", "n_distinct", "entropy_nats"], dtype="object"
+        )
+
+    return _u(_c(text))
+
+
 def bpe_budget_stats_expr(text: Column | str, budget_tokens: int) -> Column:
     """F10+F11 fused: struct(n_tok, kept_tok, kept_chars) in ONE
     Arrow-batched pass (one pre-tokenization scan per document instead
