@@ -6737,6 +6737,163 @@ ORDER BY d.doc_id
 """
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic CRM cube: per-customer last-order age, order count, and
+    lifetime spend, each scored into equi-depth quartiles, then segment
+    sizes and spend per (r, f, m) cell.
+
+    Quartile assignment is score = 1 + Σ(v > cutoff_i) against the three
+    exact interpolating percentiles (F.percentile == quantile_cont) —
+    buckets ASCEND with the metric (r=4 - stalest, f=4/m=4 - best), and
+    because every input is an exact integer (days, counts, cents) and
+    the cutoffs are exact .25-step interpolations, the comparisons are
+    bit-identical across engines. This is the scalable formulation of
+    a17's ntile: a global NTILE window would single-partition the
+    customer frame at 100 TB, while the 1-row cutoff broadcast keeps
+    scoring map-side (ties around a cutoff land in the same bucket on
+    both engines — NTILE's arbitrary equal-value splits don't).
+    avg_monetary derives from the exact sums (shared IEEE division)."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        )
+        .cast("long")
+        .alias("recency_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_c"
+        ),
+    )
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    cuts = rfm.agg(
+        F.percentile("recency_d", qs).alias("rc"),
+        F.percentile("freq", qs).alias("fc"),
+        F.percentile("monetary_c", qs).alias("mc"),
+    )
+
+    def bucket(v: str, c: str) -> F.Column:
+        return (
+            F.lit(1)
+            + (F.col(v) > F.col(c)[0]).cast("int")
+            + (F.col(v) > F.col(c)[1]).cast("int")
+            + (F.col(v) > F.col(c)[2]).cast("int")
+        )
+
+    scored = rfm.join(F.broadcast(cuts)).select(
+        "o_custkey",
+        "monetary_c",
+        bucket("recency_d", "rc").alias("r_b"),
+        bucket("freq", "fc").alias("f_b"),
+        bucket("monetary_c", "mc").alias("m_b"),
+    )
+    return (
+        scored.groupBy(
+            F.concat_ws("-", "r_b", "f_b", "m_b").alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_c").alias("sum_monetary_c"),
+        )
+        .withColumn(
+            "avg_monetary",
+            F.col("sum_monetary_c") / (F.lit(100.0) * F.col("n_customers")),
+        )
+        .orderBy("segment")
+    )
+
+
+_RFM_SQL = """
+WITH rfm AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                        DATE '2001-09-01') AS BIGINT) AS recency_d,
+         count(*) AS freq,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS monetary_c
+  FROM orders GROUP BY o_custkey
+), cuts AS (
+  SELECT quantile_cont(recency_d, [0.25, 0.5, 0.75]) AS rc,
+         quantile_cont(freq, [0.25, 0.5, 0.75]) AS fc,
+         quantile_cont(monetary_c, [0.25, 0.5, 0.75]) AS mc
+  FROM rfm
+), scored AS (
+  SELECT o_custkey, monetary_c,
+         1 + CAST(recency_d > rc[1] AS INTEGER)
+           + CAST(recency_d > rc[2] AS INTEGER)
+           + CAST(recency_d > rc[3] AS INTEGER) AS r_b,
+         1 + CAST(freq > fc[1] AS INTEGER)
+           + CAST(freq > fc[2] AS INTEGER)
+           + CAST(freq > fc[3] AS INTEGER) AS f_b,
+         1 + CAST(monetary_c > mc[1] AS INTEGER)
+           + CAST(monetary_c > mc[2] AS INTEGER)
+           + CAST(monetary_c > mc[3] AS INTEGER) AS m_b
+  FROM rfm, cuts
+)
+SELECT concat(r_b, '-', f_b, '-', m_b) AS segment,
+       count(*) AS n_customers,
+       CAST(sum(monetary_c) AS BIGINT) AS sum_monetary_c,
+       CAST(sum(monetary_c) AS BIGINT) / (100.0 * count(*)) AS avg_monetary
+FROM scored GROUP BY 1 ORDER BY segment
+"""
+
+
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the fraction of a document's
+    distinct word-3-shingles that appear NOWHERE else in the corpus
+    (document frequency 1). The memorization/diversity audit dual of
+    decontamination: low-novelty documents are recombinations of
+    corpus-common phrasing, high-novelty documents carry unique text
+    worth keeping under dedup pressure.
+
+    Reuses dedup.shingle_hash_rows (map-side distinct shingle-hash
+    explode — the decontamination fingerprint table) so the oracle
+    replays the identical tokenization + poly hash. Plan: one
+    combinable df-count shuffle on the shingle hash + one equi-join
+    back — O(corpus shingles), no pair materialization. Hash collisions
+    can only DEFLATE novelty (two grams sharing a hash look non-novel);
+    ~n²/2^31 expected collisions, and the oracle replays the same hash
+    so the export is still exact. novelty derives from the two exact
+    integers."""
+    d = load_table(spark, sf_dir, "documents")
+    rows = dedup.shingle_hash_rows(d, shingle_n=3)
+    df_counts = rows.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        rows.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .withColumn("novelty", F.col("n_novel") / F.col("n_grams"))
+        .orderBy("doc_id")
+    )
+
+
+def _ngram_novelty_sql() -> str:
+    poly = _POLY_SQL.format(s="s", base=TX.POLY_BASE)
+    return (
+        _MINHASH_SHINGLE_SQL.format(n=3, nm1=2)
+        + f""", hs AS (
+  SELECT doc_id, list_distinct(list_transform(shingles, s -> {poly})) AS h
+  FROM sh
+), rows AS (
+  SELECT doc_id, unnest(h) AS g FROM hs
+), dfc AS (
+  SELECT g, count(*) AS df FROM rows GROUP BY g
+)
+SELECT r.doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT) / count(*)
+         AS novelty
+FROM rows r JOIN dfc USING (g)
+GROUP BY r.doc_id ORDER BY r.doc_id
+"""
+    )
+
+
 def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate-line removal (curation.
     strip_boilerplate_lines — the CCNet/RefinedWeb stage that drops
@@ -9233,8 +9390,10 @@ GROUP BY CUBE(event_type, hod)
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-12:  the 13 NEWEST r6 queries — 3 pipeline-analytics
-#                    ops (source_token_kl per-source distribution
+#   positions 0-14:  the 15 NEWEST r6 queries — 5 pipeline-analytics
+#                    ops (customer_rfm_segments scalable equi-depth
+#                    RFM cube, doc_ngram_novelty df=1 shingle audit,
+#                    source_token_kl per-source distribution
 #                    divergence, evt_anomaly_mad robust outliers with
 #                    an all-integer threshold, text_word_entropy
 #                    lexical-diversity kernel) followed by the 10
@@ -9264,14 +9423,20 @@ GROUP BY CUBE(event_type, hod)
 #                    displaced entries stay green in the local
 #                    full-registry gate (rotate them forward in r7,
 #                    changed-in-r6 first);
-#   positions 13-21: the 9 NEXT-newest r6 queries (MMR diversified top-k,
+#   positions 15-23: the 9 NEXT-newest r6 queries (MMR diversified top-k,
 #                    entity-resolution clusters, SCD2 history fold,
 #                    triangle counting, retention cohorts, and the
 #                    TPC-H Q4/Q10/Q17/Q18 shapes — correlated EXISTS /
 #                    IN-HAVING subquery decorrelation, returned-items
 #                    top-k, per-part scalar-subquery join-back) —
 #                    never audited;
-#   positions 22-49: the 28 earlier NEW r6 queries (pagerank, keep-best dedup,
+#   positions 24-49: the first 26 of the 28 earlier NEW r6 queries (the
+#                    last two — boilerplate_strip and
+#                    mixture_sample_apply — sit just behind the window
+#                    at 50-51; both never driver-audited but locally
+#                    gate-green, and mixture_sample_apply shares its
+#                    _MIXTURE machinery with in-window
+#                    source_mixture_weights) (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
 #                    trailing RANGE window, hashing features, anti
 #                    join, basket rules, ntile buckets, winsorized
@@ -9295,6 +9460,8 @@ GROUP BY CUBE(event_type, hod)
 # decontaminate_overlap sits behind the window; local gate covers it.
 # tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "customer_rfm_segments": (customer_rfm_segments, _RFM_SQL),
+    "doc_ngram_novelty": (doc_ngram_novelty, _ngram_novelty_sql()),
     "source_token_kl": (source_token_kl, _SOURCE_KL_SQL),
     "evt_anomaly_mad": (evt_anomaly_mad, _EVT_MAD_SQL),
     "text_word_entropy": (text_word_entropy, _WORD_ENTROPY_SQL),

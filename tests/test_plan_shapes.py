@@ -127,6 +127,8 @@ _NESTED_LOOP_OK = {
                                # relative edge-sparsification threshold
     "mmr_diverse_topk",        # k×k (≤10×10) selected-set pair join for
                                # the engine-side max-prior-sim recompute
+    "customer_rfm_segments",   # 1-row quartile-cutoff frame broadcast
+                               # onto the per-customer RFM aggregate
 }
 
 
