@@ -6894,6 +6894,143 @@ GROUP BY r.doc_id ORDER BY r.doc_id
     )
 
 
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained AND scored in
+    pure DataFrame algebra (no MLlib) — the fastText-style corpus-filter
+    shape (CCNet-lineage pipelines train exactly this kind of generative
+    classifier to route/filter web text), exported as the
+    resubstitution confusion matrix.
+
+    Math (Laplace-smoothed): score(d, l) = ln(docs_l)
+    + Σ_w cnt_dw·ln(c_lw + 1) − n_d·ln(n_l + V). Words MISSING from a
+    class contribute ln(0+1) = 0, so the per-word join can stay an
+    INNER join on the (word, class) table — the smoothing default needs
+    no outer-join backfill; the −ln(N_docs) prior denominator is
+    class-constant and drops from the argmax. Plan at 100 TB: training
+    is ONE combinable (lang, word) count shuffle; scoring is one
+    vocab-bounded equi-join on the word (class table broadcast under
+    the vocab_top_k discipline) + a (doc, lang) agg; the 5-row
+    class-constants frame broadcasts onto the doc spine (whitelisted
+    bounded nested loop, the ann_topk_batch pattern). Prediction ranks
+    on the 6dp-ROUNDED score with the lang name as tie-break (the
+    established cross-engine ranking discipline — raw float argmax
+    could flip on sum-order low bits)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tok = d.select("doc_id", F.col("lang").alias("true_lang"), F.explode(words).alias("w"))
+    doc_word = tok.groupBy("doc_id", "true_lang", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    class_word = (
+        tok.groupBy(F.col("true_lang").alias("lang"), "w")
+        .agg(F.count(F.lit(1)).alias("c_lw"))
+        .withColumn("lnc1", F.log(F.col("c_lw").cast("double") + 1.0))
+    )
+    vocab = class_word.agg(
+        F.count_distinct(F.col("w")).cast("double").alias("v")
+    )  # 1-row frame; joined below (not an eager driver count)
+    class_consts = (
+        class_word.groupBy("lang")
+        .agg(F.sum("c_lw").alias("n_l"))
+        .join(
+            F.broadcast(
+                d.groupBy(F.col("lang").alias("lang")).agg(
+                    F.count(F.lit(1)).alias("docs_l")
+                )
+            ),
+            "lang",
+        )
+        .join(F.broadcast(vocab))
+        .select(
+            "lang",
+            F.log(F.col("docs_l").cast("double")).alias("prior"),
+            F.log(F.col("n_l").cast("double") + F.col("v")).alias("ln_denom"),
+        )
+    )
+    term1 = (
+        doc_word.join(class_word.select("w", "lang", "lnc1"), "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("cnt").cast("double") * F.col("lnc1")).alias("t1"))
+    )
+    doc_stats = doc_word.groupBy("doc_id", "true_lang").agg(
+        F.sum("cnt").alias("n_d")
+    )
+    scored = (
+        doc_stats.join(F.broadcast(class_consts))
+        .join(term1, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            F.round(
+                F.col("prior")
+                + F.coalesce(F.col("t1"), F.lit(0.0))
+                - F.col("n_d").cast("double") * F.col("ln_denom"),
+                6,
+            ).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .groupBy("true_lang", F.col("lang").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+_NB_CONFUSION_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, lang AS true_lang,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS w
+  FROM documents
+), doc_word AS (
+  SELECT doc_id, true_lang, w, count(*) AS cnt FROM tok GROUP BY 1, 2, 3
+), class_word AS (
+  SELECT true_lang AS lang, w, count(*) AS c_lw,
+         ln(CAST(count(*) AS DOUBLE) + 1.0) AS lnc1
+  FROM tok GROUP BY 1, 2
+), vocab AS (
+  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM class_word
+), class_consts AS (
+  SELECT c.lang, ln(CAST(d.docs_l AS DOUBLE)) AS prior,
+         ln(CAST(c.n_l AS DOUBLE) + vocab.v) AS ln_denom
+  FROM (SELECT lang, CAST(sum(c_lw) AS BIGINT) AS n_l
+        FROM class_word GROUP BY lang) c
+  JOIN (SELECT lang, count(*) AS docs_l FROM documents GROUP BY lang) d
+    ON c.lang = d.lang, vocab
+), term1 AS (
+  SELECT dw.doc_id, cw.lang,
+         sum(CAST(dw.cnt AS DOUBLE) * cw.lnc1) AS t1
+  FROM doc_word dw JOIN class_word cw ON dw.w = cw.w
+  GROUP BY dw.doc_id, cw.lang
+), doc_stats AS (
+  SELECT doc_id, true_lang, CAST(sum(cnt) AS BIGINT) AS n_d
+  FROM doc_word GROUP BY 1, 2
+), scored AS (
+  SELECT ds.doc_id, ds.true_lang, cc.lang,
+         round(cc.prior + coalesce(t1.t1, 0.0)
+               - CAST(ds.n_d AS DOUBLE) * cc.ln_denom, 6) AS score
+  FROM doc_stats ds
+  CROSS JOIN class_consts cc
+  LEFT JOIN term1 t1 ON t1.doc_id = ds.doc_id AND t1.lang = cc.lang
+), pred AS (
+  SELECT doc_id, true_lang, lang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM scored
+)
+SELECT true_lang, pred_lang, count(*) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+"""
+
+
 def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate-line removal (curation.
     strip_boilerplate_lines — the CCNet/RefinedWeb stage that drops
@@ -9390,8 +9527,10 @@ GROUP BY CUBE(event_type, hod)
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-14:  the 15 NEWEST r6 queries — 5 pipeline-analytics
-#                    ops (customer_rfm_segments scalable equi-depth
+#   positions 0-15:  the 16 NEWEST r6 queries — 6 pipeline-analytics
+#                    ops (nb_lang_confusion MLlib-free multinomial
+#                    Naive Bayes trained+scored in DataFrame algebra,
+#                    customer_rfm_segments scalable equi-depth
 #                    RFM cube, doc_ngram_novelty df=1 shingle audit,
 #                    source_token_kl per-source distribution
 #                    divergence, evt_anomaly_mad robust outliers with
@@ -9423,20 +9562,19 @@ GROUP BY CUBE(event_type, hod)
 #                    displaced entries stay green in the local
 #                    full-registry gate (rotate them forward in r7,
 #                    changed-in-r6 first);
-#   positions 15-23: the 9 NEXT-newest r6 queries (MMR diversified top-k,
+#   positions 16-24: the 9 NEXT-newest r6 queries (MMR diversified top-k,
 #                    entity-resolution clusters, SCD2 history fold,
 #                    triangle counting, retention cohorts, and the
 #                    TPC-H Q4/Q10/Q17/Q18 shapes — correlated EXISTS /
 #                    IN-HAVING subquery decorrelation, returned-items
 #                    top-k, per-part scalar-subquery join-back) —
 #                    never audited;
-#   positions 24-49: the first 26 of the 28 earlier NEW r6 queries (the
-#                    last two — boilerplate_strip and
-#                    mixture_sample_apply — sit just behind the window
-#                    at 50-51; both never driver-audited but locally
-#                    gate-green, and mixture_sample_apply shares its
-#                    _MIXTURE machinery with in-window
-#                    source_mixture_weights) (pagerank, keep-best dedup,
+#   positions 25-49: the first 25 of the 28 earlier NEW r6 queries (the
+#                    last three — source_mixture_weights,
+#                    boilerplate_strip and mixture_sample_apply — sit
+#                    just behind the window at 50-52; never
+#                    driver-audited but locally gate-green at sf0.001
+#                    AND sf0.01) (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
 #                    trailing RANGE window, hashing features, anti
 #                    join, basket rules, ntile buckets, winsorized
@@ -9460,6 +9598,7 @@ GROUP BY CUBE(event_type, hod)
 # decontaminate_overlap sits behind the window; local gate covers it.
 # tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "nb_lang_confusion": (nb_lang_confusion, _NB_CONFUSION_SQL),
     "customer_rfm_segments": (customer_rfm_segments, _RFM_SQL),
     "doc_ngram_novelty": (doc_ngram_novelty, _ngram_novelty_sql()),
     "source_token_kl": (source_token_kl, _SOURCE_KL_SQL),

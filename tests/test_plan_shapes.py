@@ -129,6 +129,9 @@ _NESTED_LOOP_OK = {
                                # the engine-side max-prior-sim recompute
     "customer_rfm_segments",   # 1-row quartile-cutoff frame broadcast
                                # onto the per-customer RFM aggregate
+    "nb_lang_confusion",       # 5-row class-constants frame (and its
+                               # 1-row vocab-size input) broadcast onto
+                               # the doc spine — bounded by |classes|
 }
 
 
