@@ -8565,6 +8565,142 @@ ORDER BY 1, 2
 """
 
 
+def evt_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mergeable distinct-count rollup via bitmap aggregates — the
+    pre-aggregation pattern every lake warehouse uses for DAU/WAU
+    dashboards (ClickHouse groupBitmap / Iceberg theta, here with
+    Spark's exact bitmap_construct_agg/bitmap_or_agg): build per
+    (week, day, type, bucket) user bitmaps ONCE (the persisted daily
+    pre-agg table — at 100 TB this is the only pass over raw events,
+    everything below reads bitmaps), then OR-merge upward for weekly
+    actives, per-type actives, and a view∩purchase overlap via
+    inclusion-exclusion — distinct counts that stay EXACT under
+    re-aggregation, which approx sketches only approximate and plain
+    counts cannot do at all (sum of daily distincts ≠ weekly distinct).
+    bitmap_bucket_number shards the id space so each bitmap is ≤32768
+    bits regardless of user-id range; bucket counts are additive.
+    Conditional or_aggs (CASE WHEN type…) compute all four weekly
+    metrics in ONE pass over the pre-agg — aggregates skip NULLs, so no
+    per-type branch re-scans it. The oracle recomputes every distinct
+    exactly — bitmaps are exact, so this is a full value oracle, unlike
+    the sketch-audit row's tolerance booleans. stickiness
+    (avg DAU / WAU) derives from exact integers."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0))
+    ev = e.select(
+        F.floor(day / F.lit(7.0)).cast("long").alias("week_idx"),
+        day.cast("long").alias("day_idx"),
+        "user_id",
+        "event_type",
+    )
+    daily = (
+        ev.groupBy(
+            "week_idx",
+            "day_idx",
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        )
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+                "bm"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .persist()
+    )
+    dau = (
+        daily.groupBy("week_idx", "day_idx", "bucket")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("c"))
+        .groupBy("week_idx", "day_idx")
+        .agg(F.sum("c").alias("dau"))
+        .groupBy("week_idx")
+        .agg(F.sum("dau").alias("sum_dau"), F.count(F.lit(1)).alias("n_days"))
+    )
+    wk = (
+        daily.groupBy("week_idx", "bucket")
+        .agg(
+            F.expr("bitmap_count(bitmap_or_agg(bm))").alias("c_all"),
+            F.expr(
+                "coalesce(bitmap_count(bitmap_or_agg("
+                "CASE WHEN event_type = 'view' THEN bm END)), 0)"
+            ).alias("c_view"),
+            F.expr(
+                "coalesce(bitmap_count(bitmap_or_agg("
+                "CASE WHEN event_type = 'purchase' THEN bm END)), 0)"
+            ).alias("c_purch"),
+            F.expr(
+                "coalesce(bitmap_count(bitmap_or_agg("
+                "CASE WHEN event_type IN ('view', 'purchase') THEN bm END)), 0)"
+            ).alias("c_vp"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .groupBy("week_idx")
+        .agg(
+            F.sum("c_all").alias("wau"),
+            F.sum("c_view").alias("view_users"),
+            F.sum("c_purch").alias("purchase_users"),
+            F.sum("c_vp").alias("vp_union"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    out = (
+        wk.join(dau, "week_idx")
+        .select(
+            "week_idx",
+            "n_days",
+            "n_events",
+            "sum_dau",
+            "wau",
+            "view_users",
+            "purchase_users",
+            (
+                F.col("view_users")
+                + F.col("purchase_users")
+                - F.col("vp_union")
+            ).alias("view_purchase_overlap"),
+            (
+                F.col("sum_dau") / (F.col("n_days") * F.col("wau"))
+            ).alias("stickiness"),
+        )
+        .orderBy("week_idx")
+    )
+    out._vso_caches = [daily]
+    return out
+
+
+_BITMAP_ROLLUP_SQL = """
+WITH ev AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS day_idx,
+         CAST(floor(floor(floor(epoch(ts)) / 86400.0) / 7.0) AS BIGINT)
+           AS week_idx,
+         user_id, event_type
+  FROM events
+), dau AS (
+  SELECT week_idx, day_idx, count(DISTINCT user_id) AS dau
+  FROM ev GROUP BY 1, 2
+), dwk AS (
+  SELECT week_idx, CAST(sum(dau) AS BIGINT) AS sum_dau, count(*) AS n_days
+  FROM dau GROUP BY 1
+), wk AS (
+  SELECT week_idx,
+         count(*) AS n_events,
+         count(DISTINCT user_id) AS wau,
+         count(DISTINCT CASE WHEN event_type = 'view'
+                             THEN user_id END) AS view_users,
+         count(DISTINCT CASE WHEN event_type = 'purchase'
+                             THEN user_id END) AS purchase_users,
+         count(DISTINCT CASE WHEN event_type IN ('view', 'purchase')
+                             THEN user_id END) AS vp_union
+  FROM ev GROUP BY 1
+)
+SELECT w.week_idx, d.n_days, w.n_events, d.sum_dau, w.wau,
+       w.view_users, w.purchase_users,
+       w.view_users + w.purchase_users - w.vp_union AS view_purchase_overlap,
+       d.sum_dau / (d.n_days * w.wau) AS stickiness
+FROM wk w JOIN dwk d USING (week_idx) ORDER BY week_idx
+"""
+
+
 def scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 SCD history folded from four simulated snapshot versions of
     orders (the accumulation step after snapshot_diff's single-transition
@@ -9527,8 +9663,9 @@ GROUP BY CUBE(event_type, hod)
 # entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
 # at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
 # r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-15:  the 16 NEWEST r6 queries — 6 pipeline-analytics
-#                    ops (nb_lang_confusion MLlib-free multinomial
+#   positions 0-16:  the 17 NEWEST r6 queries — 7 pipeline-analytics
+#                    ops (evt_bitmap_rollup exact mergeable-distinct
+#                    bitmap pre-agg, nb_lang_confusion MLlib-free multinomial
 #                    Naive Bayes trained+scored in DataFrame algebra,
 #                    customer_rfm_segments scalable equi-depth
 #                    RFM cube, doc_ngram_novelty df=1 shingle audit,
@@ -9562,19 +9699,20 @@ GROUP BY CUBE(event_type, hod)
 #                    displaced entries stay green in the local
 #                    full-registry gate (rotate them forward in r7,
 #                    changed-in-r6 first);
-#   positions 16-24: the 9 NEXT-newest r6 queries (MMR diversified top-k,
+#   positions 17-25: the 9 NEXT-newest r6 queries (MMR diversified top-k,
 #                    entity-resolution clusters, SCD2 history fold,
 #                    triangle counting, retention cohorts, and the
 #                    TPC-H Q4/Q10/Q17/Q18 shapes — correlated EXISTS /
 #                    IN-HAVING subquery decorrelation, returned-items
 #                    top-k, per-part scalar-subquery join-back) —
 #                    never audited;
-#   positions 25-49: the first 25 of the 28 earlier NEW r6 queries (the
-#                    last three — source_mixture_weights,
-#                    boilerplate_strip and mixture_sample_apply — sit
-#                    just behind the window at 50-52; never
-#                    driver-audited but locally gate-green at sf0.001
-#                    AND sf0.01) (pagerank, keep-best dedup,
+#   positions 26-49: the first 24 of the 28 earlier NEW r6 queries (the
+#                    last four — decontaminate_bloom,
+#                    source_mixture_weights, boilerplate_strip and
+#                    mixture_sample_apply — sit just behind the window
+#                    at 50-53; never driver-audited but locally
+#                    gate-green at sf0.001 AND sf0.01) (pagerank,
+#                    keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
 #                    trailing RANGE window, hashing features, anti
 #                    join, basket rules, ntile buckets, winsorized
@@ -9598,6 +9736,7 @@ GROUP BY CUBE(event_type, hod)
 # decontaminate_overlap sits behind the window; local gate covers it.
 # tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "evt_bitmap_rollup": (evt_bitmap_rollup, _BITMAP_ROLLUP_SQL),
     "nb_lang_confusion": (nb_lang_confusion, _NB_CONFUSION_SQL),
     "customer_rfm_segments": (customer_rfm_segments, _RFM_SQL),
     "doc_ngram_novelty": (doc_ngram_novelty, _ngram_novelty_sql()),
