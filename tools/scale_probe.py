@@ -127,7 +127,16 @@ def main() -> None:
     emb = spark.read.parquet(f"{ROOT}/embeddings")
     out: dict[str, float | int] = {"scale": SCALE, "n_docs": N_DOCS, "n_vecs": N_VECS, "gen_s": gen_s}
 
+    # SPARK_GRAFT_PROBE_ONLY=name1,name2 runs just those stages (the
+    # corpus cache is shared, so a targeted probe costs gen + its own
+    # stages, not the full battery)
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_PROBE_ONLY", "").split(",") if s
+    }
+
     def stage(name: str, fn) -> None:
+        if only and name not in only:
+            return
         t = time.time()
         n = fn()
         out[f"{name}_s"] = round(time.time() - t, 1)
@@ -329,6 +338,58 @@ def main() -> None:
             docs, shingle_n=3, threshold=0.7
         ).count(),
     )
+
+    def _token_kl():
+        """source_token_kl's shape keyed on lang (the probe corpus has no
+        source column): one combinable (group, token) count shuffle +
+        vocab-bounded totals join. Should track corpus tokens linearly;
+        the joined frame is |vocab × groups|, constant here."""
+        words = F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+        )
+        counts = (
+            docs.select(F.col("lang").alias("grp"), F.explode(words).alias("w"))
+            .groupBy("grp", "w")
+            .agg(F.count(F.lit(1)).alias("c_st"))
+        )
+        tok_tot = counts.groupBy("w").agg(F.sum("c_st").alias("c_t"))
+        return (
+            counts.join(tok_tot, "w")
+            .groupBy("grp")
+            .agg(
+                F.sum("c_st").alias("n_tokens"),
+                F.sum(
+                    F.col("c_st").cast("double")
+                    * (
+                        F.log(F.col("c_st").cast("double"))
+                        - F.log(F.col("c_t").cast("double"))
+                    )
+                ).alias("lnterm"),
+            )
+            .count()
+        )
+
+    stage("token_kl", _token_kl)
+
+    def _ngram_novelty():
+        """doc_ngram_novelty: df-count shuffle on the shingle hash + one
+        equi-join back — O(corpus shingles) with no pair term, so growth
+        must stay ~linear even as the planted dup tail pushes df>1."""
+        rows = dedup.shingle_hash_rows(docs, shingle_n=3)
+        dfc = rows.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        return (
+            rows.join(dfc, "g")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias(
+                    "n_novel"
+                ),
+            )
+            .count()
+        )
+
+    stage("ngram_novelty", _ngram_novelty)
 
     print(json.dumps(out))
     spark.stop()
