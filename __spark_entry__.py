@@ -8565,6 +8565,60 @@ ORDER BY 1, 2
 """
 
 
+def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov
+    estimate) — the journey-analysis primitive behind next-event
+    prediction and funnel-leak diagnosis: P(next = to | current = from)
+    from each user's time-ordered event sequence.
+
+    ONE user-keyed window shuffle (lead over (ts, event_id) — event_id
+    breaks same-timestamp ties so sequences are engine-deterministic)
+    + one combinable pair count; row probabilities derive from the
+    exact integer counts via a per-from window over the |types|²
+    matrix frame (tiny — no second corpus pass, no 1-row broadcast).
+    At 100 TB this is the canonical bucketed-by-user_id layout win:
+    pre-bucketed events make the window shuffle-free."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn("row_total", F.sum("n").over(w_from))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n") / F.col("row_total")).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+_EVT_MARKOV_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       n / (sum(n) OVER (PARTITION BY from_type)) AS prob
+FROM pairs ORDER BY from_type, to_type
+"""
+
+
 def evt_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact mergeable distinct-count rollup via bitmap aggregates — the
     pre-aggregation pattern every lake warehouse uses for DAU/WAU
@@ -9706,13 +9760,14 @@ GROUP BY CUBE(event_type, hod)
 #                    IN-HAVING subquery decorrelation, returned-items
 #                    top-k, per-part scalar-subquery join-back) —
 #                    never audited;
-#   positions 26-49: the first 24 of the 28 earlier NEW r6 queries (the
-#                    last four — decontaminate_bloom,
-#                    source_mixture_weights, boilerplate_strip and
-#                    mixture_sample_apply — sit just behind the window
-#                    at 50-53; never driver-audited but locally
-#                    gate-green at sf0.001 AND sf0.01) (pagerank,
-#                    keep-best dedup,
+#   positions 26-49: the first 24 of the 28 earlier NEW r6 queries (just
+#                    behind the window at 50-54: the late addition
+#                    evt_markov_transitions — deliberately slotted
+#                    below the verdict-deliverable queries — then
+#                    decontaminate_bloom, source_mixture_weights,
+#                    boilerplate_strip and mixture_sample_apply; all
+#                    never driver-audited but locally gate-green at
+#                    sf0.001 AND sf0.01) (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
 #                    trailing RANGE window, hashing features, anti
 #                    join, basket rules, ntile buckets, winsorized
@@ -9789,6 +9844,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_line_repetition": (text_line_repetition, _LINE_REP_SQL),
     "semantic_dedup": (semantic_dedup, _semantic_dedup_sql),
     "incremental_corpus_dedup": (incremental_corpus_dedup, _incremental_dedup_sql()),
+    # late r6 additions slot BELOW the verdict-deliverable queries so the
+    # driver's 50-slot audit window keeps covering those first
+    "evt_markov_transitions": (evt_markov_transitions, _EVT_MARKOV_SQL),
     "decontaminate_bloom": (decontaminate_bloom, _decon_sql),
     "source_mixture_weights": (source_mixture_weights, _MIXTURE_SQL),
     "boilerplate_strip": (boilerplate_strip, _BOILERPLATE_SQL),
