@@ -444,6 +444,48 @@ def test_q22_anti_join_and_scalar_subqueries(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bitmap_rollup_scans_events_once(spark, sf_small):
+    """The bitmap pre-agg is persisted and BOTH rollup branches (daily
+    sums, weekly merges) must read the cache — at 100 TB this is the
+    difference between one pass over raw events and two. The plan shows
+    exactly one events FileScan (inside the cached pre-agg) plus
+    InMemoryTableScans for the branches."""
+    df = m.queries()["evt_bitmap_rollup"](spark, sf_small)
+    try:
+        plan = _plan(df)
+        # both branches read the persisted pre-agg (each InMemoryTableScan
+        # re-prints the cached relation's lineage, so counting raw
+        # events.parquet occurrences would double-count the same scan)
+        assert plan.count("InMemoryTableScan") >= 2
+        # no events scan OUTSIDE a cached-relation block: strip the
+        # InMemoryRelation sections and the FileScan must vanish
+        outside = plan.split("InMemoryRelation")[0]
+        assert "events.parquet" not in outside
+    finally:
+        for c in getattr(df, "_vso_caches", []):
+            c.unpersist()
+
+
+def test_nb_confusion_scoring_is_equi_join(spark, sf_small):
+    """NB scoring must reach the executor as hash equi-joins on the word
+    (plus the whitelisted bounded class-consts broadcast) — a per-row
+    rescan or cartesian on the vocab join would be quadratic in corpus
+    × vocab."""
+    plan = _plan(m.queries()["nb_lang_confusion"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    # the (doc, word) x (class, word) join is an equi join
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_markov_single_user_shuffle(spark, sf_small):
+    """The lead window must ride ONE hashpartitioning(user_id) exchange;
+    the pair count and row-total window operate on the tiny matrix
+    frame."""
+    plan = _plan(m.queries()["evt_markov_transitions"](spark, sf_small))
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "CartesianProduct" not in plan
+
+
 def test_q8_fact_join_shuffles_dims_broadcast(spark, sf_small):
     """Q8's eight-table join must keep exactly one fact-fact shuffle join
     (lineitem⋈orders); part/customer/supplier/nation×2/region all
