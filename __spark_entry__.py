@@ -1222,6 +1222,232 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01'
 """
 
 
+# The corpus ships no partsupp table, so the four partsupp-dependent
+# TPC-H shapes (Q2/Q9/Q11/Q20) run against a DERIVED part-supplier
+# dimension: the distinct (l_partkey, l_suppkey) association observed in
+# lineitem, with availqty/supplycost synthesized by integer-modulo hash
+# math — deterministic, engine-identical (pure BIGINT arithmetic), and
+# exactly the derived-dimension pattern the SCD2/snapshot queries use.
+# supplycost is carried in integer CENTS so every downstream aggregate
+# stays exact.
+_PS_CTE = """ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         1 + (l_partkey * 7 + l_suppkey * 11) % 9999 AS ps_availqty,
+         10000 + (l_partkey * 13 + l_suppkey * 17) % 90000
+           AS ps_supplycost_c
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM {li}))"""
+
+
+def _register_tpch_views(spark: SparkSession, sf_dir: str, tag: str) -> None:
+    for t in ("part", "supplier", "lineitem", "orders", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{tag}_{t}")
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped: the region's minimum-cost supplier for each
+    qualifying part — the harder correlated-scalar-subquery shape (the
+    subquery re-joins supplier/nation/region under the correlation).
+    Catalyst must decorrelate the MIN into one per-part aggregate over
+    the region-filtered ps join and equi-join it back on
+    (p_partkey, supplycost) — the supplycost equality key is an exact
+    integer (cents), so "equals the min" cannot flip on float low bits.
+    The suffix LIKE ('%DARD') is deliberately non-prefix: it cannot push
+    as StartsWith, exercising the residual-filter path."""
+    _register_tpch_views(spark, sf_dir, "q2")
+    ps = _PS_CTE.format(li="q2_lineitem")
+    return spark.sql(f"""
+        WITH {ps}
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+               ps_supplycost_c
+        FROM q2_part, q2_supplier, ps, q2_nation, q2_region
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND p_size = 15 AND p_type LIKE '%DARD'
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND ps_supplycost_c = (
+            SELECT min(ps2.ps_supplycost_c)
+            FROM ps ps2, q2_supplier s2, q2_nation n2, q2_region r2
+            WHERE ps2.ps_partkey = p_partkey
+              AND s2.s_suppkey = ps2.ps_suppkey
+              AND s2.s_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r2.r_regionkey
+              AND r2.r_name = 'ASIA')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """)
+
+
+_Q2_SQL = (
+    "WITH "
+    + _PS_CTE.format(li="lineitem")
+    + """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost_c
+FROM part, supplier, ps, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size = 15 AND p_type LIKE '%DARD'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND ps_supplycost_c = (
+    SELECT min(ps2.ps_supplycost_c)
+    FROM ps ps2, supplier s2, nation n2, region r2
+    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'ASIA')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+)
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped: profit (revenue − supply cost) per supplier
+    nation per order year over one part type — the widest fact-side
+    expression in the suite, entirely in exact integer c4 units
+    (price_cents·(100−disc_cents) − cost_cents·qty·100; quantities are
+    integer-valued). Join graph: lineitem ⋈ orders fact-fact shuffle,
+    the derived ps association joined on the composite
+    (l_partkey, l_suppkey) key, part/supplier/nation broadcast."""
+    _register_tpch_views(spark, sf_dir, "q9")
+    ps = _PS_CTE.format(li="q9_lineitem")
+    return spark.sql(f"""
+        WITH {ps}
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT))
+                        - ps_supplycost_c
+                          * CAST(round(l_quantity) AS BIGINT) * 100)
+                    AS BIGINT) AS profit_c4,
+               count(*) AS n_lines
+        FROM q9_lineitem
+        JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        JOIN q9_part ON l_partkey = p_partkey
+        JOIN q9_supplier ON l_suppkey = s_suppkey
+        JOIN q9_nation ON s_nationkey = n_nationkey
+        JOIN q9_orders ON l_orderkey = o_orderkey
+        WHERE p_type = 'PROMO'
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation, o_year DESC
+    """)
+
+
+_Q9_SQL = (
+    "WITH "
+    + _PS_CTE.format(li="lineitem")
+    + """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))
+                - ps_supplycost_c * CAST(round(l_quantity) AS BIGINT) * 100)
+            AS BIGINT) AS profit_c4,
+       count(*) AS n_lines
+FROM lineitem
+JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_type = 'PROMO'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+)
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped: parts whose one-nation stock value exceeds a
+    fixed fraction of that nation's total stock value — the
+    grouped-HAVING-vs-global-scalar-subquery shape. The fraction test is
+    the exact-integer clearing sum_part · 2000 > total (⟺ share >
+    1/2000): both sides BIGINT, so the threshold cannot flip on an
+    engine's float low bits. Catalyst evaluates the scalar subquery as
+    one tiny separate job over the same filtered frame."""
+    _register_tpch_views(spark, sf_dir, "q11")
+    ps = _PS_CTE.format(li="q11_lineitem")
+    return spark.sql(f"""
+        WITH {ps}, filt AS (
+          SELECT ps_partkey, ps_supplycost_c * ps_availqty AS v
+          FROM ps JOIN q11_supplier ON ps_suppkey = s_suppkey
+          JOIN q11_nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3'
+        )
+        SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_c
+        FROM filt GROUP BY ps_partkey
+        HAVING CAST(sum(v) AS BIGINT) * 2000 > (SELECT CAST(sum(v) AS BIGINT) FROM filt)
+        ORDER BY value_c DESC, ps_partkey
+    """)
+
+
+_Q11_SQL = (
+    "WITH "
+    + _PS_CTE.format(li="lineitem")
+    + """, filt AS (
+  SELECT ps_partkey, ps_supplycost_c * ps_availqty AS v
+  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+)
+SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_c
+FROM filt GROUP BY ps_partkey
+HAVING CAST(sum(v) AS BIGINT) * 2000 > (SELECT CAST(sum(v) AS BIGINT) FROM filt)
+ORDER BY value_c DESC, ps_partkey
+"""
+)
+
+
+def q20_surplus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped: suppliers in one nation holding surplus stock of
+    small-name parts — the doubly-nested subquery shape: an IN over ps
+    rows that themselves pass (a) an IN over a name-prefix part filter
+    and (b) a CORRELATED scalar aggregate (half-year shipped quantity
+    for that exact (part, supplier) pair). The surplus test is the
+    exact-integer clearing 2·availqty > sum_qty. A (part, supplier)
+    pair with no shipments in the window yields a NULL scalar — the
+    comparison is then NULL and the row drops on BOTH engines (the
+    original Q20's semantics, deliberately not coalesced away).
+    Catalyst must flatten the whole nest into semi-join + aggregate
+    join-back chains — no per-row re-scan."""
+    _register_tpch_views(spark, sf_dir, "q20")
+    ps = _PS_CTE.format(li="q20_lineitem")
+    return spark.sql(f"""
+        WITH {ps}
+        SELECT s_name, s_acctbal
+        FROM q20_supplier JOIN q20_nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_2'
+          AND s_suppkey IN (
+            SELECT ps_suppkey FROM ps
+            WHERE ps_partkey IN (
+                SELECT p_partkey FROM q20_part WHERE p_name LIKE 'small%')
+              AND 2 * ps_availqty > (
+                SELECT CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                FROM q20_lineitem
+                WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                  AND l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'))
+        ORDER BY s_name
+    """)
+
+
+_Q20_SQL = (
+    "WITH "
+    + _PS_CTE.format(li="lineitem")
+    + """
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM ps
+    WHERE ps_partkey IN (SELECT p_partkey FROM part
+                         WHERE p_name LIKE 'small%')
+      AND 2 * ps_availqty > (
+        SELECT CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'))
+ORDER BY s_name
+"""
+)
+
+
 def j3_group_agg_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 — group aggregate joined back onto the fact table as enrichment
     (per-category centroid onto every row, main-script1.ipynb:990 c34
@@ -9938,6 +10164,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # driver's 50-slot audit window keeps covering those first
     "evt_markov_transitions": (evt_markov_transitions, _EVT_MARKOV_SQL),
     "evt_cusum_changepoint": (evt_cusum_changepoint, _EVT_CUSUM_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_SQL),
+    "q9_product_profit": (q9_product_profit, _Q9_SQL),
+    "q11_important_stock": (q11_important_stock, _Q11_SQL),
+    "q20_surplus_suppliers": (q20_surplus_suppliers, _Q20_SQL),
     "decontaminate_bloom": (decontaminate_bloom, _decon_sql),
     "source_mixture_weights": (source_mixture_weights, _MIXTURE_SQL),
     "boilerplate_strip": (boilerplate_strip, _BOILERPLATE_SQL),

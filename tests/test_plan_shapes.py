@@ -486,6 +486,28 @@ def test_markov_single_user_shuffle(spark, sf_small):
     assert "CartesianProduct" not in plan
 
 
+def test_q2_correlated_min_decorrelates(spark, sf_small):
+    """Q2's correlated MIN (re-joining supplier/nation/region under the
+    correlation) must become ONE per-part aggregate joined back on the
+    exact-integer (p_partkey, supplycost) key — exactly two lineitem
+    scans (outer ps build + subquery side), no nested loop."""
+    plan = _plan(m.queries()["q2_min_cost_supplier"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan
+    assert plan.count("lineitem.parquet") == 2
+
+
+def test_q20_nested_in_flattens_to_semi_chain(spark, sf_small):
+    """Q20's doubly-nested IN (+ correlated scalar agg) must flatten into
+    a semi-join chain — a per-row re-execution of the inner scalar is
+    quadratic in (parts × suppliers)."""
+    plan = _plan(m.queries()["q20_surplus_suppliers"](spark, sf_small))
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q8_fact_join_shuffles_dims_broadcast(spark, sf_small):
     """Q8's eight-table join must keep exactly one fact-fact shuffle join
     (lineitem⋈orders); part/customer/supplier/nation×2/region all
