@@ -10077,13 +10077,15 @@ GROUP BY CUBE(event_type, hod)
 #                    top-k, per-part scalar-subquery join-back) —
 #                    never audited;
 #   positions 26-49: the first 24 of the 28 earlier NEW r6 queries (just
-#                    behind the window at 50-54: the late addition
-#                    evt_markov_transitions — deliberately slotted
-#                    below the verdict-deliverable queries — then
+#                    behind the window at 50-59: the late additions
+#                    evt_markov_transitions, evt_cusum_changepoint and
+#                    the derived-partsupp TPC-H shapes
+#                    q2/q9/q11/q20 — deliberately slotted below the
+#                    verdict-deliverable queries — then
 #                    decontaminate_bloom, source_mixture_weights,
 #                    boilerplate_strip and mixture_sample_apply; all
 #                    never driver-audited but locally gate-green at
-#                    sf0.001 AND sf0.01) (pagerank, keep-best dedup,
+#                    sf0.001, sf0.01 AND sf0.1) (pagerank, keep-best dedup,
 #                    snapshot diff, KS drift, table profile, cube,
 #                    trailing RANGE window, hashing features, anti
 #                    join, basket rules, ntile buckets, winsorized
