@@ -8935,6 +8935,103 @@ FROM st WHERE rn = 1 ORDER BY event_type
 """
 
 
+def evt_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — every view in the 24 h before a
+    purchase by the same user shares that purchase's credit equally
+    (the marketing-analytics counterpart of evt_funnel's ordered
+    conversion and evt_asof_join's last-touch): reported as when the
+    CREDITED views happen (hour of day), i.e. which touch hours drive
+    conversions.
+
+    Credit is carried in exact integer parts-per-million via INTEGER
+    division (1000000 div k): a float 1e6/k is RATIONAL and its
+    HALF_UP rounding can land exactly on a .5 boundary (k=128 →
+    7812.5 — the decimal-tie failure mode), while truncating division
+    is tie-free and engine-identical. The view↔purchase pairing is the
+    banded range join (explode views to adjacent 24 h buckets, probe
+    the purchase bucket as an equi-join — never an inequality
+    crossJoin); per-purchase fan-in k comes from one combinable agg,
+    and the hour shares derive from exact integers via a window over
+    the ≤24-row result."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts"))
+    w = 86400
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"), "user_id", sec.alias("v_sec")
+    )
+    vb = v.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("v_sec") / w), F.floor(F.col("v_sec") / w) + 1
+            )
+        ),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        sec.alias("p_sec"),
+        F.floor(sec / w).alias("bucket"),
+    )
+    pairs = (
+        vb.join(p, ["user_id", "bucket"])
+        .where(
+            (F.col("v_sec") < F.col("p_sec"))
+            & (F.col("p_sec") - F.col("v_sec") <= w)
+        )
+        .select("v_id", "v_sec", "p_id")
+    )
+    k = pairs.groupBy("p_id").agg(F.count(F.lit(1)).alias("k"))
+    cr = pairs.join(k, "p_id").withColumn(
+        "credit", F.expr("1000000 div k")
+    )
+    agg = cr.groupBy(
+        F.expr("(v_sec div 3600) % 24").cast("long").alias("view_hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_credited_views"),
+        F.countDistinct("p_id").alias("purchases_touched"),
+        F.sum("credit").alias("credit_ppm"),
+    )
+    return (
+        agg.withColumn(
+            "credit_share",
+            F.col("credit_ppm") / F.sum("credit_ppm").over(Window.partitionBy()),
+        )
+        .orderBy("view_hour")
+    )
+
+
+_EVT_ATTRIBUTION_SQL = """
+WITH v AS (
+  SELECT event_id AS v_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS v_sec
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT event_id AS p_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS p_sec
+  FROM events WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT v_id, v_sec, p_id
+  FROM v JOIN p USING (user_id)
+  WHERE v_sec < p_sec AND p_sec - v_sec <= 86400
+), k AS (
+  SELECT p_id, count(*) AS k FROM pairs GROUP BY 1
+), cr AS (
+  SELECT v_id, v_sec, pairs.p_id, 1000000 // k.k AS credit
+  FROM pairs JOIN k ON pairs.p_id = k.p_id
+), agg AS (
+  SELECT CAST((v_sec // 3600) % 24 AS BIGINT) AS view_hour,
+         count(*) AS n_credited_views,
+         count(DISTINCT p_id) AS purchases_touched,
+         CAST(sum(credit) AS BIGINT) AS credit_ppm
+  FROM cr GROUP BY 1
+)
+SELECT view_hour, n_credited_views, purchases_touched, credit_ppm,
+       credit_ppm / CAST(sum(credit_ppm) OVER () AS BIGINT) AS credit_share
+FROM agg ORDER BY view_hour
+"""
+
+
 def evt_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact mergeable distinct-count rollup via bitmap aggregates — the
     pre-aggregation pattern every lake warehouse uses for DAU/WAU
@@ -10170,6 +10267,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q9_product_profit": (q9_product_profit, _Q9_SQL),
     "q11_important_stock": (q11_important_stock, _Q11_SQL),
     "q20_surplus_suppliers": (q20_surplus_suppliers, _Q20_SQL),
+    "evt_attribution_linear": (evt_attribution_linear, _EVT_ATTRIBUTION_SQL),
     "decontaminate_bloom": (decontaminate_bloom, _decon_sql),
     "source_mixture_weights": (source_mixture_weights, _MIXTURE_SQL),
     "boilerplate_strip": (boilerplate_strip, _BOILERPLATE_SQL),
