@@ -10174,11 +10174,11 @@ GROUP BY CUBE(event_type, hod)
 #                    top-k, per-part scalar-subquery join-back) —
 #                    never audited;
 #   positions 26-49: the first 24 of the 28 earlier NEW r6 queries (just
-#                    behind the window at 50-59: the late additions
-#                    evt_markov_transitions, evt_cusum_changepoint and
-#                    the derived-partsupp TPC-H shapes
-#                    q2/q9/q11/q20 — deliberately slotted below the
-#                    verdict-deliverable queries — then
+#                    behind the window at 50-60: the late additions
+#                    evt_markov_transitions, evt_cusum_changepoint,
+#                    the derived-partsupp TPC-H shapes q2/q9/q11/q20
+#                    and evt_attribution_linear — deliberately slotted
+#                    below the verdict-deliverable queries — then
 #                    decontaminate_bloom, source_mixture_weights,
 #                    boilerplate_strip and mixture_sample_apply; all
 #                    never driver-audited but locally gate-green at
