@@ -9032,6 +9032,52 @@ FROM agg ORDER BY view_hour
 """
 
 
+def evt_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Gini concentration of user activity — how top-heavy each
+    event type's usage is (the corpus-diversity dual: swap users for
+    crawl sources and this is the "is this source 90% one domain"
+    audit). Runs through operators.inequality.group_gini, the engine's
+    grouped-aggregate pandas UDF (Series → scalar UDAF) — the integer
+    Gini numerator comes out of the UDAF exactly, the float G derives
+    by one shared division. Input to the UDAF is the per-(type, user)
+    count table (one combinable shuffle over events), not raw events."""
+    from vector_search_optimization_spark.operators import inequality as INEQ
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    out = INEQ.group_gini(per_user, "event_type", "cnt")
+    return out.select(
+        "event_type",
+        F.col("n_contributors").alias("n_users"),
+        F.col("total").alias("total_events"),
+        "gini_num",
+        "gini",
+    ).orderBy("event_type")
+
+
+_EVT_GINI_SQL = """
+WITH per_user AS (
+  SELECT event_type, user_id, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, cnt,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cnt, user_id) AS i
+  FROM per_user
+)
+SELECT event_type,
+       count(*) AS n_users,
+       CAST(sum(cnt) AS BIGINT) AS total_events,
+       CAST(2 * sum(i * cnt) - (count(*) + 1) * sum(cnt) AS BIGINT)
+         AS gini_num,
+       CAST(2 * sum(i * cnt) - (count(*) + 1) * sum(cnt) AS BIGINT)
+         / (count(*) * CAST(sum(cnt) AS BIGINT)) AS gini
+FROM ranked GROUP BY event_type ORDER BY event_type
+"""
+
+
 def evt_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact mergeable distinct-count rollup via bitmap aggregates — the
     pre-aggregation pattern every lake warehouse uses for DAU/WAU
@@ -10268,6 +10314,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q11_important_stock": (q11_important_stock, _Q11_SQL),
     "q20_surplus_suppliers": (q20_surplus_suppliers, _Q20_SQL),
     "evt_attribution_linear": (evt_attribution_linear, _EVT_ATTRIBUTION_SQL),
+    "evt_user_gini": (evt_user_gini, _EVT_GINI_SQL),
     "decontaminate_bloom": (decontaminate_bloom, _decon_sql),
     "source_mixture_weights": (source_mixture_weights, _MIXTURE_SQL),
     "boilerplate_strip": (boilerplate_strip, _BOILERPLATE_SQL),

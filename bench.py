@@ -62,6 +62,16 @@ def main() -> None:
             lambda pdf: pdf, schema="g long, x double"
         ).write.format("noop").mode("overwrite").save()
 
+        # grouped-agg pandas UDF (AggregateInPandas) — a distinct
+        # one-time path from the scalar/flat-map flavors above
+        @pandas_udf("double")
+        def _wu_agg(s: pd.Series) -> float:
+            return float(s.sum())
+
+        g.groupBy("g").agg(_wu_agg("x")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector, vector_to_array
         from pyspark.ml.stat import Summarizer
