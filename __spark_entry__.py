@@ -1002,6 +1002,44 @@ GROUP BY 1 ORDER BY cc
 """
 
 
+def j13_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join — the two most recent orders per BUILDING
+    customer via a per-row LATERAL subquery with ORDER BY … LIMIT 2.
+    The join-surface element the o5 window formulation doesn't cover:
+    the user WRITES a per-outer-row subquery, and Catalyst must
+    decorrelate it into a rank window + equi join (plan-pinned: one
+    Window, zero nested loops) instead of executing it per customer —
+    the difference between one shuffle and |customers| query
+    re-executions at 100 TB. The (date DESC, orderkey) sort makes the
+    LIMIT boundary engine-deterministic."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("j13_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("j13_orders")
+    return spark.sql("""
+        SELECT c_custkey, t.o_orderkey,
+               date_format(t.o_orderdate, 'yyyy-MM-dd') AS o_orderdate_s,
+               t.o_totalprice
+        FROM j13_customer, LATERAL (
+          SELECT o_orderkey, o_orderdate, o_totalprice FROM j13_orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) t
+        WHERE c_mktsegment = 'BUILDING'
+        ORDER BY c_custkey, o_orderkey
+    """)
+
+
+_J13_LATERAL_SQL = """
+SELECT c_custkey, t.o_orderkey,
+       strftime(t.o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+       t.o_totalprice
+FROM customer, LATERAL (
+  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) t
+WHERE c_mktsegment = 'BUILDING'
+ORDER BY c_custkey, o_orderkey
+"""
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q6-shaped: the pure scan-side query — one year of lineitem,
     a discount band and a quantity cap, no join at all. The whole WHERE
@@ -10315,6 +10353,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q20_surplus_suppliers": (q20_surplus_suppliers, _Q20_SQL),
     "evt_attribution_linear": (evt_attribution_linear, _EVT_ATTRIBUTION_SQL),
     "evt_user_gini": (evt_user_gini, _EVT_GINI_SQL),
+    "j13_lateral_topk": (j13_lateral_topk, _J13_LATERAL_SQL),
     "decontaminate_bloom": (decontaminate_bloom, _decon_sql),
     "source_mixture_weights": (source_mixture_weights, _MIXTURE_SQL),
     "boilerplate_strip": (boilerplate_strip, _BOILERPLATE_SQL),

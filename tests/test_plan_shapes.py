@@ -508,6 +508,16 @@ def test_q20_nested_in_flattens_to_semi_chain(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_lateral_topk_decorrelates_to_window(spark, sf_small):
+    """The correlated LATERAL (ORDER BY … LIMIT 2 per outer row) must
+    decorrelate into ONE rank window + an equi join — executing the
+    subquery per customer is |customers| query re-runs at scale."""
+    plan = _plan(m.queries()["j13_lateral_topk"](spark, sf_small))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_q8_fact_join_shuffles_dims_broadcast(spark, sf_small):
     """Q8's eight-table join must keep exactly one fact-fact shuffle join
     (lineitem⋈orders); part/customer/supplier/nation×2/region all
