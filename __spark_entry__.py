@@ -10258,10 +10258,11 @@ GROUP BY CUBE(event_type, hod)
 #                    top-k, per-part scalar-subquery join-back) —
 #                    never audited;
 #   positions 26-49: the first 24 of the 28 earlier NEW r6 queries (just
-#                    behind the window at 50-60: the late additions
+#                    behind the window at 50-62: the late additions
 #                    evt_markov_transitions, evt_cusum_changepoint,
-#                    the derived-partsupp TPC-H shapes q2/q9/q11/q20
-#                    and evt_attribution_linear — deliberately slotted
+#                    the derived-partsupp TPC-H shapes q2/q9/q11/q20,
+#                    evt_attribution_linear, evt_user_gini and
+#                    j13_lateral_topk — deliberately slotted
 #                    below the verdict-deliverable queries — then
 #                    decontaminate_bloom, source_mixture_weights,
 #                    boilerplate_strip and mixture_sample_apply; all
