@@ -10206,6 +10206,87 @@ GROUP BY CUBE(event_type, hod)
 """
 
 
+def evt_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit (non-hierarchical) GROUPING SETS — the general Expand
+    form that CUBE (evt_cube) and ROLLUP (evt_rollup) are special cases
+    of: four hand-picked report levels — per-type, per-hour,
+    per-(type, day-of-week), and the grand total — in ONE Expand +
+    aggregate pass. The set list is deliberately NOT a lattice: (hod)
+    appears without (event_type, hod), which neither CUBE nor ROLLUP
+    can express. grouping_level uses the pinned bit mapping
+    (GROUPING(a)*4 + GROUPING(b)*2 + GROUPING(c) == Spark
+    grouping_id()); day-of-week is the epoch-day mod 7 integer (no
+    date-locale semantics cross engines); the metric is the tie-free
+    rounded SUM + count."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("gs_events")
+    return spark.sql("""
+        WITH cells AS (
+          SELECT event_type, hour(ts) AS hod,
+                 (unix_timestamp(ts) div 86400) % 7 AS dow_idx, value
+          FROM gs_events
+        )
+        SELECT event_type, hod, dow_idx,
+               count(*) AS n, round(sum(value), 2) AS sum_value,
+               grouping_id() AS grouping_level
+        FROM cells
+        GROUP BY GROUPING SETS ((event_type), (hod), (event_type, dow_idx), ())
+    """)
+
+
+_EVT_GROUPING_SETS_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(date_part('hour', ts) AS INTEGER) AS hod,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow_idx, value
+  FROM events
+)
+SELECT event_type, hod, dow_idx,
+       count(*) AS n, round(sum(value), 2) AS sum_value,
+       CAST(GROUPING(event_type) * 4 + GROUPING(hod) * 2
+            + GROUPING(dow_idx) AS BIGINT) AS grouping_level
+FROM cells
+GROUP BY GROUPING SETS ((event_type), (hod), (event_type, dow_idx), ())
+"""
+
+
+def a19_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist — the two relative-position window
+    functions the suite didn't yet exercise (W-family completeness next
+    to rank/dense_rank/ntile/row_number): per-segment customer balance
+    percentiles. Both are exact integer ratios ((rank−1)/(n−1) and
+    rows≤current/n) over the UNIQUE (cents, custkey) order, so the
+    doubles export unrounded and bit-identical — no rounding, no ties.
+    One segment-keyed window shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("bal_c", "c_custkey")
+    return base.select(
+        "c_mktsegment",
+        "c_custkey",
+        "bal_c",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    ).orderBy("c_mktsegment", "c_custkey")
+
+
+_A19_PERCENT_RANK_SQL = """
+WITH base AS (
+  SELECT c_mktsegment, c_custkey,
+         CAST(round(c_acctbal*100) AS BIGINT) AS bal_c
+  FROM customer
+)
+SELECT c_mktsegment, c_custkey, bal_c,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume_dist
+FROM base
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal_c, c_custkey)
+ORDER BY c_mktsegment, c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -10355,6 +10436,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_attribution_linear": (evt_attribution_linear, _EVT_ATTRIBUTION_SQL),
     "evt_user_gini": (evt_user_gini, _EVT_GINI_SQL),
     "j13_lateral_topk": (j13_lateral_topk, _J13_LATERAL_SQL),
+    "evt_grouping_sets": (evt_grouping_sets, _EVT_GROUPING_SETS_SQL),
+    "a19_percent_rank": (a19_percent_rank, _A19_PERCENT_RANK_SQL),
     "decontaminate_bloom": (decontaminate_bloom, _decon_sql),
     "source_mixture_weights": (source_mixture_weights, _MIXTURE_SQL),
     "boilerplate_strip": (boilerplate_strip, _BOILERPLATE_SQL),
