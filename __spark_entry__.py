@@ -10342,8 +10342,9 @@ ORDER BY c_mktsegment, c_custkey
 #                    behind the window at 50-62: the late additions
 #                    evt_markov_transitions, evt_cusum_changepoint,
 #                    the derived-partsupp TPC-H shapes q2/q9/q11/q20,
-#                    evt_attribution_linear, evt_user_gini and
-#                    j13_lateral_topk — deliberately slotted
+#                    evt_attribution_linear, evt_user_gini,
+#                    j13_lateral_topk, evt_grouping_sets and
+#                    a19_percent_rank — deliberately slotted
 #                    below the verdict-deliverable queries — then
 #                    decontaminate_bloom, source_mixture_weights,
 #                    boilerplate_strip and mixture_sample_apply; all
