@@ -1042,14 +1042,16 @@ ORDER BY c_custkey, o_orderkey
 
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q6-shaped: the pure scan-side query — one year of lineitem,
-    a discount band and a quantity cap, no join at all. The whole WHERE
-    must reach the parquet scan as PushedFilters (date + quantity are
-    native column predicates; the discount band is expressed on the raw
-    column so it stays pushable) and the aggregate is a single
-    combinable partial — at 100 TB this is the "is your scan path
-    clean" canary. Discount-band membership is tested on exact cents
-    (round(disc*100) in [5,7]) so the band edge can't flip on float
-    representation (0.07*100 = 7.000000000000001)."""
+    a discount band and a quantity cap, no join at all. The date and
+    quantity predicates are native column comparisons and reach the
+    parquet scan as PushedFilters (the plan test pins the date filter);
+    the discount band is an EXPRESSION filter — round(disc*100) in
+    [5,7] — which deliberately does NOT push: exact-cents membership is
+    chosen over scan pushdown so the band edge can't flip on float
+    representation (0.07*100 = 7.000000000000001). The row-group
+    pruning the band would buy is negligible next to the date
+    predicate's, and the aggregate stays a single combinable partial —
+    at 100 TB this is the "is your scan path clean" canary."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.where(
@@ -6958,15 +6960,22 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation is the DuckDB oracle and the pytest equivalence
     target). entropy_nats rounds 6dp (irrational — tie-free); ttr is
     DERIVED unrounded from the two exact integers (one shared IEEE
-    division)."""
+    division). The integer exports coalesce to 0 so a NULL text row
+    (kernel: all-NULL) matches the oracle's coalesce — "no text ⇒ 0
+    tokens" — and the compare dtype stays integral (no pandas
+    int→float flip if a regenerated table ever ships NULL text)."""
     d = load_table(spark, sf_dir, "documents")
     st = TX.word_entropy_stats_expr("text")
     return (
         d.select("doc_id", st.alias("s"))
         .select(
             "doc_id",
-            F.col("s.n_tokens").alias("n_tokens"),
-            F.col("s.n_distinct").alias("n_distinct"),
+            F.coalesce(F.col("s.n_tokens"), F.lit(0).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.col("s.n_distinct"), F.lit(0).cast("long")).alias(
+                "n_distinct"
+            ),
             F.round(F.col("s.entropy_nats"), 6).alias("entropy_nats"),
             F.when(
                 F.col("s.n_tokens") > 0,
@@ -10292,86 +10301,16 @@ ORDER BY c_mktsegment, c_custkey
 # ---------------------------------------------------------------------------
 
 # Ordering contract: the driver's correctness gate snapshots the FIRST 50
-# entries only (each CORRECTNESS_r{N} holds exactly 50).  Rotation state
-# at end of r6 (the r4 window was 17 new / 33 substantive / 17 displaced;
-# r5 did not rotate, so r2/r3-audited rows aged to 3/2 data generations):
-#   positions 0-16:  the 17 NEWEST r6 queries — 7 pipeline-analytics
-#                    ops (evt_bitmap_rollup exact mergeable-distinct
-#                    bitmap pre-agg, nb_lang_confusion MLlib-free multinomial
-#                    Naive Bayes trained+scored in DataFrame algebra,
-#                    customer_rfm_segments scalable equi-depth
-#                    RFM cube, doc_ngram_novelty df=1 shingle audit,
-#                    source_token_kl per-source distribution
-#                    divergence, evt_anomaly_mad robust outliers with
-#                    an all-integer threshold, text_word_entropy
-#                    lexical-diversity kernel) followed by the 10
-#                    TPC-H completion shapes below — with these, every
-#                    non-partsupp TPC-H query shape is registered
-#                    (1,3,4,5,6,7,8,10,12,13,14,15,16,17,18,19,21,22;
-#                    2/9/11/20 need the partsupp table this corpus
-#                    doesn't ship): Q6 (pure scan-pushdown canary),
-#                    Q8 (widest join, nation in two roles, derived
-#                    market share), Q12 (conditional-agg
-#                    classification), Q14 (CASE-inside-ratio), Q13
-#                    (ON-clause left-join filter + zero-preserving
-#                    count), Q15 (scalar-max view self-reference as an
-#                    exact-integer equi-join), Q16 (NOT IN →
-#                    null-aware anti join), Q19 (disjunctive
-#                    cross-side predicate), Q21 (EXISTS + NOT EXISTS
-#                    sole-late-supplier decorrelation), Q22 (scalar
-#                    subquery + NOT EXISTS anti join) — never audited;
-#                    their addition displaces ALL 12 r6-changed
-#                    entries (ep3_label_pipeline, evt_sketch_audit,
-#                    tokenizer_fertility, q1_pricing_summary,
-#                    a5_two_level, j3_group_agg_enrichment,
-#                    j1_inner_join_agg, unpivot_metrics, evt_asof_join,
-#                    evt_range_join, evt_json_props, o7_interleave)
-#                    plus p_filters below the window — the full window
-#                    is now 50 never-driver-audited r6 queries; the
-#                    displaced entries stay green in the local
-#                    full-registry gate (rotate them forward in r7,
-#                    changed-in-r6 first);
-#   positions 17-25: the 9 NEXT-newest r6 queries (MMR diversified top-k,
-#                    entity-resolution clusters, SCD2 history fold,
-#                    triangle counting, retention cohorts, and the
-#                    TPC-H Q4/Q10/Q17/Q18 shapes — correlated EXISTS /
-#                    IN-HAVING subquery decorrelation, returned-items
-#                    top-k, per-part scalar-subquery join-back) —
-#                    never audited;
-#   positions 26-49: the first 24 of the 28 earlier NEW r6 queries (just
-#                    behind the window at 50-62: the late additions
-#                    evt_markov_transitions, evt_cusum_changepoint,
-#                    the derived-partsupp TPC-H shapes q2/q9/q11/q20,
-#                    evt_attribution_linear, evt_user_gini,
-#                    j13_lateral_topk, evt_grouping_sets and
-#                    a19_percent_rank — deliberately slotted
-#                    below the verdict-deliverable queries — then
-#                    decontaminate_bloom, source_mixture_weights,
-#                    boilerplate_strip and mixture_sample_apply; all
-#                    never driver-audited but locally gate-green at
-#                    sf0.001, sf0.01 AND sf0.1) (pagerank, keep-best dedup,
-#                    snapshot diff, KS drift, table profile, cube,
-#                    trailing RANGE window, hashing features, anti
-#                    join, basket rules, ntile buckets, winsorized
-#                    stats, fuzzy name pairs, bootstrap CI, BFS
-#                    shortest paths, time-weighted avg, z-order audit,
-#                    textrank, corpus heavy hitters, linear probe,
-#                    dup-span coverage, line repetition, semantic
-#                    dedup, incremental corpus dedup, bloom decontam,
-#                    mixture weights + apply, boilerplate strip) —
-#                    never audited;
-# Behind the window: the 13 displaced entries above (12 r6-changed +
-# p_filters — rotate the r6-changed ones forward FIRST in r7), the 18
-# other r2-audited entries (u_set_ops/w1_w2/w3/w5/o5/pivot/a1_a3/a9/a10/
-# a11_a13/a12/evt_tumbling/evt_sliding/j2/q3/m4_dbscan/g1/g2 — next in
-# r7), and the r3-audited half (ep3_lloyd_audit,
-# s1, s2, s6, s3_orc, f5, f7, j5map, m1, m2, m3, m10, m11, a16, p8,
-# f10, f11, s7 converters, doc_chunking, mm_asset_features), then the
-# r4/r5-audited bulk (freshest rows).
-# NOTE decontaminate_overlap/decontaminate_bloom share _decon_sql and
-# their contaminated_pct export changed in r6 (unrounded derived) —
-# decontaminate_overlap sits behind the window; local gate covers it.
-# tools/check_correctness.py covers the full registry locally.
+# entries only (each CORRECTNESS_r{N} holds exactly 50).  The dict literal
+# below preserves the historical (r6) grouping for diff-stability; the
+# ACTUAL driver-visible order is rebuilt right after it from _R7_FRONT /
+# _R8_NEXT (see the rotation comment there).  Audit-freshness state after
+# the r6 window (per CORRECTNESS_r01..r06): 15 entries never audited, 12
+# r6-changed entries displaced without a row on their new form
+# (ep3_label_pipeline has never had a green driver row), 16 basics last
+# audited on r2-generation data, and the r3-audited half is two-plus
+# generations old — _R7_FRONT rotates exactly those forward, oldest debt
+# first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "evt_bitmap_rollup": (evt_bitmap_rollup, _BITMAP_ROLLUP_SQL),
     "nb_lang_confusion": (nb_lang_confusion, _NB_CONFUSION_SQL),
@@ -10560,6 +10499,129 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dq_constraints": (dq_constraints, _DQ_SQL),
     "stratified_sample": (stratified_sample, _STRAT_SQL),
     "fraction_sample": (fraction_sample, _FRAC_SQL),
+}
+
+# r7 window rotation (VERDICT r6 "Next round" item 1, executed): the driver
+# audits the FIRST 50 entries only, so _R7_FRONT reorders the registry to
+# put every entry with no current-generation driver row up front:
+#   [0]      text_word_entropy — its integer exports changed THIS round
+#            (coalesce-to-0 on NULL text, ADVICE r6 #1) — changed leads;
+#   [1-15]   the 15 never-driver-audited entries (evt_user_gini first —
+#            its UDAF numerator moved to overflow-checked Python ints,
+#            ADVICE r6 #2, so it is also r7-changed);
+#   [16-27]  the 12 r6-changed entries whose exports have no driver row
+#            on their new form — ep3_label_pipeline FIRST (the registry's
+#            only member that has never had a green driver row; its only
+#            row, r3, predates the oracle);
+#   [28-43]  the 16 r2-audited basics (driver rows four data-generations
+#            old; j1_inner_join_agg already sits in the r6-changed block);
+#   [44-49]  the head of the r3-audited half.
+# _R8_NEXT then queues the r3-audited remainder so r8's rotation is a
+# straight "promote _R8_NEXT, then the r5-audited bulk" — by r9 no driver
+# row should be older than two data generations.  New/changed r7 queries
+# are PREPENDED to _R7_FRONT as they land (changed-first contract).
+_R7_FRONT: list[str] = [
+    "text_word_entropy",
+    "evt_user_gini",
+    "evt_markov_transitions",
+    "evt_cusum_changepoint",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q20_surplus_suppliers",
+    "evt_attribution_linear",
+    "j13_lateral_topk",
+    "evt_grouping_sets",
+    "a19_percent_rank",
+    "decontaminate_bloom",
+    "source_mixture_weights",
+    "boilerplate_strip",
+    "mixture_sample_apply",
+    "ep3_label_pipeline",
+    "evt_sketch_audit",
+    "tokenizer_fertility",
+    "q1_pricing_summary",
+    "a5_two_level",
+    "j3_group_agg_enrichment",
+    "j1_inner_join_agg",
+    "unpivot_metrics",
+    "evt_asof_join",
+    "evt_range_join",
+    "evt_json_props",
+    "o7_interleave",
+    "p_filters",
+    "u_set_ops",
+    "w1_w2_proportion",
+    "w3_cumsum",
+    "w5_dense_numbering",
+    "o5_topk_per_group",
+    "pivot_categories",
+    "a1_a3_counts",
+    "a9_value_counts",
+    "a10_histogram",
+    "a11_a13_buckets_ratio",
+    "a12_first_per_group",
+    "evt_tumbling_window",
+    "evt_sliding_window",
+    "j2_left_join_flags",
+    "q3_shipping_priority",
+    "m4_dbscan_stats",
+    "g1_cooccurrence_edges",
+    "g2_communities",
+    "ep3_lloyd_audit",
+    "s1_csv_roundtrip",
+    "s2_json_roundtrip",
+]
+
+_R8_NEXT: list[str] = [
+    "s6_excel_roundtrip",
+    "s3_orc_roundtrip",
+    "f5_manhattan",
+    "f7_string_caps",
+    "j5_literal_map",
+    "m1_kmeans_clusters",
+    "m2_silhouette",
+    "m3_k_sweep",
+    "m10_pca_variance",
+    "m11_spectral_embedding",
+    "a16_dict_accum",
+    "p8_null_tolerant",
+    "f10_bpe_token_count",
+    "mm_asset_features",
+    "split_assign",
+    "pack_batches",
+    "decontaminate_overlap",
+    "f11_token_budget",
+    "s7_convert_docs",
+    "s7_pdf_roundtrip",
+    "doc_chunking",
+    "text_repetition",
+    "evt_rollup",
+    "ann_quantized_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_refined_topk",
+    "ann_ivfpq_refined_topk",
+    "hybrid_search_rrf",
+    "doc_winnow_fingerprints",
+    "ngram_jaccard_dedup",
+    "pii_redaction",
+    "lm_quality_scores",
+    "tfidf_keywords",
+    "skew_salted_agg",
+    "curation_pipeline",
+    "dq_constraints",
+    "stratified_sample",
+    "fraction_sample",
+]
+
+_REGISTRY = {
+    name: _REGISTRY[name]
+    for name in (
+        *_R7_FRONT,
+        *_R8_NEXT,
+        *(k for k in _REGISTRY if k not in {*_R7_FRONT, *_R8_NEXT}),
+    )
 }
 
 

@@ -38,11 +38,22 @@ from pyspark.sql import functions as F
 @F.pandas_udf("long")
 def gini_numerator(counts: pd.Series) -> int:
     """Grouped-agg UDAF: 2·Σ i·x_(i) − (n+1)·Σ x over the group's values
-    (x sorted ascending, i 1-based) — the exact-integer Gini numerator."""
+    (x sorted ascending, i 1-based) — the exact-integer Gini numerator.
+
+    The sums run in arbitrary-precision Python ints (not numpy int64,
+    which wraps silently on overflow) and an out-of-long result raises
+    loudly — matching the ANSI-checked integer discipline used
+    everywhere else in the engine."""
     x = np.sort(counts.to_numpy(np.int64))
     n = len(x)
-    i = np.arange(1, n + 1, dtype=np.int64)
-    return int(2 * (i * x).sum() - (n + 1) * x.sum())
+    weighted = sum(i * int(v) for i, v in enumerate(x, start=1))
+    total = sum(int(v) for v in x)
+    num = 2 * weighted - (n + 1) * total
+    if not (-(2**63) <= num < 2**63):
+        raise OverflowError(
+            f"gini numerator {num} exceeds BIGINT range (n={n})"
+        )
+    return num
 
 
 def group_gini(
