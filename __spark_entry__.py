@@ -22,6 +22,7 @@ from vector_search_optimization_spark.functions import text as TX
 from vector_search_optimization_spark.functions import vector as V
 from vector_search_optimization_spark.operators import ann, dedup, islands, topk, upsert
 from vector_search_optimization_spark.operators import nearest_centroid as NC
+from vector_search_optimization_spark.operators import validation as DQV
 from vector_search_optimization_spark.operators import similarity as SIM
 from vector_search_optimization_spark.operators import vector_agg as VA
 from vector_search_optimization_spark.sources import load_table
@@ -4309,16 +4310,21 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NGRAM_JACCARD_SQL = (
-    _MINHASH_SHINGLE_SQL.format(n=3, nm1=2)
-    + f""", hs AS (
+# all-pairs exact-jaccard CTEs over the word-3-shingle hash sets —
+# shared by the ngram-jaccard dedup oracle and the split-leakage oracle
+_JACCARD_HS_JP = f""", hs AS (
   SELECT doc_id, list_distinct(list_transform(shingles, s -> {_POLY_SQL.format(s='s', base=TX.POLY_BASE)})) AS h FROM sh
 ), jp AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(len(list_filter(a.h, v -> list_contains(b.h, v))) AS DOUBLE) AS i,
          CAST(len(a.h) + len(b.h) AS DOUBLE) AS t
   FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-)
+)"""
+
+_NGRAM_JACCARD_SQL = (
+    _MINHASH_SHINGLE_SQL.format(n=3, nm1=2)
+    + _JACCARD_HS_JP
+    + """
 SELECT id_a, id_b, round(i / (t - i), 6) AS jaccard
 FROM jp WHERE round(i / (t - i), 6) >= 0.5"""
 )
@@ -10297,6 +10303,514 @@ ORDER BY c_mktsegment, c_custkey
 
 
 # ---------------------------------------------------------------------------
+# r7 additions: trend/audit/curation analytics
+# ---------------------------------------------------------------------------
+
+
+def evt_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per event type — the standard
+    nonparametric "is this metric drifting" statistic (Mann '45,
+    Kendall '75): S = Σ_{i<j} sign(v_j − v_i) over the daily value
+    series. Chosen over Theil-Sen for the export because S is an EXACT
+    INTEGER — a pairwise-slope median is a rational with real
+    cross-engine rounding-tie risk (the decimal-mean rule), while sign
+    comparisons on identically rounded daily sums are bit-portable.
+
+    Plan: ONE combinable (type, day) aggregate over events (the only
+    pass over the fact table — persisted, handle attached), then a
+    per-type self-join on the daily series. Pair volume is |days|² per
+    type — bounded by the CALENDAR, not by event count, so at 100 TB
+    the join input is ~(types × years × 365) rows regardless of event
+    volume. kendall_tau derives unrounded from the two exact integers.
+    Daily sums round 2dp pre-comparison (tie-free for decimal data) so
+    both engines compare identical doubles."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = (
+        e.groupBy(F.col("event_type"), day.alias("day_idx"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+        .persist()
+    )
+    a = daily.select(
+        "event_type", F.col("day_idx").alias("d1"), F.col("v").alias("v1")
+    )
+    b = daily.select(
+        "event_type", F.col("day_idx").alias("d2"), F.col("v").alias("v2")
+    )
+    pr = (
+        a.join(b, "event_type")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.signum(F.col("v2") - F.col("v1")))
+            .cast("long")
+            .alias("s_stat"),
+        )
+    )
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    out = (
+        nd.join(pr, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias(
+                "n_pairs"
+            ),
+            F.coalesce(F.col("s_stat"), F.lit(0).cast("long")).alias(
+                "s_stat"
+            ),
+            F.when(
+                F.col("n_pairs") > 0,
+                F.col("s_stat").cast("double") / F.col("n_pairs"),
+            ).alias("kendall_tau"),
+        )
+        .orderBy("event_type")
+    )
+    out._vso_caches = [daily]
+    return out
+
+
+_MANN_KENDALL_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS day_idx,
+         round(sum(value), 2) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), pr AS (
+  SELECT a.event_type,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(sign(b.v - a.v)) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day_idx < b.day_idx
+  GROUP BY 1
+), nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+)
+SELECT nd.event_type, nd.n_days,
+       coalesce(pr.n_pairs, 0) AS n_pairs,
+       coalesce(pr.s_stat, 0) AS s_stat,
+       CASE WHEN pr.n_pairs > 0
+            THEN CAST(pr.s_stat AS DOUBLE) / pr.n_pairs END AS kendall_tau
+FROM nd LEFT JOIN pr USING (event_type)
+ORDER BY nd.event_type
+"""
+
+
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance audit over order totals — the
+    classic forensic-accounting / synthetic-data smell test: natural
+    multi-scale amounts follow P(d) = log10(1 + 1/d); a uniform or
+    manufactured price column does not, and the per-digit chi-square
+    contributions localize WHERE it breaks. First digits come from the
+    exact integer cents via the integer's string form (integer→string
+    is engine-portable; floor(log10(x)) can flip at powers of ten on a
+    last-ulp libm difference), and the nine expected probabilities are
+    repr-exact shared literals (operators/validation.py:BENFORD_P) so
+    both engines run bit-identical IEEE arithmetic — every float export
+    here is therefore unrounded. Plan: one map-side projection + one
+    9-key combinable aggregate + a literal 9-row universe join — a
+    single fact-table pass at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    obs = (
+        o.select(DQV.first_significant_digit(cents).alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    universe = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    tot = o.agg(F.count(F.lit(1)).alias("n_total"))
+    exp_p = DQV.benford_expected(F.col("digit"))
+    delta = F.col("n_obs") - F.col("n_total") * exp_p
+    return (
+        universe.join(obs, "digit", "left")
+        .select(
+            "digit", F.coalesce(F.col("n_obs"), F.lit(0).cast("long")).alias("n_obs")
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            "n_total",
+            (F.col("n_obs").cast("double") / F.col("n_total")).alias("obs_p"),
+            exp_p.alias("exp_p"),
+            ((delta * delta) / (F.col("n_total") * exp_p)).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_SQL = f"""
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1
+), u AS (
+  SELECT CAST(range AS INTEGER) AS digit FROM range(1, 10)
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders
+)
+SELECT u.digit, coalesce(obs.n_obs, 0) AS n_obs, tot.n_total,
+       CAST(coalesce(obs.n_obs, 0) AS DOUBLE) / tot.n_total AS obs_p,
+       {DQV.benford_expected_sql('u.digit')} AS exp_p,
+       ((coalesce(obs.n_obs, 0) - tot.n_total * {DQV.benford_expected_sql('u.digit')})
+        * (coalesce(obs.n_obs, 0) - tot.n_total * {DQV.benford_expected_sql('u.digit')}))
+       / (tot.n_total * {DQV.benford_expected_sql('u.digit')}) AS chi2_term
+FROM u LEFT JOIN obs USING (digit) CROSS JOIN tot
+ORDER BY u.digit
+"""
+
+
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) audit: corpus docs are cut into 10
+    equal doc-id deciles and, per decile, the audit reports document /
+    token volume plus how many NEW word types first appear there —
+    the curation signal for "is this source still contributing novel
+    vocabulary or just repeating itself" (the empirical V(n) ∝ n^β
+    curve; β ≈ ln V / ln N is exported per decile). All counts are
+    exact integers; the β estimate is a ratio of logs of those integers
+    (irrational — 6dp rounding is tie-free).
+
+    Plan: token explode (map-side) → TWO combinable shuffles (per-token
+    min doc_id; per-bucket token totals) + a 1-row bounds broadcast;
+    the cumulative pass is a window over exactly 10 rows. First
+    occurrence as min(doc_id) is a combinable aggregate — no global
+    sort, no sequential scan, so the "growth curve" computes at any
+    corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("w"),
+    )
+    bounds = d.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+
+    def bucket_of(idc: F.Column) -> F.Column:
+        return F.least(
+            F.lit(9).cast("long"),
+            F.floor(
+                (idc - F.col("mn")) * F.lit(10.0)
+                / (F.col("mx") - F.col("mn") + F.lit(1))
+            ).cast("long"),
+        )
+
+    docs_b = (
+        d.join(F.broadcast(bounds))
+        .groupBy(bucket_of(F.col("doc_id")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    toks_b = (
+        toks.join(F.broadcast(bounds))
+        .groupBy(bucket_of(F.col("doc_id")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    first = toks.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    new_b = (
+        first.join(F.broadcast(bounds))
+        .groupBy(bucket_of(F.col("fd")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    universe = spark.range(0, 10).select(F.col("id").alias("bucket"))
+    base = (
+        universe.join(docs_b, "bucket", "left")
+        .join(toks_b, "bucket", "left")
+        .join(new_b, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("n_docs"), F.lit(0).cast("long")).alias("n_docs"),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.col("new_types"), F.lit(0).cast("long")).alias(
+                "new_types"
+            ),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum_tok = F.sum("n_tokens").over(w)
+    cum_typ = F.sum("new_types").over(w)
+    return base.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "new_types",
+        cum_tok.alias("cum_tokens"),
+        cum_typ.alias("cum_types"),
+        F.round(
+            F.when(
+                (cum_tok > 1) & (cum_typ > 0),
+                F.log(cum_typ.cast("double")) / F.log(cum_tok.cast("double")),
+            ),
+            6,
+        ).alias("heaps_beta"),
+    ).orderBy("bucket")
+
+
+_VOCAB_GROWTH_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS w
+  FROM documents
+), b AS (
+  SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents
+), docs_b AS (
+  SELECT least(9, CAST(floor((doc_id - b.mn) * 10.0 / (b.mx - b.mn + 1)) AS BIGINT)) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents CROSS JOIN b GROUP BY 1
+), toks_b AS (
+  SELECT least(9, CAST(floor((doc_id - b.mn) * 10.0 / (b.mx - b.mn + 1)) AS BIGINT)) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM tok CROSS JOIN b GROUP BY 1
+), first AS (
+  SELECT w, min(doc_id) AS fd FROM tok GROUP BY w
+), new_b AS (
+  SELECT least(9, CAST(floor((fd - b.mn) * 10.0 / (b.mx - b.mn + 1)) AS BIGINT)) AS bucket,
+         CAST(count(*) AS BIGINT) AS new_types
+  FROM first CROSS JOIN b GROUP BY 1
+), u AS (
+  SELECT CAST(range AS BIGINT) AS bucket FROM range(0, 10)
+), base AS (
+  SELECT u.bucket,
+         coalesce(docs_b.n_docs, 0) AS n_docs,
+         coalesce(toks_b.n_tokens, 0) AS n_tokens,
+         coalesce(new_b.new_types, 0) AS new_types
+  FROM u LEFT JOIN docs_b USING (bucket)
+         LEFT JOIN toks_b USING (bucket)
+         LEFT JOIN new_b USING (bucket)
+), cum AS (
+  SELECT bucket, n_docs, n_tokens, new_types,
+         CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+         CAST(sum(new_types) OVER w AS BIGINT) AS cum_types
+  FROM base
+  WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT bucket, n_docs, n_tokens, new_types, cum_tokens, cum_types,
+       round(CASE WHEN cum_tokens > 1 AND cum_types > 0
+                  THEN ln(CAST(cum_types AS DOUBLE)) / ln(CAST(cum_tokens AS DOUBLE))
+             END, 6) AS heaps_beta
+FROM cum ORDER BY bucket
+"""
+
+
+def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated BIGRAM language-model scoring — the KenLM-shaped
+    curation signal one order above lm_quality_scores' unigram:
+    p(w2|w1) = 0.75·c(w1,w2)/c(w1) + 0.25·(c(w2)+1)/(N+V)
+    (Jelinek-Mercer interpolation onto the add-one unigram floor).
+    Word-salad and shuffled/templated text score high even when its
+    unigram distribution looks natural — exactly the spam class the
+    unigram filter misses. Train = two combinable groupBys (unigram +
+    bigram counts); score = equi-joins on the pair/word keys + one
+    combinable per-doc agg (operators/lm_quality.py:train_bigram_lm,
+    bigram_surprisal). At 100 TB the model truncates to top-K bigrams
+    (``model_top_k``) and ships as a broadcast, the tail collapsing
+    into the unigram backoff — the same contract as the unigram
+    scorer's vocab_top_k. Docs with <2 tokens export n_bigrams=0 and a
+    NULL score (the word-entropy NULL convention)."""
+    from vector_search_optimization_spark.operators import lm_quality as LM
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = LM.train_unigram_lm(d)
+    bi = LM.train_bigram_lm(d)
+    sc = LM.bigram_surprisal(d, bi, vocab)
+    return (
+        d.select("doc_id")
+        .join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            F.round(F.col("avg_bigram_nll"), 4).alias("avg_bigram_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BIGRAM_LM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), s -> s <> '') AS t
+  FROM documents
+), utok AS (
+  SELECT unnest(t) AS word FROM tok
+), uni AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM utok GROUP BY word
+), tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+         CAST(count(*) AS DOUBLE) AS v_size
+  FROM uni
+), bg AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (SELECT doc_id, unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS p
+        FROM tok WHERE len(t) >= 2)
+), bic AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+), scored AS (
+  SELECT bg.doc_id,
+         -ln(0.75 * (CASE WHEN u1.cnt IS NOT NULL
+                          THEN CAST(coalesce(bic.c2, 0) AS DOUBLE) / CAST(u1.cnt AS DOUBLE)
+                          ELSE 0.0 END)
+             + 0.25 * (CAST(coalesce(u2.cnt, 0) + 1 AS DOUBLE) / (tot.n_total + tot.v_size))) AS nll
+  FROM bg LEFT JOIN bic USING (w1, w2)
+          LEFT JOIN uni u1 ON u1.word = bg.w1
+          LEFT JOIN uni u2 ON u2.word = bg.w2
+          CROSS JOIN tot
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(nll), 4) AS avg_bigram_nll
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_bigrams, 0) AS n_bigrams,
+       p.avg_bigram_nll
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: the train/val/test assignment
+    (the SAME multiplicative-hash split as split_assign, 98/1/1) joined
+    onto the EXACT-threshold near-dup pair set (PPJoin word-3-shingle
+    Jaccard >= 0.5, dedup.jaccard_similarity_join — no false
+    negatives, so a zero here is a guarantee, not a sample estimate).
+    A near-dup pair straddling train and a holdout split is eval
+    leakage — the decontamination number that must be 0 before a
+    benchmark score means anything (same failure class as
+    decontaminate_overlap, but within-corpus between splits). Exports
+    the full 6-cell split-pair matrix (literal universe, zero-filled)
+    plus the overall cross-split fraction derived from exact counts.
+    Scale story = the PPJoin contract (prefix-filtered equi-join, no
+    all-pairs) + a pure-projection split hash: adds two map-side
+    projections and one 6-key aggregate to the dedup plan."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_similarity_join(d, shingle_n=3, threshold=0.5)
+
+    def split_of(idc: F.Column) -> F.Column:
+        h = F.pmod(idc * F.lit(_SPLIT_A) + F.lit(_SPLIT_B), F.lit(1000))
+        return (
+            F.when(h < 980, "train").when(h < 990, "val").otherwise("test")
+        )
+
+    def rank_of(s: F.Column) -> F.Column:
+        return F.when(s == "train", 0).when(s == "val", 1).otherwise(2)
+
+    sa, sb = split_of(F.col("id_a")), split_of(F.col("id_b"))
+    sp = pairs.select(
+        F.when(rank_of(sa) <= rank_of(sb), sa).otherwise(sb).alias(
+            "split_lo"
+        ),
+        F.when(rank_of(sa) <= rank_of(sb), sb).otherwise(sa).alias(
+            "split_hi"
+        ),
+    )
+    counts = sp.groupBy("split_lo", "split_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    universe = spark.createDataFrame(
+        [
+            ("train", "train"),
+            ("train", "val"),
+            ("train", "test"),
+            ("val", "val"),
+            ("val", "test"),
+            ("test", "test"),
+        ],
+        "split_lo string, split_hi string",
+    )
+    filled = universe.join(counts, ["split_lo", "split_hi"], "left").select(
+        "split_lo",
+        "split_hi",
+        F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias("n_pairs"),
+        (F.col("split_lo") != F.col("split_hi")).alias("is_cross"),
+    )
+    tot = filled.agg(
+        F.sum("n_pairs").alias("total_pairs"),
+        F.sum(F.when(F.col("is_cross"), F.col("n_pairs")).otherwise(0)).alias(
+            "cross_pairs"
+        ),
+    )
+    out = (
+        filled.join(F.broadcast(tot))
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            "is_cross",
+            "total_pairs",
+            "cross_pairs",
+            F.when(
+                F.col("total_pairs") > 0,
+                F.col("cross_pairs").cast("double") / F.col("total_pairs"),
+            ).alias("cross_fraction"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+    out._vso_caches = getattr(pairs, "_vso_caches", [])
+    return out
+
+
+_SPLIT_LEAKAGE_SQL = (
+    _MINHASH_SHINGLE_SQL.format(n=3, nm1=2)
+    + _JACCARD_HS_JP
+    + f""", vp AS (
+  SELECT id_a, id_b FROM jp WHERE round(i / (t - i), 6) >= 0.5
+), labeled AS (
+  SELECT CASE WHEN (id_a * {_SPLIT_A} + {_SPLIT_B}) % 1000 < 980 THEN 'train'
+              WHEN (id_a * {_SPLIT_A} + {_SPLIT_B}) % 1000 < 990 THEN 'val'
+              ELSE 'test' END AS sa,
+         CASE WHEN (id_b * {_SPLIT_A} + {_SPLIT_B}) % 1000 < 980 THEN 'train'
+              WHEN (id_b * {_SPLIT_A} + {_SPLIT_B}) % 1000 < 990 THEN 'val'
+              ELSE 'test' END AS sb
+  FROM vp
+), ranked AS (
+  SELECT sa, sb,
+         CASE sa WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END AS ra,
+         CASE sb WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END AS rb
+  FROM labeled
+), sp AS (
+  SELECT CASE WHEN ra <= rb THEN sa ELSE sb END AS split_lo,
+         CASE WHEN ra <= rb THEN sb ELSE sa END AS split_hi
+  FROM ranked
+), cnt AS (
+  SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM sp GROUP BY 1, 2
+), u AS (
+  SELECT * FROM (VALUES ('train', 'train'), ('train', 'val'),
+                        ('train', 'test'), ('val', 'val'),
+                        ('val', 'test'), ('test', 'test')) t(split_lo, split_hi)
+), filled AS (
+  SELECT u.split_lo, u.split_hi,
+         coalesce(cnt.n_pairs, 0) AS n_pairs,
+         u.split_lo <> u.split_hi AS is_cross
+  FROM u LEFT JOIN cnt USING (split_lo, split_hi)
+), tot AS (
+  SELECT CAST(sum(n_pairs) AS BIGINT) AS total_pairs,
+         CAST(sum(CASE WHEN is_cross THEN n_pairs ELSE 0 END) AS BIGINT)
+           AS cross_pairs
+  FROM filled
+)
+SELECT f.split_lo, f.split_hi, f.n_pairs, f.is_cross,
+       tot.total_pairs, tot.cross_pairs,
+       CASE WHEN tot.total_pairs > 0
+            THEN CAST(tot.cross_pairs AS DOUBLE) / tot.total_pairs
+       END AS cross_fraction
+FROM filled f CROSS JOIN tot
+ORDER BY f.split_lo, f.split_hi
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
 
@@ -10312,6 +10826,11 @@ ORDER BY c_mktsegment, c_custkey
 # generations old — _R7_FRONT rotates exactly those forward, oldest debt
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "evt_mann_kendall": (evt_mann_kendall, _MANN_KENDALL_SQL),
+    "orders_benford_audit": (orders_benford_audit, _BENFORD_SQL),
+    "vocab_growth_heaps": (vocab_growth_heaps, _VOCAB_GROWTH_SQL),
+    "doc_bigram_lm": (doc_bigram_lm, _BIGRAM_LM_SQL),
+    "split_leakage_audit": (split_leakage_audit, _SPLIT_LEAKAGE_SQL),
     "evt_bitmap_rollup": (evt_bitmap_rollup, _BITMAP_ROLLUP_SQL),
     "nb_lang_confusion": (nb_lang_confusion, _NB_CONFUSION_SQL),
     "customer_rfm_segments": (customer_rfm_segments, _RFM_SQL),
@@ -10521,6 +11040,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # row should be older than two data generations.  New/changed r7 queries
 # are PREPENDED to _R7_FRONT as they land (changed-first contract).
 _R7_FRONT: list[str] = [
+    # NEW in r7 (never audited, lead per the changed-first contract):
+    "evt_mann_kendall",
+    "orders_benford_audit",
+    "vocab_growth_heaps",
+    "doc_bigram_lm",
+    "split_leakage_audit",
     "text_word_entropy",
     "evt_user_gini",
     "evt_markov_transitions",

@@ -82,14 +82,20 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         KMeans(k=2, seed=1, featuresCol="v").fit(vecs)
 
-        # NOT warmed deliberately: the first dedup-CC query in registry
-        # order pays ~8-11s of pipeline first-execution cost (measured:
-        # canonical-first 10.9s → keep_best 3.9s; keep_best-first reads
-        # the same shape). A 50-row warm run does NOT transfer — AQE
+        # dedup-family warm pass AT SCALE: the first dedup-CC query in
+        # registry order otherwise pays ~8-11s of pipeline
+        # first-execution cost (measured: canonical-first 10.9s →
+        # keep_best 3.9s). A 50-row warm run does NOT transfer — AQE
         # picks different join strategies at that size, so the compiled
-        # codegen classes differ from the at-scale plan's. The cost is
-        # real one-time init, amortized at scale; CLAUDE.md documents
-        # which query absorbs it per ordering.
+        # codegen classes differ from the at-scale plan's — so this runs
+        # the real query at SF_DIR untimed. The cost is genuine one-time
+        # init (amortized at 100 TB); paying it here keeps the per-query
+        # record independent of which dedup query the rotation puts
+        # first (VERDICT r6 item 6).
+        entrymod.queries()["dedup_canonical_groups"](
+            spark, SF_DIR
+        ).write.format("noop").mode("overwrite").save()
+
         entrymod.prepare(spark, SF_DIR)
     except Exception:  # noqa: BLE001
         pass

@@ -132,6 +132,14 @@ _NESTED_LOOP_OK = {
     "nb_lang_confusion",       # 5-row class-constants frame (and its
                                # 1-row vocab-size input) broadcast onto
                                # the doc spine — bounded by |classes|
+    "orders_benford_audit",    # 1-row total-count frame broadcast onto
+                               # the literal 9-digit universe
+    "vocab_growth_heaps",      # 1-row (min, max) bounds frame broadcast
+                               # for decile bucketing
+    "doc_bigram_lm",           # 1-row (N, V) model-totals frame
+                               # broadcast (the lm_quality pattern)
+    "split_leakage_audit",     # 1-row totals frame broadcast onto the
+                               # literal 6-row split-pair universe
 }
 
 

@@ -391,6 +391,111 @@ def main() -> None:
 
     stage("ngram_novelty", _ngram_novelty)
 
+    # r7 probes (VERDICT r6 item 4): the four heavy r6 additions the
+    # 10×/40× battery didn't cover.
+    def _dup_span():
+        """dup_span_coverage on the probe corpus (1% planted dup tail →
+        repetitive anchors): cost contract is O(selected anchors) =
+        O(corpus chars / w) with NO doc-pair term — the groupBy counts
+        distinct docs per anchor and the join-back replicates only each
+        anchor's own rows. A super-linear reading means the anchor
+        fan-out regressed into pair materialization."""
+        return (
+            dedup.dup_span_coverage_frame(docs, n=20, w=8)
+            .where(F.col("covered_chars") > 0)
+            .count()
+        )
+
+    stage("dup_span_coverage", _dup_span)
+
+    def _ab_bootstrap():
+        """evt_ab_bootstrap's replicate expansion: n rows × 64
+        sha-weighted Poisson replicates, all combinable aggregates —
+        cost must scale with n·B (linear in n at fixed B), never with
+        groups² or via any driver-side materialization."""
+        from vector_search_optimization_spark.operators import bootstrap as BS
+
+        n = 12_500 * SCALE
+        tagged = spark.range(0, n, 1, 32).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 2 == 0).alias("is_a"),
+            (F.pmod(F.col("id") * 7919, 10000) / 100.0).alias("v"),
+        )
+        return BS.poisson_bootstrap_mean_diff(
+            tagged, "event_id", "is_a", "v", n_boot=64, alpha=0.05
+        ).count()
+
+    stage("ab_bootstrap_64rep", _ab_bootstrap)
+
+    def _basket_rules():
+        """basket_brand_rules' pair self-join under a SKEWED brand: 6
+        brand rows per basket from a 25-brand vocab with brand b00 in
+        ~40% of slots (the hot key). Fan-out contract: Σ C(brands_i, 2)
+        ≈ baskets × C(6,2) — bounded by basket width², never by basket
+        COUNT² — and the hot brand inflates only its pair-count cell
+        (combinable agg), not the join volume per basket."""
+        m = 2_500 * SCALE
+        raw = spark.range(0, m * 6, 1, 32).select(
+            (F.col("id") % m).alias("o"),
+            F.when(F.pmod(F.col("id") * 2654435761, 100) < 40, F.lit("b00"))
+            .otherwise(
+                F.concat(
+                    F.lit("b"),
+                    F.lpad(
+                        F.pmod(F.col("id") * 7919, 25).cast("string"), 2, "0"
+                    ),
+                )
+            )
+            .alias("b"),
+        )
+        bk = raw.distinct()
+        a = bk.select("o", F.col("b").alias("antecedent"))
+        c = bk.select("o", F.col("b").alias("consequent"))
+        return (
+            a.join(c, "o")
+            .where(F.col("antecedent") != F.col("consequent"))
+            .groupBy("antecedent", "consequent")
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+            .count()
+        )
+
+    stage("basket_rules_skewed", _basket_rules)
+
+    def _bitmap_rollup():
+        """evt_bitmap_rollup's daily pre-agg + weekly OR-merge over a
+        WIDE user-id space (ids up to 32M → ~1000 buckets of ≤32 Kbit):
+        pre-agg row count is bounded by days × types × OCCUPIED buckets,
+        the OR-merge reads bitmaps not events, and bucket counts are
+        additive — cost tracks event count linearly and bucket width is
+        a constant factor, never a cross product."""
+        n = 25_000 * SCALE
+        ev = spark.range(0, n, 1, 32).select(
+            F.floor(F.col("id") / F.lit(n // 56 + 1)).alias("day_idx"),
+            F.pmod(F.col("id") * 2654435761, 32_000_000).alias("user_id"),
+            F.when(F.col("id") % 3 == 0, F.lit("view"))
+            .otherwise(F.lit("purchase"))
+            .alias("event_type"),
+        )
+        daily = ev.groupBy(
+            F.floor(F.col("day_idx") / 7).alias("week_idx"),
+            "day_idx",
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        ).agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+                "bm"
+            )
+        )
+        return (
+            daily.groupBy("week_idx", "bucket")
+            .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("c"))
+            .groupBy("week_idx")
+            .agg(F.sum("c").alias("wau"))
+            .count()
+        )
+
+    stage("bitmap_rollup_wide_ids", _bitmap_rollup)
+
     print(json.dumps(out))
     spark.stop()
 

@@ -82,3 +82,100 @@ def unigram_surprisal(
         F.count(F.lit(1)).alias("n_tokens"),
         F.avg("surprisal").alias("avg_surprisal"),
     )
+
+
+def bigram_pairs(text_col: Column | str) -> Column:
+    """``array<struct<w1,w2>>`` of adjacent token pairs — F.transform
+    with the index arg + 1-based element_at, so the struct fields carry
+    stable names (arrays_zip would name slice-expression fields
+    positionally). Documents with < 2 tokens yield an empty array."""
+    t = tokenize(text_col)
+    n = F.size(t)
+    pairs = F.transform(
+        F.slice(t, 1, n - 1),
+        lambda w, i: F.struct(
+            w.alias("w1"), F.element_at(t, i + F.lit(2)).alias("w2")
+        ),
+    )
+    return F.when(n >= 2, pairs).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+
+
+def train_bigram_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adjacent-bigram counts over the corpus: (w1, w2, c2). Map-side
+    pair explode + ONE combinable groupBy — same plan class as the
+    unigram trainer, keyed on the pair."""
+    return (
+        docs.select(F.explode(bigram_pairs(text_col)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+
+
+def bigram_surprisal(
+    docs: DataFrame,
+    bigram_counts: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+    model_top_k: int | None = None,
+) -> DataFrame:
+    """Per-document mean bigram surprisal under an INTERPOLATED bigram
+    LM — the KenLM-shaped curation signal one order above
+    :func:`unigram_surprisal`:
+
+        p(w2 | w1) = lam * c(w1,w2)/c(w1)  +  (1-lam) * (c(w2)+1)/(N+V)
+
+    (Jelinek-Mercer interpolation with the add-one unigram as the
+    backoff floor, so unseen bigrams and OOV words both score finite).
+    Plan: doc-bigram explode (map-side) → equi-join on (w1, w2) to the
+    bigram table and on w1/w2 to the unigram table → one combinable
+    per-doc agg. At 100 TB set ``model_top_k``: only the most frequent
+    k bigrams ship (a broadcast), the tail collapses into the unigram
+    backoff — the same truncation contract as ``vocab_top_k`` on the
+    unigram scorer. N and V are measured on the unigram model."""
+    if model_top_k is not None:
+        bigram_counts = bigram_counts.orderBy(
+            F.col("c2").desc(), "w1", "w2"
+        ).limit(model_top_k)
+        bigram_counts = broadcast(bigram_counts)
+        vocab = broadcast(vocab)
+    totals = vocab.agg(
+        F.sum("cnt").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("v_size"),
+    )
+    bg = docs.select(
+        F.col(id_col), F.explode(bigram_pairs(text_col)).alias("p")
+    ).select(id_col, "p.w1", "p.w2")
+    u1 = vocab.select(F.col("word").alias("w1"), F.col("cnt").alias("c1"))
+    u2 = vocab.select(F.col("word").alias("w2"), F.col("cnt").alias("cu2"))
+    # the conditional keeps cross-corpus scoring finite: an OOV history
+    # word (c1 NULL) contributes no bigram mass and falls back to the
+    # unigram floor instead of null-propagating into the doc average
+    p = (
+        F.lit(lam)
+        * F.when(
+            F.col("c1").isNotNull(),
+            F.coalesce(F.col("c2"), F.lit(0)).cast("double")
+            / F.col("c1").cast("double"),
+        ).otherwise(F.lit(0.0))
+        + F.lit(1.0 - lam)
+        * (
+            (F.coalesce(F.col("cu2"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.col("n_total") + F.col("v_size"))
+        )
+    )
+    scored = (
+        bg.join(bigram_counts, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .join(broadcast(totals))
+        .select(id_col, (-F.log(p)).alias("nll"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("nll").alias("avg_bigram_nll"),
+    )

@@ -118,6 +118,44 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
     )
 
 
+
+# Benford first-digit law: P(d) = log10(1 + 1/d). The nine expected
+# probabilities are emitted as REPR-EXACT double literals so the Spark
+# expression and the DuckDB oracle parse the identical IEEE value — no
+# cross-engine log10 libm dependence (the last-ulp hazard class).
+BENFORD_P: dict[int, float] = {
+    d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+def first_significant_digit(cents: Column) -> Column:
+    """Leading decimal digit of a positive exact-integer amount, via the
+    integer's string form — integer→string is exact and identical across
+    engines, unlike floor(log10(x)) which can flip at powers of ten on a
+    last-ulp libm difference."""
+    return F.substring(cents.cast("string"), 1, 1).cast("int")
+
+
+def benford_expected(digit: Column) -> Column:
+    """Expected Benford probability as a literal CASE over the nine
+    repr-exact constants (see BENFORD_P)."""
+    expr = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        expr = F.when(digit == d, F.lit(BENFORD_P[d])).otherwise(expr)
+    return expr
+
+
+def benford_expected_sql(digit_expr: str) -> str:
+    """The DuckDB-side CASE with the SAME repr-exact literals. The `e0`
+    suffix types them DOUBLE — a bare decimal literal parses as DECIMAL
+    in DuckDB, which would run (non-IEEE) decimal arithmetic and
+    overflow DECIMAL(38) in the chi-square product."""
+    cases = " ".join(
+        f"WHEN {d} THEN {BENFORD_P[d]!r}e0" for d in range(1, 10)
+    )
+    return f"CASE {digit_expr} {cases} END"
+
+
 def assert_constraints(df: DataFrame, rules: list[Rule]) -> None:
     """Gate: raise ValueError listing every failed rule (one job)."""
     failed = [
