@@ -433,16 +433,26 @@ def main() -> None:
         ~40% of slots (the hot key). Fan-out contract: Σ C(brands_i, 2)
         ≈ baskets × C(6,2) — bounded by basket width², never by basket
         COUNT² — and the hot brand inflates only its pair-count cell
-        (combinable agg), not the join volume per basket."""
+        (combinable agg), not the join volume per basket.
+
+        Brand draws use xxhash64, NOT `id*K % 25`: basket slots share an
+        id residue class mod m, and m = 2500*SCALE is divisible by 25
+        and 100, so any modular mix factors through the basket id and
+        collapses every basket to ONE brand (the first probe run read 0
+        pair rows that way)."""
         m = 2_500 * SCALE
         raw = spark.range(0, m * 6, 1, 32).select(
             (F.col("id") % m).alias("o"),
-            F.when(F.pmod(F.col("id") * 2654435761, 100) < 40, F.lit("b00"))
+            F.when(F.pmod(F.xxhash64(F.col("id"), F.lit(1)), 100) < 40,
+                   F.lit("b00"))
             .otherwise(
                 F.concat(
                     F.lit("b"),
                     F.lpad(
-                        F.pmod(F.col("id") * 7919, 25).cast("string"), 2, "0"
+                        F.pmod(F.xxhash64(F.col("id"), F.lit(2)), 25)
+                        .cast("string"),
+                        2,
+                        "0",
                     ),
                 )
             )
