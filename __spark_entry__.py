@@ -22,6 +22,7 @@ from vector_search_optimization_spark.functions import text as TX
 from vector_search_optimization_spark.functions import vector as V
 from vector_search_optimization_spark.operators import ann, dedup, islands, topk, upsert
 from vector_search_optimization_spark.operators import nearest_centroid as NC
+from vector_search_optimization_spark.operators import ranking_stats as RKS
 from vector_search_optimization_spark.operators import validation as DQV
 from vector_search_optimization_spark.operators import similarity as SIM
 from vector_search_optimization_spark.operators import vector_agg as VA
@@ -10810,6 +10811,423 @@ ORDER BY f.split_lo, f.split_hi
 )
 
 
+def evt_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the event `value` as a classifier for
+    purchase-vs-other — the Mann-Whitney rank statistic every
+    quality-score / spam-score / probe evaluation needs, computed
+    WITHOUT sorting rows: AUC is piecewise-constant in the score, so it
+    is a function of the (score → class counts) grid alone
+    (operators/ranking_stats.exact_auc_by_grid). One combinable groupBy
+    over events builds the grid (≤ |price lattice| cells — the 2dp
+    money column bounds it independent of row count); the cumulative
+    pass runs over grid CELLS. Ties get the standard half-credit
+    exactly, because tied rows share a cell — no engine tie-break
+    anywhere. auc_num2 is the DOUBLED numerator in exact integers
+    (ANSI-loud on overflow; DECIMAL(38) is the documented widening at
+    pair-products beyond BIGINT); auc derives unrounded from the three
+    exact integers."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return RKS.exact_auc_by_grid(
+        e,
+        F.round(F.col("value") * 100).cast("long"),
+        F.col("event_type") == "purchase",
+    )
+
+
+_EVT_AUC_SQL = """
+WITH grid AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_neg
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), contrib AS (
+  SELECT n_pos, n_neg,
+         n_pos * (2 * coalesce(sum(n_neg) OVER (
+             ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) + n_neg) AS num2
+  FROM grid
+)
+SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+       CAST(sum(n_neg) AS BIGINT) AS n_neg,
+       CAST(count(*) AS BIGINT) AS n_grid,
+       CAST(sum(num2) AS BIGINT) AS auc_num2,
+       CAST(sum(num2) AS DOUBLE)
+         / (2.0 * CAST(sum(n_pos) AS BIGINT) * CAST(sum(n_neg) AS BIGINT))
+         AS auc
+FROM contrib
+"""
+
+
+def customer_pareto_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Lorenz/Pareto) audit: the exact share of
+    total order revenue held by the top 1/5/10/20/50% of purchasing
+    customers — the "how head-heavy is this corpus/market" statistic
+    (the 80/20 check; complements evt_user_gini's scalar index with the
+    actual curve points). Grid-based like the AUC: per-customer revenue
+    in exact integer cents → ONE combinable groupBy onto the distinct-
+    revenue grid → cumulative pass over grid cells ordered desc. A
+    cutoff landing inside a tie-cell takes (k − count_above) members at
+    the cell's exact value — exact, since cell members are identical-
+    valued. k = ceil(q%·n) in pure integer math; share derives
+    unrounded from exact integer cents
+    (operators/ranking_stats.lorenz_points_by_grid)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    return RKS.lorenz_points_by_grid(per_cust, "rev_cents", [1, 5, 10, 20, 50])
+
+
+_PARETO_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+), grid AS (
+  SELECT rev_cents AS cents, CAST(count(*) AS BIGINT) AS n_ent
+  FROM per_cust GROUP BY 1
+), cum AS (
+  SELECT cents, n_ent,
+         coalesce(sum(n_ent) OVER (
+             ORDER BY cents DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cnt_above,
+         coalesce(sum(n_ent * cents) OVER (
+             ORDER BY cents DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cents_above
+  FROM grid
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_entities,
+         CAST(sum(rev_cents) AS BIGINT) AS total_cents
+  FROM per_cust
+), quant AS (
+  SELECT CAST(top_pct AS INT) AS top_pct
+  FROM (VALUES (1), (5), (10), (20), (50)) t(top_pct)
+), joined AS (
+  SELECT q.top_pct, tot.n_entities, tot.total_cents,
+         CAST(floor((q.top_pct * tot.n_entities + 99) / 100.0) AS BIGINT)
+           AS k_entities
+  FROM quant q CROSS JOIN tot
+)
+SELECT j.top_pct, j.k_entities,
+       CAST(c.cents_above + (j.k_entities - c.cnt_above) * c.cents
+            AS BIGINT) AS top_cents,
+       j.n_entities, j.total_cents,
+       CAST(c.cents_above + (j.k_entities - c.cnt_above) * c.cents
+            AS DOUBLE) / j.total_cents AS share
+FROM joined j JOIN cum c
+  ON c.cnt_above < j.k_entities
+ AND c.cnt_above + c.n_ent >= j.k_entities
+ORDER BY j.top_pct
+"""
+
+
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS of
+    ln(freq) on ln(rank) across the top-500 word types (the full
+    vocabulary when smaller; k_used exports the fitted count) — the standard
+    "is this natural language or template spray" corpus statistic
+    (natural text slopes ≈ −1; boilerplate and generated spam deviate).
+    Plan: one combinable token-count shuffle (vocab-bounded output), a
+    rank window over the VOCAB (row_number on (freq desc, token asc) —
+    deterministic tie-break on both engines), and a 500-row closed-form
+    OLS aggregate. Corpus size only changes the map-side token pass.
+    n_tokens/vocab_size export exact; slope/intercept/r2 are sums of
+    logs (irrational) — 6dp rounding is tie-free per the repo rule."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    wr = Window.orderBy(F.col("freq").desc(), F.col("w").asc())
+    top = freq.withColumn("rank", F.row_number().over(wr)).where(
+        F.col("rank") <= 500
+    )
+    pts = top.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    stats = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    tot = freq.agg(
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den_x
+    return (
+        stats.join(F.broadcast(tot))
+        .select(
+            F.col("n_tokens"),
+            F.col("vocab_size"),
+            F.col("n").cast("int").alias("k_used"),
+            F.round(slope, 6).alias("zipf_slope"),
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+                "intercept"
+            ),
+            F.round(num * num / (den_x * den_y), 6).alias("r2"),
+        )
+    )
+
+
+_ZIPF_SQL = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS w
+  FROM documents
+), freq AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY w
+), top AS (
+  SELECT w, freq,
+         row_number() OVER (ORDER BY freq DESC, w ASC) AS rank
+  FROM freq QUALIFY rank <= 500
+), pts AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+  FROM top
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pts
+), tot AS (
+  SELECT CAST(sum(freq) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab_size
+  FROM freq
+)
+SELECT tot.n_tokens, tot.vocab_size, CAST(n AS INT) AS k_used,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM stats CROSS JOIN tot
+"""
+
+
+def evt_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between event-type daily revenue series:
+    Pearson r of (type-a day d, type-b day d+lag) for every ordered
+    type pair at lags 0–3 — the "does signups lead purchases" metric-
+    dependency scan. The fact table is touched ONCE (the same
+    calendar-bounded daily aggregate as evt_mann_kendall, persisted);
+    pairs align via an equi-join on the shifted day key, so volume is
+    |types|²·|days| — calendar-bounded, independent of event count.
+    Moments accumulate as exact BIGINTs over daily cents (ANSI-loud;
+    ~sf10 is the documented widening point) and are exported as gate
+    anchors; r itself mixes products and sqrt (FMA-contraction differs
+    across engines), so it exports at 6dp — tie-free for an irrational.
+    Alignment is INNER on both days present (a hole in either series
+    drops that pair-day)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = (
+        e.groupBy(F.col("event_type"), day.alias("d"))
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("cents"))
+        .persist()
+    )
+    lags = spark.range(0, 4).select(F.col("id").cast("long").alias("lag"))
+    a = daily.select(
+        F.col("event_type").alias("t1"),
+        F.col("d"),
+        F.col("cents").alias("x"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("t2"),
+        F.col("d").alias("d2"),
+        F.col("cents").alias("y"),
+    )
+    al = a.join(F.broadcast(lags))
+    pairs = al.join(
+        b,
+        (F.col("d2") == F.col("d") + F.col("lag"))
+        & (F.col("t1") < F.col("t2")),
+    )
+    mom = pairs.groupBy("t1", "t2", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n_days").cast("double")
+    num = n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    out = mom.select(
+        "t1",
+        "t2",
+        "lag",
+        "n_days",
+        "sx",
+        "sy",
+        "sxy",
+        F.when(den > 0, F.round(num / den, 6)).alias("pearson_r"),
+    ).orderBy("t1", "t2", "lag")
+    out._vso_caches = [daily]
+    return out
+
+
+_LAG_CORR_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), lags AS (
+  SELECT CAST(lag AS BIGINT) AS lag FROM (VALUES (0), (1), (2), (3)) t(lag)
+), mom AS (
+  SELECT a.event_type AS t1, b.event_type AS t2, lags.lag,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(a.cents) AS BIGINT) AS sx,
+         CAST(sum(b.cents) AS BIGINT) AS sy,
+         CAST(sum(a.cents * b.cents) AS BIGINT) AS sxy,
+         CAST(sum(a.cents * a.cents) AS BIGINT) AS sxx,
+         CAST(sum(b.cents * b.cents) AS BIGINT) AS syy
+  FROM daily a CROSS JOIN lags
+  JOIN daily b
+    ON b.d = a.d + lags.lag AND a.event_type < b.event_type
+  GROUP BY 1, 2, 3
+)
+SELECT t1, t2, lag, n_days, sx, sy, sxy,
+       CASE WHEN sqrt((CAST(n_days AS DOUBLE) * sxx
+                       - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n_days AS DOUBLE) * syy
+                         - CAST(sy AS DOUBLE) * sy)) > 0
+            THEN round((CAST(n_days AS DOUBLE) * sxy
+                        - CAST(sx AS DOUBLE) * sy)
+                       / sqrt((CAST(n_days AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx)
+                              * (CAST(n_days AS DOUBLE) * syy
+                                 - CAST(sy AS DOUBLE) * sy)), 6)
+       END AS pearson_r
+FROM mom
+ORDER BY t1, t2, lag
+"""
+
+
+def evt_type_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of daily revenue vs day index — the
+    parametric complement to evt_mann_kendall (that one answers "is
+    there a monotone drift", this one answers "at what cents/day, and
+    how much variance does a line explain"). x is the day offset from
+    the GLOBAL first day (one scalar broadcast) so x ≤ series length
+    and every BIGINT moment stays far from overflow; y is the exact
+    daily cents. slope = num/den of two exact BIGINTs — ONE division,
+    so it exports UNROUNDED bit-identical (the derived-ratio rule);
+    r2's variance term n·Σy²−(Σy)² exceeds BIGINT at scale, so it
+    derives in double and exports at 6dp. One combinable fact-table
+    pass + a per-type 6-sum aggregate over calendar-bounded rows."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    xy = daily.join(F.broadcast(d0)).select(
+        "event_type",
+        (F.col("d") - F.col("d0")).alias("x"),
+        F.col("cents").alias("y"),
+    )
+    mom = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num_i = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_i = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = (
+        F.col("n_days").cast("double") * F.col("syy")
+        - F.col("sy").cast("double") * F.col("sy")
+    )
+    return mom.select(
+        "event_type",
+        "n_days",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        num_i.alias("slope_num"),
+        den_i.alias("slope_den"),
+        F.when(
+            den_i != 0, num_i.cast("double") / den_i.cast("double")
+        ).alias("slope_cents_per_day"),
+        F.when(
+            (den_i != 0) & (den_y > 0),
+            F.round(
+                num_i.cast("double")
+                * num_i.cast("double")
+                / (den_i.cast("double") * den_y),
+                6,
+            ),
+        ).alias("r2"),
+    ).orderBy("event_type")
+
+
+_TREND_OLS_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), d0 AS (
+  SELECT min(d) AS d0 FROM daily
+), mom AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(d - d0.d0) AS BIGINT) AS sx,
+         CAST(sum(cents) AS BIGINT) AS sy,
+         CAST(sum((d - d0.d0) * cents) AS BIGINT) AS sxy,
+         CAST(sum((d - d0.d0) * (d - d0.d0)) AS BIGINT) AS sxx,
+         CAST(sum(cents * cents) AS BIGINT) AS syy
+  FROM daily CROSS JOIN d0 GROUP BY 1
+)
+SELECT event_type, n_days, sx, sy, sxy, sxx, syy,
+       CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+       CASE WHEN n_days * sxx - sx * sx <> 0
+            THEN CAST(n_days * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_days * sxx - sx * sx AS DOUBLE)
+       END AS slope_cents_per_day,
+       CASE WHEN n_days * sxx - sx * sx <> 0
+             AND CAST(n_days AS DOUBLE) * syy
+                 - CAST(sy AS DOUBLE) * sy > 0
+            THEN round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                       * CAST(n_days * sxy - sx * sy AS DOUBLE)
+                       / (CAST(n_days * sxx - sx * sx AS DOUBLE)
+                          * (CAST(n_days AS DOUBLE) * syy
+                             - CAST(sy AS DOUBLE) * sy)), 6)
+       END AS r2
+FROM mom
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -10826,6 +11244,11 @@ ORDER BY f.split_lo, f.split_hi
 # generations old — _R7_FRONT rotates exactly those forward, oldest debt
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "evt_value_auc": (evt_value_auc, _EVT_AUC_SQL),
+    "customer_pareto_lorenz": (customer_pareto_lorenz, _PARETO_SQL),
+    "corpus_zipf_slope": (corpus_zipf_slope, _ZIPF_SQL),
+    "evt_lag_correlation": (evt_lag_correlation, _LAG_CORR_SQL),
+    "evt_type_trend_ols": (evt_type_trend_ols, _TREND_OLS_SQL),
     "evt_mann_kendall": (evt_mann_kendall, _MANN_KENDALL_SQL),
     "orders_benford_audit": (orders_benford_audit, _BENFORD_SQL),
     "vocab_growth_heaps": (vocab_growth_heaps, _VOCAB_GROWTH_SQL),
@@ -11041,6 +11464,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # are PREPENDED to _R7_FRONT as they land (changed-first contract).
 _R7_FRONT: list[str] = [
     # NEW in r7 (never audited, lead per the changed-first contract):
+    "evt_value_auc",
+    "customer_pareto_lorenz",
+    "corpus_zipf_slope",
+    "evt_lag_correlation",
+    "evt_type_trend_ols",
     "evt_mann_kendall",
     "orders_benford_audit",
     "vocab_growth_heaps",

@@ -140,6 +140,15 @@ _NESTED_LOOP_OK = {
                                # broadcast (the lm_quality pattern)
     "split_leakage_audit",     # 1-row totals frame broadcast onto the
                                # literal 6-row split-pair universe
+    "customer_pareto_lorenz",  # 5-row quantile×1-row-totals frame
+                               # broadcast range-joined onto the
+                               # lattice-bounded revenue grid
+    "corpus_zipf_slope",       # 1-row corpus-totals frame broadcast
+                               # onto the 1-row OLS-stats frame
+    "evt_lag_correlation",     # 4-row lag frame broadcast onto the
+                               # calendar-bounded daily series
+    "evt_type_trend_ols",      # 1-row global-min-day frame broadcast
+                               # onto the daily series
 }
 
 

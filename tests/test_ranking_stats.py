@@ -1,0 +1,157 @@
+"""Grid-based exact ranking statistics (operators/ranking_stats.py):
+ROC-AUC with exact tie half-credit and Lorenz/Pareto concentration with
+exact inside-tie-cell cutoffs — unit semantics beyond the automatic
+oracle-parity coverage of evt_value_auc / customer_pareto_lorenz /
+corpus_zipf_slope / evt_lag_correlation / evt_type_trend_ols."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as m
+from vector_search_optimization_spark.operators import ranking_stats as RKS
+
+
+def _auc_bruteforce(pos, neg):
+    """Reference O(n²) AUC with half-credit ties."""
+    wins = sum(1.0 if p > q else 0.5 if p == q else 0.0 for p in pos for q in neg)
+    return wins / (len(pos) * len(neg))
+
+
+# ---------------------------------------------------------------------------
+# exact_auc_by_grid
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "pos,neg",
+    [
+        ([5, 6, 7], [1, 2, 3]),          # perfect separation → 1.0
+        ([1, 2, 3], [5, 6, 7]),          # perfectly wrong → 0.0
+        ([3, 3, 3], [3, 3, 3]),          # all tied → 0.5
+        ([1, 4, 4, 9], [2, 4, 7, 7]),    # mixed with cross-class ties
+        ([10], [10, 20, 5]),             # single positive
+    ],
+)
+def test_auc_matches_bruteforce(spark, pos, neg):
+    rows = [(v, True) for v in pos] + [(v, False) for v in neg]
+    df = spark.createDataFrame(rows, "cents long, label boolean")
+    got = RKS.exact_auc_by_grid(
+        df, F.col("cents"), F.col("label")
+    ).first()
+    want = _auc_bruteforce(pos, neg)
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert got["auc"] == pytest.approx(want, abs=0)  # exact, not approx
+    # the doubled numerator is the exact integer 2 * wins
+    assert got["auc_num2"] == round(2 * want * len(pos) * len(neg))
+
+
+def test_auc_partition_invariant(spark):
+    """The grid aggregate is combinable: 1 vs 32 input partitions must
+    produce the identical exact integers."""
+    rows = [(i % 17, i % 3 == 0) for i in range(500)]
+    one = spark.createDataFrame(rows, "cents long, label boolean").coalesce(1)
+    many = spark.createDataFrame(rows, "cents long, label boolean").repartition(32)
+    a = RKS.exact_auc_by_grid(one, F.col("cents"), F.col("label")).first()
+    b = RKS.exact_auc_by_grid(many, F.col("cents"), F.col("label")).first()
+    assert a["auc_num2"] == b["auc_num2"] and a["auc"] == b["auc"]
+
+
+# ---------------------------------------------------------------------------
+# lorenz_points_by_grid
+# ---------------------------------------------------------------------------
+
+
+def test_lorenz_hand_computed_with_tie_cell_cutoff(spark):
+    """10 entities, revenues [100×1, 50×4, 10×5]; total = 350.
+    top 10% → k=1 → 100/350; top 20% → k=2 → 150/350;
+    top 50% → k=5 → cutoff lands INSIDE the 50-tie cell:
+    100 + 4×50 = 300 → 300/350."""
+    vals = [100] + [50] * 4 + [10] * 5
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "e long, c long")
+    out = {
+        r["top_pct"]: r
+        for r in RKS.lorenz_points_by_grid(df, "c", [10, 20, 50]).collect()
+    }
+    assert out[10]["k_entities"] == 1 and out[10]["top_cents"] == 100
+    assert out[20]["k_entities"] == 2 and out[20]["top_cents"] == 150
+    assert out[50]["k_entities"] == 5 and out[50]["top_cents"] == 300
+    assert out[50]["share"] == 300 / 350
+
+
+def test_lorenz_k_is_ceiling(spark):
+    """k = ceil(q%·n): 3 entities at top 50% → k = 2 (not 1)."""
+    df = spark.createDataFrame([(1, 30), (2, 20), (3, 10)], "e long, c long")
+    row = RKS.lorenz_points_by_grid(df, "c", [50]).first()
+    assert row["k_entities"] == 2 and row["top_cents"] == 50
+
+
+def test_lorenz_shares_monotone_on_sf(spark, sf_small):
+    out = m.queries()["customer_pareto_lorenz"](spark, sf_small).collect()
+    shares = [r["share"] for r in out]
+    assert shares == sorted(shares)
+    assert all(0.0 < s <= 1.0 for s in shares)
+    # top q% of purchasers holds at least q% of revenue (head-heavy or
+    # equal — sorted-desc prefix dominates the uniform share)
+    for r in out:
+        assert r["share"] >= r["top_pct"] / 100.0 - 1e-12
+
+
+# ---------------------------------------------------------------------------
+# registered-query semantics on the tiny SF
+# ---------------------------------------------------------------------------
+
+
+def test_evt_value_auc_bounds_and_anchor(spark, sf_small):
+    row = m.queries()["evt_value_auc"](spark, sf_small).first()
+    assert 0.0 <= row["auc"] <= 1.0
+    assert row["auc_num2"] <= 2 * row["n_pos"] * row["n_neg"]
+    assert row["auc"] == row["auc_num2"] / (2.0 * row["n_pos"] * row["n_neg"])
+
+
+def test_zipf_slope_negative_and_fit_sane(spark, sf_small):
+    row = m.queries()["corpus_zipf_slope"](spark, sf_small).first()
+    assert row["zipf_slope"] < 0.0  # frequency falls with rank
+    assert 0.0 <= row["r2"] <= 1.0
+    # k_used is the ACTUAL fitted point count: min(vocab, 500)
+    assert row["k_used"] == min(row["vocab_size"], 500)
+
+
+def test_lag_correlation_shape_and_range(spark, sf_small):
+    out = m.queries()["evt_lag_correlation"](spark, sf_small).collect()
+    # 5 types → 10 ordered pairs × 4 lags
+    assert len(out) == 40
+    for r in out:
+        assert r["t1"] < r["t2"] and 0 <= r["lag"] <= 3
+        if r["pearson_r"] is not None:
+            assert -1.0 - 1e-9 <= r["pearson_r"] <= 1.0 + 1e-9
+        # lag shrinks the alignable day count
+        assert r["n_days"] > 0
+
+
+def test_trend_ols_slope_is_exact_ratio(spark, sf_small):
+    for r in m.queries()["evt_type_trend_ols"](spark, sf_small).collect():
+        if r["slope_cents_per_day"] is not None:
+            assert r["slope_cents_per_day"] == r["slope_num"] / r["slope_den"]
+        if r["r2"] is not None:
+            assert 0.0 <= r["r2"] <= 1.0 + 1e-9
+
+
+def test_trend_ols_recovers_planted_line(spark):
+    """y = 7x + 3 exactly → slope_num/slope_den == 7, r2 == 1."""
+    daily = spark.createDataFrame(
+        [("a", x, 7 * x + 3) for x in range(20)], "t string, x long, y long"
+    )
+    mom = daily.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ).first()
+    num = mom["n"] * mom["sxy"] - mom["sx"] * mom["sy"]
+    den = mom["n"] * mom["sxx"] - mom["sx"] * mom["sx"]
+    assert num / den == 7.0
