@@ -11228,6 +11228,309 @@ ORDER BY event_type
 """
 
 
+def evt_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type — the multiplicative
+    seasonality profile (dow daily mean ÷ overall daily mean) every
+    volume-anomaly monitor needs as its denominator. Weekday comes from
+    pure integer math on the epoch-day index ((d+4) mod 7, Monday=0 —
+    1970-01-01 was a Thursday), identical on both engines; the index is
+    ONE division of two exact BIGINT cross-products
+    (dow_cents·n_days_total) / (n_days_dow·total_cents) — the
+    derived-ratio rule, so it exports UNROUNDED bit-identical. One
+    combinable fact pass onto the calendar-bounded daily grid; the
+    dow/total aggregates are |types|×7 and |types| rows."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    dowed = daily.select(
+        "event_type", F.pmod(F.col("d") + 4, F.lit(7)).alias("dow"), "cents"
+    )
+    per_dow = dowed.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_dow"),
+        F.sum("cents").cast("long").alias("dow_cents"),
+    )
+    per_type = dowed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_total"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    return (
+        per_dow.join(F.broadcast(per_type), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_days_dow",
+            "dow_cents",
+            "n_days_total",
+            "total_cents",
+            (
+                (F.col("dow_cents") * F.col("n_days_total")).cast("double")
+                / (F.col("n_days_dow") * F.col("total_cents")).cast("double")
+            ).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+_DOW_SEASONALITY_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), dowed AS (
+  SELECT event_type, (d + 4) % 7 AS dow, cents FROM daily
+), per_dow AS (
+  SELECT event_type, dow,
+         CAST(count(*) AS BIGINT) AS n_days_dow,
+         CAST(sum(cents) AS BIGINT) AS dow_cents
+  FROM dowed GROUP BY 1, 2
+), per_type AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days_total,
+         CAST(sum(cents) AS BIGINT) AS total_cents
+  FROM dowed GROUP BY 1
+)
+SELECT d.event_type, d.dow, d.n_days_dow, d.dow_cents,
+       t.n_days_total, t.total_cents,
+       CAST(d.dow_cents * t.n_days_total AS DOUBLE)
+         / CAST(d.n_days_dow * t.total_cents AS DOUBLE) AS seasonal_index
+FROM per_dow d JOIN per_type t USING (event_type)
+ORDER BY d.event_type, d.dow
+"""
+
+
+def doc_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the lang × source contingency
+    table — "does this source skew toward a language" (corpus-mixture
+    drift localized to cells, plus the aggregate test statistic). The
+    full |langs|×|sources| universe is zero-filled (missing cells still
+    carry expected mass); row/column totals and N are exact integers,
+    so expected = rt·ct/N is ONE division of exact ints → exported
+    UNROUNDED bit-identical, and each cell's chi2 term (obs−exp)²/exp
+    uses only correctly-rounded * and / on identical operands (no pow,
+    no FMA pattern) → also unrounded. Only the GRAND total (a ~100-term
+    double sum whose order differs across engines) rounds, at 6dp.
+    One fact pass + bounded-dimension broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    rt = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("rt"))
+    ct = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    uni = rt.crossJoin(F.broadcast(ct))
+    cells = (
+        uni.join(obs, ["lang", "source"], "left")
+        .join(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.coalesce(F.col("n_obs"), F.lit(0).cast("long")).alias("n_obs"),
+            "rt",
+            "ct",
+            "n_total",
+            (
+                (F.col("rt") * F.col("ct")).cast("double") / F.col("n_total")
+            ).alias("expected"),
+        )
+        .withColumn(
+            "chi2_term",
+            (F.col("n_obs") - F.col("expected"))
+            * (F.col("n_obs") - F.col("expected"))
+            / F.col("expected"),
+        )
+    )
+    dims = rt.agg(F.count(F.lit(1)).cast("long").alias("n_langs")).crossJoin(
+        ct.agg(F.count(F.lit(1)).cast("long").alias("n_sources"))
+    )
+    total = cells.agg(F.round(F.sum("chi2_term"), 6).alias("chi2_total"))
+    return (
+        cells.join(F.broadcast(total))
+        .join(F.broadcast(dims))
+        .select(
+            "lang",
+            "source",
+            "n_obs",
+            "expected",
+            "chi2_term",
+            "chi2_total",
+            ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias("dof"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_LANG_SOURCE_CHI2_SQL = """
+WITH obs AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_obs
+  FROM documents GROUP BY 1, 2
+), rt AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS rt FROM documents GROUP BY 1
+), ct AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS ct FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents
+), cells AS (
+  SELECT rt.lang, ct.source,
+         coalesce(obs.n_obs, 0) AS n_obs,
+         rt.rt, ct.ct, tot.n_total,
+         CAST(rt.rt * ct.ct AS DOUBLE) / tot.n_total AS expected
+  FROM rt CROSS JOIN ct CROSS JOIN tot
+  LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
+), terms AS (
+  SELECT lang, source, n_obs, expected,
+         (n_obs - expected) * (n_obs - expected) / expected AS chi2_term
+  FROM cells
+), agg AS (
+  SELECT round(sum(chi2_term), 6) AS chi2_total FROM terms
+), dims AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM rt) AS n_langs,
+         (SELECT CAST(count(*) AS BIGINT) FROM ct) AS n_sources
+)
+SELECT t.lang, t.source, t.n_obs, t.expected, t.chi2_term,
+       agg.chi2_total,
+       CAST((dims.n_langs - 1) * (dims.n_sources - 1) AS BIGINT) AS dof
+FROM terms t CROSS JOIN agg CROSS JOIN dims
+ORDER BY t.lang, t.source
+"""
+
+
+def label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid drift: cosine of each label's
+    centroid to the GLOBAL centroid plus the centroid norm — the
+    "which clusters sit off-axis from the corpus mean" embedding-space
+    audit (cheap proxy for per-source representation drift). Centroids
+    via the Summarizer vector mean (operators/vector_agg — one
+    combinable pass, |labels| output rows); the cosine runs on the
+    driver-scale centroid frame with zip_with math in double. Exports
+    round 6dp (per-position means are order-dependent double sums)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = VA.group_vector_mean(e, "label", "embedding")
+    gtot = VA.group_vector_mean(
+        e.withColumn("g", F.lit(1)), "g", "embedding"
+    ).select(F.col("centroid").alias("gc"))
+    dot = F.aggregate(
+        F.zip_with("centroid", "gc", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return (
+        cents.join(F.broadcast(gtot))
+        .select(
+            "label",
+            F.round(nrm(F.col("centroid")), 6).alias("centroid_norm"),
+            F.round(
+                dot / (nrm(F.col("centroid")) * nrm(F.col("gc"))), 6
+            ).alias("cos_to_global"),
+        )
+        .orderBy("label")
+    )
+
+
+_LABEL_CENTROID_SQL = """
+WITH cent AS (
+  SELECT label, list(m ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, avg(val) AS m FROM (
+      SELECT label, CAST(unnest(embedding) AS DOUBLE) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ) GROUP BY label, pos
+  ) GROUP BY label
+), gcent AS (
+  SELECT list(m ORDER BY pos) AS gc FROM (
+    SELECT pos, avg(val) AS m FROM (
+      SELECT CAST(unnest(embedding) AS DOUBLE) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ) GROUP BY pos
+  )
+)
+SELECT c.label,
+       round(sqrt(list_reduce(list_transform(c.centroid, x -> x * x),
+                              (a, b) -> a + b)), 6) AS centroid_norm,
+       round(list_reduce(list_transform(list_zip(c.centroid, g.gc),
+                                        p -> p[1] * p[2]),
+                         (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(c.centroid, x -> x * x),
+                                 (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(g.gc, x -> x * x),
+                                   (a, b) -> a + b))), 6) AS cos_to_global
+FROM cent c CROSS JOIN gcent g
+ORDER BY c.label
+"""
+
+
+def evt_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exponentially-weighted moving average of daily
+    revenue at the series end, per event type (α = 0.9/day decay):
+    EWMA = Σ xᵢ·α^(d_last−dᵢ) / Σ α^(d_last−dᵢ) — the time-decayed
+    "current level" every freshness-weighted dashboard metric uses.
+    The fact table collapses to the calendar-bounded daily grid in one
+    combinable pass; the decay weighting is a |days|-row aggregate per
+    type. pow() is not correctly-rounded IEEE (engines may differ in
+    the last ulp) and the weighted sums are order-dependent, so the
+    EWMA exports at 6dp (irrational — tie-free); the day counts and the
+    exact cents of the last day export as integer anchors."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    last = daily.groupBy("event_type").agg(F.max("d").alias("d_last"))
+    wgt = daily.join(F.broadcast(last), "event_type").select(
+        "event_type",
+        "cents",
+        "d",
+        "d_last",
+        F.pow(F.lit(0.9), (F.col("d_last") - F.col("d")).cast("double")).alias(
+            "w"
+        ),
+    )
+    return (
+        wgt.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max(F.when(F.col("d") == F.col("d_last"), F.col("cents")))
+            .cast("long")
+            .alias("last_day_cents"),
+            F.round(
+                F.sum(F.col("cents") * F.col("w")) / F.sum("w"), 6
+            ).alias("ewma_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EWMA_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), last AS (
+  SELECT event_type, max(d) AS d_last FROM daily GROUP BY 1
+), wgt AS (
+  SELECT daily.event_type, cents, d, d_last,
+         pow(0.9, CAST(d_last - d AS DOUBLE)) AS w
+  FROM daily JOIN last USING (event_type)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(max(CASE WHEN d = d_last THEN cents END) AS BIGINT)
+         AS last_day_cents,
+       round(sum(cents * w) / sum(w), 6) AS ewma_cents
+FROM wgt GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -11244,6 +11547,10 @@ ORDER BY event_type
 # generations old — _R7_FRONT rotates exactly those forward, oldest debt
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "evt_dow_seasonality": (evt_dow_seasonality, _DOW_SEASONALITY_SQL),
+    "doc_lang_source_chi2": (doc_lang_source_chi2, _LANG_SOURCE_CHI2_SQL),
+    "label_centroid_cosine": (label_centroid_cosine, _LABEL_CENTROID_SQL),
+    "evt_ewma_daily": (evt_ewma_daily, _EWMA_SQL),
     "evt_value_auc": (evt_value_auc, _EVT_AUC_SQL),
     "customer_pareto_lorenz": (customer_pareto_lorenz, _PARETO_SQL),
     "corpus_zipf_slope": (corpus_zipf_slope, _ZIPF_SQL),
@@ -11464,6 +11771,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # are PREPENDED to _R7_FRONT as they land (changed-first contract).
 _R7_FRONT: list[str] = [
     # NEW in r7 (never audited, lead per the changed-first contract):
+    "evt_dow_seasonality",
+    "doc_lang_source_chi2",
+    "label_centroid_cosine",
+    "evt_ewma_daily",
     "evt_value_auc",
     "customer_pareto_lorenz",
     "corpus_zipf_slope",

@@ -149,6 +149,10 @@ _NESTED_LOOP_OK = {
                                # calendar-bounded daily series
     "evt_type_trend_ols",      # 1-row global-min-day frame broadcast
                                # onto the daily series
+    "doc_lang_source_chi2",    # |langs|×|sources| literal-dimension
+                               # universe + 1-row totals broadcasts
+    "label_centroid_cosine",   # 1-row global-centroid frame broadcast
+                               # onto the |labels| centroid frame
 }
 
 

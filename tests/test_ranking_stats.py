@@ -155,3 +155,72 @@ def test_trend_ols_recovers_planted_line(spark):
     num = mom["n"] * mom["sxy"] - mom["sx"] * mom["sy"]
     den = mom["n"] * mom["sxx"] - mom["sx"] * mom["sx"]
     assert num / den == 7.0
+
+
+# ---------------------------------------------------------------------------
+# second r7 wave: dow seasonality, chi2 independence, centroid cosine, EWMA
+# ---------------------------------------------------------------------------
+
+
+def test_dow_seasonality_consistency(spark, sf_small):
+    out = m.queries()["evt_dow_seasonality"](spark, sf_small).collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rows in by_type.items():
+        assert sum(r["dow_cents"] for r in rows) == rows[0]["total_cents"]
+        assert sum(r["n_days_dow"] for r in rows) == rows[0]["n_days_total"]
+        # day-weighted mean of the index is exactly 1 by construction
+        wmean = sum(r["seasonal_index"] * r["n_days_dow"] for r in rows) / rows[
+            0
+        ]["n_days_total"]
+        assert wmean == pytest.approx(1.0, rel=1e-12)
+        assert all(0 <= r["dow"] <= 6 for r in rows)
+
+
+def test_chi2_zero_filled_universe_and_dof(spark, sf_small):
+    out = m.queries()["doc_lang_source_chi2"](spark, sf_small).collect()
+    langs = {r["lang"] for r in out}
+    sources = {r["source"] for r in out}
+    assert len(out) == len(langs) * len(sources)  # zero-filled universe
+    assert out[0]["dof"] == (len(langs) - 1) * (len(sources) - 1)
+    assert all(r["chi2_term"] >= 0 for r in out)
+    assert out[0]["chi2_total"] == pytest.approx(
+        sum(r["chi2_term"] for r in out), abs=1e-6
+    )
+
+
+def test_chi2_independent_planted_is_zero(spark):
+    """A perfectly independent 2×2 table → every term 0."""
+    rows = [("a", "x")] * 4 + [("a", "y")] * 4 + [("b", "x")] * 2 + [("b", "y")] * 2
+    df = spark.createDataFrame(rows, "lang string, source string")
+    obs = df.groupBy("lang", "source").count()
+    rt = df.groupBy("lang").agg(F.count(F.lit(1)).alias("rt"))
+    ct = df.groupBy("source").agg(F.count(F.lit(1)).alias("ct"))
+    n = df.count()
+    cells = obs.join(rt, "lang").join(ct, "source").collect()
+    for c in cells:
+        exp = c["rt"] * c["ct"] / n
+        assert c["count"] == exp
+
+
+def test_label_centroid_cosine_bounds(spark, sf_small):
+    out = m.queries()["label_centroid_cosine"](spark, sf_small).collect()
+    assert len(out) >= 2
+    for r in out:
+        assert -1.0 - 1e-9 <= r["cos_to_global"] <= 1.0 + 1e-9
+        assert r["centroid_norm"] > 0
+
+
+def test_ewma_bounds_and_constant_series(spark, sf_small):
+    out = m.queries()["evt_ewma_daily"](spark, sf_small).collect()
+    assert all(r["ewma_cents"] > 0 for r in out)
+    # constant series → EWMA equals the constant exactly (weights cancel)
+    daily = spark.createDataFrame(
+        [("a", d, 500) for d in range(30)], "t string, d long, cents long"
+    )
+    w = F.pow(F.lit(0.9), (F.lit(29) - F.col("d")).cast("double"))
+    got = daily.agg(
+        (F.sum(F.col("cents") * w) / F.sum(w)).alias("e")
+    ).first()["e"]
+    assert got == pytest.approx(500.0, rel=1e-12)
