@@ -547,3 +547,38 @@ def test_q8_fact_join_shuffles_dims_broadcast(spark, sf_small):
     assert plan.count("BroadcastHashJoin") >= 5
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_r7_analytics_fact_pass_pushdown(spark, sf_small):
+    """The r7 grid/daily analytics all gate on value IS NOT NULL — that
+    filter must reach the events parquet scan, and the fact-side
+    aggregate must be a partial+final pair (map-side combine) so the
+    shuffle carries grid/daily cells, not events."""
+    for q in (
+        "evt_value_auc",
+        "evt_dow_seasonality",
+        "evt_type_trend_ols",
+        "evt_lag_correlation",
+        "evt_ewma_daily",
+    ):
+        plan = _plan(m.queries()[q](spark, sf_small))
+        assert "PushedFilters: [IsNotNull(value)" in plan, q
+        assert plan.count("HashAggregate") >= 2, q
+        assert "partial_" in plan, q
+
+
+def test_lorenz_scan_prunes_to_two_columns(spark, sf_small):
+    """customer_pareto_lorenz needs only (o_custkey, o_totalprice) —
+    the orders scan must prune to exactly those."""
+    plan = _plan(m.queries()["customer_pareto_lorenz"](spark, sf_small))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_custkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_orderdate" not in read_schema
+    assert "o_orderpriority" not in read_schema
+
+
+def test_centroid_cosine_no_sort_merge(spark, sf_small):
+    """label_centroid_cosine's only join is the 1-row global-centroid
+    broadcast — a SortMergeJoin would mean the broadcast regressed."""
+    plan = _plan(m.queries()["label_centroid_cosine"](spark, sf_small))
+    assert "SortMergeJoin" not in plan
