@@ -11531,6 +11531,178 @@ ORDER BY event_type
 """
 
 
+def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue-concentration index per nation —
+    "is this market one whale or many small customers", the
+    antitrust-style complement to the Lorenz curve (scalar per market
+    instead of curve points). HHI = Σᵢ (sᵢ/S)² = (Σ sᵢ²)/S² over each
+    nation's customer revenue shares: the squared-cents sum accumulates
+    in DECIMAL(38,0) — cents² × customers exceeds BIGINT at TPC-H price
+    magnitudes (a BIGINT draft failed LOUDLY at sf0.1, as the ANSI
+    discipline promises) — and HHI derives from the exact decimal via
+    a deterministic cast-multiply-divide sequence, so it still exports
+    UNROUNDED (identical exact integers → identical IEEE ops). Plan:
+    one orders pass (customer-keyed combinable agg) + a broadcast
+    customer→nation dimension join + a |nations|-row aggregate.
+    1/hhi is the effective customer count, exported as its own ratio."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tagged = per_cust.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        per_cust["o_custkey"] == c["c_custkey"],
+    ).join(F.broadcast(n.select("n_nationkey", "n_name")),
+           F.col("c_nationkey") == F.col("n_nationkey"))
+    return (
+        tagged.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.sum(
+                F.col("cents").cast("decimal(38,0)") * F.col("cents")
+            ).alias("_ssq"),
+        )
+        .select(
+            "n_name",
+            "n_customers",
+            "total_cents",
+            (
+                F.col("_ssq").cast("double")
+                / (
+                    F.col("total_cents").cast("double")
+                    * F.col("total_cents").cast("double")
+                )
+            ).alias("hhi"),
+        )
+        .withColumn("effective_customers", F.lit(1.0) / F.col("hhi"))
+        .orderBy("n_name")
+    )
+
+
+_NATION_HHI_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), tagged AS (
+  SELECT n.n_name, p.cents
+  FROM per_cust p
+  JOIN customer c ON p.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
+         / (CAST(sum(cents) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)) AS hhi,
+       1.0 / (CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
+              / (CAST(sum(cents) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)))
+         AS effective_customers
+FROM tagged GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def evt_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level event-type affinity (lift): for every ordered type
+    pair, lift = P(user does both) / (P(a)·P(b)) — the cross-sell /
+    behavioral-correlation matrix, computed on exact user counts. The
+    fact table collapses to the distinct (user, type) incidence in one
+    combinable pass; the pair join runs on the per-user TYPE SETS
+    (array self-pairing over ≤|types| elements per user — fan-out
+    C(types,2) per user, never user²). lift = (n_both·n_users) /
+    (n_a·n_b): both products are exact ANSI-loud BIGINTs → ONE division
+    → exported UNROUNDED. The |types|² pair frame is the only
+    non-fact-bounded object."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    n_users = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    singles = (
+        per_user.select(F.explode("types").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_t"))
+    )
+    pairs = (
+        per_user.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("types"),
+                            lambda a: F.transform(
+                                F.col("types"),
+                                lambda b: F.struct(
+                                    a.alias("t1"), b.alias("t2")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["t1"] < p["t2"],
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    a = singles.select(F.col("t").alias("t1"), F.col("n_t").alias("n_a"))
+    b = singles.select(F.col("t").alias("t2"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(a), "t1")
+        .join(F.broadcast(b), "t2")
+        .join(F.broadcast(n_users))
+        .select(
+            "t1",
+            "t2",
+            "n_both",
+            "n_a",
+            "n_b",
+            "n_users",
+            (
+                (F.col("n_both") * F.col("n_users")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy("t1", "t2")
+    )
+
+
+_EVT_AFFINITY_SQL = """
+WITH inc AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), nu AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+), singles AS (
+  SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n_t
+  FROM inc GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS t1, b.event_type AS t2,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM inc a JOIN inc b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.t1, p.t2, p.n_both,
+       sa.n_t AS n_a, sb.n_t AS n_b, nu.n_users,
+       CAST(p.n_both * nu.n_users AS DOUBLE)
+         / CAST(sa.n_t * sb.n_t AS DOUBLE) AS lift
+FROM pairs p
+JOIN singles sa ON sa.t = p.t1
+JOIN singles sb ON sb.t = p.t2
+CROSS JOIN nu
+ORDER BY p.t1, p.t2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -11547,6 +11719,8 @@ ORDER BY event_type
 # generations old — _R7_FRONT rotates exactly those forward, oldest debt
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "nation_revenue_hhi": (nation_revenue_hhi, _NATION_HHI_SQL),
+    "evt_type_affinity": (evt_type_affinity, _EVT_AFFINITY_SQL),
     "evt_dow_seasonality": (evt_dow_seasonality, _DOW_SEASONALITY_SQL),
     "doc_lang_source_chi2": (doc_lang_source_chi2, _LANG_SOURCE_CHI2_SQL),
     "label_centroid_cosine": (label_centroid_cosine, _LABEL_CENTROID_SQL),
@@ -11771,6 +11945,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # are PREPENDED to _R7_FRONT as they land (changed-first contract).
 _R7_FRONT: list[str] = [
     # NEW in r7 (never audited, lead per the changed-first contract):
+    "nation_revenue_hhi",
+    "evt_type_affinity",
     "evt_dow_seasonality",
     "doc_lang_source_chi2",
     "label_centroid_cosine",

@@ -153,6 +153,8 @@ _NESTED_LOOP_OK = {
                                # universe + 1-row totals broadcasts
     "label_centroid_cosine",   # 1-row global-centroid frame broadcast
                                # onto the |labels| centroid frame
+    "evt_type_affinity",       # 1-row user-count frame broadcast onto
+                               # the |types|² pair frame
 }
 
 

@@ -224,3 +224,42 @@ def test_ewma_bounds_and_constant_series(spark, sf_small):
         (F.sum(F.col("cents") * w) / F.sum(w)).alias("e")
     ).first()["e"]
     assert got == pytest.approx(500.0, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# third r7 wave: HHI concentration, event-type affinity lift
+# ---------------------------------------------------------------------------
+
+
+def test_hhi_bounds_and_uniform_floor(spark, sf_small):
+    out = m.queries()["nation_revenue_hhi"](spark, sf_small).collect()
+    for r in out:
+        # 1/n ≤ HHI ≤ 1, and effective customers ≤ actual customers
+        assert 1.0 / r["n_customers"] - 1e-12 <= r["hhi"] <= 1.0 + 1e-12
+        assert r["effective_customers"] <= r["n_customers"] + 1e-9
+        assert r["effective_customers"] == 1.0 / r["hhi"]
+
+
+def test_hhi_single_whale_is_one(spark):
+    """One customer holding everything → HHI exactly 1."""
+    df = spark.createDataFrame([(1, 12345)], "k long, cents long")
+    from pyspark.sql import functions as FF
+
+    got = df.agg(
+        (
+            FF.sum(FF.col("cents").cast("decimal(38,0)") * FF.col("cents")).cast(
+                "double"
+            )
+            / (FF.sum("cents").cast("double") * FF.sum("cents").cast("double"))
+        ).alias("hhi")
+    ).first()["hhi"]
+    assert got == 1.0
+
+
+def test_affinity_counts_consistent(spark, sf_small):
+    out = m.queries()["evt_type_affinity"](spark, sf_small).collect()
+    for r in out:
+        # co-occurrence can't exceed either marginal or the universe
+        assert r["n_both"] <= min(r["n_a"], r["n_b"]) <= r["n_users"]
+        assert r["lift"] == r["n_both"] * r["n_users"] / (r["n_a"] * r["n_b"])
+        assert r["t1"] < r["t2"]
