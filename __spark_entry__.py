@@ -11703,6 +11703,211 @@ ORDER BY p.t1, p.t2
 """
 
 
+def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) query over parts: minimize price, maximize
+    size — every part not dominated by a (cheaper-or-equal,
+    bigger-or-equal, strictly better in one) alternative. The classic
+    multi-criteria operator; implemented in the DISTRIBUTABLE two-phase
+    form: (1) a per-price-band local skyline (band-partitioned window —
+    parallel; the union of local skylines provably contains the global
+    skyline, since same-band dominators eliminate locally), then (2)
+    the full dominance windows over the pruned union. Dominance checks
+    are RANGE-frame windows on exact integer cents: dominated iff some
+    STRICTLY cheaper part has size ≥ mine, or a same-price part has
+    size > mine; equal (price, size) pairs co-survive. Exports are all
+    exact integers."""
+    p = load_table(spark, sf_dir, "part")
+    base = p.select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    band = (F.col("price_cents") / F.lit(1000)).cast("long")
+
+    def survivors(d: DataFrame, part_cols: list) -> DataFrame:
+        w_cheaper = (
+            Window.partitionBy(*part_cols)
+            .orderBy("price_cents")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_same = Window.partitionBy(*part_cols, "price_cents")
+        return (
+            d.withColumn("mx_cheaper", F.max("size").over(w_cheaper))
+            .withColumn("mx_same", F.max("size").over(w_same))
+            .where(
+                (
+                    F.col("mx_cheaper").isNull()
+                    | (F.col("mx_cheaper") < F.col("size"))
+                )
+                & (F.col("mx_same") <= F.col("size"))
+            )
+            .drop("mx_cheaper", "mx_same")
+        )
+
+    local = survivors(base.withColumn("band", band), ["band"]).drop("band")
+    return survivors(local, []).orderBy("price_cents", "size", "p_partkey")
+
+
+_SKYLINE_SQL = """
+WITH base AS (
+  SELECT p_partkey, p_brand,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+), marked AS (
+  SELECT *,
+         max(size) OVER (ORDER BY price_cents
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS mx_cheaper,
+         max(size) OVER (PARTITION BY price_cents) AS mx_same
+  FROM base
+)
+SELECT p_partkey, p_brand, price_cents, size
+FROM marked
+WHERE (mx_cheaper IS NULL OR mx_cheaper < size) AND mx_same <= size
+ORDER BY price_cents, size, p_partkey
+"""
+
+
+def customer_order_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier reorder-survival curve: P(customer has not reordered
+    by week t after an order) — the churn/repurchase-cadence curve,
+    with proper CENSORING: each consecutive order pair contributes an
+    observed gap, and every customer's time from LAST order to the
+    corpus end contributes a censored spell (they may yet reorder).
+    S(t) = Π_{weeks ≤ t} (1 − d_w/n_w) over the week grid, where n_w =
+    spells still at risk entering week w. Plan: one customer-keyed lag
+    window (the standard per-entity shuffle) + a 1-row max-date
+    broadcast + combinable week-grid counts; the KM product runs over
+    the CALENDAR-bounded grid as exp(Σ ln) — order-dependent double
+    sums, so survival exports at 6dp while d/c/at-risk counts are exact
+    integer anchors."""
+    o = load_table(spark, sf_dir, "orders")
+    wcust = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    day = F.floor(F.unix_timestamp(F.col("o_orderdate")) / F.lit(86400.0))
+    nxt = F.lead(day.cast("long")).over(wcust)
+    spells = o.select(
+        day.cast("long").alias("d"),
+        nxt.alias("d_next"),
+    )
+    mx = o.agg(F.max(day.cast("long")).alias("d_max"))
+    ev = spells.join(F.broadcast(mx)).select(
+        F.when(
+            F.col("d_next").isNotNull(),
+            ((F.col("d_next") - F.col("d")) / F.lit(7)).cast("long"),
+        )
+        .otherwise(((F.col("d_max") - F.col("d")) / F.lit(7)).cast("long"))
+        .alias("week"),
+        F.col("d_next").isNotNull().alias("observed"),
+    )
+    per_week = ev.groupBy("week").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0))
+        .cast("long")
+        .alias("d_events"),
+        F.sum(F.when(F.col("observed"), 0).otherwise(1))
+        .cast("long")
+        .alias("c_censored"),
+    )
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n_spells"))
+    w_prev = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("week").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grid = (
+        per_week.join(F.broadcast(tot))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_spells")
+            - F.coalesce(
+                F.sum(F.col("d_events") + F.col("c_censored")).over(w_prev),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn(
+            "_hit_zero",
+            F.max(
+                F.when(F.col("d_events") >= F.col("n_at_risk"), 1).otherwise(0)
+            ).over(w_cum),
+        )
+        .withColumn(
+            "survival",
+            F.when(F.col("_hit_zero") == 1, F.lit(0.0)).otherwise(
+                F.round(
+                    F.exp(
+                        F.sum(
+                            F.when(
+                                F.col("d_events") < F.col("n_at_risk"),
+                                F.log(
+                                    1.0
+                                    - F.col("d_events").cast("double")
+                                    / F.col("n_at_risk")
+                                ),
+                            ).otherwise(F.lit(0.0))
+                        ).over(w_cum)
+                    ),
+                    6,
+                )
+            ),
+        )
+    )
+    return grid.select(
+        "week", "n_at_risk", "d_events", "c_censored", "survival"
+    ).orderBy("week")
+
+
+_KM_SURVIVAL_SQL = """
+WITH spells AS (
+  SELECT CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT) AS d,
+         lead(CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS d_next
+  FROM orders
+), mx AS (
+  SELECT max(CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT)) AS d_max
+  FROM orders
+), ev AS (
+  SELECT CASE WHEN d_next IS NOT NULL
+              THEN CAST(floor((d_next - d) / 7.0) AS BIGINT)
+              ELSE CAST(floor((mx.d_max - d) / 7.0) AS BIGINT) END AS week,
+         d_next IS NOT NULL AS observed
+  FROM spells CROSS JOIN mx
+), per_week AS (
+  SELECT week,
+         CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+           AS d_events,
+         CAST(sum(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+           AS c_censored
+  FROM ev GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_spells FROM ev
+), grid AS (
+  SELECT week, d_events, c_censored,
+         CAST(tot.n_spells
+              - coalesce(sum(d_events + c_censored) OVER (
+                  ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+  FROM per_week CROSS JOIN tot
+)
+SELECT week, n_at_risk, d_events, c_censored,
+       CASE WHEN max(CASE WHEN d_events >= n_at_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) = 1
+            THEN 0.0
+            ELSE round(exp(sum(CASE WHEN d_events < n_at_risk
+                               THEN ln(1.0 - CAST(d_events AS DOUBLE)
+                                             / n_at_risk)
+                               ELSE 0.0 END) OVER (
+                   ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)), 6)
+       END AS survival
+FROM grid
+ORDER BY week
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -11719,6 +11924,8 @@ ORDER BY p.t1, p.t2
 # generations old — _R7_FRONT rotates exactly those forward, oldest debt
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "parts_skyline": (parts_skyline, _SKYLINE_SQL),
+    "customer_order_survival": (customer_order_survival, _KM_SURVIVAL_SQL),
     "nation_revenue_hhi": (nation_revenue_hhi, _NATION_HHI_SQL),
     "evt_type_affinity": (evt_type_affinity, _EVT_AFFINITY_SQL),
     "evt_dow_seasonality": (evt_dow_seasonality, _DOW_SEASONALITY_SQL),
@@ -11945,6 +12152,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # are PREPENDED to _R7_FRONT as they land (changed-first contract).
 _R7_FRONT: list[str] = [
     # NEW in r7 (never audited, lead per the changed-first contract):
+    "parts_skyline",
+    "customer_order_survival",
     "nation_revenue_hhi",
     "evt_type_affinity",
     "evt_dow_seasonality",

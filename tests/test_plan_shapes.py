@@ -155,6 +155,9 @@ _NESTED_LOOP_OK = {
                                # onto the |labels| centroid frame
     "evt_type_affinity",       # 1-row user-count frame broadcast onto
                                # the |types|² pair frame
+    "customer_order_survival",  # 1-row max-date frame broadcast onto
+                               # the spell frame; 1-row totals frame
+                               # broadcast onto the week grid
 }
 
 

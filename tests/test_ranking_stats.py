@@ -263,3 +263,59 @@ def test_affinity_counts_consistent(spark, sf_small):
         assert r["n_both"] <= min(r["n_a"], r["n_b"]) <= r["n_users"]
         assert r["lift"] == r["n_both"] * r["n_users"] / (r["n_a"] * r["n_b"])
         assert r["t1"] < r["t2"]
+
+
+# ---------------------------------------------------------------------------
+# fourth r7 wave: skyline (Pareto front), Kaplan-Meier reorder survival
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_matches_bruteforce(spark, sf_small):
+    """The two-phase window skyline must equal the O(n²) dominance
+    definition, including tie cells (equal price+size co-survive)."""
+    rows = m.queries()["parts_skyline"](spark, sf_small).collect()
+    got = {(r["p_partkey"]) for r in rows}
+    from vector_search_optimization_spark.sources import load_table
+
+    base = [
+        (r["p_partkey"], int(round(r["p_retailprice"] * 100)), r["p_size"])
+        for r in load_table(spark, sf_small, "part").collect()
+    ]
+    want = set()
+    for k, p, s in base:
+        dominated = any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s))
+            for _, p2, s2 in base
+        )
+        if not dominated:
+            want.add(k)
+    assert got == want and len(got) > 0
+
+
+def test_skyline_tie_cell_cosurvives(spark):
+    """Two identical (price, size) rows both survive; a strictly worse
+    row does not."""
+    df = spark.createDataFrame(
+        [(1, "b", 100.0, 5), (2, "b", 100.0, 5), (3, "b", 101.0, 5), (4, "b", 99.0, 9)],
+        "p_partkey long, p_brand string, p_retailprice double, p_size int",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "part.parquet"))
+        out = {r["p_partkey"] for r in m.queries()["parts_skyline"](spark, td).collect()}
+    # row 4 dominates everything (cheaper AND bigger) → rows 1/2/3 out
+    assert out == {4}
+
+
+def test_km_survival_monotone_and_accounting(spark, sf_small):
+    rows = m.queries()["customer_order_survival"](spark, sf_small).collect()
+    surv = [r["survival"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b - 1e-12 for a, b in zip(surv, surv[1:]))  # nonincreasing
+    for prev, cur in zip(rows, rows[1:]):
+        assert (
+            cur["n_at_risk"]
+            == prev["n_at_risk"] - prev["d_events"] - prev["c_censored"]
+        )
+    assert rows[-1]["n_at_risk"] == rows[-1]["d_events"] + rows[-1]["c_censored"]
