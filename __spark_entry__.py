@@ -12133,23 +12133,24 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 
 # r7 window rotation (VERDICT r6 "Next round" item 1, executed): the driver
 # audits the FIRST 50 entries only, so _R7_FRONT reorders the registry to
-# put every entry with no current-generation driver row up front:
-#   [0]      text_word_entropy — its integer exports changed THIS round
-#            (coalesce-to-0 on NULL text, ADVICE r6 #1) — changed leads;
-#   [1-15]   the 15 never-driver-audited entries (evt_user_gini first —
-#            its UDAF numerator moved to overflow-checked Python ints,
-#            ADVICE r6 #2, so it is also r7-changed);
-#   [16-27]  the 12 r6-changed entries whose exports have no driver row
-#            on their new form — ep3_label_pipeline FIRST (the registry's
-#            only member that has never had a green driver row; its only
-#            row, r3, predates the oracle);
-#   [28-43]  the 16 r2-audited basics (driver rows four data-generations
-#            old; j1_inner_join_agg already sits in the r6-changed block);
-#   [44-49]  the head of the r3-audited half.
-# _R8_NEXT then queues the r3-audited remainder so r8's rotation is a
-# straight "promote _R8_NEXT, then the r5-audited bulk" — by r9 no driver
-# row should be older than two data generations.  New/changed r7 queries
-# are PREPENDED to _R7_FRONT as they land (changed-first contract).
+# put every entry with no current-generation driver row up front.  After
+# the 18 brand-new r7 queries were prepended (changed-first contract), the
+# 50-slot window holds, in order:
+#   [0-17]   the 18 NEW r7 queries (never audited anywhere): skyline, KM
+#            survival, HHI, affinity, dow/chi2/centroid/EWMA, AUC/Lorenz/
+#            Zipf/lag-corr/OLS-trend, Mann-Kendall/Benford/Heaps/bigram-LM/
+#            split-leakage;
+#   [18]     text_word_entropy — exports changed in r7 (ADVICE r6 #1);
+#   [19-33]  the 15 never-driver-audited r6 entries (evt_user_gini first —
+#            its UDAF numerator is also r7-changed, ADVICE r6 #2);
+#   [34-45]  the 12 r6-changed entries with no driver row on their new
+#            form — ep3_label_pipeline FIRST (never had a green row);
+#   [46-49]  p_filters + the first 3 r2-audited basics.
+# The remaining r2-audited basics and the r3 head were displaced below 50
+# by the new-query prepends — they are locally green on current-generation
+# data (full gate) and rotate forward in r8 via _R8_NEXT, which queues the
+# r3-audited remainder so by r9 no driver row is older than two data
+# generations.  New/changed queries are ALWAYS prepended as they land.
 _R7_FRONT: list[str] = [
     # NEW in r7 (never audited, lead per the changed-first contract):
     "parts_skyline",
