@@ -86,6 +86,7 @@ _IRRATIONAL_MEAN_OK = {
     "m9_mahalanobis_outliers", # avg Mahalanobis distance (sqrt)
     "lm_quality_scores",       # avg -ln surprisal
     "curation_pipeline",       # avg -ln surprisal
+    "doc_bigram_lm",           # avg -ln interpolated bigram surprisal
 }
 
 
