@@ -11908,6 +11908,148 @@ ORDER BY week
 """
 
 
+def evt_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-observation median of daily revenue per event type —
+    the robust moving level (medians shrug off the spike days that
+    wreck a moving mean). EXACT across engines: the window collects the
+    ≤7 trailing daily cents, sorts, and takes the middle (odd n) or the
+    midpoint (even n) — (a+b)/2 on exact integers is one add and one
+    power-of-two division, bit-identical to DuckDB's quantile_cont
+    interpolation at 0.5, so rolling_median exports UNROUNDED. Plan:
+    the calendar-bounded daily grid (one combinable fact pass) + a
+    type-partitioned 7-ROW window — bounded collect width, ordinary
+    parallel window shuffle on event_type."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("cents").over(w))
+    n = F.size(arr)
+    mid = (
+        F.when(
+            n % 2 == 1,
+            F.element_at(arr, (n / 2 + 1).cast("int")).cast("double"),
+        ).otherwise(
+            (
+                F.element_at(arr, (n / 2).cast("int"))
+                + F.element_at(arr, (n / 2 + 1).cast("int"))
+            ).cast("double")
+            / F.lit(2.0)
+        )
+    )
+    return (
+        daily.select(
+            "event_type",
+            "d",
+            "cents",
+            n.cast("long").alias("window_n"),
+            mid.alias("rolling_median"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+_ROLLING_MEDIAN_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, d, cents,
+       CAST(count(*) OVER w AS BIGINT) AS window_n,
+       median(cents) OVER w AS rolling_median
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, d
+"""
+
+
+def orders_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time — the classic sweep-line /
+    interval-stacking operator: each order contributes +1 at its order
+    week and −1 at the week its LAST lineitem ships; the running sum is
+    the number of orders in flight. Never-shipped orders (no lineitems)
+    open and never close — the curve's tail floor. Plan: one lineitem
+    pass (order-keyed combinable max), one orders pass, a UNION of
+    ±1 deltas collapsed to the calendar-bounded week grid, and one
+    cumulative window over weeks. All exports exact integers."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    week = lambda c: (  # noqa: E731
+        F.floor(F.unix_timestamp(c) / F.lit(86400.0)) / F.lit(7)
+    ).cast("long")
+    opens = o.select(week(F.col("o_orderdate")).alias("wk")).withColumn(
+        "delta", F.lit(1).cast("long")
+    )
+    closes = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(week(F.col("l_shipdate"))).alias("wk"))
+        .select("wk")
+        .withColumn("delta", F.lit(-1).cast("long"))
+    )
+    deltas = (
+        opens.unionByName(closes)
+        .groupBy("wk")
+        .agg(
+            F.sum("delta").cast("long").alias("net_change"),
+            F.sum(F.when(F.col("delta") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("opened"),
+            F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("closed"),
+        )
+    )
+    w_cum = Window.orderBy("wk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        deltas.withColumn(
+            "open_orders", F.sum("net_change").over(w_cum).cast("long")
+        )
+        .select("wk", "opened", "closed", "net_change", "open_orders")
+        .orderBy("wk")
+    )
+
+
+_BACKLOG_SQL = """
+WITH opens AS (
+  SELECT CAST(floor(floor(epoch(o_orderdate) / 86400.0) / 7.0) AS BIGINT)
+           AS wk,
+         CAST(1 AS BIGINT) AS delta
+  FROM orders
+), closes AS (
+  SELECT CAST(max(floor(floor(epoch(l_shipdate) / 86400.0) / 7.0)) AS BIGINT)
+           AS wk,
+         CAST(-1 AS BIGINT) AS delta
+  FROM lineitem GROUP BY l_orderkey
+), deltas AS (
+  SELECT wk,
+         CAST(sum(delta) AS BIGINT) AS net_change,
+         CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS opened,
+         CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS closed
+  FROM (SELECT * FROM opens UNION ALL SELECT * FROM closes)
+  GROUP BY wk
+)
+SELECT wk, opened, closed, net_change,
+       CAST(sum(net_change) OVER (ORDER BY wk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS open_orders
+FROM deltas
+ORDER BY wk
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -11924,6 +12066,8 @@ ORDER BY week
 # generations old — _R7_FRONT rotates exactly those forward, oldest debt
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "evt_rolling_median": (evt_rolling_median, _ROLLING_MEDIAN_SQL),
+    "orders_backlog_timeline": (orders_backlog_timeline, _BACKLOG_SQL),
     "parts_skyline": (parts_skyline, _SKYLINE_SQL),
     "customer_order_survival": (customer_order_survival, _KM_SURVIVAL_SQL),
     "nation_revenue_hhi": (nation_revenue_hhi, _NATION_HHI_SQL),
@@ -12153,6 +12297,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # generations.  New/changed queries are ALWAYS prepended as they land.
 _R7_FRONT: list[str] = [
     # NEW in r7 (never audited, lead per the changed-first contract):
+    "evt_rolling_median",
+    "orders_backlog_timeline",
     "parts_skyline",
     "customer_order_survival",
     "nation_revenue_hhi",

@@ -319,3 +319,45 @@ def test_km_survival_monotone_and_accounting(spark, sf_small):
             == prev["n_at_risk"] - prev["d_events"] - prev["c_censored"]
         )
     assert rows[-1]["n_at_risk"] == rows[-1]["d_events"] + rows[-1]["c_censored"]
+
+
+# ---------------------------------------------------------------------------
+# fifth r7 wave: rolling median, sweep-line backlog
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_median_hand_windows(spark, sf_small):
+    """Per type, the first row's median is its own value; every window
+    median must equal the sorted-middle of the trailing ≤7 cents."""
+    rows = m.queries()["evt_rolling_median"](spark, sf_small).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        assert rs[0]["rolling_median"] == float(rs[0]["cents"])
+        hist = []
+        for r in rs:
+            hist.append(r["cents"])
+            win = sorted(hist[-7:])
+            n = len(win)
+            want = (
+                float(win[n // 2])
+                if n % 2 == 1
+                else (win[n // 2 - 1] + win[n // 2]) / 2.0
+            )
+            assert r["window_n"] == n and r["rolling_median"] == want
+
+
+def test_backlog_telescopes_and_ends_at_floor(spark, sf_small):
+    """Backlog telescopes: open_orders = Σ net_change; the final value
+    equals orders that never shipped (opens − closes overall)."""
+    rows = m.queries()["orders_backlog_timeline"](spark, sf_small).collect()
+    cum = 0
+    for r in rows:
+        assert r["net_change"] == r["opened"] - r["closed"]
+        cum += r["net_change"]
+        assert r["open_orders"] == cum
+        assert r["open_orders"] >= 0  # can't close before opening
+    total_open = sum(r["opened"] for r in rows)
+    total_close = sum(r["closed"] for r in rows)
+    assert rows[-1]["open_orders"] == total_open - total_close
