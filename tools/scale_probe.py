@@ -506,6 +506,68 @@ def main() -> None:
 
     stage("bitmap_rollup_wide_ids", _bitmap_rollup)
 
+    # r7 wave-2 probes: the two new operator families with a real data
+    # slope — the two-phase skyline and the AUC value grid.
+    def _skyline():
+        """parts_skyline's two-phase form at fact scale: n synthetic
+        (price, size) rows, 1000 price bands. Phase 1 (band-partitioned
+        windows) must parallelize — cost ~ one shuffle on band + local
+        sorts; phase 2 sees only band survivors (≤ bands × skyline-per-
+        band). Superlinear growth means the band pruning stopped
+        working."""
+        from pyspark.sql import Window as W
+
+        n = 125_000 * SCALE
+        base = spark.range(0, n, 1, 32).select(
+            F.col("id").alias("p_partkey"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(1)), 1_000_000).alias(
+                "price_cents"
+            ),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(2)), 50).alias("size"),
+        )
+        band = (F.col("price_cents") / F.lit(1000)).cast("long")
+
+        def surv(d, part):
+            wch = (
+                W.partitionBy(*part)
+                .orderBy("price_cents")
+                .rangeBetween(W.unboundedPreceding, -1)
+            )
+            wsm = W.partitionBy(*part, "price_cents")
+            return (
+                d.withColumn("mc", F.max("size").over(wch))
+                .withColumn("ms", F.max("size").over(wsm))
+                .where(
+                    (F.col("mc").isNull() | (F.col("mc") < F.col("size")))
+                    & (F.col("ms") <= F.col("size"))
+                )
+                .drop("mc", "ms")
+            )
+
+        local = surv(base.withColumn("band", band), ["band"]).drop("band")
+        return surv(local, []).count()
+
+    stage("skyline_two_phase", _skyline)
+
+    def _auc_grid():
+        """exact_auc_by_grid over n rows on a 10k-cell score lattice:
+        one combinable groupBy (n → cells) + a cell-space window — cost
+        must track the SCAN linearly with a constant grid tail."""
+        from vector_search_optimization_spark.operators import (
+            ranking_stats as RKS,
+        )
+
+        n = 125_000 * SCALE
+        scored = spark.range(0, n, 1, 32).select(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(3)), 10_000).alias("cents"),
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(4)), 5) == 0).alias("pos"),
+        )
+        return RKS.exact_auc_by_grid(
+            scored, F.col("cents"), F.col("pos")
+        ).count()
+
+    stage("auc_grid", _auc_grid)
+
     print(json.dumps(out))
     spark.stop()
 
