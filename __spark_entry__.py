@@ -23,6 +23,7 @@ from vector_search_optimization_spark.functions import vector as V
 from vector_search_optimization_spark.operators import ann, dedup, islands, topk, upsert
 from vector_search_optimization_spark.operators import nearest_centroid as NC
 from vector_search_optimization_spark.operators import ranking_stats as RKS
+from vector_search_optimization_spark.operators import timeseries as TS
 from vector_search_optimization_spark.operators import validation as DQV
 from vector_search_optimization_spark.operators import similarity as SIM
 from vector_search_optimization_spark.operators import vector_agg as VA
@@ -11474,38 +11475,19 @@ def evt_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "current level" every freshness-weighted dashboard metric uses.
     The fact table collapses to the calendar-bounded daily grid in one
     combinable pass; the decay weighting is a |days|-row aggregate per
-    type. pow() is not correctly-rounded IEEE (engines may differ in
-    the last ulp) and the weighted sums are order-dependent, so the
-    EWMA exports at 6dp (irrational — tie-free); the day counts and the
-    exact cents of the last day export as integer anchors."""
+    type (operators/timeseries.ewma_from_daily — the SAME combine the
+    streaming grid maintenance rewrites per micro-batch,
+    streaming/ewma_maintenance.py). pow() is not correctly-rounded IEEE
+    (engines may differ in the last ulp) and the weighted sums are
+    order-dependent, so the EWMA exports at 6dp (irrational —
+    tie-free); the day counts and the exact cents of the last day
+    export as integer anchors."""
     e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
     daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
         F.round(F.sum("value") * 100).cast("long").alias("cents")
     )
-    last = daily.groupBy("event_type").agg(F.max("d").alias("d_last"))
-    wgt = daily.join(F.broadcast(last), "event_type").select(
-        "event_type",
-        "cents",
-        "d",
-        "d_last",
-        F.pow(F.lit(0.9), (F.col("d_last") - F.col("d")).cast("double")).alias(
-            "w"
-        ),
-    )
-    return (
-        wgt.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_days"),
-            F.max(F.when(F.col("d") == F.col("d_last"), F.col("cents")))
-            .cast("long")
-            .alias("last_day_cents"),
-            F.round(
-                F.sum(F.col("cents") * F.col("w")) / F.sum("w"), 6
-            ).alias("ewma_cents"),
-        )
-        .orderBy("event_type")
-    )
+    return TS.ewma_from_daily(daily)
 
 
 _EWMA_SQL = """
