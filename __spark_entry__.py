@@ -11696,8 +11696,11 @@ def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full dominance windows over the pruned union. Dominance checks
     are RANGE-frame windows on exact integer cents: dominated iff some
     STRICTLY cheaper part has size ≥ mine, or a same-price part has
-    size > mine; equal (price, size) pairs co-survive. Exports are all
-    exact integers."""
+    size > mine; equal (price, size) pairs co-survive
+    (operators/ranking_stats.two_phase_skyline — the same survivors
+    combine the streaming front maintenance folds,
+    streaming/skyline_maintenance.py). Exports are all exact
+    integers."""
     p = load_table(spark, sf_dir, "part")
     base = p.select(
         "p_partkey",
@@ -11705,30 +11708,9 @@ def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
         F.col("p_size").cast("long").alias("size"),
     )
-    band = (F.col("price_cents") / F.lit(1000)).cast("long")
-
-    def survivors(d: DataFrame, part_cols: list) -> DataFrame:
-        w_cheaper = (
-            Window.partitionBy(*part_cols)
-            .orderBy("price_cents")
-            .rangeBetween(Window.unboundedPreceding, -1)
-        )
-        w_same = Window.partitionBy(*part_cols, "price_cents")
-        return (
-            d.withColumn("mx_cheaper", F.max("size").over(w_cheaper))
-            .withColumn("mx_same", F.max("size").over(w_same))
-            .where(
-                (
-                    F.col("mx_cheaper").isNull()
-                    | (F.col("mx_cheaper") < F.col("size"))
-                )
-                & (F.col("mx_same") <= F.col("size"))
-            )
-            .drop("mx_cheaper", "mx_same")
-        )
-
-    local = survivors(base.withColumn("band", band), ["band"]).drop("band")
-    return survivors(local, []).orderBy("price_cents", "size", "p_partkey")
+    return RKS.two_phase_skyline(base).orderBy(
+        "price_cents", "size", "p_partkey"
+    )
 
 
 _SKYLINE_SQL = """
