@@ -10874,7 +10874,9 @@ def customer_pareto_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     valued. k = ceil(q%·n) in pure integer math; share derives
     unrounded from exact integer cents
     (operators/ranking_stats.lorenz_points_by_grid)."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    )
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
@@ -10888,7 +10890,7 @@ WITH per_cust AS (
   SELECT o_custkey,
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            AS rev_cents
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
 ), grid AS (
   SELECT rev_cents AS cents, CAST(count(*) AS BIGINT) AS n_ent
   FROM per_cust GROUP BY 1
@@ -11596,13 +11598,18 @@ def evt_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair, lift = P(user does both) / (P(a)·P(b)) — the cross-sell /
     behavioral-correlation matrix, computed on exact user counts. The
     fact table collapses to the distinct (user, type) incidence in one
-    combinable pass; the pair join runs on the per-user TYPE SETS
+    combinable pass (NULL user_ids excluded on BOTH sides — Spark's
+    groupBy would keep a NULL group while DuckDB's count(DISTINCT)
+    drops it, a regenerated-testdata parity trap); the pair join runs
+    on the per-user TYPE SETS
     (array self-pairing over ≤|types| elements per user — fan-out
     C(types,2) per user, never user²). lift = (n_both·n_users) /
     (n_a·n_b): both products are exact ANSI-loud BIGINTs → ONE division
     → exported UNROUNDED. The |types|² pair frame is the only
     non-fact-bounded object."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
     per_user = e.groupBy("user_id").agg(
         F.array_sort(F.collect_set("event_type")).alias("types")
     )
@@ -11661,8 +11668,9 @@ def evt_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVT_AFFINITY_SQL = """
 WITH inc AS (
   SELECT DISTINCT user_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
 ), nu AS (
-  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM inc
 ), singles AS (
   SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n_t
   FROM inc GROUP BY 1
@@ -11747,7 +11755,9 @@ def customer_order_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CALENDAR-bounded grid as exp(Σ ln) — order-dependent double
     sums, so survival exports at 6dp while d/c/at-risk counts are exact
     integer anchors."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+    )
     wcust = Window.partitionBy("o_custkey").orderBy(
         "o_orderdate", "o_orderkey"
     )
@@ -11828,10 +11838,10 @@ WITH spells AS (
          lead(CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT)) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ) AS d_next
-  FROM orders
+  FROM orders WHERE o_orderdate IS NOT NULL
 ), mx AS (
   SELECT max(CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT)) AS d_max
-  FROM orders
+  FROM orders WHERE o_orderdate IS NOT NULL
 ), ev AS (
   SELECT CASE WHEN d_next IS NOT NULL
               THEN CAST(floor((d_next - d) / 7.0) AS BIGINT)
@@ -11945,8 +11955,12 @@ def orders_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass (order-keyed combinable max), one orders pass, a UNION of
     ±1 deltas collapsed to the calendar-bounded week grid, and one
     cumulative window over weeks. All exports exact integers."""
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").isNotNull()
+    )
     week = lambda c: (  # noqa: E731
         F.floor(F.unix_timestamp(c) / F.lit(86400.0)) / F.lit(7)
     ).cast("long")
@@ -11989,12 +12003,12 @@ WITH opens AS (
   SELECT CAST(floor(floor(epoch(o_orderdate) / 86400.0) / 7.0) AS BIGINT)
            AS wk,
          CAST(1 AS BIGINT) AS delta
-  FROM orders
+  FROM orders WHERE o_orderdate IS NOT NULL
 ), closes AS (
   SELECT CAST(max(floor(floor(epoch(l_shipdate) / 86400.0) / 7.0)) AS BIGINT)
            AS wk,
          CAST(-1 AS BIGINT) AS delta
-  FROM lineitem GROUP BY l_orderkey
+  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY l_orderkey
 ), deltas AS (
   SELECT wk,
          CAST(sum(delta) AS BIGINT) AS net_change,
