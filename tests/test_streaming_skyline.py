@@ -102,3 +102,26 @@ def test_fold_refuses_foreign_lineage(spark, tmpdirs):
     fold_batch_into_skyline(b0, 0, table, scope="aaaa1111")
     with pytest.raises(ValueError, match="lineage"):
         fold_batch_into_skyline(b0, 1, table, scope="bbbb2222")
+
+
+def test_interrupted_swap_recovers_front(spark, tmpdirs):
+    """A kill between commit_swap's two renames leaves the front under
+    .__old__ — the replayed fold must restore and merge, not
+    re-initialize from one batch (which would resurrect dominated
+    points absent from the batch)."""
+    import os
+
+    table = f"{tmpdirs}/front4"
+    b0 = spark.createDataFrame(
+        [(1, 100, 5), (2, 300, 9)], "p_partkey long, price_cents long, size long"
+    )
+    fold_batch_into_skyline(b0, 0, table)
+    os.rename(table, table + ".__old__")  # crash window
+    b1 = spark.createDataFrame(
+        [(3, 200, 7)], "p_partkey long, price_cents long, size long"
+    )
+    assert fold_batch_into_skyline(b1, 1, table) is True
+    got = _front(spark.read.parquet(table))
+    # all three are mutually non-dominated; losing history would have
+    # dropped points 1 and 2
+    assert got == {(1, 100, 5), (3, 200, 7), (2, 300, 9)}
