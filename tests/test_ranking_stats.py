@@ -361,3 +361,51 @@ def test_backlog_telescopes_and_ends_at_floor(spark, sf_small):
     total_open = sum(r["opened"] for r in rows)
     total_close = sum(r["closed"] for r in rows)
     assert rows[-1]["open_orders"] == total_open - total_close
+
+
+# ---------------------------------------------------------------------------
+# randomized equivalence (one Spark job over all cases, per the
+# test_properties.py batching rule — per-example Spark jobs are
+# minutes-slow)
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_randomized_equivalence_batched(spark):
+    """200 random point sets (ties deliberately frequent via tiny value
+    ranges) checked against the O(n²) dominance definition in ONE
+    Spark job: skyline_survivors_2d partitioned by case must match the
+    per-case brute force exactly."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows, want = [], {}
+    for case in range(200):
+        n = rng.randint(1, 12)
+        pts = [
+            (int(rng.randint(0, 6)), int(rng.randint(0, 6)))
+            for _ in range(n)
+        ]
+        for i, (p, s) in enumerate(pts):
+            rows.append((case, i, p, s))
+        keep = set()
+        for i, (p, s) in enumerate(pts):
+            dominated = any(
+                p2 <= p and s2 >= s and (p2 < p or s2 > s)
+                for j, (p2, s2) in enumerate(pts)
+                if j != i
+            )
+            if not dominated:
+                keep.add(i)
+        want[case] = keep
+
+    df = spark.createDataFrame(
+        rows, "case long, i long, price_cents long, size long"
+    )
+    got = {}
+    out = RKS.skyline_survivors_2d(
+        df, "price_cents", "size", part_cols=("case",)
+    ).collect()
+    for r in out:
+        got.setdefault(r["case"], set()).add(r["i"])
+    for case in want:
+        assert got.get(case, set()) == want[case], case
