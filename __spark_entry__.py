@@ -12028,6 +12028,120 @@ ORDER BY wk
 """
 
 
+def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-page analytics over the 30-min-gap sessions (the same
+    sessionization as evt_sessions): per ENTRY event type — sessions
+    started there, bounce rate (single-event sessions), how often the
+    session also ENDS on the entry type, and the average session depth.
+    Entry/exit are rank-1 rows under the deterministic (ts, event_id)
+    order on BOTH engines. All counts exact integers; bounce_rate and
+    avg_session_events derive UNROUNDED as single divisions of exact
+    integers. Plan: ONE user-keyed window shuffle (sessionize + both
+    rank directions in the same window family) + one combinable
+    session-level agg + one |types|-row agg."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp(F.col("ts"))
+    gap = sec - F.lag(sec).over(w)
+    tagged = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "sess_id")
+    rn = F.row_number().over(ws.orderBy("ts", "event_id"))
+    rn_d = F.row_number().over(
+        ws.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    )
+    sess = (
+        tagged.withColumn("rn", rn)
+        .withColumn("rn_d", rn_d)
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias(
+                "entry_type"
+            ),
+            F.max(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias(
+                "exit_type"
+            ),
+        )
+    )
+    return (
+        sess.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounces"),
+            F.sum("n_events").cast("long").alias("n_events_total"),
+            F.sum(
+                F.when(F.col("exit_type") == F.col("entry_type"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_exit_same"),
+        )
+        .select(
+            "entry_type",
+            "n_sessions",
+            "n_bounces",
+            "n_events_total",
+            "n_exit_same",
+            (
+                F.col("n_bounces").cast("double") / F.col("n_sessions")
+            ).alias("bounce_rate"),
+            (
+                F.col("n_events_total").cast("double") / F.col("n_sessions")
+            ).alias("avg_session_events"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+_SESSION_ENTRY_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM gaps
+), ranked AS (
+  SELECT user_id, sess_id, event_type,
+         row_number() OVER (PARTITION BY user_id, sess_id
+                            ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, sess_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM tagged
+), sess AS (
+  SELECT user_id, sess_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         max(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+         max(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type
+  FROM ranked GROUP BY 1, 2
+)
+SELECT entry_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(sum(n_events) AS BIGINT) AS n_events_total,
+       CAST(sum(CASE WHEN exit_type = entry_type THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exit_same,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS bounce_rate,
+       CAST(sum(n_events) AS DOUBLE) / count(*) AS avg_session_events
+FROM sess GROUP BY entry_type
+ORDER BY entry_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -12044,6 +12158,7 @@ ORDER BY wk
 # generations old — _R7_FRONT rotates exactly those forward, oldest debt
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "session_entry_exit": (session_entry_exit, _SESSION_ENTRY_SQL),
     "evt_rolling_median": (evt_rolling_median, _ROLLING_MEDIAN_SQL),
     "orders_backlog_timeline": (orders_backlog_timeline, _BACKLOG_SQL),
     "parts_skyline": (parts_skyline, _SKYLINE_SQL),
@@ -12345,6 +12460,10 @@ _R7_FRONT: list[str] = [
     "ep3_lloyd_audit",
     "s1_csv_roundtrip",
     "s2_json_roundtrip",
+    # BELOW the 50-slot window by design (the r7 window hard cap —
+    # prepending would push an r6-changed entry out): never-audited in
+    # r7, rotates forward in r8 with the rest of the audit debt.
+    "session_entry_exit",
 ]
 
 _R8_NEXT: list[str] = [

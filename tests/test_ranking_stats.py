@@ -409,3 +409,18 @@ def test_skyline_randomized_equivalence_batched(spark):
         got.setdefault(r["case"], set()).add(r["i"])
     for case in want:
         assert got.get(case, set()) == want[case], case
+
+
+def test_session_entry_exit_accounting(spark, sf_small):
+    """Entry-type session counts must reconcile with evt_sessions'
+    per-user totals, bounces imply exit == entry, and the derived
+    ratios are the exact single divisions."""
+    out = m.queries()["session_entry_exit"](spark, sf_small).collect()
+    total_sessions = sum(r["n_sessions"] for r in out)
+    per_user = m.queries()["evt_sessions"](spark, sf_small).collect()
+    assert total_sessions == sum(r["n_sessions"] for r in per_user)
+    for r in out:
+        assert r["n_bounces"] <= r["n_exit_same"] <= r["n_sessions"]
+        assert r["bounce_rate"] == r["n_bounces"] / r["n_sessions"]
+        assert r["avg_session_events"] == r["n_events_total"] / r["n_sessions"]
+        assert r["n_events_total"] >= r["n_sessions"]
