@@ -12142,6 +12142,128 @@ ORDER BY entry_type
 """
 
 
+def evt_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope per event type — the median of all
+    pairwise slopes (y_j−y_i)/(d_j−d_i) over the daily series, the
+    estimator Mann-Kendall deliberately left un-exported because a
+    rounded rational median carries real cross-engine tie risk. Made
+    safe here by exporting the median AS AN EXACT RATIONAL: each pair
+    slope is an integer pair (num, den>0); both engines order by the
+    identical double num/den (same exact-int inputs → same doubles)
+    with (num, den) tie-breaks, pick the middle element(s) by
+    row_number, and an even count averages two rationals EXACTLY:
+    (n₁d₂+n₂d₁)/(2d₁d₂) — all BIGINT (ANSI-loud), magnitudes tiny
+    (cents × days). slope_cents_per_day derives UNROUNDED from the two
+    exported integers. Pair volume is |days|²/2 per type — calendar-
+    bounded, independent of event count (the Mann-Kendall join shape);
+    the fact table is touched once (persisted daily aggregate)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = (
+        e.groupBy(F.col("event_type"), day.alias("d"))
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("cents"))
+        .persist()
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("cents").alias("y1")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("cents").alias("y2")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .where(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            (F.col("y2") - F.col("y1")).alias("num"),
+            (F.col("d2") - F.col("d1")).alias("den"),
+        )
+    )
+    wv = Window.partitionBy("event_type").orderBy(
+        (F.col("num").cast("double") / F.col("den")).asc(),
+        F.col("num").asc(),
+        F.col("den").asc(),
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(wv)).join(
+        pairs.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs")
+        ),
+        "event_type",
+    )
+    lo = (F.col("n_pairs") + 1) / 2  # 1-indexed middle (floor via cast)
+    hi = (F.col("n_pairs") + 2) / 2
+    mid = ranked.where(
+        (F.col("rn") == lo.cast("long")) | (F.col("rn") == hi.cast("long"))
+    )
+    med = mid.groupBy("event_type", "n_pairs").agg(
+        F.min(F.struct("rn", "num", "den")).alias("m1"),
+        F.max(F.struct("rn", "num", "den")).alias("m2"),
+    )
+    med_num = F.when(
+        F.col("m1.rn") == F.col("m2.rn"), F.col("m1.num")
+    ).otherwise(
+        F.col("m1.num") * F.col("m2.den") + F.col("m2.num") * F.col("m1.den")
+    )
+    med_den = F.when(
+        F.col("m1.rn") == F.col("m2.rn"), F.col("m1.den")
+    ).otherwise(F.lit(2) * F.col("m1.den") * F.col("m2.den"))
+    return med.select(
+        "event_type",
+        "n_pairs",
+        med_num.cast("long").alias("med_num"),
+        med_den.cast("long").alias("med_den"),
+        (med_num.cast("double") / med_den.cast("double")).alias(
+            "theil_sen_slope"
+        ),
+    ).orderBy("event_type")
+
+
+_THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         b.cents - a.cents AS num,
+         b.d - a.d AS den
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+), ranked AS (
+  SELECT event_type, num, den,
+         row_number() OVER (PARTITION BY event_type
+             ORDER BY CAST(num AS DOUBLE) / den ASC, num ASC, den ASC)
+           AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+  FROM pairs
+), mid AS (
+  SELECT * FROM ranked
+  WHERE rn = CAST(floor((n_pairs + 1) / 2.0) AS BIGINT)
+     OR rn = CAST(floor((n_pairs + 2) / 2.0) AS BIGINT)
+), med AS (
+  SELECT event_type, n_pairs,
+         min(struct_pack(rn := rn, num := num, den := den)) AS m1,
+         max(struct_pack(rn := rn, num := num, den := den)) AS m2
+  FROM mid GROUP BY 1, 2
+)
+SELECT event_type, n_pairs,
+       CAST(CASE WHEN m1['rn'] = m2['rn'] THEN m1['num']
+                 ELSE m1['num'] * m2['den'] + m2['num'] * m1['den'] END
+            AS BIGINT) AS med_num,
+       CAST(CASE WHEN m1['rn'] = m2['rn'] THEN m1['den']
+                 ELSE 2 * m1['den'] * m2['den'] END AS BIGINT) AS med_den,
+       CAST(CASE WHEN m1['rn'] = m2['rn'] THEN m1['num']
+                 ELSE m1['num'] * m2['den'] + m2['num'] * m1['den'] END
+            AS DOUBLE)
+         / CAST(CASE WHEN m1['rn'] = m2['rn'] THEN m1['den']
+                     ELSE 2 * m1['den'] * m2['den'] END AS DOUBLE)
+         AS theil_sen_slope
+FROM med
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -12159,6 +12281,7 @@ ORDER BY entry_type
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "session_entry_exit": (session_entry_exit, _SESSION_ENTRY_SQL),
+    "evt_theil_sen_slope": (evt_theil_sen_slope, _THEIL_SEN_SQL),
     "evt_rolling_median": (evt_rolling_median, _ROLLING_MEDIAN_SQL),
     "orders_backlog_timeline": (orders_backlog_timeline, _BACKLOG_SQL),
     "parts_skyline": (parts_skyline, _SKYLINE_SQL),
@@ -12464,6 +12587,7 @@ _R7_FRONT: list[str] = [
     # prepending would push an r6-changed entry out): never-audited in
     # r7, rotates forward in r8 with the rest of the audit debt.
     "session_entry_exit",
+    "evt_theil_sen_slope",
 ]
 
 _R8_NEXT: list[str] = [

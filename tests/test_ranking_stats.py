@@ -424,3 +424,67 @@ def test_session_entry_exit_accounting(spark, sf_small):
         assert r["bounce_rate"] == r["n_bounces"] / r["n_sessions"]
         assert r["avg_session_events"] == r["n_events_total"] / r["n_sessions"]
         assert r["n_events_total"] >= r["n_sessions"]
+
+
+def test_theil_sen_exact_rational_median(spark, sf_small):
+    """The exported (med_num, med_den) must equal a Python replay of
+    the exact rational median (Fraction arithmetic) over the same
+    daily series, per event type."""
+    from fractions import Fraction
+
+    day_rows = {}
+    import __spark_entry__ as _m
+    from pyspark.sql import functions as FF
+    from vector_search_optimization_spark.sources import load_table
+
+    e = load_table(spark, sf_small, "events").where(FF.col("value").isNotNull())
+    day = FF.floor(FF.unix_timestamp(FF.col("ts")) / FF.lit(86400.0)).cast("long")
+    daily = (
+        e.groupBy(FF.col("event_type"), day.alias("d"))
+        .agg(FF.round(FF.sum("value") * 100).cast("long").alias("cents"))
+        .collect()
+    )
+    for r in daily:
+        day_rows.setdefault(r["event_type"], []).append((r["d"], r["cents"]))
+
+    got = {
+        r["event_type"]: r
+        for r in m.queries()["evt_theil_sen_slope"](spark, sf_small).collect()
+    }
+    for t, pts in day_rows.items():
+        pts.sort()
+        slopes = [
+            (y2 - y1, d2 - d1)
+            for i, (d1, y1) in enumerate(pts)
+            for (d2, y2) in pts[i + 1:]
+        ]
+        # replay the DOUBLE-keyed order with (num, den) tie-breaks —
+        # the cross-engine contract the query documents
+        slopes.sort(key=lambda nd: (nd[0] / nd[1], nd[0], nd[1]))
+        n = len(slopes)
+        lo, hi = slopes[(n + 1) // 2 - 1], slopes[(n + 2) // 2 - 1]
+        want = (
+            Fraction(lo[0], lo[1])
+            if lo == hi
+            else (Fraction(lo[0], lo[1]) + Fraction(hi[0], hi[1])) / 2
+        )
+        r = got[t]
+        assert r["n_pairs"] == n
+        assert Fraction(r["med_num"], r["med_den"]) == want
+        assert r["theil_sen_slope"] == r["med_num"] / r["med_den"]
+
+
+def test_theil_sen_even_count_averages_rationals(spark):
+    """4 points → 6 pair slopes [1, 1, 2, 1, 5/2, 4]; sorted
+    [1, 1, 1, 2, 5/2, 4] → median = (1+2)/2 = 3/2 exactly."""
+    from fractions import Fraction
+
+    pts = [(0, 0), (1, 1), (2, 2), (3, 6)]
+    slopes = sorted(
+        Fraction(y2 - y1, d2 - d1)
+        for i, (d1, y1) in enumerate(pts)
+        for (d2, y2) in pts[i + 1:]
+    )
+    n = len(slopes)
+    med = (slopes[n // 2 - 1] + slopes[n // 2]) / 2
+    assert med == Fraction(3, 2)
