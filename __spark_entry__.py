@@ -10317,6 +10317,8 @@ def evt_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGER — a pairwise-slope median is a rational with real
     cross-engine rounding-tie risk (the decimal-mean rule), while sign
     comparisons on identically rounded daily sums are bit-portable.
+    (evt_theil_sen_slope now DOES export that median, tie-proofed as an
+    exact rational numerator/denominator pair.)
 
     Plan: ONE combinable (type, day) aggregate over events (the only
     pass over the fact table — persisted, handle attached), then a
