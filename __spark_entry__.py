@@ -12266,6 +12266,106 @@ ORDER BY event_type
 """
 
 
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-WEIGHTED median and quartiles of line price per return
+    flag — "the price at which half the UNITS move", which a row-median
+    (a14_percentiles) gets wrong whenever cheap lines carry big
+    quantities. Exact by the grid trick: prices collapse to the integer-
+    cents lattice with summed integer weights, the cumulative pass runs
+    over grid cells, and the weighted quantile is the SMALLEST cents
+    value whose cumulative weight reaches ⌈q·W⌉ (type-1 / lower
+    quantile — a deterministic pure-integer definition, no
+    interpolation, no tie hazard). Every export is an exact integer.
+    One combinable fact pass; windows over lattice cells only."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
+    grid = li.groupBy(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long"))
+        .cast("long")
+        .alias("wt"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = grid.groupBy("l_returnflag").agg(
+        F.sum("wt").cast("long").alias("total_wt"),
+        F.sum("n_rows").cast("long").alias("n_lines"),
+    )
+    cum = grid.withColumn("cum_wt", F.sum("wt").over(w_cum).cast("long")).join(
+        F.broadcast(tot), "l_returnflag"
+    )
+
+    def q_cents(num: int, den: int) -> F.Column:
+        # smallest cents with cum_wt*den >= num*total_wt  (⌈q·W⌉ rank)
+        return F.min(
+            F.when(
+                F.col("cum_wt") * den >= F.col("total_wt") * num,
+                F.col("cents"),
+            )
+        )
+
+    return (
+        cum.groupBy("l_returnflag", "total_wt", "n_lines")
+        .agg(
+            q_cents(1, 4).alias("wq25_cents"),
+            q_cents(1, 2).alias("wmedian_cents"),
+            q_cents(3, 4).alias("wq75_cents"),
+        )
+        .select(
+            "l_returnflag",
+            "n_lines",
+            "total_wt",
+            "wq25_cents",
+            "wmedian_cents",
+            "wq75_cents",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH grid AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wt,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT l_returnflag,
+         CAST(sum(wt) AS BIGINT) AS total_wt,
+         CAST(sum(n_rows) AS BIGINT) AS n_lines
+  FROM grid GROUP BY 1
+), cum AS (
+  SELECT g.l_returnflag, g.cents,
+         CAST(sum(g.wt) OVER (PARTITION BY g.l_returnflag ORDER BY g.cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_wt,
+         t.total_wt, t.n_lines
+  FROM grid g JOIN tot t USING (l_returnflag)
+)
+SELECT l_returnflag, n_lines, total_wt,
+       CAST(min(CASE WHEN cum_wt * 4 >= total_wt * 1 THEN cents END)
+            AS BIGINT) AS wq25_cents,
+       CAST(min(CASE WHEN cum_wt * 2 >= total_wt * 1 THEN cents END)
+            AS BIGINT) AS wmedian_cents,
+       CAST(min(CASE WHEN cum_wt * 4 >= total_wt * 3 THEN cents END)
+            AS BIGINT) AS wq75_cents
+FROM cum GROUP BY 1, 2, 3
+ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -12284,6 +12384,7 @@ ORDER BY event_type
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "session_entry_exit": (session_entry_exit, _SESSION_ENTRY_SQL),
     "evt_theil_sen_slope": (evt_theil_sen_slope, _THEIL_SEN_SQL),
+    "lineitem_weighted_median": (lineitem_weighted_median, _WEIGHTED_MEDIAN_SQL),
     "evt_rolling_median": (evt_rolling_median, _ROLLING_MEDIAN_SQL),
     "orders_backlog_timeline": (orders_backlog_timeline, _BACKLOG_SQL),
     "parts_skyline": (parts_skyline, _SKYLINE_SQL),
@@ -12590,6 +12691,7 @@ _R7_FRONT: list[str] = [
     # r7, rotates forward in r8 with the rest of the audit debt.
     "session_entry_exit",
     "evt_theil_sen_slope",
+    "lineitem_weighted_median",
 ]
 
 _R8_NEXT: list[str] = [

@@ -488,3 +488,61 @@ def test_theil_sen_even_count_averages_rationals(spark):
     n = len(slopes)
     med = (slopes[n // 2 - 1] + slopes[n // 2]) / 2
     assert med == Fraction(3, 2)
+
+
+def test_weighted_median_python_replay(spark, sf_small):
+    """The weighted quartiles must equal a pure-Python replay of the
+    type-1 weighted quantile (smallest value whose cumulative weight
+    reaches ceil(q*W)) per return flag."""
+    import math
+    from collections import defaultdict
+
+    from vector_search_optimization_spark.sources import load_table
+    from pyspark.sql import functions as FF
+
+    li = (
+        load_table(spark, sf_small, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    cells = defaultdict(lambda: defaultdict(int))
+    for r in li:
+        cells[r["l_returnflag"]][int(round(r["l_extendedprice"] * 100))] += int(
+            round(r["l_quantity"])
+        )
+
+    def wq(flag, num, den):
+        total = sum(cells[flag].values())
+        need = math.ceil(num * total / den)
+        cum = 0
+        for c in sorted(cells[flag]):
+            cum += cells[flag][c]
+            if cum >= need:
+                return c
+
+    out = {
+        r["l_returnflag"]: r
+        for r in m.queries()["lineitem_weighted_median"](spark, sf_small).collect()
+    }
+    for flag, r in out.items():
+        assert r["wq25_cents"] == wq(flag, 1, 4)
+        assert r["wmedian_cents"] == wq(flag, 1, 2)
+        assert r["wq75_cents"] == wq(flag, 3, 4)
+        assert r["wq25_cents"] <= r["wmedian_cents"] <= r["wq75_cents"]
+        assert r["total_wt"] == sum(cells[flag].values())
+
+
+def test_weighted_median_differs_from_row_median_when_skewed(spark):
+    """A cheap line with huge quantity must drag the WEIGHTED median
+    down while the row median ignores it."""
+    rows = [(100, 98), (200, 1), (300, 1)]  # (cents, qty)
+    total = sum(q for _, q in rows)
+    cum, need = 0, (total + 1) // 2
+    wmed = None
+    for c, q in sorted(rows):
+        cum += q
+        if cum >= need and wmed is None:
+            wmed = c
+    assert wmed == 100  # 98 of 100 units move at 100 cents
+    row_median = sorted(c for c, _ in rows)[1]
+    assert row_median == 200
