@@ -12366,6 +12366,83 @@ ORDER BY l_returnflag
 """
 
 
+def evt_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of purchase RATE between the user-parity
+    A/B cohorts — the categorical counterpart to evt_ab_bootstrap's
+    value-mean CI (rates need the pooled-variance z, not a bootstrap
+    over values). All inputs are exact integer counts from one
+    combinable fact pass; the rates and their difference derive
+    UNROUNDED (single/compound divisions of exact ints, identical IEEE
+    sequence), and only the z statistic itself (sqrt of a pooled
+    product) rounds at 6dp. Cohort = user_id parity — the same
+    deterministic split evt_ab_bootstrap uses, so the two tests read
+    the same experiment."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    g = e.groupBy((F.col("user_id") % 2 == 0).alias("is_a")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    a = g.where(F.col("is_a")).select(
+        F.col("n").alias("n_a"), F.col("k").alias("k_a")
+    )
+    b = g.where(~F.col("is_a")).select(
+        F.col("n").alias("n_b"), F.col("k").alias("k_b")
+    )
+    j = a.join(F.broadcast(b))
+    p_a = F.col("k_a").cast("double") / F.col("n_a")
+    p_b = F.col("k_b").cast("double") / F.col("n_b")
+    pool = (F.col("k_a") + F.col("k_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pool
+        * (1.0 - pool)
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return j.select(
+        "n_a",
+        "k_a",
+        "n_b",
+        "k_b",
+        p_a.alias("rate_a"),
+        p_b.alias("rate_b"),
+        (p_a - p_b).alias("rate_diff"),
+        F.when(se > 0, F.round((p_a - p_b) / se, 6)).alias("z_stat"),
+    )
+
+
+_PROP_ZTEST_SQL = """
+WITH g AS (
+  SELECT (user_id % 2 = 0) AS is_a,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), a AS (
+  SELECT n AS n_a, k AS k_a FROM g WHERE is_a
+), b AS (
+  SELECT n AS n_b, k AS k_b FROM g WHERE NOT is_a
+)
+SELECT n_a, k_a, n_b, k_b,
+       CAST(k_a AS DOUBLE) / n_a AS rate_a,
+       CAST(k_b AS DOUBLE) / n_b AS rate_b,
+       CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b AS rate_diff,
+       CASE WHEN sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)) > 0
+            THEN round((CAST(k_a AS DOUBLE) / n_a
+                        - CAST(k_b AS DOUBLE) / n_b)
+                       / sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+                              * (1.0 - CAST(k_a + k_b AS DOUBLE)
+                                       / (n_a + n_b))
+                              * (1.0 / n_a + 1.0 / n_b)), 6)
+       END AS z_stat
+FROM a CROSS JOIN b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -12385,6 +12462,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "session_entry_exit": (session_entry_exit, _SESSION_ENTRY_SQL),
     "evt_theil_sen_slope": (evt_theil_sen_slope, _THEIL_SEN_SQL),
     "lineitem_weighted_median": (lineitem_weighted_median, _WEIGHTED_MEDIAN_SQL),
+    "evt_proportion_ztest": (evt_proportion_ztest, _PROP_ZTEST_SQL),
     "evt_rolling_median": (evt_rolling_median, _ROLLING_MEDIAN_SQL),
     "orders_backlog_timeline": (orders_backlog_timeline, _BACKLOG_SQL),
     "parts_skyline": (parts_skyline, _SKYLINE_SQL),
@@ -12692,6 +12770,7 @@ _R7_FRONT: list[str] = [
     "session_entry_exit",
     "evt_theil_sen_slope",
     "lineitem_weighted_median",
+    "evt_proportion_ztest",
 ]
 
 _R8_NEXT: list[str] = [

@@ -158,6 +158,8 @@ _NESTED_LOOP_OK = {
     "customer_order_survival",  # 1-row max-date frame broadcast onto
                                # the spell frame; 1-row totals frame
                                # broadcast onto the week grid
+    "evt_proportion_ztest",    # 1-row cohort-A × 1-row cohort-B
+                               # count-frame join
 }
 
 

@@ -546,3 +546,20 @@ def test_weighted_median_differs_from_row_median_when_skewed(spark):
     assert wmed == 100  # 98 of 100 units move at 100 cents
     row_median = sorted(c for c, _ in rows)[1]
     assert row_median == 200
+
+
+def test_proportion_ztest_identities(spark, sf_small):
+    """Rates and z must reproduce the pooled-variance formula from the
+    exact exported counts; a balanced deterministic split keeps both
+    cohorts populated."""
+    import math
+
+    r = m.queries()["evt_proportion_ztest"](spark, sf_small).first()
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert r["rate_a"] == r["k_a"] / r["n_a"]
+    assert r["rate_b"] == r["k_b"] / r["n_b"]
+    pool = (r["k_a"] + r["k_b"]) / (r["n_a"] + r["n_b"])
+    se = math.sqrt(pool * (1 - pool) * (1 / r["n_a"] + 1 / r["n_b"]))
+    assert r["z_stat"] == pytest.approx(
+        (r["rate_a"] - r["rate_b"]) / se, abs=5e-7
+    )
