@@ -1156,8 +1156,14 @@ def dup_span_coverage_frame(
 
     Returns ``(id_col, n_selected, n_matched, covered_chars, len_t,
     dup_span_fraction)`` — all integers except the derived unrounded
-    fraction."""
-    sel = winnow_anchor_rows(d, id_col, text_col, n, w)
+    fraction.
+
+    The anchor frame ``sel`` has THREE consumers (shared-anchor groupBy,
+    the matched join-back, and the per-doc selected count) — it is
+    persisted so the winnow Arrow kernel runs ONCE per document, not 3×
+    (SCALING.md's prescribed fix; handle attached as ``_vso_caches`` for
+    the repo's unpersist convention)."""
+    sel = winnow_anchor_rows(d, id_col, text_col, n, w).persist()
     shared = (
         sel.groupBy("gram")
         .agg(F.count_distinct(id_col).alias("n_docs"))
@@ -1193,7 +1199,7 @@ def dup_span_coverage_frame(
         id_col, F.length(F.trim(F.col(text_col))).alias("len_t")
     )
     cov = F.coalesce(F.col("covered_chars"), F.lit(0).cast("long"))
-    return (
+    out = (
         base.join(nsel, id_col)
         .join(percov, id_col, "left")
         .select(
@@ -1209,6 +1215,8 @@ def dup_span_coverage_frame(
             .alias("dup_span_fraction"),
         )
     )
+    out._vso_caches = [sel]
+    return out
 
 
 def keep_best_duplicate_groups(

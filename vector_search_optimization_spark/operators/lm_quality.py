@@ -36,11 +36,18 @@ def tokenize(text: Column | str) -> Column:
     return F.filter(F.split(t, TOKEN_SPLIT_RE), lambda s: s != "")
 
 
-def train_unigram_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def train_unigram_lm(
+    docs: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
     """Unigram counts over the corpus: (word, cnt). One combinable
-    groupBy shuffle; partial aggregation happens map-side."""
+    groupBy shuffle; partial aggregation happens map-side. Pass
+    ``tokens_col`` (an ``array<string>`` column) to score a
+    pre-tokenized — typically persisted — frame instead of
+    re-tokenizing ``text_col`` (the doc_bigram_lm pattern: ONE
+    tokenization pass persisted, three consumers)."""
+    toks = F.col(tokens_col) if tokens_col else tokenize(text_col)
     return (
-        docs.select(F.explode(tokenize(text_col)).alias("word"))
+        docs.select(F.explode(toks).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -84,12 +91,15 @@ def unigram_surprisal(
     )
 
 
-def bigram_pairs(text_col: Column | str) -> Column:
+def bigram_pairs(
+    text_col: Column | str, tokens: Column | None = None
+) -> Column:
     """``array<struct<w1,w2>>`` of adjacent token pairs — F.transform
     with the index arg + 1-based element_at, so the struct fields carry
     stable names (arrays_zip would name slice-expression fields
-    positionally). Documents with < 2 tokens yield an empty array."""
-    t = tokenize(text_col)
+    positionally). Documents with < 2 tokens yield an empty array.
+    ``tokens`` (an ``array<string>`` Column) skips re-tokenization."""
+    t = tokens if tokens is not None else tokenize(text_col)
     n = F.size(t)
     pairs = F.transform(
         F.slice(t, 1, n - 1),
@@ -102,12 +112,16 @@ def bigram_pairs(text_col: Column | str) -> Column:
     )
 
 
-def train_bigram_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def train_bigram_lm(
+    docs: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
     """Adjacent-bigram counts over the corpus: (w1, w2, c2). Map-side
     pair explode + ONE combinable groupBy — same plan class as the
-    unigram trainer, keyed on the pair."""
+    unigram trainer, keyed on the pair. ``tokens_col`` consumes a
+    pre-tokenized frame (see train_unigram_lm)."""
+    toks = F.col(tokens_col) if tokens_col else None
     return (
-        docs.select(F.explode(bigram_pairs(text_col)).alias("p"))
+        docs.select(F.explode(bigram_pairs(text_col, toks)).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c2"))
@@ -122,6 +136,7 @@ def bigram_surprisal(
     text_col: str = "text",
     lam: float = 0.75,
     model_top_k: int | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document mean bigram surprisal under an INTERPOLATED bigram
     LM — the KenLM-shaped curation signal one order above
@@ -148,7 +163,10 @@ def bigram_surprisal(
         F.count(F.lit(1)).cast("double").alias("v_size"),
     )
     bg = docs.select(
-        F.col(id_col), F.explode(bigram_pairs(text_col)).alias("p")
+        F.col(id_col),
+        F.explode(
+            bigram_pairs(text_col, F.col(tokens_col) if tokens_col else None)
+        ).alias("p"),
     ).select(id_col, "p.w1", "p.w2")
     u1 = vocab.select(F.col("word").alias("w1"), F.col("cnt").alias("c1"))
     u2 = vocab.select(F.col("word").alias("w2"), F.col("cnt").alias("cu2"))
