@@ -12833,6 +12833,60 @@ _REGISTRY = {
     )
 }
 
+# r8 window rotation (VERDICT r7 "Next round" item 1, executed): lead with
+# everything r8-new (prepended to _R8_FRONT as it lands) and r8-changed
+# (doc_bigram_lm / dup_span_coverage persist fixes — plans changed, exports
+# identical; evt_theil_sen_slope cache-handle fix), then the four r7 wave-5
+# queries that sat below the r7 hard cap and have NEVER been driver-audited,
+# then the 20 r2/r3-audited basics the r7 prepends displaced (VERDICT r7
+# item 1 — their last driver rows are five data-generations old), then
+# _R8_NEXT (the r3-audited remainder) fills the rest of the 50-slot window.
+# Budget: 6 changed/never-audited + 20 displaced = 26 fixed slots; every
+# r8-new prepend displaces one _R8_NEXT entry below 50 — cap r8 additions
+# at 24 so the fixed sets stay inside the window.
+_R8_FRONT: list[str] = [
+    # r8-NEW queries go HERE (top), newest first, as they land.
+    # r8-CHANGED (persist fixes, VERDICT r7 items 2-3):
+    "doc_bigram_lm",
+    "dup_span_coverage",
+    # never-driver-audited r7 wave-5 (VERDICT r7 item 2; theil-sen is
+    # also r8-changed — cache handle):
+    "evt_theil_sen_slope",
+    "session_entry_exit",
+    "lineitem_weighted_median",
+    "evt_proportion_ztest",
+    # the 20 displaced r2/r3-audited basics (VERDICT r7 item 1):
+    "w1_w2_proportion",
+    "w3_cumsum",
+    "w5_dense_numbering",
+    "o5_topk_per_group",
+    "pivot_categories",
+    "a1_a3_counts",
+    "a9_value_counts",
+    "a10_histogram",
+    "a11_a13_buckets_ratio",
+    "a12_first_per_group",
+    "evt_tumbling_window",
+    "evt_sliding_window",
+    "j2_left_join_flags",
+    "q3_shipping_priority",
+    "m4_dbscan_stats",
+    "g1_cooccurrence_edges",
+    "g2_communities",
+    "ep3_lloyd_audit",
+    "s1_csv_roundtrip",
+    "s2_json_roundtrip",
+]
+
+_REGISTRY = {
+    name: _REGISTRY[name]
+    for name in (
+        *_R8_FRONT,
+        *_R8_NEXT,
+        *(k for k in _REGISTRY if k not in {*_R8_FRONT, *_R8_NEXT}),
+    )
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
