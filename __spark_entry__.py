@@ -12452,6 +12452,86 @@ FROM a CROSS JOIN b
 """
 
 
+def evt_isotonic_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression of the daily
+    revenue series per event type — PAVA, the calibration/monotone-
+    trend primitive (MLlib ships it as IsotonicRegression; reference
+    analytics scope: trend extraction over the notebooks' per-day
+    aggregates). The engine side runs the exact-integer PAVA kernel
+    (operators/timeseries.py:isotonic_blocks — applyInPandas over the
+    calendar-bounded daily grid, cross-multiplied integer compares, no
+    floats in the merge), exporting one row per fitted block with
+    exact-integer (start, end, days, cents) and the UNROUNDED derived
+    block mean. The oracle recovers the identical fit from the minimax
+    characterization fit_i = max_{j<=i} min_{k>=i} mean(y_j..y_k) in
+    O(days²) window passes — distinct block-mean rationals (num <= 4e8
+    cents, den <= days) differ by >= 1/den² >> double ulp at this
+    magnitude, so the double-valued minimax orders and groups them
+    exactly, and equal rationals produce bit-identical correctly-
+    rounded doubles. Pair volume is |days|²/2 per type (the Mann-
+    Kendall / Theil-Sen calendar-bounded join shape); the fact table
+    is touched once."""
+    from vector_search_optimization_spark.operators import timeseries as TS
+
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    return TS.isotonic_blocks(daily).orderBy("event_type", "block_start_day")
+
+
+_ISOTONIC_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, d, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+         CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS s
+  FROM daily
+), grid AS (
+  SELECT a.event_type, a.rn AS j, b.rn AS k,
+         CAST(b.s - a.s + a.cents AS DOUBLE) / (b.rn - a.rn + 1) AS a_val
+  FROM seq a JOIN seq b
+    ON a.event_type = b.event_type AND a.rn <= b.rn
+), rmin AS (
+  SELECT event_type, j, k AS i,
+         min(a_val) OVER (PARTITION BY event_type, j ORDER BY k
+                          ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING) AS b_val
+  FROM grid
+), fit AS (
+  SELECT event_type, i AS rn, max(b_val) AS fit_val
+  FROM rmin GROUP BY 1, 2
+), runs AS (
+  SELECT s.event_type, s.d, s.rn, s.cents, f.fit_val,
+         CASE WHEN lag(f.fit_val) OVER (PARTITION BY s.event_type
+                                        ORDER BY s.rn) = f.fit_val
+              THEN 0 ELSE 1 END AS brk
+  FROM seq s JOIN fit f
+    ON s.event_type = f.event_type AND s.rn = f.rn
+), blocks AS (
+  SELECT event_type, d, cents, rn,
+         CAST(sum(brk) OVER (PARTITION BY event_type ORDER BY rn)
+              AS BIGINT) AS blk
+  FROM runs
+)
+SELECT event_type,
+       CAST(min(d) AS BIGINT) AS block_start_day,
+       CAST(max(d) AS BIGINT) AS block_end_day,
+       CAST(count(*) AS BIGINT) AS block_days,
+       CAST(sum(cents) AS BIGINT) AS block_cents,
+       CAST(sum(cents) AS DOUBLE) / count(*) AS iso_fit_cents
+FROM blocks
+GROUP BY event_type, blk
+ORDER BY event_type, block_start_day
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -12468,6 +12548,7 @@ FROM a CROSS JOIN b
 # generations old — _R7_FRONT rotates exactly those forward, oldest debt
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "evt_isotonic_daily": (evt_isotonic_daily, _ISOTONIC_SQL),
     "session_entry_exit": (session_entry_exit, _SESSION_ENTRY_SQL),
     "evt_theil_sen_slope": (evt_theil_sen_slope, _THEIL_SEN_SQL),
     "lineitem_weighted_median": (lineitem_weighted_median, _WEIGHTED_MEDIAN_SQL),
@@ -12846,6 +12927,7 @@ _REGISTRY = {
 # at 24 so the fixed sets stay inside the window.
 _R8_FRONT: list[str] = [
     # r8-NEW queries go HERE (top), newest first, as they land.
+    "evt_isotonic_daily",
     # r8-CHANGED (persist fixes, VERDICT r7 items 2-3):
     "doc_bigram_lm",
     "dup_span_coverage",

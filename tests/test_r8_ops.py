@@ -1,0 +1,98 @@
+"""r8 additions: isotonic PAVA blocks (exact-integer kernel vs the
+minimax characterization) and later r8 operators — unit semantics
+beyond the automatic oracle-parity coverage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as m
+from vector_search_optimization_spark.operators import timeseries as TS
+
+
+# ---------------------------------------------------------------------------
+# isotonic regression (PAVA blocks)
+# ---------------------------------------------------------------------------
+
+
+def _minimax_fit(ys: list[int]) -> list[float]:
+    """Brute-force isotonic fit via fit_i = max_{j<=i} min_{k>=i}
+    mean(y_j..y_k) — O(n³), the oracle's characterization."""
+    n = len(ys)
+    out = []
+    for i in range(n):
+        best = -np.inf
+        for j in range(i + 1):
+            worst = np.inf
+            for k in range(i, n):
+                worst = min(worst, sum(ys[j : k + 1]) / (k - j + 1))
+            best = max(best, worst)
+        out.append(best)
+    return out
+
+
+def _blocks(spark, ys, days=None):
+    days = days if days is not None else list(range(len(ys)))
+    daily = spark.createDataFrame(
+        [("g", d, int(y)) for d, y in zip(days, ys)],
+        "event_type string, d long, cents long",
+    )
+    return (
+        TS.isotonic_blocks(daily)
+        .orderBy("block_start_day")
+        .collect()
+    )
+
+
+def test_isotonic_hand_computed_total_pool(spark):
+    """[4,2,3,5,1] pools to ONE block of mean 3 (the >= merge pools the
+    equal-mean intermediate states)."""
+    rows = _blocks(spark, [4, 2, 3, 5, 1])
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.block_days, r.block_cents, r.iso_fit_cents) == (5, 15, 3.0)
+    assert (r.block_start_day, r.block_end_day) == (0, 4)
+
+
+def test_isotonic_hand_computed_three_blocks(spark):
+    """[1,3,2,4] → blocks [1], [3,2]→2.5, [4]."""
+    rows = _blocks(spark, [1, 3, 2, 4])
+    got = [(r.block_days, r.block_cents, r.iso_fit_cents) for r in rows]
+    assert got == [(1, 1, 1.0), (2, 5, 2.5), (1, 4, 4.0)]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_isotonic_matches_minimax_bruteforce(spark, seed):
+    rng = np.random.default_rng(seed)
+    ys = [int(v) for v in rng.integers(-50, 50, size=17)]
+    rows = _blocks(spark, ys)
+    # expand blocks to a per-day fit and compare to the O(n³) minimax
+    fit = []
+    for r in rows:
+        fit.extend([r.block_cents / r.block_days] * r.block_days)
+    assert fit == pytest.approx(_minimax_fit(ys))
+    # PAVA invariants: strictly increasing block means, mass preserved
+    means = [r.block_cents / r.block_days for r in rows]
+    assert all(a < b for a, b in zip(means, means[1:]))
+    assert sum(r.block_cents for r in rows) == sum(ys)
+    assert sum(r.block_days for r in rows) == len(ys)
+
+
+def test_isotonic_query_invariants(spark, sf_small):
+    rows = m.queries()["evt_isotonic_daily"](spark, sf_small).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        # contiguous, ordered, strictly increasing fits
+        fits = [r.iso_fit_cents for r in rs]
+        assert all(a < b for a, b in zip(fits, fits[1:]))
+        for r in rs:
+            assert r.block_start_day <= r.block_end_day
+            assert r.block_days >= 1
+            assert r.iso_fit_cents == pytest.approx(
+                r.block_cents / r.block_days
+            )

@@ -4,10 +4,12 @@ two execution paths)."""
 
 from __future__ import annotations
 
+import pandas as pd  # module level: pandas_udf type-hint resolution
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ewma_from_daily"]
+__all__ = ["ewma_from_daily", "isotonic_blocks"]
 
 
 def ewma_from_daily(
@@ -54,3 +56,71 @@ def ewma_from_daily(
         )
         .orderBy(group_col)
     )
+
+
+def isotonic_blocks(
+    daily: DataFrame,
+    group_col: str = "event_type",
+    day_col: str = "d",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Isotonic (non-decreasing least-squares) regression of a daily
+    exact-integer series per group — pool-adjacent-violators (PAVA),
+    the monotone-trend / calibration primitive (MLlib ships the same
+    algorithm as ``pyspark.ml.regression.IsotonicRegression``; this
+    implementation keeps the arithmetic in EXACT PYTHON INTEGERS so the
+    block decomposition is bit-deterministic and oracle-comparable).
+
+    Output is one row per fitted BLOCK (maximal run of constant fit):
+    ``(group, block_start_day, block_end_day, block_days, block_cents,
+    iso_fit_cents)`` — the first five are exact integers (tie-free for
+    the oracle hash); ``iso_fit_cents = block_cents / block_days``
+    derives UNROUNDED from the two exact integers (identical single
+    IEEE division in any engine — the derived-ratio pattern). Blocks
+    carry strictly increasing means by construction: the PAVA merge
+    uses >= (cross-multiplied integer compare, no floats), pooling
+    equal-mean neighbours, which makes "block" = "maximal equal-fit
+    run" — the same decomposition an oracle recovers by grouping equal
+    fit values from the minimax characterization
+    fit_i = max_{j<=i} min_{k>=i} mean(y_j..y_k).
+
+    Scale: the input is already the calendar-bounded daily grid, so
+    each group holds at most a few thousand rows regardless of fact
+    volume; applyInPandas shuffles once on the group key and the O(n)
+    sequential sweep runs per group. Groups are event-type-scale (small
+    cardinality) — for a high-cardinality group column the same shuffle
+    bounds hold per key."""
+    import numpy as np
+
+    schema = (
+        f"{group_col} string, block_start_day long, block_end_day long, "
+        "block_days long, block_cents long, iso_fit_cents double"
+    )
+
+    def _pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(day_col)
+        days = pdf[day_col].to_numpy(dtype=np.int64)
+        ys = pdf[cents_col].to_numpy(dtype=np.int64)
+        key = pdf[group_col].iloc[0]
+        # stack of (start_index, n_days, cents_sum) in exact Python ints;
+        # merge while the previous block mean >= the incoming mean
+        # (s_prev/n_prev >= s/n  <=>  s_prev*n >= s*n_prev, dens > 0)
+        stack: list[tuple[int, int, int]] = []
+        for i in range(len(ys)):
+            start, n, s = i, 1, int(ys[i])
+            while stack and stack[-1][2] * n >= s * stack[-1][1]:
+                p_start, p_n, p_s = stack.pop()
+                start, n, s = p_start, n + p_n, s + p_s
+            stack.append((start, n, s))
+        return pd.DataFrame(
+            {
+                group_col: [key] * len(stack),
+                "block_start_day": [int(days[st]) for st, n, _ in stack],
+                "block_end_day": [int(days[st + n - 1]) for st, n, _ in stack],
+                "block_days": [n for _, n, _ in stack],
+                "block_cents": [s for _, _, s in stack],
+                "iso_fit_cents": [s / n for _, n, s in stack],
+            }
+        )
+
+    return daily.groupBy(group_col).applyInPandas(_pava, schema=schema)
