@@ -12532,6 +12532,594 @@ ORDER BY event_type, block_start_day
 """
 
 
+def copurchase_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering neighbors — the recsys staple:
+    cosine similarity between brands over the binary customer×brand
+    interaction matrix, cos(a,b) = |U_a ∩ U_b| / sqrt(|U_a|·|U_b|), and
+    the top-3 neighbors per brand. Complements basket_brand_rules
+    (order-level directional association rules) with customer-level
+    symmetric similarity + per-item ranking.
+
+    Plan: lineitem→orders equi-join (AQE handles the fact-fact side),
+    broadcast part dim, ONE distinct (custkey, brand) pass persisted
+    (feeds the degree frame and the pair self-join), self-join on the
+    customer key (fan-out bounded by brands-per-customer² <= 25², never
+    item-catalog²), combinable pair groupBy, broadcast degree joins.
+    At catalog scale the self-join fan-out is capped by pruning
+    heavy users (|items_u| > cap contributes cap² pairs max) — the
+    standard co-occurrence contract (SIM.cooccurrence_edges).
+
+    Determinism: cosine = exact-int common / sqrt(exact-int product) —
+    sqrt and ÷ are IEEE correctly-rounded, so both engines derive
+    BIT-IDENTICAL doubles from identical integers; the rank window
+    orders on that exact double with a brand-asc tie-break, so no
+    rounding is needed anywhere (the rank-on-rounded rule exists for
+    ln/exp-derived scores; ÷ and sqrt are exempt by construction)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pt = load_table(spark, sf_dir, "part")
+    cb = (
+        li.select("l_orderkey", "l_partkey")
+        .join(
+            o.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(
+            F.broadcast(pt.select("p_partkey", "p_brand")),
+            li["l_partkey"] == pt["p_partkey"],
+        )
+        .select(F.col("o_custkey").alias("u"), F.col("p_brand").alias("b"))
+        .distinct()
+        .persist()
+    )
+    deg = cb.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    a = cb.select("u", F.col("b").alias("brand"))
+    c = cb.select("u", F.col("b").alias("neighbor"))
+    pairs = (
+        a.join(c, "u")
+        .where(F.col("brand") != F.col("neighbor"))
+        .groupBy("brand", "neighbor")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .where(F.col("common") >= 2)
+    )
+    da = deg.select(F.col("b").alias("brand"), F.col("n_users").alias("n_brand"))
+    db = deg.select(
+        F.col("b").alias("neighbor"), F.col("n_users").alias("n_neighbor")
+    )
+    cos = (
+        pairs.join(F.broadcast(da), "brand")
+        .join(F.broadcast(db), "neighbor")
+        .withColumn(
+            "cosine",
+            F.col("common").cast("double")
+            / F.sqrt((F.col("n_brand") * F.col("n_neighbor")).cast("double")),
+        )
+    )
+    w = Window.partitionBy("brand").orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
+    )
+    out = (
+        cos.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "brand",
+            "rnk",
+            "neighbor",
+            "common",
+            "n_brand",
+            "n_neighbor",
+            "cosine",
+        )
+        .orderBy("brand", "rnk")
+    )
+    out._vso_caches = [cb]
+    return out
+
+
+_COPURCHASE_SQL = """
+WITH cb AS (
+  SELECT DISTINCT o.o_custkey AS u, p.p_brand AS b
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+), deg AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_users FROM cb GROUP BY b
+), pairs AS (
+  SELECT a.b AS brand, c.b AS neighbor, CAST(count(*) AS BIGINT) AS common
+  FROM cb a JOIN cb c ON a.u = c.u AND a.b <> c.b
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), cos AS (
+  SELECT p.brand, p.neighbor, p.common,
+         da.n_users AS n_brand, db.n_users AS n_neighbor,
+         CAST(p.common AS DOUBLE)
+           / sqrt(CAST(da.n_users * db.n_users AS DOUBLE)) AS cosine
+  FROM pairs p
+  JOIN deg da ON da.b = p.brand
+  JOIN deg db ON db.b = p.neighbor
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY brand
+                               ORDER BY cosine DESC, neighbor ASC) AS rnk
+  FROM cos
+)
+SELECT brand, CAST(rnk AS INTEGER) AS rnk, neighbor, common,
+       n_brand, n_neighbor, cosine
+FROM ranked WHERE rnk <= 3
+ORDER BY brand, rnk
+"""
+
+
+def evt_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily revenue
+    series per event type — are above-median and below-median days
+    randomly interleaved, or do they clump (momentum) / alternate
+    (mean-reversion)? Classic nonparametric companion to Mann-Kendall
+    (monotone trend) and the runs/CUSUM family.
+
+    Days equal to the median are excluded (standard practice); the
+    median is F.percentile == quantile_cont (documented cross-engine-
+    stable interpolation on exact-integer cents). runs = 1 + #(sign
+    changes) via one lag window; E[R] = 1 + 2·n1·n2/n and
+    Var[R] = 2n1n2(2n1n2−n) / (n²(n−1)) are single IEEE divisions of
+    exact integers (magnitudes << 2^53), and z = (R − E)/sqrt(V) chains
+    only correctly-rounded ops (÷, sqrt, +/−) on them — both engines
+    derive BIT-IDENTICAL doubles, so every float exports UNROUNDED.
+    Plan: one daily groupBy, one percentile agg joined back broadcast,
+    one lag window, one combinable final agg — all calendar-bounded."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile(F.col("cents"), F.lit(0.5)).alias("med")
+    )
+    sgn = (
+        daily.join(F.broadcast(med), "event_type")
+        .where(F.col("cents").cast("double") != F.col("med"))
+        .select(
+            "event_type",
+            "d",
+            (F.col("cents").cast("double") > F.col("med"))
+            .cast("int")
+            .alias("sign"),
+        )
+    )
+    wlag = Window.partitionBy("event_type").orderBy("d")
+    runs = (
+        sgn.withColumn("prev", F.lag("sign").over(wlag))
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("prev").isNull()
+                        | (F.col("sign") != F.col("prev")),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("n_runs"),
+            F.sum("sign").cast("long").alias("n_above"),
+            F.sum(F.lit(1) - F.col("sign")).cast("long").alias("n_below"),
+        )
+    )
+    n1, n2 = F.col("n_above"), F.col("n_below")
+    n = n1 + n2
+    e_runs = F.lit(1.0) + (F.lit(2) * n1 * n2).cast("double") / n.cast(
+        "double"
+    )
+    v_runs = (
+        (F.lit(2) * n1 * n2 * (F.lit(2) * n1 * n2 - n)).cast("double")
+        / (n * n * (n - F.lit(1))).cast("double")
+    )
+    return (
+        runs.select(
+            "event_type",
+            "n_runs",
+            "n_above",
+            "n_below",
+            e_runs.alias("expected_runs"),
+            F.when(
+                v_runs > 0,
+                (F.col("n_runs").cast("double") - e_runs) / F.sqrt(v_runs),
+            ).alias("z_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_RUNS_TEST_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), med AS (
+  SELECT event_type, quantile_cont(cents, 0.5) AS med
+  FROM daily GROUP BY 1
+), sgn AS (
+  SELECT d.event_type, d.d,
+         CASE WHEN CAST(d.cents AS DOUBLE) > m.med THEN 1 ELSE 0 END AS sign
+  FROM daily d JOIN med m ON d.event_type = m.event_type
+  WHERE CAST(d.cents AS DOUBLE) <> m.med
+), lagged AS (
+  SELECT event_type, sign,
+         lag(sign) OVER (PARTITION BY event_type ORDER BY d) AS prev
+  FROM sgn
+), runs AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN prev IS NULL OR sign <> prev
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+         CAST(sum(sign) AS BIGINT) AS n_above,
+         CAST(sum(1 - sign) AS BIGINT) AS n_below
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, n_runs, n_above, n_below,
+       1.0 + CAST(2 * n_above * n_below AS DOUBLE)
+           / CAST(n_above + n_below AS DOUBLE) AS expected_runs,
+       CASE WHEN CAST(2 * n_above * n_below
+                      * (2 * n_above * n_below - (n_above + n_below))
+                      AS DOUBLE)
+                 / CAST((n_above + n_below) * (n_above + n_below)
+                        * (n_above + n_below - 1) AS DOUBLE) > 0
+            THEN (CAST(n_runs AS DOUBLE)
+                  - (1.0 + CAST(2 * n_above * n_below AS DOUBLE)
+                         / CAST(n_above + n_below AS DOUBLE)))
+                 / sqrt(CAST(2 * n_above * n_below
+                             * (2 * n_above * n_below
+                                - (n_above + n_below)) AS DOUBLE)
+                        / CAST((n_above + n_below) * (n_above + n_below)
+                               * (n_above + n_below - 1) AS DOUBLE))
+       END AS z_stat
+FROM runs
+ORDER BY event_type
+"""
+
+
+_TWO_PI = 6.283185307179586
+
+
+def evt_spectral_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-frequency periodogram of the daily revenue series per
+    event type — normalized DFT power at candidate periods 2..14 days,
+    the signal-processing seasonality detector complementing
+    evt_dow_seasonality's fixed weekly buckets (here the weekly cycle
+    must EMERGE as a power peak at period 7 rather than being baked
+    into the grouping):
+
+        power(p) = [Σ ŷ·cos(2π(d mod p)/p)]² + [Σ ŷ·sin(...)]²
+        norm_power(p) = power(p) / Σ ŷ²,   ŷ = cents − mean
+
+    The phase uses the INTEGER (d mod p) — exact in both engines and
+    bounding the trig argument to [0, 2π), so cross-engine cos/sin
+    last-ulp noise stays ~1e-16 per term and the 6dp round absorbs it
+    (sums are order-dependent anyway; irrational values, tie-free).
+    Plan: one daily groupBy, a broadcast mean join, a 13-literal
+    explode (map-side ×13 fan-out of the calendar-bounded grid), one
+    combinable (type, period) agg."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.sum("cents").cast("double").alias("s"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    periods = F.explode(
+        F.array(*[F.lit(p) for p in range(2, 15)])
+    ).alias("period")
+    dem = (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "d",
+            (F.col("cents").cast("double") - F.col("s") / F.col("n")).alias(
+                "y"
+            ),
+        )
+        .select("event_type", "d", "y", periods)
+    )
+    theta = (
+        F.lit(_TWO_PI) * (F.col("d") % F.col("period")).cast("double")
+    ) / F.col("period").cast("double")
+    agg = (
+        dem.withColumn("theta", theta)
+        .groupBy("event_type", "period")
+        .agg(
+            F.sum(F.col("y") * F.cos("theta")).alias("sc"),
+            F.sum(F.col("y") * F.sin("theta")).alias("ss"),
+            F.sum(F.col("y") * F.col("y")).alias("ssq"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+    )
+    return (
+        agg.select(
+            "event_type",
+            "period",
+            "n_days",
+            F.when(
+                F.col("ssq") > 0,
+                F.round(
+                    (
+                        F.col("sc") * F.col("sc")
+                        + F.col("ss") * F.col("ss")
+                    )
+                    / F.col("ssq"),
+                    6,
+                ),
+            ).alias("norm_power"),
+        )
+        .orderBy("event_type", "period")
+    )
+
+
+_SPECTRAL_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, CAST(sum(cents) AS DOUBLE) AS s,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM daily GROUP BY 1
+), dem AS (
+  SELECT d.event_type, d.d,
+         CAST(d.cents AS DOUBLE) - st.s / st.n AS y,
+         p.period
+  FROM daily d
+  JOIN stats st ON d.event_type = st.event_type
+  CROSS JOIN (SELECT unnest(range(2, 15)) AS period) p
+), ph AS (
+  SELECT event_type, period, y,
+         ({_TWO_PI!r} * CAST(d % period AS DOUBLE))
+           / CAST(period AS DOUBLE) AS theta
+  FROM dem
+), agg AS (
+  SELECT event_type, period,
+         sum(y * cos(theta)) AS sc,
+         sum(y * sin(theta)) AS ss,
+         sum(y * y) AS ssq,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM ph GROUP BY 1, 2
+)
+SELECT event_type, CAST(period AS INTEGER) AS period, n_days,
+       CASE WHEN ssq > 0
+            THEN round((sc * sc + ss * ss) / ssq, 6) END AS norm_power
+FROM agg
+ORDER BY event_type, period
+"""
+
+
+# Abramowitz & Stegun 7.1.26 erf approximation constants (|err| <= 1.5e-7)
+# and sqrt(2) — shared repr-exact literals so both engines run the same
+# IEEE polynomial (the Benford BENFORD_P pattern).
+_ERF_P = 0.3275911
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_SQRT2 = 1.4142135623730951
+
+
+def evt_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control over a FAMILY of
+    Mann-Kendall trend tests — the multiple-testing operator every
+    metrics platform needs once it runs one test per segment: 40 cells
+    (event_type × user-id bucket) each get the tie-corrected MK z and a
+    two-sided normal p-value, then the BH step-up at α=0.05 marks which
+    trends survive and exports the adjusted p (step-up running minimum).
+
+    Determinism contract: z chains correctly-rounded ops on exact
+    integers (S, tie-corrected variance numerator) → bit-identical,
+    exported unrounded. p = erfc(|z|/√2) uses the A&S 7.1.26 polynomial
+    with shared repr-exact literals; exp() is not correctly-rounded, so
+    p is ROUNDED AT 6dp ON BOTH SIDES and the entire BH pass (rank,
+    threshold compare, adjusted-p running min) runs on that identical
+    rounded value — the rank-on-rounded-scores rule. p_adj derives from
+    the rounded p by exact-int multiplies and correctly-rounded ÷/min,
+    so it exports unrounded.
+
+    Plan: one (cell, day) combinable agg over the fact table, the
+    calendar-bounded MK pair self-join per cell, a tie-count agg, and
+    two single-partition windows over the 40-row hypothesis frame
+    (m is segment-cardinality — driver-scale by construction)."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    bucket = (F.abs(F.col("user_id")) % F.lit(8)).cast("int")
+    daily = (
+        e.groupBy(F.col("event_type"), bucket.alias("bucket"), day.alias("d"))
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("cents"))
+        .persist()
+    )
+    keys = ["event_type", "bucket"]
+    a = daily.select(*keys, F.col("d").alias("d1"), F.col("cents").alias("y1"))
+    b = daily.select(*keys, F.col("d").alias("d2"), F.col("cents").alias("y2"))
+    s = (
+        a.join(b, keys)
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.signum((F.col("y2") - F.col("y1")).cast("double")))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nd = daily.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    ties = (
+        daily.groupBy(*keys, "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    n = F.col("n_days")
+    var_num = (
+        n * (n - 1) * (F.lit(2) * n + 5) - F.col("tie_term")
+    ).alias("var_num")
+    base = (
+        nd.join(s, keys)
+        .join(ties, keys)
+        .select(*keys, "n_days", "s_stat", var_num)
+        .where((F.col("n_days") >= 8) & (F.col("var_num") > 0))
+    )
+    sd = F.sqrt(F.col("var_num").cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    x = F.abs(z) / F.lit(_SQRT2)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ERF_P) * x)
+    a1, a2, a3, a4, a5 = (F.lit(c) for c in _ERF_A)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    p_raw = poly * F.exp(-(x * x))
+    scored = base.select(
+        *keys,
+        "n_days",
+        "s_stat",
+        z.alias("z_stat"),
+        F.round(p_raw, 6).alias("p_value"),
+    )
+    wr = Window.orderBy("p_value", "event_type", "bucket")
+    wall = Window.partitionBy()
+    wtail = Window.orderBy("rnk").rowsBetween(0, Window.unboundedFollowing)
+    ranked = (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .withColumn("m", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "bh_threshold",
+            F.col("rnk").cast("double") * F.lit(0.05) / F.col("m"),
+        )
+        .withColumn(
+            "kmax",
+            F.max(
+                F.when(
+                    F.col("p_value") <= F.col("bh_threshold"), F.col("rnk")
+                )
+            ).over(wall),
+        )
+        .withColumn(
+            "p_adj",
+            F.least(
+                F.lit(1.0),
+                F.min(
+                    F.col("m") * F.col("p_value") / F.col("rnk")
+                ).over(wtail),
+            ),
+        )
+    )
+    out = ranked.select(
+        "event_type",
+        "bucket",
+        "n_days",
+        "s_stat",
+        "z_stat",
+        "p_value",
+        "rnk",
+        "bh_threshold",
+        F.coalesce(F.col("rnk") <= F.col("kmax"), F.lit(False)).alias(
+            "rejected"
+        ),
+        "p_adj",
+    ).orderBy("rnk")
+    out._vso_caches = [daily]
+    return out
+
+
+_BH_FDR_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(abs(user_id) % 8 AS INTEGER) AS bucket,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2, 3
+), s AS (
+  SELECT a.event_type, a.bucket,
+         CAST(sum(sign(CAST(b.cents - a.cents AS DOUBLE))) AS BIGINT)
+           AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.bucket = b.bucket AND a.d < b.d
+  GROUP BY 1, 2
+), nd AS (
+  SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1, 2
+), ties AS (
+  SELECT event_type, bucket,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, bucket, cents,
+               CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+), base AS (
+  SELECT nd.event_type, nd.bucket, nd.n_days, s.s_stat,
+         nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) - ties.tie_term
+           AS var_num
+  FROM nd
+  JOIN s ON s.event_type = nd.event_type AND s.bucket = nd.bucket
+  JOIN ties ON ties.event_type = nd.event_type AND ties.bucket = nd.bucket
+  WHERE nd.n_days >= 8
+    AND nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) - ties.tie_term > 0
+), zsc AS (
+  SELECT event_type, bucket, n_days, s_stat,
+         CASE WHEN s_stat > 0
+              THEN CAST(s_stat - 1 AS DOUBLE)
+                   / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+              WHEN s_stat < 0
+              THEN CAST(s_stat + 1 AS DOUBLE)
+                   / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+              ELSE 0.0 END AS z_stat
+  FROM base
+), pv AS (
+  SELECT *,
+         round((1.0 / (1.0 + {_ERF_P!r} * (abs(z_stat) / {_SQRT2!r})))
+               * ({_ERF_A[0]!r}
+                  + (1.0 / (1.0 + {_ERF_P!r} * (abs(z_stat) / {_SQRT2!r})))
+                    * ({_ERF_A[1]!r}
+                       + (1.0 / (1.0 + {_ERF_P!r} * (abs(z_stat) / {_SQRT2!r})))
+                         * ({_ERF_A[2]!r}
+                            + (1.0 / (1.0 + {_ERF_P!r}
+                                      * (abs(z_stat) / {_SQRT2!r})))
+                              * ({_ERF_A[3]!r}
+                                 + (1.0 / (1.0 + {_ERF_P!r}
+                                           * (abs(z_stat) / {_SQRT2!r})))
+                                   * {_ERF_A[4]!r}))))
+               * exp(-((abs(z_stat) / {_SQRT2!r})
+                       * (abs(z_stat) / {_SQRT2!r}))), 6) AS p_value
+  FROM zsc
+), ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY p_value, event_type, bucket)
+              AS INTEGER) AS rnk,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM pv
+), thr AS (
+  SELECT *,
+         CAST(rnk AS DOUBLE) * 0.05 / m AS bh_threshold,
+         max(CASE WHEN p_value <= CAST(rnk AS DOUBLE) * 0.05 / m
+                  THEN rnk END) OVER () AS kmax,
+         least(1.0, min(m * p_value / rnk)
+                      OVER (ORDER BY rnk
+                            ROWS BETWEEN CURRENT ROW
+                            AND UNBOUNDED FOLLOWING)) AS p_adj
+  FROM ranked
+)
+SELECT event_type, bucket, n_days, s_stat, z_stat, p_value, rnk,
+       bh_threshold,
+       coalesce(rnk <= kmax, FALSE) AS rejected,
+       p_adj
+FROM thr
+ORDER BY rnk
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -12549,6 +13137,10 @@ ORDER BY event_type, block_start_day
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "evt_isotonic_daily": (evt_isotonic_daily, _ISOTONIC_SQL),
+    "copurchase_item_cosine": (copurchase_item_cosine, _COPURCHASE_SQL),
+    "evt_runs_test": (evt_runs_test, _RUNS_TEST_SQL),
+    "evt_spectral_dft": (evt_spectral_dft, _SPECTRAL_SQL),
+    "evt_bh_fdr": (evt_bh_fdr, _BH_FDR_SQL),
     "session_entry_exit": (session_entry_exit, _SESSION_ENTRY_SQL),
     "evt_theil_sen_slope": (evt_theil_sen_slope, _THEIL_SEN_SQL),
     "lineitem_weighted_median": (lineitem_weighted_median, _WEIGHTED_MEDIAN_SQL),
@@ -12927,6 +13519,10 @@ _REGISTRY = {
 # at 24 so the fixed sets stay inside the window.
 _R8_FRONT: list[str] = [
     # r8-NEW queries go HERE (top), newest first, as they land.
+    "evt_bh_fdr",
+    "evt_runs_test",
+    "evt_spectral_dft",
+    "copurchase_item_cosine",
     "evt_isotonic_daily",
     # r8-CHANGED (persist fixes, VERDICT r7 items 2-3):
     "doc_bigram_lm",

@@ -80,6 +80,56 @@ def test_isotonic_matches_minimax_bruteforce(spark, seed):
     assert sum(r.block_days for r in rows) == len(ys)
 
 
+# ---------------------------------------------------------------------------
+# runs test / BH-FDR / spectral invariants
+# ---------------------------------------------------------------------------
+
+
+def test_runs_test_query_invariants(spark, sf_small):
+    rows = m.queries()["evt_runs_test"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        # a run sequence over n1+n2 signs has between 1 and n1+n2 runs,
+        # and at least 2 when both signs are present
+        n = r.n_above + r.n_below
+        assert 1 <= r.n_runs <= n
+        if r.n_above and r.n_below:
+            assert r.n_runs >= 2
+            assert r.expected_runs == pytest.approx(
+                1 + 2 * r.n_above * r.n_below / n
+            )
+
+
+def test_bh_fdr_stepup_invariants(spark, sf_small):
+    rows = m.queries()["evt_bh_fdr"](spark, sf_small).collect()
+    assert rows
+    # ranks are 1..m in export order; adjusted p is the step-up running
+    # min (non-decreasing in rank); rejections form a prefix
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    padj = [r.p_adj for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(padj, padj[1:]))
+    assert all(0.0 <= p <= 1.0 for p in padj)
+    rej = [r.rejected for r in rows]
+    assert rej == sorted(rej, reverse=True)
+    for r in rows:
+        if r.rejected:
+            assert padj[r.rnk - 1] <= 0.05 + 1e-9
+
+
+def test_spectral_query_invariants(spark, sf_small):
+    rows = m.queries()["evt_spectral_dft"](spark, sf_small).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        assert sorted(r.period for r in rs) == list(range(2, 15))
+        assert len({r.n_days for r in rs}) == 1
+        for r in rs:
+            if r.norm_power is not None:
+                assert r.norm_power >= 0.0
+
+
 def test_isotonic_query_invariants(spark, sf_small):
     rows = m.queries()["evt_isotonic_daily"](spark, sf_small).collect()
     assert rows
