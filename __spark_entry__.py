@@ -12893,6 +12893,481 @@ ORDER BY event_type, period
 """
 
 
+_CONF_ALPHA = 0.1
+
+
+def conformal_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction audit on the deflate-size linear
+    probe — the distribution-free ML-ops coverage check: fit the probe
+    on a TRAIN split, take the ⌈(n_cal+1)·(1−α)⌉-th smallest absolute
+    residual on a CALIBRATION split as the interval half-width τ, and
+    audit the guaranteed ≥(1−α) coverage on the held-out TEST split.
+    Splits are the engine's multiplicative-hash assignment (50/25/25 —
+    the split_assign constants), so the whole audit is a pure function
+    of the data.
+
+    Determinism: nonconformity scores are |y − pred| ROUNDED 4dp (the
+    probe's residual export convention — pred is bit-identical
+    cross-engine via literal weights in left-associated IEEE order);
+    τ is an EXACT order statistic ranked on (score, doc_id); k comes
+    from the same IEEE 0.9·(n+1) product on both sides; coverage
+    derives unrounded from two exact integers. Plan: one Gram agg on
+    the train split (the probe's one-scan closed-form fit), map-side
+    scoring, one rank window over the calibration split, one broadcast
+    of the 1-row τ frame into a combinable test-split agg. Bounded
+    driver state: the 3-row split counts and the 4×4 Gram."""
+    import math
+
+    from vector_search_optimization_spark.operators import regression as REG
+
+    feats = _probe_features(load_table(spark, sf_dir, "documents"))
+    h = F.pmod(
+        F.col("doc_id") * F.lit(_SPLIT_A) + F.lit(_SPLIT_B), F.lit(1000)
+    )
+    split = (
+        F.when(h < 500, "train").when(h < 750, "cal").otherwise("test")
+    )
+    feats = feats.withColumn("split", split).persist()
+    w = REG.fit_linear_probe(
+        feats.where(F.col("split") == "train"), _PROBE_FEATS, "y_deflate"
+    )
+    scored = REG.score_linear_probe(feats, _PROBE_FEATS, w).withColumn(
+        "score", F.round(F.abs(F.col("y_deflate") - F.col("pred")), 4)
+    )
+    counts = {
+        r["split"]: r["n"]
+        for r in scored.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: 3 rows
+    }
+    n_cal = counts.get("cal", 0)
+    k = math.ceil((1.0 - _CONF_ALPHA) * (n_cal + 1))
+    wcal = Window.orderBy("score", "doc_id")
+    tau_df = (
+        scored.where(F.col("split") == "cal")
+        .withColumn("rk", F.row_number().over(wcal))
+        .where(F.col("rk") == k)
+        .select(F.col("score").alias("tau"))
+    )
+    out = (
+        scored.where(F.col("split") == "test")
+        .crossJoin(F.broadcast(tau_df))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("score") <= F.col("tau"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+            F.first("tau").alias("tau"),
+        )
+        .select(
+            F.lit(counts.get("train", 0)).cast("long").alias("n_train"),
+            F.lit(n_cal).cast("long").alias("n_cal"),
+            F.lit(k).cast("long").alias("k_rank"),
+            "tau",
+            "n_test",
+            "n_covered",
+            (F.col("n_covered").cast("double") / F.col("n_test")).alias(
+                "coverage"
+            ),
+        )
+    )
+    out._vso_caches = [feats]
+    return out
+
+
+def _conformal_sql() -> str:
+    """Oracle: recompute features/targets with the proven DuckDB twins
+    + stdlib zlib (the _linear_probe_sql pattern), fit the TRAIN-split
+    weights with the same exact-int Gram + numpy solve, then run the
+    whole conformal pipeline in SQL with the weights as literals."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    feats = con.execute(
+        f"""
+SELECT doc_id, text,
+       CAST(length(text) AS BIGINT) AS n_chars_txt,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+         AS n_tokens,
+       CAST(len(list_distinct(list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'),
+            w -> w <> ''))) AS BIGINT) AS n_distinct
+FROM '{_oracle_sf_dir()}/documents.parquet' ORDER BY doc_id
+"""
+    ).df()
+    ys = [TX.compressed_size_py(t) for t in feats["text"]]
+    train_rows = [
+        ((1, int(a), int(b), int(c)), y)
+        for i, a, b, c, y in zip(
+            feats["doc_id"],
+            feats["n_chars_txt"],
+            feats["n_tokens"],
+            feats["n_distinct"],
+            ys,
+        )
+        if (int(i) * _SPLIT_A + _SPLIT_B) % 1000 < 500
+    ]
+    d = 4
+    A = [
+        [sum(r[i] * r[j] for r, _ in train_rows) for j in range(d)]
+        for i in range(d)
+    ]
+    b = [sum(r[i] * y for r, y in train_rows) for i in range(d)]
+    w = np.linalg.solve(
+        np.array(A, dtype="float64"), np.array(b, dtype="float64")
+    )
+    w0, w1, w2, w3 = (f"{v:.17e}" for v in w)
+    pred = f"{w0} + {w1} * n_chars_txt + {w2} * n_tokens + {w3} * n_distinct"
+    vals = ", ".join(
+        f"({int(i)}, {y})" for i, y in zip(feats["doc_id"], ys)
+    )
+    one_minus_alpha = 1.0 - _CONF_ALPHA
+    return f"""
+WITH f AS (
+  SELECT d.doc_id,
+         CAST(length(d.text) AS INTEGER) AS n_chars_txt,
+         CAST(CASE WHEN trim(d.text) = '' THEN 0
+              ELSE len(string_split_regex(trim(d.text), '\\s+')) END
+              AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(list_filter(
+              string_split_regex(lower(trim(d.text)), '\\s+'),
+              w -> w <> ''))) AS INTEGER) AS n_distinct,
+         CAST(v.y AS BIGINT) AS y_deflate,
+         CASE WHEN (d.doc_id * {_SPLIT_A} + {_SPLIT_B}) % 1000 < 500
+              THEN 'train'
+              WHEN (d.doc_id * {_SPLIT_A} + {_SPLIT_B}) % 1000 < 750
+              THEN 'cal' ELSE 'test' END AS split
+  FROM documents d JOIN (VALUES {vals}) AS v(doc_id, y)
+    ON d.doc_id = v.doc_id
+), sc AS (
+  SELECT doc_id, split,
+         round(abs(y_deflate - ({pred})), 4) AS score
+  FROM f
+), kv AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cal,
+         CAST(ceil({one_minus_alpha!r} * (count(*) + 1)) AS BIGINT)
+           AS k_rank
+  FROM sc WHERE split = 'cal'
+), ranked AS (
+  SELECT score, row_number() OVER (ORDER BY score, doc_id) AS rk
+  FROM sc WHERE split = 'cal'
+), tau AS (
+  SELECT r.score AS tau FROM ranked r JOIN kv ON r.rk = kv.k_rank
+), tst AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN score <= (SELECT tau FROM tau)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM sc WHERE split = 'test'
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM sc WHERE split = 'train')
+         AS n_train,
+       kv.n_cal, kv.k_rank, tau.tau, tst.n_test, tst.n_covered,
+       CAST(tst.n_covered AS DOUBLE) / tst.n_test AS coverage
+FROM kv, tau, tst
+"""
+
+
+def source_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-diversity profile per document source — the corpus-
+    composition dashboard row: how many languages does each source
+    contribute, how concentrated is it (Simpson index / effective
+    language count), how spread (Shannon entropy). One (source, lang)
+    combinable agg + one source agg.
+
+    Tie-proofing: Simpson Σ(cᵢ/n)² is RATIONAL — exported as the exact
+    integer Σcᵢ² with n, the index and the effective-language count
+    deriving UNROUNDED by single IEEE divisions (n²/Σcᵢ² likewise);
+    Shannon entropy is irrational (ln of rationals) and rounds 6dp."""
+    d = load_table(spark, sf_dir, "documents")
+    cl = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = F.sum("c")
+    sumsq = F.sum(F.col("c") * F.col("c"))
+    # window-free entropy: H = ln(n) − Σ c·ln(c)/n (identical algebra
+    # both sides, one agg — no per-source share window needed)
+    return (
+        cl.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            n.cast("long").alias("n_docs"),
+            sumsq.cast("long").alias("sum_sq"),
+            F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            .alias("_clnc"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "sum_sq",
+            (
+                F.col("sum_sq").cast("double")
+                / (F.col("n_docs") * F.col("n_docs")).cast("double")
+            ).alias("simpson_index"),
+            (
+                (F.col("n_docs") * F.col("n_docs")).cast("double")
+                / F.col("sum_sq").cast("double")
+            ).alias("effective_langs"),
+            F.round(
+                F.log(F.col("n_docs").cast("double"))
+                - F.col("_clnc") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("shannon_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+_SOURCE_DIVERSITY_SQL = """
+WITH cl AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_langs,
+         CAST(sum(c) AS BIGINT) AS n_docs,
+         CAST(sum(c * c) AS BIGINT) AS sum_sq,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+  FROM cl GROUP BY 1
+)
+SELECT source, n_docs, n_langs, sum_sq,
+       CAST(sum_sq AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE)
+         AS simpson_index,
+       CAST(n_docs * n_docs AS DOUBLE) / CAST(sum_sq AS DOUBLE)
+         AS effective_langs,
+       round(ln(CAST(n_docs AS DOUBLE))
+             - clnc / CAST(n_docs AS DOUBLE), 6) AS shannon_entropy
+FROM agg
+ORDER BY source
+"""
+
+
+def g6_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 — per-node local clustering coefficient over the same strong
+    co-occurrence graph as g5_triangle_count: C(v) = 2·T(v) / (d(v)·
+    (d(v)−1)), the closed-wedge fraction that separates hub-and-spoke
+    structure (low C) from dense cliques (high C). Degrees and wedge
+    counts are EXACT integers; the coefficient derives unrounded from
+    them (single IEEE division — the derived-ratio pattern); nodes of
+    degree < 2 export NULL (no wedge to close). Triangle counting
+    reuses graph.triangle_count (degree-ordered wedges, O(m^1.5));
+    degrees are one combinable agg over the symmetrized edge set —
+    everything downstream of the same |types|²-bounded kept-edge frame
+    as G5."""
+    from vector_search_optimization_spark.operators import graph as GR
+
+    e = load_table(spark, sf_dir, "events")
+    edges = SIM.cooccurrence_edges(e, "user_id", "event_type")
+    maxw = edges.agg(F.max("weight").alias("max_w"))
+    kept = (
+        edges.crossJoin(F.broadcast(maxw))
+        .where(2 * F.col("weight") >= F.col("max_w"))
+        .select("src", "dst")
+    )
+    sym = kept.unionByName(
+        kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    tri = GR.triangle_count(kept).select(
+        F.col("node").alias("src"), F.col("n_triangles").cast("long").alias("n_triangles")
+    )
+    d = F.col("degree")
+    return (
+        deg.join(tri, "src", "left")
+        .select(
+            F.col("src").alias("event_type"),
+            "degree",
+            (d * (d - 1) / 2).cast("long").alias("n_wedges"),
+            F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+            F.when(
+                d >= 2,
+                (
+                    F.lit(2)
+                    * F.coalesce(F.col("n_triangles"), F.lit(0))
+                ).cast("double")
+                / (d * (d - 1)).cast("double"),
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_G6_CLUSTERING_SQL = """
+WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events),
+e0 AS (
+  SELECT a.event_type AS src, b.event_type AS dst, count(*) AS weight
+  FROM pairs a JOIN pairs b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+kept AS (
+  SELECT src, dst FROM e0 WHERE 2 * weight >= (SELECT max(weight) FROM e0)
+),
+sym AS (
+  SELECT src, dst FROM kept
+  UNION
+  SELECT dst AS src, src AS dst FROM kept
+),
+deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY 1
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM kept e1
+  JOIN kept e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  JOIN kept e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+tcnt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM corners GROUP BY 1
+)
+SELECT d.src AS event_type, d.degree,
+       CAST(d.degree * (d.degree - 1) / 2 AS BIGINT) AS n_wedges,
+       coalesce(t.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN CAST(2 * coalesce(t.n_triangles, 0) AS DOUBLE)
+                 / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+       END AS clustering_coeff
+FROM deg d LEFT JOIN tcnt t ON t.node = d.src
+ORDER BY event_type
+"""
+
+
+_MARKOV_ITERS = 12
+
+
+def evt_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution + entropy rate of the first-order session
+    Markov chain — the long-run companion to evt_markov_transitions:
+    where does user attention settle (π = πP, fixed 12 power-iteration
+    rounds from uniform — the g3_pagerank fixed-iteration contract, so
+    both engines compute the identical recurrence whether or not the
+    chain has mixed), and how predictable is the next step
+    (row entropy H_i = −Σ_j p_ij·ln p_ij and the contribution π_i·H_i
+    whose sum is the chain's entropy rate).
+
+    The chain is restricted to states observed as a transition SOURCE
+    (rows of P sum to 1 by construction, so mass is conserved). The
+    transition probabilities are single exact-int divisions; iteration
+    sums are order-dependent floats whose last-ulp noise the 6dp round
+    absorbs (the pagerank precedent). Plan: ONE user-keyed window
+    shuffle builds the pair counts; the |states|² matrix is
+    driver-bounded by event-type cardinality, so iteration runs as
+    numpy matmul rounds after a bounded collect (the g2/g3 small-side
+    driver-finish discipline — for larger state spaces the same
+    recurrence runs as per-round equi-join + combinable groupBy)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows = pairs.collect()  # bounded: |event types|² cells
+    states = sorted({r.from_type for r in rows})
+    idx = {s: i for i, s in enumerate(states)}
+    m_sz = len(states)
+    P = np.zeros((m_sz, m_sz))
+    n_out = np.zeros(m_sz, dtype=np.int64)
+    for r in rows:
+        if r.to_type in idx:  # drop edges into never-source states
+            P[idx[r.from_type], idx[r.to_type]] += r.n
+        n_out[idx[r.from_type]] += r.n
+    row_tot = P.sum(axis=1, keepdims=True)
+    P = P / row_tot
+    pi = np.full(m_sz, 1.0 / m_sz)
+    for _ in range(_MARKOV_ITERS):
+        pi = pi @ P
+    with np.errstate(divide="ignore", invalid="ignore"):
+        h_rows = -np.nansum(np.where(P > 0, P * np.log(P), 0.0), axis=1)
+    out_rows = [
+        (
+            s,
+            int(n_out[i]),
+            round(float(pi[i]), 6),
+            round(float(h_rows[i]), 6),
+            round(float(pi[i] * h_rows[i]), 6),
+        )
+        for i, s in enumerate(states)
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "state string, n_out long, pi_stationary double, "
+        "row_entropy_nats double, entropy_contrib double",
+    ).orderBy("state")
+
+
+def _markov_stationary_sql(iters: int = _MARKOV_ITERS) -> str:
+    """Unrolled fixed-iteration power method (the g3_pagerank SQL
+    pattern): one CTE per round; round 0 is uniform over source
+    states. Edges into never-source states are dropped BEFORE row
+    normalization so both engines normalize the same matrix."""
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"r{k} AS (\n"
+            f"  SELECT p.to_type AS state, sum(r{k - 1}.pi * p.prob) AS pi\n"
+            f"  FROM p JOIN r{k - 1} ON p.from_type = r{k - 1}.state\n"
+            f"  GROUP BY 1\n)"
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH pairs0 AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events)
+  WHERE to_type IS NOT NULL GROUP BY 1, 2
+), srcs AS (
+  SELECT DISTINCT from_type AS state FROM pairs0
+), n_out_t AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out
+  FROM pairs0 GROUP BY 1
+), kept AS (
+  SELECT p.* FROM pairs0 p JOIN srcs s ON p.to_type = s.state
+), rowtot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM kept GROUP BY 1
+), p AS (
+  SELECT k.from_type, k.to_type,
+         CAST(k.n AS DOUBLE) / CAST(rt.tot AS DOUBLE) AS prob
+  FROM kept k JOIN rowtot rt ON k.from_type = rt.from_type
+), r0 AS (
+  SELECT state, 1.0 / (SELECT count(*) FROM srcs) AS pi FROM srcs
+),
+{chain},
+hrow AS (
+  SELECT from_type AS state,
+         -sum(prob * ln(prob)) AS h FROM p GROUP BY 1
+)
+SELECT s.state, coalesce(n.n_out, 0) AS n_out,
+       round(coalesce(r.pi, 0.0), 6) AS pi_stationary,
+       round(coalesce(h.h, 0.0), 6) AS row_entropy_nats,
+       round(coalesce(r.pi, 0.0) * coalesce(h.h, 0.0), 6)
+         AS entropy_contrib
+FROM srcs s
+LEFT JOIN r{iters} r ON r.state = s.state
+LEFT JOIN n_out_t n ON n.from_type = s.state
+LEFT JOIN hrow h ON h.state = s.state
+ORDER BY s.state
+"""
+
+
 # Abramowitz & Stegun 7.1.26 erf approximation constants (|err| <= 1.5e-7)
 # and sqrt(2) — shared repr-exact literals so both engines run the same
 # IEEE polynomial (the Benford BENFORD_P pattern).
@@ -13141,6 +13616,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_runs_test": (evt_runs_test, _RUNS_TEST_SQL),
     "evt_spectral_dft": (evt_spectral_dft, _SPECTRAL_SQL),
     "evt_bh_fdr": (evt_bh_fdr, _BH_FDR_SQL),
+    "g6_clustering_coeff": (g6_clustering_coeff, _G6_CLUSTERING_SQL),
+    "evt_markov_stationary": (evt_markov_stationary, _markov_stationary_sql()),
+    "conformal_interval_audit": (conformal_interval_audit, _conformal_sql),
+    "source_diversity_profile": (
+        source_diversity_profile,
+        _SOURCE_DIVERSITY_SQL,
+    ),
     "session_entry_exit": (session_entry_exit, _SESSION_ENTRY_SQL),
     "evt_theil_sen_slope": (evt_theil_sen_slope, _THEIL_SEN_SQL),
     "lineitem_weighted_median": (lineitem_weighted_median, _WEIGHTED_MEDIAN_SQL),
@@ -13519,6 +14001,10 @@ _REGISTRY = {
 # at 24 so the fixed sets stay inside the window.
 _R8_FRONT: list[str] = [
     # r8-NEW queries go HERE (top), newest first, as they land.
+    "conformal_interval_audit",
+    "source_diversity_profile",
+    "g6_clustering_coeff",
+    "evt_markov_stationary",
     "evt_bh_fdr",
     "evt_runs_test",
     "evt_spectral_dft",

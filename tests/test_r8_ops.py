@@ -130,6 +130,52 @@ def test_spectral_query_invariants(spark, sf_small):
                 assert r.norm_power >= 0.0
 
 
+def test_clustering_coeff_invariants(spark, sf_small):
+    rows = m.queries()["g6_clustering_coeff"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.n_wedges == r.degree * (r.degree - 1) // 2
+        assert 0 <= r.n_triangles <= max(r.n_wedges, 0)
+        if r.degree >= 2:
+            assert 0.0 <= r.clustering_coeff <= 1.0
+        else:
+            assert r.clustering_coeff is None
+
+
+def test_markov_stationary_is_distribution(spark, sf_small):
+    rows = m.queries()["evt_markov_stationary"](spark, sf_small).collect()
+    assert rows
+    # π sums to 1 (up to the 6dp export rounding) and every row entropy
+    # is bounded by ln(m)
+    total = sum(r.pi_stationary for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-4)
+    import math
+
+    for r in rows:
+        assert 0.0 <= r.row_entropy_nats <= math.log(len(rows)) + 1e-9
+        assert r.pi_stationary >= 0.0
+
+
+def test_conformal_coverage_guarantee(spark, sf_small):
+    r = m.queries()["conformal_interval_audit"](spark, sf_small).first()
+    assert r.n_train + r.n_cal + r.n_test > 0
+    assert r.k_rank == np.ceil(0.9 * (r.n_cal + 1))
+    assert r.coverage == pytest.approx(r.n_covered / r.n_test)
+    # finite-sample guarantee holds in expectation; at tiny n allow slack
+    assert r.coverage >= 0.5
+
+
+def test_source_diversity_identities(spark, sf_small):
+    rows = m.queries()["source_diversity_profile"](spark, sf_small).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert 1.0 / r.n_langs <= r.simpson_index <= 1.0 + 1e-12
+        assert 1.0 <= r.effective_langs <= r.n_langs + 1e-9
+        assert -1e-9 <= r.shannon_entropy <= math.log(r.n_langs) + 1e-6
+
+
 def test_isotonic_query_invariants(spark, sf_small):
     rows = m.queries()["evt_isotonic_daily"](spark, sf_small).collect()
     assert rows
