@@ -568,6 +568,98 @@ def main() -> None:
 
     stage("auc_grid", _auc_grid)
 
+    def _weighted_median_lattice():
+        """lineitem_weighted_median's shape at fact scale: n rows with
+        integer weights collapse onto a 100k-cell cents lattice (ONE
+        combinable groupBy), the cumulative-weight window and quantile
+        picks run over CELLS. Cost must track the scan linearly with a
+        constant lattice tail; returned rows = occupied cells (the
+        lattice ceiling the windows actually see)."""
+        from pyspark.sql import Window as W
+
+        n = 125_000 * SCALE
+        rows = spark.range(0, n, 1, 32).select(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(5)), 3).alias("flag"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(6)), 100_000).alias(
+                "cents"
+            ),
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(7)), 50) + 1).alias("w0"),
+        )
+        grid = (
+            rows.groupBy("flag", "cents")
+            .agg(F.sum("w0").alias("wt"))
+            .persist()
+        )
+        cells = grid.count()
+        w_cum = (
+            W.partitionBy("flag")
+            .orderBy("cents")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        tot = grid.groupBy("flag").agg(F.sum("wt").alias("total_wt"))
+        cum = grid.withColumn("cum", F.sum("wt").over(w_cum)).join(
+            F.broadcast(tot), "flag"
+        )
+        quants = (
+            cum.groupBy("flag")
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("cum") * 2 >= F.col("total_wt"),
+                        F.col("cents"),
+                    )
+                ).alias("wmedian"),
+                F.min(
+                    F.when(
+                        F.col("cum") * 4 >= F.col("total_wt") * 3,
+                        F.col("cents"),
+                    )
+                ).alias("wq75"),
+            )
+            .count()
+        )
+        assert quants == 3
+        grid.unpersist()
+        return cells
+
+    stage("weighted_median_lattice", _weighted_median_lattice)
+
+    def _theil_sen_pairgrid():
+        """evt_theil_sen_slope / Mann-Kendall join shape: the pair
+        volume is |days|²/2 per type — CALENDAR-bounded (fixed 400-day
+        grid, 5 types → 399,000 pairs at EVERY scale); n feeds only the
+        daily combinable agg. Growth beyond the scan term means the
+        calendar bound broke."""
+        n = 125_000 * SCALE
+        ev = spark.range(0, n, 1, 32).select(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(8)), 5).alias("t"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(9)), 400).alias("d"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(10)), 10_000).alias("c0"),
+        )
+        daily = (
+            ev.groupBy("t", "d").agg(F.sum("c0").alias("cents")).persist()
+        )
+        a = daily.select(
+            "t", F.col("d").alias("d1"), F.col("cents").alias("y1")
+        )
+        b = daily.select(
+            "t", F.col("d").alias("d2"), F.col("cents").alias("y2")
+        )
+        n_pairs = (
+            a.join(b, "t")
+            .where(F.col("d1") < F.col("d2"))
+            .select(
+                "t",
+                (F.col("y2") - F.col("y1")).alias("num"),
+                (F.col("d2") - F.col("d1")).alias("den"),
+            )
+            .count()
+        )
+        daily.unpersist()
+        return n_pairs
+
+    stage("theil_sen_pairgrid", _theil_sen_pairgrid)
+
     print(json.dumps(out))
     spark.stop()
 
