@@ -12893,6 +12893,239 @@ ORDER BY event_type, period
 """
 
 
+def evt_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between every pair of event types'
+    daily revenue series (aligned on SHARED days) — the robust
+    companion to evt_lag_correlation's Pearson: monotone co-movement
+    without the linearity assumption. Average-tie ranks are kept as
+    EXACT INTEGERS by the ×2 trick (2·avg_rank = 2·rank + ties − 1),
+    and the Pearson-on-ranks formula runs on exact integer sums:
+    ρ = (nΣxy − ΣxΣy) / (sqrt(nΣx² − (Σx)²)·sqrt(nΣy² − (Σy)²)) —
+    the two factors stay < 2^53 separately (their PRODUCT would not,
+    hence sqrt-then-multiply), so both engines derive bit-identical
+    doubles and ρ exports UNROUNDED.
+
+    Plan: one daily combinable agg over the fact table, a per-day
+    equi-join between type pairs (|types|²·days rows — calendar- and
+    cardinality-bounded), two rank windows over the pair-aligned
+    series, one combinable final agg per pair."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "d", F.col("cents").alias("ca")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "d", F.col("cents").alias("cb")
+    )
+    j = a.join(b, "d").where(F.col("type_a") < F.col("type_b"))
+
+    def rank2(val: str) -> F.Column:
+        # 2 × average-tie rank, an exact integer
+        wr = Window.partitionBy("type_a", "type_b").orderBy(val)
+        wt = Window.partitionBy("type_a", "type_b", val)
+        return (
+            F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 2
+        ).cast("long")
+
+    rk = j.select(
+        "type_a", "type_b", rank2("ca").alias("x"), rank2("cb").alias("y")
+    )
+    agg = rk.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n_days")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (
+        agg.select(
+            "type_a",
+            "type_b",
+            "n_days",
+            F.when(
+                (dx > 0) & (dy > 0), num / (F.sqrt(dx) * F.sqrt(dy))
+            ).alias("spearman_rho"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_SPEARMAN_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), j AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.d,
+         a.cents AS ca, b.cents AS cb
+  FROM daily a JOIN daily b
+    ON a.d = b.d AND a.event_type < b.event_type
+), rk AS (
+  SELECT type_a, type_b,
+         CAST(2 * rank() OVER (PARTITION BY type_a, type_b ORDER BY ca)
+              + count(*) OVER (PARTITION BY type_a, type_b, ca) - 2
+              AS BIGINT) AS x,
+         CAST(2 * rank() OVER (PARTITION BY type_a, type_b ORDER BY cb)
+              + count(*) OVER (PARTITION BY type_a, type_b, cb) - 2
+              AS BIGINT) AS y
+  FROM j
+), agg AS (
+  SELECT type_a, type_b,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM rk GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_days,
+       CASE WHEN CAST(n_days * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n_days * syy - sy * sy AS DOUBLE) > 0
+            THEN CAST(n_days * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))
+       END AS spearman_rho
+FROM agg
+ORDER BY type_a, type_b
+"""
+
+
+def evt_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W — concordance of the event-type revenue RANKING
+    across ISO-style weeks: do the same types win every week (W→1) or
+    does the leaderboard reshuffle (W→0)? The panel-agreement statistic
+    (k types ranked by m weekly "judges").
+
+    Ranks are row_number over (week, cents DESC, type) — deterministic
+    integer ranks on exact integer cents (documented tie-break by type
+    name; the exact-integer alternative to average-tie ranks here,
+    since W's tie correction would reintroduce rationals). The spread
+    statistic is kept integer by clearing the rational mean:
+    S4 = Σ_t (2·R_t − m(k+1))² = 4S, and W = 3·S4 / (m²·k(k²−1))
+    derives UNROUNDED from exact integers. Plan: one (type, week)
+    combinable agg, one rank window over week cells, one type agg, one
+    tiny final broadcast of (m, k)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    week = (
+        F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0 * 7))
+    ).cast("long")
+    weekly = e.groupBy(F.col("event_type"), week.alias("w")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    wr = Window.partitionBy("w").orderBy(
+        F.col("cents").desc(), F.col("event_type")
+    )
+    ranked = weekly.withColumn("r", F.row_number().over(wr).cast("long"))
+    sums = ranked.groupBy("event_type").agg(
+        F.sum("r").cast("long").alias("rank_sum"),
+        F.count(F.lit(1)).cast("long").alias("m_weeks"),
+    )
+    dims = ranked.agg(
+        F.count_distinct("w").cast("long").alias("m_all"),
+        F.count_distinct("event_type").cast("long").alias("k_types"),
+    )
+    # only types present EVERY week enter the concordance panel (a
+    # type absent some week has no rank there; both engines apply the
+    # same completeness filter)
+    full = (
+        sums.crossJoin(F.broadcast(dims))
+        .where(F.col("m_weeks") == F.col("m_all"))
+        .persist()
+    )
+    kf = full.groupBy("m_all").agg(
+        F.count(F.lit(1)).cast("long").alias("k_full")
+    )
+    joined = full.join(F.broadcast(kf), "m_all")
+    dev = (
+        F.lit(2) * F.col("rank_sum")
+        - F.col("m_all") * (F.col("k_full") + 1)
+    )
+    s4 = joined.groupBy("m_all", "k_full").agg(
+        F.sum(dev * dev).cast("long").alias("s4")
+    )
+    out = (
+        joined.select("event_type", "rank_sum", "m_all", "k_full")
+        .join(F.broadcast(s4), ["m_all", "k_full"])
+        .select(
+            "event_type",
+            "rank_sum",
+            F.col("m_all").alias("m_weeks"),
+            F.col("k_full").alias("k_types"),
+            "s4",
+            F.when(
+                F.col("k_full") > 1,
+                (F.lit(3) * F.col("s4")).cast("double")
+                / (
+                    F.col("m_all")
+                    * F.col("m_all")
+                    * F.col("k_full")
+                    * (F.col("k_full") * F.col("k_full") - 1)
+                ).cast("double"),
+            ).alias("kendalls_w"),
+        )
+        .orderBy("event_type")
+    )
+    out._vso_caches = [full]
+    return out
+
+
+_KENDALLS_W_SQL = """
+WITH weekly AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 604800.0) AS BIGINT) AS w,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, w,
+         CAST(row_number() OVER (PARTITION BY w
+                                 ORDER BY cents DESC, event_type)
+              AS BIGINT) AS r
+  FROM weekly
+), sums AS (
+  SELECT event_type, CAST(sum(r) AS BIGINT) AS rank_sum,
+         CAST(count(*) AS BIGINT) AS m_weeks
+  FROM ranked GROUP BY 1
+), dims AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS m_all FROM ranked
+), full_t AS (
+  SELECT s.event_type, s.rank_sum, d.m_all
+  FROM sums s CROSS JOIN dims d
+  WHERE s.m_weeks = d.m_all
+), kf AS (
+  SELECT m_all, CAST(count(*) AS BIGINT) AS k_full
+  FROM full_t GROUP BY 1
+), s4_t AS (
+  SELECT f.m_all, k.k_full,
+         CAST(sum((2 * f.rank_sum - f.m_all * (k.k_full + 1))
+                  * (2 * f.rank_sum - f.m_all * (k.k_full + 1)))
+              AS BIGINT) AS s4
+  FROM full_t f JOIN kf k ON f.m_all = k.m_all
+  GROUP BY 1, 2
+)
+SELECT f.event_type, f.rank_sum,
+       f.m_all AS m_weeks, k.k_full AS k_types, s.s4,
+       CASE WHEN k.k_full > 1
+            THEN CAST(3 * s.s4 AS DOUBLE)
+                 / CAST(f.m_all * f.m_all * k.k_full
+                        * (k.k_full * k.k_full - 1) AS DOUBLE)
+       END AS kendalls_w
+FROM full_t f
+JOIN kf k ON f.m_all = k.m_all
+JOIN s4_t s ON s.m_all = f.m_all AND s.k_full = k.k_full
+ORDER BY f.event_type
+"""
+
+
 _CONF_ALPHA = 0.1
 
 
@@ -13619,6 +13852,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "g6_clustering_coeff": (g6_clustering_coeff, _G6_CLUSTERING_SQL),
     "evt_markov_stationary": (evt_markov_stationary, _markov_stationary_sql()),
     "conformal_interval_audit": (conformal_interval_audit, _conformal_sql),
+    "evt_spearman_corr": (evt_spearman_corr, _SPEARMAN_SQL),
+    "evt_kendalls_w": (evt_kendalls_w, _KENDALLS_W_SQL),
     "source_diversity_profile": (
         source_diversity_profile,
         _SOURCE_DIVERSITY_SQL,
@@ -14001,6 +14236,8 @@ _REGISTRY = {
 # at 24 so the fixed sets stay inside the window.
 _R8_FRONT: list[str] = [
     # r8-NEW queries go HERE (top), newest first, as they land.
+    "evt_spearman_corr",
+    "evt_kendalls_w",
     "conformal_interval_audit",
     "source_diversity_profile",
     "g6_clustering_coeff",

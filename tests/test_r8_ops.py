@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 import __spark_entry__ as m
@@ -128,6 +129,74 @@ def test_spectral_query_invariants(spark, sf_small):
         for r in rs:
             if r.norm_power is not None:
                 assert r.norm_power >= 0.0
+
+
+def test_spearman_hand_computed(spark):
+    """Perfectly monotone pair → ρ = 1; reversed → ρ = −1."""
+    rows = []
+    for d, (x, y) in enumerate([(1, 10), (2, 20), (3, 30), (4, 40)]):
+        rows.append(("a", d, x))
+        rows.append(("b", d, y))       # same order → +1 vs a
+        rows.append(("c", d, 50 - y))  # reversed → −1 vs a and b
+    daily = spark.createDataFrame(
+        rows, "event_type string, d long, cents long"
+    )
+    # drive the same rank-and-Pearson pipeline via a temp view + the
+    # registered expression shape (re-built inline to keep the unit
+    # test independent of the events loader)
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "d", F.col("cents").alias("ca")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "d", F.col("cents").alias("cb")
+    )
+    j = a.join(b, "d").where(F.col("type_a") < F.col("type_b"))
+
+    def rank2(val):
+        wr = Window.partitionBy("type_a", "type_b").orderBy(val)
+        wt = Window.partitionBy("type_a", "type_b", val)
+        return (
+            F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 2
+        ).cast("long")
+
+    rk = j.select(
+        "type_a", "type_b", rank2("ca").alias("x"), rank2("cb").alias("y")
+    )
+    agg = rk.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    got = {}
+    for r in agg.collect():
+        num = r.n * r.sxy - r.sx * r.sy
+        den = ((r.n * r.sxx - r.sx**2) * (r.n * r.syy - r.sy**2)) ** 0.5
+        got[(r.type_a, r.type_b)] = num / den
+    assert got[("a", "b")] == pytest.approx(1.0)
+    assert got[("a", "c")] == pytest.approx(-1.0)
+    assert got[("b", "c")] == pytest.approx(-1.0)
+
+
+def test_spearman_query_bounds(spark, sf_small):
+    rows = m.queries()["evt_spearman_corr"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b
+        if r.spearman_rho is not None:
+            assert -1.0 - 1e-9 <= r.spearman_rho <= 1.0 + 1e-9
+
+
+def test_kendalls_w_query_bounds(spark, sf_small):
+    rows = m.queries()["evt_kendalls_w"](spark, sf_small).collect()
+    assert rows
+    k = rows[0].k_types
+    msum = rows[0].m_weeks * k * (k + 1) // 2
+    assert sum(r.rank_sum for r in rows) == msum
+    for r in rows:
+        assert 0.0 <= r.kendalls_w <= 1.0 + 1e-9
 
 
 def test_clustering_coeff_invariants(spark, sf_small):
