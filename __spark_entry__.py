@@ -12663,70 +12663,17 @@ def evt_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers (magnitudes << 2^53), and z = (R − E)/sqrt(V) chains
     only correctly-rounded ops (÷, sqrt, +/−) on them — both engines
     derive BIT-IDENTICAL doubles, so every float exports UNROUNDED.
-    Plan: one daily groupBy, one percentile agg joined back broadcast,
-    one lag window, one combinable final agg — all calendar-bounded."""
+    The whole statistic is the SHARED combine operators/timeseries.py:
+    runs_test_from_daily (streaming/runs_maintenance.py replays it per
+    micro-batch over the maintained grid). Plan: one daily groupBy,
+    one percentile agg joined back broadcast, one lag window, one
+    combinable final agg — all calendar-bounded."""
     e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
     daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
         F.round(F.sum("value") * 100).cast("long").alias("cents")
     )
-    med = daily.groupBy("event_type").agg(
-        F.percentile(F.col("cents"), F.lit(0.5)).alias("med")
-    )
-    sgn = (
-        daily.join(F.broadcast(med), "event_type")
-        .where(F.col("cents").cast("double") != F.col("med"))
-        .select(
-            "event_type",
-            "d",
-            (F.col("cents").cast("double") > F.col("med"))
-            .cast("int")
-            .alias("sign"),
-        )
-    )
-    wlag = Window.partitionBy("event_type").orderBy("d")
-    runs = (
-        sgn.withColumn("prev", F.lag("sign").over(wlag))
-        .groupBy("event_type")
-        .agg(
-            (
-                F.sum(
-                    F.when(
-                        F.col("prev").isNull()
-                        | (F.col("sign") != F.col("prev")),
-                        1,
-                    ).otherwise(0)
-                )
-            )
-            .cast("long")
-            .alias("n_runs"),
-            F.sum("sign").cast("long").alias("n_above"),
-            F.sum(F.lit(1) - F.col("sign")).cast("long").alias("n_below"),
-        )
-    )
-    n1, n2 = F.col("n_above"), F.col("n_below")
-    n = n1 + n2
-    e_runs = F.lit(1.0) + (F.lit(2) * n1 * n2).cast("double") / n.cast(
-        "double"
-    )
-    v_runs = (
-        (F.lit(2) * n1 * n2 * (F.lit(2) * n1 * n2 - n)).cast("double")
-        / (n * n * (n - F.lit(1))).cast("double")
-    )
-    return (
-        runs.select(
-            "event_type",
-            "n_runs",
-            "n_above",
-            "n_below",
-            e_runs.alias("expected_runs"),
-            F.when(
-                v_runs > 0,
-                (F.col("n_runs").cast("double") - e_runs) / F.sqrt(v_runs),
-            ).alias("z_stat"),
-        )
-        .orderBy("event_type")
-    )
+    return TS.runs_test_from_daily(daily)
 
 
 _RUNS_TEST_SQL = """
@@ -13477,6 +13424,145 @@ ORDER BY event_type
 """
 
 
+_KCORE_K = 2
+_KCORE_ROUNDS = 8
+
+
+def g8_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 — k-core peel over the strong co-occurrence graph (k=2,
+    FIXED 8 rounds — the pagerank/markov fixed-iteration contract, so
+    both engines run the identical recurrence even on a graph that
+    needs fewer or more rounds): each round deletes every node whose
+    degree among survivors is < k; a node's peel_round records when it
+    fell, survivors after round 8 are the (converged-or-not) core.
+    k-core separates dense template/boilerplate clusters (high core)
+    from star-and-chain families (peeled early) — the graph-shape
+    audit for dedup-pair graphs and interaction graphs alike.
+
+    The peel is PURE INTEGER set logic — no float anywhere, so
+    cross-engine parity is structural. Node/edge counts here are
+    |event types|-bounded, so the peel runs on the driver after a
+    bounded collect (the g2/g3/markov small-side discipline); on a
+    corpus-scale pair graph the same recurrence runs distributed as
+    8 rounds of (degree agg + anti-join) — shuffle ≤ |edges| per
+    round, the documented large-graph path."""
+    e = load_table(spark, sf_dir, "events")
+    edges = SIM.cooccurrence_edges(e, "user_id", "event_type")
+    maxw = edges.agg(F.max("weight").alias("max_w"))
+    kept = (
+        edges.crossJoin(F.broadcast(maxw))
+        .where(2 * F.col("weight") >= F.col("max_w"))
+        .select("src", "dst")
+    )
+    rows = kept.collect()  # bounded: |types|² candidate cells
+    adj: dict[str, set[str]] = {}
+    for r in rows:
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+    alive = set(adj)
+    peel: dict[str, int] = {}
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        dead = {
+            v
+            for v in alive
+            if len(adj[v] & alive) < _KCORE_K
+        }
+        for v in dead:
+            peel[v] = rnd
+        alive -= dead
+    out_rows = [
+        (
+            v,
+            len(adj[v] & alive) if v in alive else len(adj[v]),
+            peel.get(v),
+            v in alive,
+        )
+        for v in sorted(adj)
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "event_type string, degree long, peel_round int, in_core boolean",
+    ).orderBy("event_type")
+
+
+def _g8_kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """Unrolled fixed-round peel: per round, degrees among survivors →
+    the round's removals → the next survivor set. `degree` exports the
+    ORIGINAL degree for peeled nodes and the within-core degree for
+    survivors (matching the engine's export)."""
+    # MATERIALIZED: each round references the previous one multiple
+    # times — DuckDB inlines plain CTEs, which compounds exponentially
+    # over 8 unrolled rounds (measured: "Too many open files" from
+    # thousands of inlined parquet leaf scans)
+    ctes = [
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"e{p} AS MATERIALIZED (\n"
+            f"  SELECT s.src, s.dst FROM sym s\n"
+            f"  JOIN a{p} x ON s.src = x.node\n"
+            f"  JOIN a{p} y ON s.dst = y.node\n)"
+        )
+        ctes.append(
+            f"d{p} AS MATERIALIZED (\n"
+            f"  SELECT x.node, CAST(coalesce(g.c, 0) AS BIGINT) AS deg\n"
+            f"  FROM a{p} x LEFT JOIN (SELECT src AS node, count(*) AS c\n"
+            f"                         FROM e{p} GROUP BY 1) g\n"
+            f"    ON g.node = x.node\n)"
+        )
+        ctes.append(
+            f"rm{r} AS MATERIALIZED "
+            f"(SELECT node, {r} AS rnd FROM d{p} WHERE deg < {k})"
+        )
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT node FROM a{p}\n"
+            f"         WHERE node NOT IN (SELECT node FROM rm{r}))"
+        )
+    chain = ",\n".join(ctes)
+    removed_union = "\nUNION ALL ".join(
+        f"SELECT node, rnd FROM rm{r}" for r in range(1, rounds + 1)
+    )
+    return f"""
+WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events),
+e00 AS MATERIALIZED (
+  SELECT a.event_type AS src, b.event_type AS dst, count(*) AS weight
+  FROM pairs a JOIN pairs b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+kept AS MATERIALIZED (
+  SELECT src, dst FROM e00 WHERE 2 * weight >= (SELECT max(weight) FROM e00)
+),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM kept
+  UNION
+  SELECT dst AS src, src AS dst FROM kept
+),
+{chain},
+removed AS ({removed_union}),
+orig AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         FROM sym GROUP BY 1),
+core_deg AS (
+  SELECT x.node, CAST(coalesce(g.c, 0) AS BIGINT) AS deg
+  FROM a{rounds} x
+  LEFT JOIN (SELECT s.src AS node, count(*) AS c FROM sym s
+             JOIN a{rounds} p ON s.src = p.node
+             JOIN a{rounds} q ON s.dst = q.node
+             GROUP BY 1) g ON g.node = x.node
+)
+SELECT o.node AS event_type,
+       CASE WHEN r.node IS NOT NULL THEN o.deg ELSE c.deg END AS degree,
+       CAST(r.rnd AS INTEGER) AS peel_round,
+       r.node IS NULL AS in_core
+FROM orig o
+LEFT JOIN removed r ON r.node = o.node
+LEFT JOIN core_deg c ON c.node = o.node
+ORDER BY event_type
+"""
+
+
 _MARKOV_ITERS = 12
 
 
@@ -13854,6 +13940,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "conformal_interval_audit": (conformal_interval_audit, _conformal_sql),
     "evt_spearman_corr": (evt_spearman_corr, _SPEARMAN_SQL),
     "evt_kendalls_w": (evt_kendalls_w, _KENDALLS_W_SQL),
+    "g8_kcore_peel": (g8_kcore_peel, _g8_kcore_sql()),
     "source_diversity_profile": (
         source_diversity_profile,
         _SOURCE_DIVERSITY_SQL,
@@ -14236,6 +14323,7 @@ _REGISTRY = {
 # at 24 so the fixed sets stay inside the window.
 _R8_FRONT: list[str] = [
     # r8-NEW queries go HERE (top), newest first, as they land.
+    "g8_kcore_peel",
     "evt_spearman_corr",
     "evt_kendalls_w",
     "conformal_interval_audit",

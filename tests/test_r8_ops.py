@@ -199,6 +199,18 @@ def test_kendalls_w_query_bounds(spark, sf_small):
         assert 0.0 <= r.kendalls_w <= 1.0 + 1e-9
 
 
+def test_kcore_invariants(spark, sf_small):
+    rows = m.queries()["g8_kcore_peel"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        if r.in_core:
+            # every survivor keeps >= k neighbours among survivors
+            assert r.peel_round is None
+            assert r.degree >= 2
+        else:
+            assert 1 <= r.peel_round <= 8
+
+
 def test_clustering_coeff_invariants(spark, sf_small):
     rows = m.queries()["g6_clustering_coeff"](spark, sf_small).collect()
     assert rows

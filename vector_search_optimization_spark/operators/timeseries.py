@@ -9,7 +9,7 @@ import pandas as pd  # module level: pandas_udf type-hint resolution
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ewma_from_daily", "isotonic_blocks"]
+__all__ = ["ewma_from_daily", "isotonic_blocks", "runs_test_from_daily"]
 
 
 def ewma_from_daily(
@@ -56,6 +56,76 @@ def ewma_from_daily(
         )
         .orderBy(group_col)
     )
+
+
+def runs_test_from_daily(
+    daily: DataFrame,
+    group_col: str = "event_type",
+    day_col: str = "d",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Wald-Wolfowitz runs test from a (group, day, exact-integer
+    cents) frame — the SHARED combine behind the evt_runs_test batch
+    query and streaming/runs_maintenance.py (the ewma_from_daily
+    one-combine-two-paths pattern). Days equal to the per-group median
+    (F.percentile, cross-engine-stable interpolation) are excluded;
+    E[R] and Var[R] are single IEEE divisions of exact integers and
+    z = (R − E)/sqrt(V) chains only correctly-rounded ops, so every
+    float is bit-identical cross-engine and exports UNROUNDED. Input is
+    the calendar-bounded grid, so this is |groups × days| work wherever
+    it runs."""
+    from pyspark.sql import Window as W
+
+    med = daily.groupBy(group_col).agg(
+        F.percentile(F.col(cents_col), F.lit(0.5)).alias("med")
+    )
+    sgn = (
+        daily.join(F.broadcast(med), group_col)
+        .where(F.col(cents_col).cast("double") != F.col("med"))
+        .select(
+            group_col,
+            day_col,
+            (F.col(cents_col).cast("double") > F.col("med"))
+            .cast("int")
+            .alias("sign"),
+        )
+    )
+    wlag = W.partitionBy(group_col).orderBy(day_col)
+    runs = (
+        sgn.withColumn("prev", F.lag("sign").over(wlag))
+        .groupBy(group_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("sign") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_runs"),
+            F.sum("sign").cast("long").alias("n_above"),
+            F.sum(F.lit(1) - F.col("sign")).cast("long").alias("n_below"),
+        )
+    )
+    n1, n2 = F.col("n_above"), F.col("n_below")
+    n = n1 + n2
+    e_runs = F.lit(1.0) + (F.lit(2) * n1 * n2).cast("double") / n.cast(
+        "double"
+    )
+    v_runs = (F.lit(2) * n1 * n2 * (F.lit(2) * n1 * n2 - n)).cast(
+        "double"
+    ) / (n * n * (n - F.lit(1))).cast("double")
+    return runs.select(
+        group_col,
+        "n_runs",
+        "n_above",
+        "n_below",
+        e_runs.alias("expected_runs"),
+        F.when(
+            v_runs > 0,
+            (F.col("n_runs").cast("double") - e_runs) / F.sqrt(v_runs),
+        ).alias("z_stat"),
+    ).orderBy(group_col)
 
 
 def isotonic_blocks(
