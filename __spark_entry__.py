@@ -13424,6 +13424,274 @@ ORDER BY event_type
 """
 
 
+_HURST_SCALES = (4, 8, 16)
+
+
+def evt_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range (R/S) analysis of the daily revenue series per
+    event type — the Hurst long-memory estimator: split the series
+    into full blocks of w days (w ∈ {4, 8, 16}), per block compute
+    R = range of the cumulative mean-deviations (0 included, the
+    classical convention) and S = population std, average R/S per
+    scale, and fit ln(R/S) ~ ln(w) by OLS; slope > 0.5 = persistent
+    trend, < 0.5 = mean reversion.
+
+    Determinism: blocks index the series by row_number (series order,
+    not calendar gaps — documented); block sums/sumsq are exact
+    integers; deviations and their RUNNING cumulative sum evaluate in
+    ascending-day frame order in both engines (identical float
+    sequence), R and S chain correctly-rounded ops → identical
+    doubles. Per-scale averaging and ln() reintroduce order/libm noise,
+    so avg_rs and the slope round at 6dp (irrational, tie-free).
+    Plan: one daily combinable agg, a 3-literal scale fan-out of the
+    calendar-bounded grid, two windows over (type, scale, block)
+    cells, two combinable rollups."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    wt = Window.partitionBy("event_type").orderBy("d")
+    seq = daily.withColumn("t", F.row_number().over(wt).cast("long"))
+    scales = F.explode(
+        F.array(*[F.lit(w) for w in _HURST_SCALES])
+    ).alias("w")
+    blk = seq.select(
+        "event_type", "t", "cents", scales
+    ).withColumn("blk", ((F.col("t") - 1) / F.col("w")).cast("long"))
+    keys = ["event_type", "w", "blk"]
+    stats = blk.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_in_blk"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("q"),
+    )
+    full = blk.join(
+        stats.where(F.col("n_in_blk") == F.col("w")).select(*keys, "s", "q"),
+        keys,
+    )
+    wrun = Window.partitionBy(*keys).orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dev = F.col("cents").cast("double") - F.col("s").cast("double") / F.col(
+        "w"
+    ).cast("double")
+    z = F.sum(dev).over(wrun)
+    per_blk = (
+        full.withColumn("z", z)
+        .groupBy(*keys, "s", "q")
+        .agg(
+            (
+                F.greatest(F.max("z"), F.lit(0.0))
+                - F.least(F.min("z"), F.lit(0.0))
+            ).alias("r"),
+        )
+        .withColumn(
+            "sd",
+            F.sqrt(
+                (
+                    F.col("q").cast("double")
+                    - F.col("s").cast("double")
+                    * F.col("s").cast("double")
+                    / F.col("w").cast("double")
+                )
+                / F.col("w").cast("double")
+            ),
+        )
+        .where(F.col("sd") > 0)
+    )
+    per_scale = per_blk.groupBy("event_type", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.avg(F.col("r") / F.col("sd")).alias("avg_rs"),
+    )
+    x = F.log(F.col("w").cast("double"))
+    yv = F.log(F.col("avg_rs"))
+    ols = per_scale.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scales"),
+        F.sum(x).alias("sx"),
+        F.sum(yv).alias("sy"),
+        F.sum(x * yv).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    slope = (
+        F.col("n_scales") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (
+        F.col("n_scales") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    hurst = ols.select(
+        "event_type",
+        "n_scales",
+        F.when(F.col("n_scales") >= 2, F.round(slope, 6)).alias(
+            "hurst_exponent"
+        ),
+    )
+    return (
+        per_scale.select(
+            "event_type",
+            "w",
+            "n_blocks",
+            F.round("avg_rs", 6).alias("avg_rs"),
+        )
+        .join(hurst, "event_type")
+        .select(
+            "event_type", "w", "n_blocks", "avg_rs",
+            "n_scales", "hurst_exponent",
+        )
+        .orderBy("event_type", "w")
+    )
+
+
+_HURST_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, cents,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS t,
+         d
+  FROM daily
+), blk AS (
+  SELECT s.event_type, s.t, s.cents, s.d, w.w,
+         CAST(floor((s.t - 1) / w.w) AS BIGINT) AS blk
+  FROM seq s CROSS JOIN (SELECT unnest({list(_HURST_SCALES)}) AS w) w
+), stats AS (
+  SELECT event_type, w, blk,
+         count(*) AS n_in_blk,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(cents * cents) AS BIGINT) AS q
+  FROM blk GROUP BY 1, 2, 3
+), full_b AS (
+  SELECT b.*, st.s, st.q
+  FROM blk b JOIN stats st
+    ON b.event_type = st.event_type AND b.w = st.w AND b.blk = st.blk
+  WHERE st.n_in_blk = st.w
+), zc AS (
+  SELECT *,
+         sum(CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(w AS DOUBLE))
+           OVER (PARTITION BY event_type, w, blk ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z
+  FROM full_b
+), per_blk AS (
+  SELECT event_type, w, blk, s, q,
+         greatest(max(z), 0.0) - least(min(z), 0.0) AS r,
+         sqrt((CAST(q AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(w AS DOUBLE))
+              / CAST(w AS DOUBLE)) AS sd
+  FROM zc GROUP BY 1, 2, 3, 4, 5
+), per_scale AS (
+  SELECT event_type, w,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         avg(r / sd) AS avg_rs
+  FROM per_blk WHERE sd > 0 GROUP BY 1, 2
+), ols AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_scales,
+         sum(ln(CAST(w AS DOUBLE))) AS sx,
+         sum(ln(avg_rs)) AS sy,
+         sum(ln(CAST(w AS DOUBLE)) * ln(avg_rs)) AS sxy,
+         sum(ln(CAST(w AS DOUBLE)) * ln(CAST(w AS DOUBLE))) AS sxx
+  FROM per_scale GROUP BY 1
+)
+SELECT p.event_type, CAST(p.w AS INTEGER) AS w, p.n_blocks,
+       round(p.avg_rs, 6) AS avg_rs,
+       o.n_scales,
+       CASE WHEN o.n_scales >= 2
+            THEN round((o.n_scales * o.sxy - o.sx * o.sy)
+                       / (o.n_scales * o.sxx - o.sx * o.sx), 6)
+       END AS hurst_exponent
+FROM per_scale p JOIN ols o ON p.event_type = o.event_type
+ORDER BY p.event_type, p.w
+"""
+
+
+def orders_interpurchase_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase regularity segmentation — per market segment, how
+    many customers order like CLOCKWORK (CV of order gaps < 1/2),
+    REGULARLY (CV < 1), or SPORADICALLY (CV >= 1)? The behavioral
+    companion to RFM: recency/frequency say how much, the gap CV says
+    how *predictably*.
+
+    Every classification is an EXACT INTEGER inequality — with gap sum
+    S and gap square-sum Q over n gaps, CV² = (nQ − S²)/S², so
+    "CV < 1/2" is 4(nQ − S²) < S² and "CV < 1" is nQ − S² < S², all in
+    BIGINT (gaps are epoch-day differences; magnitudes << 2^63) — no
+    float anywhere, cross-engine parity is structural. Customers need
+    >= 3 orders (two gaps). Plan: one customer-keyed window (lag over
+    order days), one per-customer combinable agg, a broadcast dim join
+    onto the segment, one segment agg."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    day = F.floor(
+        F.unix_timestamp(F.col("o_orderdate")) / F.lit(86400.0)
+    ).cast("long")
+    wcu = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = (
+        o.select("o_custkey", "o_orderkey", day.alias("day"))
+        .withColumn("prev", F.lag("day").over(wcu))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "o_custkey", (F.col("day") - F.col("prev")).alias("g")
+        )
+    )
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("s"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("q"),
+    ).where((F.col("n_gaps") >= 2) & (F.col("s") > 0))
+    varn = F.col("n_gaps") * F.col("q") - F.col("s") * F.col("s")
+    cls = per_cust.select(
+        "o_custkey",
+        F.when(F.lit(4) * varn < F.col("s") * F.col("s"), "clockwork")
+        .when(varn < F.col("s") * F.col("s"), "regular")
+        .otherwise("sporadic")
+        .alias("regularity"),
+    )
+    seg = cls.join(
+        F.broadcast(
+            c.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+        ),
+        "o_custkey",
+    )
+    return (
+        seg.groupBy("c_mktsegment", "regularity")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("c_mktsegment", "regularity")
+    )
+
+
+_INTERPURCHASE_SQL = """
+WITH days_t AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(floor(epoch(o_orderdate)) / 86400.0) AS BIGINT) AS day
+  FROM orders
+), gaps AS (
+  SELECT o_custkey,
+         day - lag(day) OVER (PARTITION BY o_custkey
+                              ORDER BY day, o_orderkey) AS g
+  FROM days_t
+), per_cust AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(g) AS BIGINT) AS s,
+         CAST(sum(g * g) AS BIGINT) AS q
+  FROM gaps WHERE g IS NOT NULL GROUP BY 1
+), cls AS (
+  SELECT o_custkey,
+         CASE WHEN 4 * (n_gaps * q - s * s) < s * s THEN 'clockwork'
+              WHEN n_gaps * q - s * s < s * s THEN 'regular'
+              ELSE 'sporadic' END AS regularity
+  FROM per_cust WHERE n_gaps >= 2 AND s > 0
+)
+SELECT c.c_mktsegment, cls.regularity,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM cls JOIN customer c ON c.c_custkey = cls.o_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 _KCORE_K = 2
 _KCORE_ROUNDS = 8
 
@@ -13941,6 +14209,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_spearman_corr": (evt_spearman_corr, _SPEARMAN_SQL),
     "evt_kendalls_w": (evt_kendalls_w, _KENDALLS_W_SQL),
     "g8_kcore_peel": (g8_kcore_peel, _g8_kcore_sql()),
+    "evt_hurst_rs": (evt_hurst_rs, _HURST_SQL),
+    "orders_interpurchase_regularity": (
+        orders_interpurchase_regularity,
+        _INTERPURCHASE_SQL,
+    ),
     "source_diversity_profile": (
         source_diversity_profile,
         _SOURCE_DIVERSITY_SQL,
@@ -14323,6 +14596,8 @@ _REGISTRY = {
 # at 24 so the fixed sets stay inside the window.
 _R8_FRONT: list[str] = [
     # r8-NEW queries go HERE (top), newest first, as they land.
+    "evt_hurst_rs",
+    "orders_interpurchase_regularity",
     "g8_kcore_peel",
     "evt_spearman_corr",
     "evt_kendalls_w",

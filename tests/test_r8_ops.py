@@ -199,6 +199,50 @@ def test_kendalls_w_query_bounds(spark, sf_small):
         assert 0.0 <= r.kendalls_w <= 1.0 + 1e-9
 
 
+def test_hurst_query_invariants(spark, sf_small):
+    rows = m.queries()["evt_hurst_rs"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.w in (4, 8, 16)
+        assert r.n_blocks >= 1
+        assert r.avg_rs > 0
+        # R/S of a block of w points is at most ~w (range of partial
+        # sums over std has a coarse O(w) bound)
+        assert r.avg_rs <= r.w + 1e-6
+
+
+def test_interpurchase_exact_classification(spark):
+    """Hand gaps: [5,5,5] → CV=0 clockwork; [1,9] → CV=0.8 regular;
+    [1,1,100] → CV≈1.37 sporadic (two gaps can never reach CV >= 1:
+    CV = (b−a)/(a+b) < 1). Exercised through the exact-integer
+    inequality form used by the query."""
+    cases = {
+        "clockwork": [5, 5, 5],
+        "regular": [1, 9],
+        "sporadic": [1, 1, 100],
+    }
+    for want, gaps in cases.items():
+        n, s, q = len(gaps), sum(gaps), sum(g * g for g in gaps)
+        varn = n * q - s * s
+        got = (
+            "clockwork"
+            if 4 * varn < s * s
+            else "regular" if varn < s * s else "sporadic"
+        )
+        assert got == want, (gaps, got, want)
+
+
+def test_interpurchase_query_rows(spark, sf_small):
+    rows = m.queries()["orders_interpurchase_regularity"](
+        spark, sf_small
+    ).collect()
+    assert rows
+    assert all(r.n_customers > 0 for r in rows)
+    assert {r.regularity for r in rows} <= {
+        "clockwork", "regular", "sporadic"
+    }
+
+
 def test_kcore_invariants(spark, sf_small):
     rows = m.queries()["g8_kcore_peel"](spark, sf_small).collect()
     assert rows
