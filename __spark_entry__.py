@@ -13424,6 +13424,106 @@ ORDER BY event_type
 """
 
 
+def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate per label cluster (Facco et
+    al. '17 — the MLE from nearest-neighbour distance ratios): with
+    μ_i = d₂(i)/d₁(i), d̂ = n / Σ ln μ_i. Tells whether a 64-dim
+    embedding cluster actually lives on a much lower-dimensional
+    manifold — the measurement behind PQ/Matryoshka truncation choices
+    (ann.py) and the UMAP/PCA target dims (reduction.py).
+
+    Works entirely on SQUARED distances (ln μ = ½ ln(r₂/r₁), so
+    d̂ = 2n/Σln(r₂/r₁)) — the fold-order-identical zip_with/list_reduce
+    expression both engines share (functions/vector.sq_euclidean ==
+    the oracle's list_reduce, the j9/m8 identity), no sqrt anywhere.
+    1st/2nd NN pick by (r, j) tie-break; duplicate points (r₁ = 0)
+    are excluded from the MLE. The Σ ln is order-dependent → d̂ rounds
+    6dp (irrational).
+
+    Plan: per-LABEL self-join (cells ≤ label-size², never corpus²) —
+    the m2/m8 intra-cluster pairwise discipline; at larger clusters
+    the same estimator runs on the IVF-cell sample (the documented
+    ann.py subsample contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        "label", F.col("vec_id").alias("i"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        "label", F.col("vec_id").alias("j"), F.col("embedding").alias("vb")
+    )
+    d = (
+        a.join(b, "label")
+        .where(F.col("i") != F.col("j"))
+        .select("label", "i", "j", V.sq_euclidean("va", "vb").alias("r"))
+    )
+    wnn = Window.partitionBy("label", "i").orderBy("r", "j")
+    nn2 = (
+        d.withColumn("rn", F.row_number().over(wnn))
+        .where(F.col("rn") <= 2)
+        .groupBy("label", "i")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("r"))).alias("r1"),
+            F.min(F.when(F.col("rn") == 2, F.col("r"))).alias("r2"),
+        )
+    )
+    per_label = nn2.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("r1") > 0, F.log(F.col("r2") / F.col("r1")))
+        ).alias("sum_ln"),
+        F.sum(F.when(F.col("r1") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_used"),
+    )
+    return (
+        per_label.select(
+            "label",
+            "n",
+            "n_used",
+            F.when(
+                (F.col("n_used") > 0) & (F.col("sum_ln") > 0),
+                F.round(
+                    F.lit(2.0) * F.col("n_used") / F.col("sum_ln"), 6
+                ),
+            ).alias("intrinsic_dim"),
+        )
+        .orderBy("label")
+    )
+
+
+_INTRINSIC_DIM_SQL = """
+WITH d AS (
+  SELECT a.label, a.vec_id AS i, b.vec_id AS j,
+         list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                   * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+              (x, y) -> x + y) AS r
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT label, i, j, r,
+         row_number() OVER (PARTITION BY label, i ORDER BY r, j) AS rn
+  FROM d
+), nn2 AS (
+  SELECT label, i,
+         min(CASE WHEN rn = 1 THEN r END) AS r1,
+         min(CASE WHEN rn = 2 THEN r END) AS r2
+  FROM ranked WHERE rn <= 2 GROUP BY 1, 2
+), per_label AS (
+  SELECT label,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CASE WHEN r1 > 0 THEN ln(r2 / r1) END) AS sum_ln,
+         CAST(sum(CASE WHEN r1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_used
+  FROM nn2 GROUP BY 1
+)
+SELECT label, n, n_used,
+       CASE WHEN n_used > 0 AND sum_ln > 0
+            THEN round(2.0 * n_used / sum_ln, 6) END AS intrinsic_dim
+FROM per_label
+ORDER BY label
+"""
+
+
 _HURST_SCALES = (4, 8, 16)
 
 
@@ -14210,6 +14310,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_kendalls_w": (evt_kendalls_w, _KENDALLS_W_SQL),
     "g8_kcore_peel": (g8_kcore_peel, _g8_kcore_sql()),
     "evt_hurst_rs": (evt_hurst_rs, _HURST_SQL),
+    "emb_intrinsic_dim": (emb_intrinsic_dim, _INTRINSIC_DIM_SQL),
     "orders_interpurchase_regularity": (
         orders_interpurchase_regularity,
         _INTERPURCHASE_SQL,
@@ -14596,6 +14697,7 @@ _REGISTRY = {
 # at 24 so the fixed sets stay inside the window.
 _R8_FRONT: list[str] = [
     # r8-NEW queries go HERE (top), newest first, as they land.
+    "emb_intrinsic_dim",
     "evt_hurst_rs",
     "orders_interpurchase_regularity",
     "g8_kcore_peel",

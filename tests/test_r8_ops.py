@@ -199,6 +199,60 @@ def test_kendalls_w_query_bounds(spark, sf_small):
         assert 0.0 <= r.kendalls_w <= 1.0 + 1e-9
 
 
+def test_intrinsic_dim_planted_manifold(spark):
+    """Points on a 2-D plane embedded in 8-D must estimate d̂ ≈ 2 —
+    the estimator's defining property (Facco et al. two-NN MLE)."""
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(120, 2))
+    basis = np.linalg.qr(rng.normal(size=(8, 2)))[0]  # orthonormal 8x2
+    emb = pts @ basis.T  # exactly rank-2 in 8-D
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row], 0) for i, row in enumerate(emb)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    from vector_search_optimization_spark.functions import vector as V
+
+    a = df.select("label", F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+    b = df.select("label", F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    d = (
+        a.join(b, "label")
+        .where(F.col("i") != F.col("j"))
+        .select("label", "i", "j", V.sq_euclidean("va", "vb").alias("r"))
+    )
+    wnn = Window.partitionBy("label", "i").orderBy("r", "j")
+    nn2 = (
+        d.withColumn("rn", F.row_number().over(wnn))
+        .where(F.col("rn") <= 2)
+        .groupBy("label", "i")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("r"))).alias("r1"),
+            F.min(F.when(F.col("rn") == 2, F.col("r"))).alias("r2"),
+        )
+    )
+    row = (
+        nn2.where(F.col("r1") > 0)
+        .groupBy("label")
+        .agg(
+            (
+                F.lit(2.0)
+                * F.count(F.lit(1))
+                / F.sum(F.log(F.col("r2") / F.col("r1")))
+            ).alias("d_hat")
+        )
+        .first()
+    )
+    assert 1.3 <= row.d_hat <= 3.0  # ≈2 with finite-sample noise
+
+
+def test_intrinsic_dim_query_bounds(spark, sf_small):
+    rows = m.queries()["emb_intrinsic_dim"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.n_used <= r.n
+        if r.intrinsic_dim is not None:
+            assert 0 < r.intrinsic_dim <= 200.0
+
+
 def test_hurst_query_invariants(spark, sf_small):
     rows = m.queries()["evt_hurst_rs"](spark, sf_small).collect()
     assert rows
