@@ -160,6 +160,11 @@ _NESTED_LOOP_OK = {
                                # broadcast onto the week grid
     "evt_proportion_ztest",    # 1-row cohort-A × 1-row cohort-B
                                # count-frame join
+    "conformal_interval_audit",  # 1-row calibration-τ frame broadcast
+                                 # into the test-split aggregate
+    "g6_clustering_coeff",     # 1-row max-weight frame broadcast for
+                               # the relative edge-sparsification
+                               # threshold (the g5 pattern)
 }
 
 

@@ -81,6 +81,21 @@ def test_isotonic_matches_minimax_bruteforce(spark, seed):
     assert sum(r.block_days for r in rows) == len(ys)
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["doc_bigram_lm", "dup_span_coverage", "evt_theil_sen_slope"],
+)
+def test_persisting_queries_expose_cache_handles(spark, sf_small, name):
+    """Queries that persist shared frames must attach them as
+    _vso_caches so the repo's unpersist convention can release them
+    (ADVICE r7 #1 regression guard)."""
+    df = m.queries()[name](spark, sf_small)
+    handles = getattr(df, "_vso_caches", [])
+    assert handles, f"{name} persists but exposes no _vso_caches handle"
+    for h in handles:
+        h.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # runs test / BH-FDR / spectral invariants
 # ---------------------------------------------------------------------------
