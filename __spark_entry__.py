@@ -13424,6 +13424,253 @@ ORDER BY event_type
 """
 
 
+_QQ_QUANTS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+def source_quantile_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q divergence of the document-length distribution per source vs
+    the corpus — the quantile-grid drift audit (does a source ship
+    systematically shorter/longer docs than the blend, and WHERE in
+    the distribution): per source and q ∈ {.1,.25,.5,.75,.9}, the
+    source quantile, the global quantile, and their gap/ratio.
+
+    Quantiles are F.percentile == quantile_cont (the proven
+    cross-engine interpolation identity on exact integer n_chars), so
+    both engines derive identical doubles and every export is
+    UNROUNDED except the ratio (single division of identical doubles —
+    also exact, exported unrounded). Plan: one per-source percentile
+    agg, one global agg broadcast onto the |sources|×5 frame."""
+    d = load_table(spark, sf_dir, "documents")
+    qs = list(_QQ_QUANTS)
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.percentile(F.col("n_chars"), F.lit(q)).alias(f"q{i}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    glob = d.agg(
+        *[
+            F.percentile(F.col("n_chars"), F.lit(q)).alias(f"g{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    joined = per_src.crossJoin(F.broadcast(glob))
+    rows = joined.select(
+        "source",
+        "n_docs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.col(f"q{i}").alias("src_val"),
+                        F.col(f"g{i}").alias("global_val"),
+                    )
+                    for i, q in enumerate(qs)
+                ]
+            )
+        ).alias("p"),
+    )
+    return rows.select(
+        "source",
+        "n_docs",
+        F.col("p.q").alias("q"),
+        F.col("p.src_val").alias("src_val"),
+        F.col("p.global_val").alias("global_val"),
+        (F.col("p.src_val") - F.col("p.global_val")).alias("gap"),
+        F.when(
+            F.col("p.global_val") > 0,
+            F.col("p.src_val") / F.col("p.global_val"),
+        ).alias("ratio"),
+    ).orderBy("source", "q")
+
+
+_QQ_SQL = f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         {', '.join(f'quantile_cont(n_chars, {q!r}) AS q{i}' for i, q in enumerate(_QQ_QUANTS))}
+  FROM documents GROUP BY 1
+), gq AS (
+  SELECT {', '.join(f'quantile_cont(n_chars, {q!r}) AS g{i}' for i, q in enumerate(_QQ_QUANTS))}
+  FROM documents
+), rows_t AS (
+  {' UNION ALL '.join(
+    f"SELECT source, n_docs, CAST({q!r} AS DOUBLE) AS q, "
+    f"CAST(q{i} AS DOUBLE) AS src_val, CAST(g{i} AS DOUBLE) AS global_val "
+    f"FROM per_src CROSS JOIN gq"
+    for i, q in enumerate(_QQ_QUANTS)
+  )}
+)
+SELECT source, n_docs, q, src_val, global_val,
+       src_val - global_val AS gap,
+       CASE WHEN global_val > 0 THEN src_val / global_val END AS ratio
+FROM rows_t
+ORDER BY source, q
+"""
+
+
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale word burstiness over the corpus — the curation
+    signal that separates topical/stuffed words from evenly-spread
+    function words: for the top-100 words by collection frequency,
+    burstiness = cf/df (occurrences per containing document) and the
+    Poisson baseline df_expected = N·(1−e^(−cf/N)); df far below the
+    baseline marks template/keyword-stuffing vocabulary.
+
+    cf and df are exact integers (one tokenize pass → per-(doc, word)
+    counts → vocab-bounded word agg); burstiness derives UNROUNDED
+    (single division of exact ints); the exp-bearing baseline and the
+    ratio round 6dp (irrational). Top-100 ranks on (cf DESC, word) —
+    exact-integer ordering, engine-deterministic. Plan: one token
+    shuffle, one vocab-bounded agg, one 1-row doc-count broadcast, a
+    TakeOrdered top-k (no global sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda s: s != "")
+        ).alias("word"),
+    )
+    dw = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    wstats = dw.groupBy("word").agg(
+        F.sum("k").cast("long").alias("cf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    ndocs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    top = (
+        wstats.crossJoin(F.broadcast(ndocs))
+        .orderBy(F.col("cf").desc(), F.col("word"))
+        .limit(100)
+    )
+    expected = F.col("n_docs").cast("double") * (
+        F.lit(1.0)
+        - F.exp(
+            -(F.col("cf").cast("double") / F.col("n_docs").cast("double"))
+        )
+    )
+    return top.select(
+        "word",
+        "cf",
+        "df",
+        "n_docs",
+        (F.col("cf").cast("double") / F.col("df").cast("double")).alias(
+            "burstiness"
+        ),
+        F.round(expected, 6).alias("df_expected"),
+        F.round(F.col("df").cast("double") / expected, 6).alias(
+            "df_to_expected"
+        ),
+    ).orderBy(F.col("cf").desc(), F.col("word"))
+
+
+_BURSTINESS_SQL = r"""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                                    s -> s <> '')) AS word
+  FROM documents
+), dw AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS k
+  FROM words GROUP BY 1, 2
+), wstats AS (
+  SELECT word, CAST(sum(k) AS BIGINT) AS cf,
+         CAST(count(*) AS BIGINT) AS df
+  FROM dw GROUP BY 1
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), top AS (
+  SELECT w.*, nd.n_docs FROM wstats w CROSS JOIN nd
+  ORDER BY w.cf DESC, w.word LIMIT 100
+)
+SELECT word, cf, df, n_docs,
+       CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness,
+       round(CAST(n_docs AS DOUBLE)
+             * (1.0 - exp(-(CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+             6) AS df_expected,
+       round(CAST(df AS DOUBLE)
+             / (CAST(n_docs AS DOUBLE)
+                * (1.0 - exp(-(CAST(cf AS DOUBLE)
+                               / CAST(n_docs AS DOUBLE))))), 6)
+         AS df_to_expected
+FROM top
+ORDER BY cf DESC, word
+"""
+
+
+def evt_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion audit of daily event COUNTS per type —
+    the count-data companion to the value-based drift family: under a
+    Poisson arrival model the index of dispersion var/mean ≈ 1; the
+    chi-square form Σ(x−x̄)²/x̄ ~ χ²(n−1) flags bursty (clumped) or
+    regularized (throttled) arrivals. Counts are EXACT INTEGERS, so
+    everything clears to integers: with S = Σx, Q = Σx², the statistic
+    is (n·Q − S²)/S and the dispersion index is (n·Q − S²)/((n−1)·S) —
+    both EXPORTED AS exact integer numerator/denominator pairs with
+    the doubles derived unrounded by single IEEE divisions (the
+    Theil-Sen rational-export discipline; magnitudes: daily counts
+    ≤ ~1e6, n ≤ calendar days, all << 2^63). One combinable (type,
+    day) count agg + one per-type agg — calendar-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    n, s, q = F.col("n_days"), F.col("s"), F.col("q")
+    num = n * q - s * s
+    return (
+        agg.select(
+            "event_type",
+            "n_days",
+            s.alias("n_events"),
+            num.cast("long").alias("disp_num"),
+            ((n - 1) * s).cast("long").alias("disp_den"),
+            F.when(
+                (s > 0) & (n > 1),
+                num.cast("double") / ((n - 1) * s).cast("double"),
+            ).alias("dispersion_index"),
+            F.when(
+                s > 0, num.cast("double") / s.cast("double")
+            ).alias("chi2_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_POISSON_DISPERSION_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS q
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days, s AS n_events,
+       CAST(n_days * q - s * s AS BIGINT) AS disp_num,
+       CAST((n_days - 1) * s AS BIGINT) AS disp_den,
+       CASE WHEN s > 0 AND n_days > 1
+            THEN CAST(n_days * q - s * s AS DOUBLE)
+                 / CAST((n_days - 1) * s AS DOUBLE)
+       END AS dispersion_index,
+       CASE WHEN s > 0
+            THEN CAST(n_days * q - s * s AS DOUBLE) / CAST(s AS DOUBLE)
+       END AS chi2_stat
+FROM agg
+ORDER BY event_type
+"""
+
+
 def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-NN intrinsic-dimension estimate per label cluster (Facco et
     al. '17 — the MLE from nearest-neighbour distance ratios): with
@@ -14311,6 +14558,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "g8_kcore_peel": (g8_kcore_peel, _g8_kcore_sql()),
     "evt_hurst_rs": (evt_hurst_rs, _HURST_SQL),
     "emb_intrinsic_dim": (emb_intrinsic_dim, _INTRINSIC_DIM_SQL),
+    "evt_poisson_dispersion": (
+        evt_poisson_dispersion,
+        _POISSON_DISPERSION_SQL,
+    ),
+    "text_word_burstiness": (text_word_burstiness, _BURSTINESS_SQL),
+    "source_quantile_divergence": (source_quantile_divergence, _QQ_SQL),
     "orders_interpurchase_regularity": (
         orders_interpurchase_regularity,
         _INTERPURCHASE_SQL,
@@ -14697,6 +14950,9 @@ _REGISTRY = {
 # at 24 so the fixed sets stay inside the window.
 _R8_FRONT: list[str] = [
     # r8-NEW queries go HERE (top), newest first, as they land.
+    "source_quantile_divergence",
+    "evt_poisson_dispersion",
+    "text_word_burstiness",
     "emb_intrinsic_dim",
     "evt_hurst_rs",
     "orders_interpurchase_regularity",

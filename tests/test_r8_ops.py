@@ -214,6 +214,49 @@ def test_kendalls_w_query_bounds(spark, sf_small):
         assert 0.0 <= r.kendalls_w <= 1.0 + 1e-9
 
 
+def test_poisson_dispersion_identities(spark, sf_small):
+    rows = m.queries()["evt_poisson_dispersion"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.disp_num >= 0  # n·Q − S² = n·Σ(x−x̄)² ≥ 0
+        if r.dispersion_index is not None:
+            assert r.dispersion_index == pytest.approx(
+                r.disp_num / r.disp_den
+            )
+            assert r.chi2_stat == pytest.approx(
+                r.dispersion_index * (r.n_days - 1)
+            )
+
+
+def test_burstiness_bounds(spark, sf_small):
+    rows = m.queries()["text_word_burstiness"](spark, sf_small).collect()
+    assert rows
+    cfs = [r.cf for r in rows]
+    assert cfs == sorted(cfs, reverse=True)
+    for r in rows:
+        assert 1 <= r.df <= min(r.cf, r.n_docs)
+        assert r.burstiness >= 1.0
+        # Poisson baseline never exceeds cf and df never exceeds it by
+        # much more than rounding
+        assert r.df_expected <= r.cf + 1e-6
+        assert r.df <= r.df_expected + 1e-6 or r.df_to_expected >= 1.0
+
+
+def test_quantile_divergence_identities(spark, sf_small):
+    rows = m.queries()["source_quantile_divergence"](
+        spark, sf_small
+    ).collect()
+    assert rows
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+        assert r.gap == pytest.approx(r.src_val - r.global_val)
+    for rs in by_src.values():
+        assert sorted(r.q for r in rs) == [0.1, 0.25, 0.5, 0.75, 0.9]
+        vals = [r.src_val for r in sorted(rs, key=lambda x: x.q)]
+        assert vals == sorted(vals)  # quantiles are monotone
+
+
 def test_intrinsic_dim_planted_manifold(spark):
     """Points on a 2-D plane embedded in 8-D must estimate d̂ ≈ 2 —
     the estimator's defining property (Facco et al. two-NN MLE)."""
