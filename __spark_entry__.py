@@ -13424,6 +13424,113 @@ ORDER BY event_type
 """
 
 
+def emb_eigen_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance eigen-spectrum per embedding label — the LINEAR
+    effective-dimension measure next to emb_intrinsic_dim's nonlinear
+    two-NN MLE: per label, eigendecompose the centered covariance and
+    export trace, top-1/top-5 eigenvalue shares, and the participation
+    ratio (Σλ)²/Σλ² (effective rank). Together they answer "how many
+    PCA dims / PQ subspaces / Matryoshka prefix dims does this cluster
+    actually need" (operators/reduction.py, ann.py).
+
+    Engine side: per-label applyInPandas numpy kernel — covariance is
+    (X−μ)ᵀ(X−μ)/n (dim² floats out, never n²), eigvalsh is one
+    deterministic LAPACK call per label. Oracle: the generator
+    recomputes per label from the raw parquet with the SAME centered
+    formula on an independently fetched row set and emits the results
+    as a literal frame (the m1 center-literal oracle class); row-order
+    float-sum noise between the two paths is ~1e-12 relative and the
+    6dp round absorbs it. Scale: one shuffle on label; per-label cost
+    n·dim² map work + a dim² eigensolve — dim-bounded, never n²."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _spec(pdf) -> "pd.DataFrame":
+        import pandas as pd
+
+        X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        lab = int(pdf["label"].iloc[0])
+        n, dim = X.shape
+        mu = X.mean(axis=0)
+        xc = X - mu
+        cov = xc.T @ xc / n
+        lam = np.linalg.eigvalsh(cov)[::-1]
+        lam = np.clip(lam, 0.0, None)
+        tr = float(lam.sum())
+        sumsq = float((lam**2).sum())
+        return pd.DataFrame(
+            {
+                "label": [lab],
+                "n": [n],
+                "dim": [dim],
+                "trace_var": [round(tr, 6)],
+                "top1_share": [
+                    round(float(lam[0]) / tr, 6) if tr > 0 else None
+                ],
+                "top5_share": [
+                    round(float(lam[:5].sum()) / tr, 6) if tr > 0 else None
+                ],
+                "effective_rank": [
+                    round(tr * tr / sumsq, 6) if sumsq > 0 else None
+                ],
+            }
+        )
+
+    schema = (
+        "label int, n long, dim long, trace_var double, "
+        "top1_share double, top5_share double, effective_rank double"
+    )
+    return (
+        emb.select("label", "embedding")
+        .groupBy("label")
+        .applyInPandas(_spec, schema=schema)
+        .orderBy("label")
+    )
+
+
+def _emb_eigen_sql() -> str:
+    """Literal-frame oracle (the m1 center-literal class): recompute
+    the per-label spectrum with the SAME centered-covariance formula
+    from an independently fetched row set."""
+    import duckdb
+
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT label, embedding FROM "
+        f"'{_oracle_sf_dir()}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    rows = []
+    for lab in sorted(df["label"].unique()):
+        X = np.stack(
+            df.loc[df["label"] == lab, "embedding"].to_numpy()
+        ).astype("float64")
+        n, dim = X.shape
+        mu = X.mean(axis=0)
+        xc = X - mu
+        cov = xc.T @ xc / n
+        lam = np.clip(np.linalg.eigvalsh(cov)[::-1], 0.0, None)
+        tr = float(lam.sum())
+        sumsq = float((lam**2).sum())
+        t1 = round(float(lam[0]) / tr, 6) if tr > 0 else "NULL"
+        t5 = round(float(lam[:5].sum()) / tr, 6) if tr > 0 else "NULL"
+        er = round(tr * tr / sumsq, 6) if sumsq > 0 else "NULL"
+        rows.append(
+            f"({int(lab)}, {n}, {dim}, {round(tr, 6)!r}, {t1}, {t5}, {er})"
+        )
+    vals = ", ".join(rows)
+    return f"""
+SELECT CAST(v.label AS INTEGER) AS label,
+       CAST(v.n AS BIGINT) AS n,
+       CAST(v.dim AS BIGINT) AS dim,
+       CAST(v.trace_var AS DOUBLE) AS trace_var,
+       CAST(v.top1_share AS DOUBLE) AS top1_share,
+       CAST(v.top5_share AS DOUBLE) AS top5_share,
+       CAST(v.effective_rank AS DOUBLE) AS effective_rank
+FROM (VALUES {vals})
+  AS v(label, n, dim, trace_var, top1_share, top5_share, effective_rank)
+ORDER BY label
+"""
+
+
 _QQ_QUANTS = (0.1, 0.25, 0.5, 0.75, 0.9)
 
 
@@ -14564,6 +14671,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "text_word_burstiness": (text_word_burstiness, _BURSTINESS_SQL),
     "source_quantile_divergence": (source_quantile_divergence, _QQ_SQL),
+    "emb_eigen_spectrum": (emb_eigen_spectrum, _emb_eigen_sql),
     "orders_interpurchase_regularity": (
         orders_interpurchase_regularity,
         _INTERPURCHASE_SQL,
@@ -14950,6 +15058,7 @@ _REGISTRY = {
 # at 24 so the fixed sets stay inside the window.
 _R8_FRONT: list[str] = [
     # r8-NEW queries go HERE (top), newest first, as they land.
+    "emb_eigen_spectrum",
     "source_quantile_divergence",
     "evt_poisson_dispersion",
     "text_word_burstiness",

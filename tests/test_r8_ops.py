@@ -257,6 +257,55 @@ def test_quantile_divergence_identities(spark, sf_small):
         assert vals == sorted(vals)  # quantiles are monotone
 
 
+def test_eigen_spectrum_planted_rank(spark):
+    """A cluster drawn exactly on a rank-2 subspace of 8-D must report
+    effective_rank ≈ 2 and top5_share = 1 (only 2 nonzero λ)."""
+    rng = np.random.default_rng(11)
+    pts = rng.normal(size=(100, 2)) * np.array([3.0, 1.0])
+    basis = np.linalg.qr(rng.normal(size=(8, 2)))[0]
+    X = pts @ basis.T
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row], 0) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+    def _spec_frame(emb):
+        import pandas as pd
+
+        def _spec(pdf):
+            M = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            mu = M.mean(axis=0)
+            xc = M - mu
+            cov = xc.T @ xc / len(M)
+            lam = np.clip(np.linalg.eigvalsh(cov)[::-1], 0.0, None)
+            tr = lam.sum()
+            return pd.DataFrame(
+                {
+                    "label": [int(pdf['label'].iloc[0])],
+                    "effective_rank": [tr * tr / (lam**2).sum()],
+                    "top5_share": [lam[:5].sum() / tr],
+                }
+            )
+
+        return emb.groupBy("label").applyInPandas(
+            _spec, "label int, effective_rank double, top5_share double"
+        )
+
+    r = _spec_frame(df).first()
+    assert 1.1 <= r.effective_rank <= 2.2
+    assert r.top5_share == pytest.approx(1.0, abs=1e-9)
+
+
+def test_eigen_spectrum_query_bounds(spark, sf_small):
+    rows = m.queries()["emb_eigen_spectrum"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.dim == 64
+        if r.effective_rank is not None:
+            assert 1.0 - 1e-9 <= r.effective_rank <= r.dim + 1e-6
+            assert 0.0 < r.top1_share <= r.top5_share <= 1.0 + 1e-9
+
+
 def test_intrinsic_dim_planted_manifold(spark):
     """Points on a 2-D plane embedded in 8-D must estimate d̂ ≈ 2 —
     the estimator's defining property (Facco et al. two-NN MLE)."""
