@@ -14636,6 +14636,129 @@ ORDER BY rnk
 """
 
 
+def evt_kruskal_dunn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis one-way rank test across event types' daily
+    revenue, with per-type Dunn z-scores — the distribution-free
+    companion to evt_proportion_ztest / doc_lang_source_chi2: does at
+    least one event type's daily-revenue DISTRIBUTION sit above or
+    below the others (H ~ chi2(k-1)), and which types drive it (Dunn's
+    mean-rank z vs the grand mean)?
+
+    Ranks pool ALL (type, day) daily cents into one ordering; average
+    tie ranks stay EXACT INTEGERS via the x2 trick (2*avg_rank =
+    2*rank + ties - 1, the evt_spearman_corr discipline), and the tie
+    correction C = 1 - sum(t^3-t)/(N^3-N) accumulates per-row as
+    t^2-1 (each tie-run of size t contributes t*(t^2-1) = t^3-t) —
+    all exact BIGINTs. The per-type H term 3*R2^2/(n*N*(N+1)) is a
+    single division of exact integers (bit-identical both engines);
+    the cross-type sum is k doubles of O(N) magnitude whose last-ulp
+    order noise the 6dp round absorbs (the markov/pagerank
+    precedent). Dunn z folds the 2n denominator into the radical:
+    z = (R2 - n*(N+1)) / sqrt(C*(N+1)*(N-n)*n/3).
+
+    Plan: ONE combinable (type, day) agg over the fact table, then
+    every window runs on the pooled daily frame — |types| x |days|
+    rows, calendar-bounded at any corpus scale (the evt_spearman_corr
+    contract), so the unpartitioned rank window is bounded by design."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    wr = Window.orderBy("cents")
+    wt = Window.partitionBy("cents")
+    wall_daily = Window.partitionBy()
+    ranked = daily.select(
+        "event_type",
+        (
+            F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+        ).cast("long").alias("rank2"),
+        (F.count(F.lit(1)).over(wt) * F.count(F.lit(1)).over(wt) - 1)
+        .cast("long")
+        .alias("tie_row"),
+        F.count(F.lit(1)).over(wall_daily).cast("long").alias("n_total"),
+    )
+    per_type = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("rank2").cast("long").alias("r2_sum"),
+        F.sum("tie_row").cast("long").alias("tie_part"),
+        F.max("n_total").alias("n_total"),
+    )
+    wall = Window.partitionBy()
+    n, r2, bign = F.col("n_days"), F.col("r2_sum"), F.col("n_total")
+    tie_term = F.sum("tie_part").over(wall)
+    c_tie = F.lit(1.0) - tie_term.cast("double") / (
+        bign * bign * bign - bign
+    ).cast("double")
+    h_term = (F.lit(3) * r2 * r2).cast("double") / (
+        n * bign * (bign + 1)
+    ).cast("double")
+    h_stat = (
+        F.sum(h_term).over(wall) - F.lit(3.0) * (bign + 1).cast("double")
+    ) / c_tie
+    z_dunn = (r2 - n * (bign + 1)).cast("double") / F.sqrt(
+        c_tie * ((bign + 1) * (bign - n) * n).cast("double") / F.lit(3.0)
+    )
+    return (
+        per_type.select(
+            "event_type",
+            "n_days",
+            "r2_sum",
+            "n_total",
+            (r2.cast("double") / (2 * n).cast("double")).alias("mean_rank"),
+            c_tie.alias("tie_c"),
+            F.round(z_dunn, 6).alias("z_dunn"),
+            F.round(h_stat, 6).alias("h_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_KRUSKAL_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type,
+         CAST(2 * rank() OVER (ORDER BY cents)
+              + count(*) OVER (PARTITION BY cents) - 1 AS BIGINT) AS rank2,
+         CAST(count(*) OVER (PARTITION BY cents)
+              * count(*) OVER (PARTITION BY cents) - 1 AS BIGINT) AS tie_row,
+         CAST(count(*) OVER () AS BIGINT) AS n_total
+  FROM daily
+), per_type AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(rank2) AS BIGINT) AS r2_sum,
+         CAST(sum(tie_row) AS BIGINT) AS tie_part,
+         max(n_total) AS n_total
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n_days, r2_sum, n_total,
+       CAST(r2_sum AS DOUBLE) / CAST(2 * n_days AS DOUBLE) AS mean_rank,
+       1.0 - CAST(sum(tie_part) OVER () AS DOUBLE)
+             / CAST(n_total * n_total * n_total - n_total AS DOUBLE)
+         AS tie_c,
+       round(CAST(r2_sum - n_days * (n_total + 1) AS DOUBLE)
+             / sqrt((1.0 - CAST(sum(tie_part) OVER () AS DOUBLE)
+                           / CAST(n_total * n_total * n_total - n_total
+                                  AS DOUBLE))
+                    * CAST((n_total + 1) * (n_total - n_days) * n_days
+                           AS DOUBLE) / 3.0), 6) AS z_dunn,
+       round((sum(CAST(3 * r2_sum * r2_sum AS DOUBLE)
+                  / CAST(n_days * n_total * (n_total + 1) AS DOUBLE))
+              OVER ()
+              - 3.0 * CAST(n_total + 1 AS DOUBLE))
+             / (1.0 - CAST(sum(tie_part) OVER () AS DOUBLE)
+                      / CAST(n_total * n_total * n_total - n_total
+                             AS DOUBLE)), 6) AS h_stat
+FROM per_type
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -14652,6 +14775,7 @@ ORDER BY rnk
 # generations old — _R7_FRONT rotates exactly those forward, oldest debt
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "evt_kruskal_dunn": (evt_kruskal_dunn, _KRUSKAL_SQL),
     "evt_isotonic_daily": (evt_isotonic_daily, _ISOTONIC_SQL),
     "copurchase_item_cosine": (copurchase_item_cosine, _COPURCHASE_SQL),
     "evt_runs_test": (evt_runs_test, _RUNS_TEST_SQL),
@@ -15058,6 +15182,7 @@ _REGISTRY = {
 # at 24 so the fixed sets stay inside the window.
 _R8_FRONT: list[str] = [
     # r8-NEW queries go HERE (top), newest first, as they land.
+    "evt_kruskal_dunn",
     "emb_eigen_spectrum",
     "source_quantile_divergence",
     "evt_poisson_dispersion",
