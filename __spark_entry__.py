@@ -14759,6 +14759,158 @@ ORDER BY event_type
 """
 
 
+def evt_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1..7) + cumulative Ljung-Box Q
+    per event type's daily revenue — the serial-dependence audit the
+    single-lag evt_lag_correlation can't give: is the series white
+    noise (Q ~ chi2(h)) or does revenue persist/cycle across the week?
+
+    The series is DENSIFIED onto each type's own daily span (missing
+    days = 0 cents, the evt_gap_fill spine pattern) so lags align on
+    calendar days, not observation indices. Mean-centering stays EXACT
+    by clearing the rational mean: with S = sum(x), n grid days, the
+    lag-l numerator scaled by n^2 is sum((n*x_t - S)(n*x_{t+l} - S))
+    — exact integers accumulated in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB), factors pre-cast so no per-term product overflows (the
+    nation_revenue_hhi discipline; n*x ~ 5e10 at a 10-year calendar).
+    acf_l = num_l/den is a single division of two casts of the same
+    exact integers -> bit-identical; the Ljung-Box prefix sum
+    n(n+2)*sum(acf_l^2/(n-l)) runs in lag order on both engines and
+    exports 6dp-rounded.
+
+    Plan: ONE combinable daily agg, a calendar-bounded spine, one
+    broadcast-size per-type stats join, and the lag pairs come from a
+    7-way explode + (type, day+lag) equi-join on the tiny grid —
+    |types| x |days| x 7 rows at ANY corpus scale."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = (
+        e.groupBy(F.col("event_type"), day.alias("d"))
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("cents"))
+        .persist()
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    grid = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("cents", F.lit(0)).alias("x")
+    )
+    stats = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    g = grid.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "d",
+        "n",
+        (F.col("n") * F.col("x") - F.col("s"))
+        .cast("decimal(18,0)")
+        .alias("c"),
+    )
+    den = g.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).alias("den"),
+        F.max("n").alias("n"),
+    )
+    a = g.select(
+        "event_type",
+        "d",
+        F.col("c").alias("ca"),
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+    )
+    b = g.select(
+        "event_type", F.col("d").alias("db"), F.col("c").alias("cb")
+    )
+    num = (
+        a.join(
+            b,
+            (a.event_type == b.event_type)
+            & (b.db == a.d + a.lag),
+        )
+        .groupBy(a.event_type.alias("event_type"), "lag")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("num"))
+    )
+    j = num.join(F.broadcast(den), "event_type")
+    acf = F.col("num").cast("double") / F.col("den").cast("double")
+    lb_term = (
+        F.col("n").cast("double")
+        * (F.col("n") + 2).cast("double")
+        * acf
+        * acf
+        / (F.col("n") - F.col("lag")).cast("double")
+    )
+    wq = (
+        Window.partitionBy("event_type")
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        j.where((F.col("den") > 0) & (F.col("n") > 8))
+        .select(
+            "event_type",
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").alias("n_days"),
+            F.round(acf, 6).alias("acf"),
+            F.round(F.sum(lb_term).over(wq), 6).alias("q_ljung_box"),
+        )
+        .orderBy("event_type", "lag")
+    )
+    out._vso_caches = [daily]
+    return out
+
+
+_LJUNG_BOX_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS d
+  FROM bounds
+), grid AS (
+  SELECT s.event_type, s.d, coalesce(a.cents, 0) AS x
+  FROM spine s LEFT JOIN daily a
+    ON s.event_type = a.event_type AND s.d = a.d
+), stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s
+  FROM grid GROUP BY 1
+), g AS (
+  SELECT grid.event_type, grid.d, stats.n,
+         CAST(stats.n * grid.x - stats.s AS HUGEINT) AS c
+  FROM grid JOIN stats ON grid.event_type = stats.event_type
+), den AS (
+  SELECT event_type, sum(c * c) AS den, max(n) AS n
+  FROM g GROUP BY 1
+), lags AS (SELECT unnest(generate_series(1, 7)) AS lag
+), num AS (
+  SELECT a.event_type, l.lag, sum(a.c * b.c) AS num
+  FROM g a JOIN lags l ON TRUE
+  JOIN g b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+  GROUP BY 1, 2
+)
+SELECT num.event_type, CAST(num.lag AS INTEGER) AS lag,
+       den.n AS n_days,
+       round(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6) AS acf,
+       round(sum(CAST(den.n AS DOUBLE) * CAST(den.n + 2 AS DOUBLE)
+                 * (CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE))
+                 * (CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE))
+                 / CAST(den.n - num.lag AS DOUBLE))
+             OVER (PARTITION BY num.event_type ORDER BY num.lag
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS q_ljung_box
+FROM num JOIN den ON num.event_type = den.event_type
+WHERE den.den > 0 AND den.n > 8
+ORDER BY num.event_type, num.lag
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -14775,6 +14927,7 @@ ORDER BY event_type
 # generations old — _R7_FRONT rotates exactly those forward, oldest debt
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "evt_ljung_box": (evt_ljung_box, _LJUNG_BOX_SQL),
     "evt_kruskal_dunn": (evt_kruskal_dunn, _KRUSKAL_SQL),
     "evt_isotonic_daily": (evt_isotonic_daily, _ISOTONIC_SQL),
     "copurchase_item_cosine": (copurchase_item_cosine, _COPURCHASE_SQL),
@@ -15182,6 +15335,7 @@ _REGISTRY = {
 # at 24 so the fixed sets stay inside the window.
 _R8_FRONT: list[str] = [
     # r8-NEW queries go HERE (top), newest first, as they land.
+    "evt_ljung_box",
     "evt_kruskal_dunn",
     "emb_eigen_spectrum",
     "source_quantile_divergence",
