@@ -14911,6 +14911,125 @@ ORDER BY num.event_type, num.lag
 """
 
 
+_HITS_ITERS = 8
+
+
+def g7_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the directed session-transition graph
+    (event_type -> next event_type, weighted by transition count) — the
+    directed-centrality companion to g3_pagerank/evt_markov_stationary:
+    a HUB routes attention onward (high out-weight to good
+    authorities), an AUTHORITY receives it. Fixed 8 power-iteration
+    rounds from uniform with L1 normalization after every half-step
+    (a_k from h_{k-1}, then h_k from a_k — the Gauss-Seidel HITS
+    order), so both engines compute the identical recurrence whether
+    or not it has converged; last-ulp sum-order noise is absorbed by
+    the 6dp export round (the markov/pagerank precedent).
+
+    Plan: ONE user-keyed window shuffle builds the weighted edge list;
+    the |types|^2 matrix is driver-bounded by event-type cardinality,
+    so iteration runs as numpy rounds after a bounded collect (the
+    g2/g3/markov small-side driver-finish discipline — for larger
+    graphs the same recurrence is per-round equi-join + combinable
+    groupBy, and the oracle below IS that formulation)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows = pairs.collect()  # bounded: |event types|^2 cells
+    nodes = sorted({r.from_type for r in rows} | {r.to_type for r in rows})
+    idx = {s: i for i, s in enumerate(nodes)}
+    m_sz = len(nodes)
+    W = np.zeros((m_sz, m_sz))
+    for r in rows:
+        W[idx[r.from_type], idx[r.to_type]] = r.n
+    h = np.full(m_sz, 1.0 / m_sz)
+    a = np.zeros(m_sz)
+    for _ in range(_HITS_ITERS):
+        a = W.T @ h
+        a = a / a.sum()
+        h = W @ a
+        h = h / h.sum()
+    n_out = W.sum(axis=1).astype(np.int64)
+    n_in = W.sum(axis=0).astype(np.int64)
+    out_rows = [
+        (
+            s,
+            int(n_out[i]),
+            int(n_in[i]),
+            round(float(h[i]), 6),
+            round(float(a[i]), 6),
+        )
+        for i, s in enumerate(nodes)
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "state string, n_out long, n_in long, "
+        "hub_score double, auth_score double",
+    ).orderBy("state")
+
+
+def _g7_hits_sql(iters: int = _HITS_ITERS) -> str:
+    """Unrolled HITS rounds; every CTE is MATERIALIZED because each
+    round's frame is referenced twice (score + L1-total) — the
+    g8_kcore_peel inlining rule."""
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"a{k}r AS MATERIALIZED (\n"
+            f"  SELECT e.to_type AS state, sum(e.n * h{k - 1}.score) AS s\n"
+            f"  FROM edges e JOIN h{k - 1} ON e.from_type = h{k - 1}.state\n"
+            f"  GROUP BY 1\n), "
+            f"a{k} AS MATERIALIZED (\n"
+            f"  SELECT state, s / (SELECT sum(s) FROM a{k}r) AS score\n"
+            f"  FROM a{k}r\n), "
+            f"h{k}r AS MATERIALIZED (\n"
+            f"  SELECT e.from_type AS state, sum(e.n * a{k}.score) AS s\n"
+            f"  FROM edges e JOIN a{k} ON e.to_type = a{k}.state\n"
+            f"  GROUP BY 1\n), "
+            f"h{k} AS MATERIALIZED (\n"
+            f"  SELECT state, s / (SELECT sum(s) FROM h{k}r) AS score\n"
+            f"  FROM h{k}r\n)"
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events)
+  WHERE to_type IS NOT NULL GROUP BY 1, 2
+), nodes AS MATERIALIZED (
+  SELECT from_type AS state FROM edges
+  UNION SELECT to_type FROM edges
+), h0 AS MATERIALIZED (
+  SELECT state, 1.0 / (SELECT count(*) FROM nodes) AS score FROM nodes
+),
+{chain}
+SELECT n.state,
+       coalesce(o.n_out, 0) AS n_out,
+       coalesce(i.n_in, 0) AS n_in,
+       round(coalesce(h.score, 0.0), 6) AS hub_score,
+       round(coalesce(a.score, 0.0), 6) AS auth_score
+FROM nodes n
+LEFT JOIN h{iters} h ON h.state = n.state
+LEFT JOIN a{iters} a ON a.state = n.state
+LEFT JOIN (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out
+           FROM edges GROUP BY 1) o ON o.from_type = n.state
+LEFT JOIN (SELECT to_type, CAST(sum(n) AS BIGINT) AS n_in
+           FROM edges GROUP BY 1) i ON i.to_type = n.state
+ORDER BY n.state
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -14927,6 +15046,7 @@ ORDER BY num.event_type, num.lag
 # generations old — _R7_FRONT rotates exactly those forward, oldest debt
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "g7_hits": (g7_hits, _g7_hits_sql()),
     "evt_ljung_box": (evt_ljung_box, _LJUNG_BOX_SQL),
     "evt_kruskal_dunn": (evt_kruskal_dunn, _KRUSKAL_SQL),
     "evt_isotonic_daily": (evt_isotonic_daily, _ISOTONIC_SQL),
@@ -15335,6 +15455,7 @@ _REGISTRY = {
 # at 24 so the fixed sets stay inside the window.
 _R8_FRONT: list[str] = [
     # r8-NEW queries go HERE (top), newest first, as they land.
+    "g7_hits",
     "evt_ljung_box",
     "evt_kruskal_dunn",
     "emb_eigen_spectrum",
