@@ -15030,6 +15030,148 @@ ORDER BY n.state
 """
 
 
+def evt_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing of each event
+    type's daily revenue — the trend-aware upgrade of evt_ewma_daily:
+    level and trend recursions l_t = a*x_t + (1-a)(l+b),
+    b_t = g*(l_t - l) + (1-g)*b with shared repr-exact a=0.5, g=0.25,
+    plus the in-sample one-step RMSE and the 7-day-ahead forecast.
+
+    Determinism contract: the recursion is a SEQUENTIAL fold over the
+    dense per-type daily series, so both engines execute the same IEEE
+    ops in the same order — Spark folds with F.aggregate over the
+    array_sort'ed series (init l=x1, b=x2-x1), DuckDB unrolls the
+    identical expressions through a day-indexed recursive CTE — and
+    every export is bit-identical before its 6dp round (no float
+    sum-order anywhere).
+
+    Plan: ONE combinable daily agg + the calendar-bounded gap-fill
+    spine; the fold runs on |types| arrays of |days| elements
+    (calendar-bounded at any corpus scale — the interpreted
+    higher-order path is fine far below the 1000-dim Arrow-twin
+    threshold). The 100 TB shape: daily grid is types x days
+    regardless of fact rows."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = (
+        e.groupBy(F.col("event_type"), day.alias("d"))
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("cents"))
+        .persist()
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    grid = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        "d",
+        F.coalesce("cents", F.lit(0)).cast("double").alias("x"),
+    )
+    ser = grid.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "x"))),
+            lambda s: s.x,
+        ).alias("xs")
+    )
+    xs = F.col("xs")
+    acc = F.aggregate(
+        F.slice(xs, F.lit(2), F.size(xs) - 1),
+        F.struct(
+            xs[0].alias("l"),
+            (xs[1] - xs[0]).alias("b"),
+            F.lit(0.0).alias("sse"),
+        ),
+        lambda acc, x: F.struct(
+            (F.lit(0.5) * x + F.lit(0.5) * (acc.l + acc.b)).alias("l"),
+            (
+                F.lit(0.25)
+                * ((F.lit(0.5) * x + F.lit(0.5) * (acc.l + acc.b)) - acc.l)
+                + F.lit(0.75) * acc.b
+            ).alias("b"),
+            (acc.sse + (x - (acc.l + acc.b)) * (x - (acc.l + acc.b))).alias(
+                "sse"
+            ),
+        ),
+    )
+    out = (
+        ser.where(F.size(xs) >= 2)
+        .select(
+            "event_type",
+            F.size(xs).cast("long").alias("n_days"),
+            acc.alias("acc"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round(F.col("acc.l"), 6).alias("level_cents"),
+            F.round(F.col("acc.b"), 6).alias("trend_cents"),
+            F.round(F.col("acc.l") + F.lit(7.0) * F.col("acc.b"), 6).alias(
+                "forecast_7d_cents"
+            ),
+            F.round(
+                F.sqrt(F.col("acc.sse") / (F.col("n_days") - 1).cast("double")),
+                6,
+            ).alias("rmse_cents"),
+        )
+        .orderBy("event_type")
+    )
+    out._vso_caches = [daily]
+    return out
+
+
+_HOLT_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS d
+  FROM bounds
+), grid AS (
+  SELECT s.event_type, s.d,
+         CAST(coalesce(a.cents, 0) AS DOUBLE) AS x
+  FROM spine s LEFT JOIN daily a
+    ON s.event_type = a.event_type AND s.d = a.d
+), idx AS (
+  SELECT event_type, x,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM grid
+), rec AS (
+  SELECT a.event_type, CAST(2 AS BIGINT) AS i, a.n,
+         0.5 * b.x + 0.5 * (a.x + (b.x - a.x)) AS l,
+         0.25 * ((0.5 * b.x + 0.5 * (a.x + (b.x - a.x))) - a.x)
+           + 0.75 * (b.x - a.x) AS b,
+         0.0 + (b.x - (a.x + (b.x - a.x))) * (b.x - (a.x + (b.x - a.x)))
+           AS sse
+  FROM idx a JOIN idx b
+    ON a.event_type = b.event_type AND a.i = 1 AND b.i = 2
+  UNION ALL
+  SELECT r.event_type, r.i + 1, r.n,
+         0.5 * g.x + 0.5 * (r.l + r.b),
+         0.25 * ((0.5 * g.x + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b,
+         r.sse + (g.x - (r.l + r.b)) * (g.x - (r.l + r.b))
+  FROM rec r JOIN idx g
+    ON g.event_type = r.event_type AND g.i = r.i + 1
+)
+SELECT event_type, n AS n_days,
+       round(l, 6) AS level_cents,
+       round(b, 6) AS trend_cents,
+       round(l + 7.0 * b, 6) AS forecast_7d_cents,
+       round(sqrt(sse / CAST(n - 1 AS DOUBLE)), 6) AS rmse_cents
+FROM rec
+WHERE i = n
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -15046,6 +15188,7 @@ ORDER BY n.state
 # generations old — _R7_FRONT rotates exactly those forward, oldest debt
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "evt_holt_linear": (evt_holt_linear, _HOLT_SQL),
     "g7_hits": (g7_hits, _g7_hits_sql()),
     "evt_ljung_box": (evt_ljung_box, _LJUNG_BOX_SQL),
     "evt_kruskal_dunn": (evt_kruskal_dunn, _KRUSKAL_SQL),
@@ -15455,6 +15598,7 @@ _REGISTRY = {
 # at 24 so the fixed sets stay inside the window.
 _R8_FRONT: list[str] = [
     # r8-NEW queries go HERE (top), newest first, as they land.
+    "evt_holt_linear",
     "g7_hits",
     "evt_ljung_box",
     "evt_kruskal_dunn",
