@@ -15172,6 +15172,151 @@ ORDER BY event_type
 """
 
 
+_HUBNESS_K = 5
+
+
+def emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence hubness audit per embedding label (Radovanovic et
+    al. '10) — THE vector-search pathology metric: in high intrinsic
+    dimension a few points ("hubs") appear in almost everyone's k-NN
+    list while "antihubs" appear in nobody's, which silently skews
+    ANN recall and k-NN label propagation. Per label: the k-occurrence
+    distribution N_k(j) = |{i : j in kNN_k(i)}| at k=5, its skewness
+    (the S_k hubness score), the max occupancy, antihub count
+    (N_k = 0) and hub count (N_k > 2k).
+
+    N_k counts are EXACT INTEGERS (kNN picks tie-break on (r, j), the
+    j7/m8/emb_intrinsic_dim identity; distances share the
+    fold-order-identical zip_with/list_reduce expression), so the
+    moment sums S1..S3 are exact BIGINTs and skewness
+    m3/(m2*sqrt(m2)) derives through one fixed expression tree ->
+    bit-identical before its 6dp round; mean occupancy is a single
+    exact-int division, exported unrounded.
+
+    Plan: per-LABEL self-join (cells <= label-size^2, never corpus^2 —
+    the m2/m8 intra-cluster pairwise discipline); at larger clusters
+    the same audit runs on the IVF-cell sample per the documented
+    ann.py subsample contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        "label", F.col("vec_id").alias("i"), F.col("embedding").alias("va")
+    )
+    b = emb.select(
+        "label", F.col("vec_id").alias("j"), F.col("embedding").alias("vb")
+    )
+    d = (
+        a.join(b, "label")
+        .where(F.col("i") != F.col("j"))
+        .select("label", "i", "j", V.sq_euclidean("va", "vb").alias("r"))
+    )
+    wnn = Window.partitionBy("label", "i").orderBy("r", "j")
+    knn = (
+        d.withColumn("rn", F.row_number().over(wnn))
+        .where(F.col("rn") <= _HUBNESS_K)
+        .select("label", "j")
+    )
+    occ = knn.groupBy("label", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    members = emb.select("label", F.col("vec_id").alias("j"))
+    cnt = members.join(occ, ["label", "j"], "left").select(
+        "label", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    per_label = cnt.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).cast("long").alias("s3"),
+        F.max("c").cast("long").alias("max_k_occ"),
+        F.sum(F.when(F.col("c") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_antihubs"),
+        F.sum(F.when(F.col("c") > 2 * _HUBNESS_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hubs"),
+    )
+    n = F.col("n_points").cast("double")
+    mu = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / n
+        - F.lit(3.0) * mu * (F.col("s2").cast("double") / n)
+        + F.lit(2.0) * mu * mu * mu
+    )
+    return (
+        per_label.select(
+            "label",
+            "n_points",
+            "max_k_occ",
+            "n_antihubs",
+            "n_hubs",
+            mu.alias("mean_k_occ"),
+            F.when(m2 > 0, F.round(m3 / (m2 * F.sqrt(m2)), 6)).alias(
+                "hubness_skew"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+_HUBNESS_SQL = """
+WITH d AS (
+  SELECT a.label, a.vec_id AS i, b.vec_id AS j,
+         list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                   * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+              (x, y) -> x + y) AS r
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+), knn AS (
+  SELECT label, j FROM (
+    SELECT label, i, j,
+           row_number() OVER (PARTITION BY label, i ORDER BY r, j) AS rn
+    FROM d
+  ) WHERE rn <= 5
+), occ AS (
+  SELECT label, j, CAST(count(*) AS BIGINT) AS c
+  FROM knn GROUP BY 1, 2
+), cnt AS (
+  SELECT m.label, CAST(coalesce(o.c, 0) AS BIGINT) AS c
+  FROM (SELECT label, vec_id AS j FROM embeddings) m
+  LEFT JOIN occ o ON m.label = o.label AND m.j = o.j
+), per_label AS (
+  SELECT label,
+         CAST(count(*) AS BIGINT) AS n_points,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2,
+         CAST(sum(c * c * c) AS BIGINT) AS s3,
+         CAST(max(c) AS BIGINT) AS max_k_occ,
+         CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_antihubs,
+         CAST(sum(CASE WHEN c > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hubs
+  FROM cnt GROUP BY 1
+)
+SELECT label, n_points, max_k_occ, n_antihubs, n_hubs,
+       CAST(s1 AS DOUBLE) / CAST(n_points AS DOUBLE) AS mean_k_occ,
+       CASE WHEN CAST(s2 AS DOUBLE) / CAST(n_points AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / CAST(n_points AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(n_points AS DOUBLE)) > 0
+            THEN round(
+              (CAST(s3 AS DOUBLE) / CAST(n_points AS DOUBLE)
+               - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n_points AS DOUBLE))
+                     * (CAST(s2 AS DOUBLE) / CAST(n_points AS DOUBLE))
+               + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n_points AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n_points AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n_points AS DOUBLE)))
+              / ((CAST(s2 AS DOUBLE) / CAST(n_points AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n_points AS DOUBLE))
+                    * (CAST(s1 AS DOUBLE) / CAST(n_points AS DOUBLE)))
+                 * sqrt(CAST(s2 AS DOUBLE) / CAST(n_points AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / CAST(n_points AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / CAST(n_points AS DOUBLE)))),
+              6) END AS hubness_skew
+FROM per_label
+ORDER BY label
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -15188,6 +15333,7 @@ ORDER BY event_type
 # generations old — _R7_FRONT rotates exactly those forward, oldest debt
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "emb_hubness_audit": (emb_hubness_audit, _HUBNESS_SQL),
     "evt_holt_linear": (evt_holt_linear, _HOLT_SQL),
     "g7_hits": (g7_hits, _g7_hits_sql()),
     "evt_ljung_box": (evt_ljung_box, _LJUNG_BOX_SQL),
@@ -15598,6 +15744,7 @@ _REGISTRY = {
 # at 24 so the fixed sets stay inside the window.
 _R8_FRONT: list[str] = [
     # r8-NEW queries go HERE (top), newest first, as they land.
+    "emb_hubness_audit",
     "evt_holt_linear",
     "g7_hits",
     "evt_ljung_box",
