@@ -143,6 +143,12 @@ _NESTED_LOOP_OK = {
     "customer_pareto_lorenz",  # 5-row quantile×1-row-totals frame
                                # broadcast range-joined onto the
                                # lattice-bounded revenue grid
+    "source_quantile_divergence",  # 1-row corpus-quantile frame
+                                   # broadcast onto the |sources|×5
+                                   # per-source quantile frame
+    "text_word_burstiness",    # 1-row doc-count frame broadcast onto
+                               # the top-100 word frame for the
+                               # Poisson df baseline
     "corpus_zipf_slope",       # 1-row corpus-totals frame broadcast
                                # onto the 1-row OLS-stats frame
     "evt_lag_correlation",     # 4-row lag frame broadcast onto the
