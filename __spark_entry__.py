@@ -15050,7 +15050,11 @@ def evt_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     (calendar-bounded at any corpus scale — the interpreted
     higher-order path is fine far below the 1000-dim Arrow-twin
     threshold). The 100 TB shape: daily grid is types x days
-    regardless of fact rows."""
+    regardless of fact rows. The densify + fold live in the SHARED
+    combine operators/timeseries.holt_from_daily, which
+    streaming/holt_maintenance.py replays per micro-batch over its
+    maintained grid (the ewma_from_daily one-combine-two-paths
+    pattern)."""
     e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
     daily = (
@@ -15058,65 +15062,7 @@ def evt_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("value") * 100).cast("long").alias("cents"))
         .persist()
     )
-    bounds = daily.groupBy("event_type").agg(
-        F.min("d").alias("lo"), F.max("d").alias("hi")
-    )
-    spine = bounds.select(
-        "event_type", F.explode(F.sequence("lo", "hi")).alias("d")
-    )
-    grid = spine.join(daily, ["event_type", "d"], "left").select(
-        "event_type",
-        "d",
-        F.coalesce("cents", F.lit(0)).cast("double").alias("x"),
-    )
-    ser = grid.groupBy("event_type").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("d", "x"))),
-            lambda s: s.x,
-        ).alias("xs")
-    )
-    xs = F.col("xs")
-    acc = F.aggregate(
-        F.slice(xs, F.lit(2), F.size(xs) - 1),
-        F.struct(
-            xs[0].alias("l"),
-            (xs[1] - xs[0]).alias("b"),
-            F.lit(0.0).alias("sse"),
-        ),
-        lambda acc, x: F.struct(
-            (F.lit(0.5) * x + F.lit(0.5) * (acc.l + acc.b)).alias("l"),
-            (
-                F.lit(0.25)
-                * ((F.lit(0.5) * x + F.lit(0.5) * (acc.l + acc.b)) - acc.l)
-                + F.lit(0.75) * acc.b
-            ).alias("b"),
-            (acc.sse + (x - (acc.l + acc.b)) * (x - (acc.l + acc.b))).alias(
-                "sse"
-            ),
-        ),
-    )
-    out = (
-        ser.where(F.size(xs) >= 2)
-        .select(
-            "event_type",
-            F.size(xs).cast("long").alias("n_days"),
-            acc.alias("acc"),
-        )
-        .select(
-            "event_type",
-            "n_days",
-            F.round(F.col("acc.l"), 6).alias("level_cents"),
-            F.round(F.col("acc.b"), 6).alias("trend_cents"),
-            F.round(F.col("acc.l") + F.lit(7.0) * F.col("acc.b"), 6).alias(
-                "forecast_7d_cents"
-            ),
-            F.round(
-                F.sqrt(F.col("acc.sse") / (F.col("n_days") - 1).cast("double")),
-                6,
-            ).alias("rmse_cents"),
-        )
-        .orderBy("event_type")
-    )
+    out = TS.holt_from_daily(daily)
     out._vso_caches = [daily]
     return out
 

@@ -9,7 +9,99 @@ import pandas as pd  # module level: pandas_udf type-hint resolution
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ewma_from_daily", "isotonic_blocks", "runs_test_from_daily"]
+__all__ = [
+    "ewma_from_daily",
+    "holt_from_daily",
+    "isotonic_blocks",
+    "runs_test_from_daily",
+]
+
+
+def holt_from_daily(
+    daily: DataFrame,
+    group_col: str = "event_type",
+    day_col: str = "d",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing at the series
+    end from a (group, day, exact-integer cents) frame — the SHARED
+    combine behind the evt_holt_linear batch query and
+    streaming/holt_maintenance.py (the ewma_from_daily
+    one-combine-two-paths pattern).
+
+    The frame is densified onto each group's own daily span (missing
+    days = 0 cents) and the level/trend recursion
+    l_t = 0.5*x_t + 0.5*(l+b), b_t = 0.25*(l_t-l) + 0.75*b (repr-exact
+    dyadic constants) folds SEQUENTIALLY over the sorted series with
+    F.aggregate — a fixed op order, so results are bit-identical to
+    any engine running the same recursion (the evt_holt_linear oracle
+    is a DuckDB recursive CTE over the identical expression trees).
+    Exports 6dp level/trend/7-day-forecast/one-step-RMSE plus the
+    exact n_days anchor; groups with fewer than 2 grid days drop.
+
+    Input is already the calendar-bounded daily grid, so this is
+    |groups| x |days| work wherever it runs."""
+    bounds = daily.groupBy(group_col).agg(
+        F.min(day_col).alias("lo"), F.max(day_col).alias("hi")
+    )
+    spine = bounds.select(
+        group_col, F.explode(F.sequence("lo", "hi")).alias(day_col)
+    )
+    grid = spine.join(daily, [group_col, day_col], "left").select(
+        group_col,
+        day_col,
+        F.coalesce(cents_col, F.lit(0)).cast("double").alias("x"),
+    )
+    ser = grid.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(day_col, "x"))),
+            lambda s: s.x,
+        ).alias("xs")
+    )
+    xs = F.col("xs")
+    acc = F.aggregate(
+        F.slice(xs, F.lit(2), F.size(xs) - 1),
+        F.struct(
+            xs[0].alias("l"),
+            (xs[1] - xs[0]).alias("b"),
+            F.lit(0.0).alias("sse"),
+        ),
+        lambda acc, x: F.struct(
+            (F.lit(0.5) * x + F.lit(0.5) * (acc.l + acc.b)).alias("l"),
+            (
+                F.lit(0.25)
+                * ((F.lit(0.5) * x + F.lit(0.5) * (acc.l + acc.b)) - acc.l)
+                + F.lit(0.75) * acc.b
+            ).alias("b"),
+            (acc.sse + (x - (acc.l + acc.b)) * (x - (acc.l + acc.b))).alias(
+                "sse"
+            ),
+        ),
+    )
+    return (
+        ser.where(F.size(xs) >= 2)
+        .select(
+            group_col,
+            F.size(xs).cast("long").alias("n_days"),
+            acc.alias("acc"),
+        )
+        .select(
+            group_col,
+            "n_days",
+            F.round(F.col("acc.l"), 6).alias("level_cents"),
+            F.round(F.col("acc.b"), 6).alias("trend_cents"),
+            F.round(F.col("acc.l") + F.lit(7.0) * F.col("acc.b"), 6).alias(
+                "forecast_7d_cents"
+            ),
+            F.round(
+                F.sqrt(
+                    F.col("acc.sse") / (F.col("n_days") - 1).cast("double")
+                ),
+                6,
+            ).alias("rmse_cents"),
+        )
+        .orderBy(group_col)
+    )
 
 
 def ewma_from_daily(
