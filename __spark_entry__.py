@@ -15264,6 +15264,679 @@ ORDER BY label
 
 
 # ---------------------------------------------------------------------------
+# r8 third-session additions (registered BELOW the 50-slot driver window —
+# the r8 prepend cap of 24 is spent; rotate these to the FRONT in r9)
+# ---------------------------------------------------------------------------
+
+
+def evt_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test (unequal variances) on event VALUE between
+    every pair of event types — the parametric companion to
+    evt_kruskal_dunn (rank-based) and evt_proportion_ztest (rates):
+    t = (m₁−m₂)/√(v₁/n₁+v₂/n₂) with the Welch–Satterthwaite df.
+    Values are 2-dec decimals → EXACT cent integers: per type the agg
+    keeps n, S=Σc (BIGINT) and Q=Σc² (DECIMAL(38,0) — the squared-cents
+    HUGEINT rule), so vᵢ = (nᵢQᵢ−Sᵢ²)/(nᵢ(nᵢ−1)) is a single IEEE
+    division of exact integers and every downstream double (means, t,
+    df) is bit-identical across engines; t/df round 6dp (sqrt-derived,
+    tie measure-zero). Plan: ONE combinable shuffle to |types| rows,
+    then a |types|²/2 broadcast pair join — the pair frame never leaves
+    the driver-scale regime regardless of fact size."""
+    e = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    per = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("long").alias("s"),
+        F.sum((c * c).cast("decimal(38,0)")).cast("decimal(38,0)").alias("q"),
+    )
+    a = per.select(
+        F.col("event_type").alias("t1"),
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("q").alias("q1"),
+    )
+    b = per.select(
+        F.col("event_type").alias("t2"),
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+        F.col("q").alias("q2"),
+    )
+    pr = a.join(F.broadcast(b), F.col("t1") < F.col("t2"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("s1").cast("double") / n1.cast("double")
+    m2 = F.col("s2").cast("double") / n2.cast("double")
+    num1 = F.col("q1") * n1 - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+    num2 = F.col("q2") * n2 - F.col("s2").cast("decimal(38,0)") * F.col("s2")
+    a1 = num1.cast("double") / (n1 * (n1 - 1)).cast("double") / n1.cast("double")
+    a2 = num2.cast("double") / (n2 * (n2 - 1)).cast("double") / n2.cast("double")
+    se2 = a1 + a2
+    ok = (n1 > 1) & (n2 > 1) & (se2 > 0)
+    t = (m1 - m2) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        a1 * a1 / (n1 - 1).cast("double") + a2 * a2 / (n2 - 1).cast("double")
+    )
+    return pr.select(
+        "t1",
+        "t2",
+        "n1",
+        "n2",
+        F.col("s1").alias("s1_cents"),
+        F.col("s2").alias("s2_cents"),
+        (m1 - m2).alias("mean_diff_cents"),
+        F.when(ok, F.round(t, 6)).alias("welch_t"),
+        F.when(ok, F.round(df, 6)).alias("welch_df"),
+    ).orderBy("t1", "t2")
+
+
+_WELCH_SQL = """
+WITH per AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         sum(CAST(round(value * 100) AS HUGEINT)
+             * CAST(round(value * 100) AS HUGEINT)) AS q
+  FROM events GROUP BY 1
+), pr AS (
+  SELECT a.event_type AS t1, b.event_type AS t2,
+         a.n AS n1, b.n AS n2, a.s AS s1, b.s AS s2, a.q AS q1, b.q AS q2
+  FROM per a JOIN per b ON a.event_type < b.event_type
+), st AS (
+  SELECT t1, t2, n1, n2, s1, s2,
+         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+         CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+         CAST(q1 * n1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+           / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE) AS a1,
+         CAST(q2 * n2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+           / CAST(n2 * (n2 - 1) AS DOUBLE) / CAST(n2 AS DOUBLE) AS a2
+  FROM pr
+)
+SELECT t1, t2, n1, n2, s1 AS s1_cents, s2 AS s2_cents,
+       m1 - m2 AS mean_diff_cents,
+       CASE WHEN n1 > 1 AND n2 > 1 AND a1 + a2 > 0
+            THEN round((m1 - m2) / sqrt(a1 + a2), 6) END AS welch_t,
+       CASE WHEN n1 > 1 AND n2 > 1 AND a1 + a2 > 0
+            THEN round((a1 + a2) * (a1 + a2)
+                 / (a1 * a1 / CAST(n1 - 1 AS DOUBLE)
+                    + a2 * a2 / CAST(n2 - 1 AS DOUBLE)), 6) END AS welch_df
+FROM st
+ORDER BY t1, t2
+"""
+
+
+def evt_quadratic_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type QUADRATIC trend fit over the dense daily count grid —
+    the curvature companion to evt_type_trend_ols (linear) and
+    evt_holt_linear (adaptive): y = a + b·t + c·t² solved in closed
+    form via Cramer's rule on the normal-equation sums Σtᵏ (k=0..4)
+    and Σy, Σty, Σt²y. Day counts and the day index t are EXACT
+    integers, so all seven sums are exact BIGINTs and the 3×3
+    determinants clear in DECIMAL(38,0)/HUGEINT (terms ~ n·St2·St4;
+    at decade-long calendars center t first — documented, not needed
+    at test spans); each coefficient is then ONE division of two
+    exact integers cast to double → bit-identical across engines,
+    exported UNROUNDED. Plan: one (type, day) count shuffle, a
+    calendar-bounded per-type grid explode, one combinable sums agg —
+    fact-size-independent after the first shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("d").alias("mn"), F.max("d").alias("mx")
+    )
+    grid = span.select(
+        "event_type",
+        "mn",
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d"),
+    )
+    dense = grid.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        (F.col("d") - F.col("mn")).alias("t"),
+        F.coalesce(F.col("x"), F.lit(0).cast("long")).alias("x"),
+    )
+    t, x = F.col("t"), F.col("x")
+    s = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(t).cast("long").alias("st"),
+        F.sum(t * t).cast("long").alias("st2"),
+        F.sum(t * t * t).cast("long").alias("st3"),
+        F.sum(t * t * t * t).cast("long").alias("st4"),
+        F.sum(x).cast("long").alias("sy"),
+        F.sum(t * x).cast("long").alias("sty"),
+        F.sum(t * t * x).cast("long").alias("st2y"),
+    )
+
+    def dec(name: str) -> F.Column:
+        return F.col(name).cast("decimal(38,0)")
+
+    n, st, st2, st3, st4 = dec("n"), dec("st"), dec("st2"), dec("st3"), dec("st4")
+    sy, sty, st2y = dec("sy"), dec("sty"), dec("st2y")
+    det = (
+        n * (st2 * st4 - st3 * st3)
+        - st * (st * st4 - st3 * st2)
+        + st2 * (st * st3 - st2 * st2)
+    )
+    deta = (
+        sy * (st2 * st4 - st3 * st3)
+        - st * (sty * st4 - st3 * st2y)
+        + st2 * (sty * st3 - st2 * st2y)
+    )
+    detb = (
+        n * (sty * st4 - st3 * st2y)
+        - sy * (st * st4 - st3 * st2)
+        + st2 * (st * st2y - sty * st2)
+    )
+    detc = (
+        n * (st2 * st2y - sty * st3)
+        - st * (st * st2y - sty * st2)
+        + sy * (st * st3 - st2 * st2)
+    )
+    ok = (F.col("n") >= 3) & (det != 0)
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("sy").alias("n_events"),
+        F.when(ok, deta.cast("double") / det.cast("double")).alias("coef_a"),
+        F.when(ok, detb.cast("double") / det.cast("double")).alias("coef_b"),
+        F.when(ok, detc.cast("double") / det.cast("double")).alias("coef_c"),
+    ).orderBy("event_type")
+
+
+_QUAD_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(d) AS mn, max(d) AS mx FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type, mn,
+         CAST(unnest(generate_series(mn, mx)) AS BIGINT) AS d
+  FROM span
+), dense AS (
+  SELECT s.event_type, s.d - s.mn AS t, coalesce(a.x, 0) AS x
+  FROM spine s LEFT JOIN daily a
+    ON s.event_type = a.event_type AND s.d = a.d
+), sums AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS st,
+         CAST(sum(t * t) AS BIGINT) AS st2,
+         CAST(sum(t * t * t) AS BIGINT) AS st3,
+         CAST(sum(t * t * t * t) AS BIGINT) AS st4,
+         CAST(sum(x) AS BIGINT) AS sy,
+         CAST(sum(t * x) AS BIGINT) AS sty,
+         CAST(sum(t * t * x) AS BIGINT) AS st2y
+  FROM dense GROUP BY 1
+), dets AS (
+  SELECT event_type, n, sy,
+         CAST(n AS HUGEINT) * (CAST(st2 AS HUGEINT) * st4 - CAST(st3 AS HUGEINT) * st3)
+         - CAST(st AS HUGEINT) * (CAST(st AS HUGEINT) * st4 - CAST(st3 AS HUGEINT) * st2)
+         + CAST(st2 AS HUGEINT) * (CAST(st AS HUGEINT) * st3 - CAST(st2 AS HUGEINT) * st2)
+           AS det,
+         CAST(sy AS HUGEINT) * (CAST(st2 AS HUGEINT) * st4 - CAST(st3 AS HUGEINT) * st3)
+         - CAST(st AS HUGEINT) * (CAST(sty AS HUGEINT) * st4 - CAST(st3 AS HUGEINT) * st2y)
+         + CAST(st2 AS HUGEINT) * (CAST(sty AS HUGEINT) * st3 - CAST(st2 AS HUGEINT) * st2y)
+           AS deta,
+         CAST(n AS HUGEINT) * (CAST(sty AS HUGEINT) * st4 - CAST(st3 AS HUGEINT) * st2y)
+         - CAST(sy AS HUGEINT) * (CAST(st AS HUGEINT) * st4 - CAST(st3 AS HUGEINT) * st2)
+         + CAST(st2 AS HUGEINT) * (CAST(st AS HUGEINT) * st2y - CAST(sty AS HUGEINT) * st2)
+           AS detb,
+         CAST(n AS HUGEINT) * (CAST(st2 AS HUGEINT) * st2y - CAST(sty AS HUGEINT) * st3)
+         - CAST(st AS HUGEINT) * (CAST(st AS HUGEINT) * st2y - CAST(sty AS HUGEINT) * st2)
+         + CAST(sy AS HUGEINT) * (CAST(st AS HUGEINT) * st3 - CAST(st2 AS HUGEINT) * st2)
+           AS detc
+  FROM sums
+)
+SELECT event_type, n AS n_days, sy AS n_events,
+       CASE WHEN n >= 3 AND det <> 0
+            THEN CAST(deta AS DOUBLE) / CAST(det AS DOUBLE) END AS coef_a,
+       CASE WHEN n >= 3 AND det <> 0
+            THEN CAST(detb AS DOUBLE) / CAST(det AS DOUBLE) END AS coef_b,
+       CASE WHEN n >= 3 AND det <> 0
+            THEN CAST(detc AS DOUBLE) / CAST(det AS DOUBLE) END AS coef_c
+FROM dets
+ORDER BY event_type
+"""
+
+
+def vocab_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness + Good-Turing unseen-mass estimate per
+    source — the curation question behind vocab_growth_heaps asked the
+    other way round: not "how fast is vocabulary growing" but "how much
+    vocabulary have we NOT yet seen from this source". Chao1 (bias-
+    corrected) = V + F₁(F₁−1)/(2(F₂+1)) from the singleton/doubleton
+    counts; the Good-Turing unseen probability mass is F₁/N. All five
+    inputs are EXACT integers from two combinable shuffles (per
+    (source, word) counts → per-source frequency-of-frequency agg), so
+    both estimates export UNROUNDED as single exact-integer IEEE
+    divisions — bit-identical across engines, no rounding anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda tk: tk != "",
+            )
+        ).alias("w"),
+    )
+    freq = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = freq.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    )
+    v, f1, f2, nt = (
+        F.col("n_types"),
+        F.col("f1"),
+        F.col("f2"),
+        F.col("n_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "f1",
+        "f2",
+        (
+            v.cast("double")
+            + (f1 * (f1 - 1)).cast("double") / (2 * (f2 + 1)).cast("double")
+        ).alias("chao1"),
+        F.when(nt > 0, f1.cast("double") / nt.cast("double")).alias(
+            "gt_unseen_mass"
+        ),
+    ).orderBy("source")
+
+
+_CHAO1_SQL = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS w
+  FROM documents
+), freq AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM freq GROUP BY 1
+)
+SELECT source, n_tokens, n_types, f1, f2,
+       CAST(n_types AS DOUBLE)
+       + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1,
+       CASE WHEN n_tokens > 0
+            THEN CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       END AS gt_unseen_mass
+FROM agg
+ORDER BY source
+"""
+
+
+def doc_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between document SOURCE and LANGUAGE with
+    per-cell pointwise MI — the effect-size companion to
+    doc_lang_source_chi2 (which only answers "is there dependence",
+    not "which cells carry it"): MI = Σ p(s,l)·ln(N·c_sl/(c_s·c_l))
+    in nats; the per-cell PMI flags which source is over/under-
+    indexed on which language — the signal a mixture rebalancer acts
+    on. Counts are exact integers; PMI's log argument is ONE exact-
+    integer ratio (products ≤ N² — decimal-safe far past corpus
+    scale); PMI and the 25-cell MI sum round 6dp (ln-derived,
+    irrational, tie measure-zero). Plan: three combinable count
+    shuffles (cell, two margins) + two 1-row broadcasts — margin
+    joins are broadcast-equi on the tiny dimension frames."""
+    d = load_table(spark, sf_dir, "documents")
+    cell = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c_sl")
+    )
+    ms = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("c_s"))
+    ml = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("c_l"))
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    j = (
+        cell.join(F.broadcast(ms), "source")
+        .join(F.broadcast(ml), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.log(
+        (F.col("c_sl") * F.col("n_total")).cast("double")
+        / (F.col("c_s") * F.col("c_l")).cast("double")
+    )
+    term = (F.col("c_sl").cast("double") / F.col("n_total").cast("double")) * pmi
+    cells = j.select(
+        "source",
+        "lang",
+        "c_sl",
+        "c_s",
+        "c_l",
+        pmi.alias("pmi_raw"),
+        term.alias("term"),
+    )
+    mi = cells.agg(F.sum("term").alias("mi_raw"))
+    return (
+        cells.crossJoin(F.broadcast(mi))
+        .select(
+            "source",
+            "lang",
+            "c_sl",
+            "c_s",
+            "c_l",
+            F.round(F.col("pmi_raw"), 6).alias("pmi_nats"),
+            F.round(F.col("mi_raw"), 6).alias("mi_nats"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+_SOURCE_MI_SQL = """
+WITH cell AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c_sl
+  FROM documents GROUP BY 1, 2
+), ms AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS c_s FROM documents GROUP BY 1
+), ml AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS c_l FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents
+), j AS (
+  SELECT cell.source, cell.lang, c_sl, c_s, c_l,
+         ln(CAST(c_sl * n_total AS DOUBLE)
+            / CAST(c_s * c_l AS DOUBLE)) AS pmi_raw,
+         (CAST(c_sl AS DOUBLE) / CAST(n_total AS DOUBLE))
+           * ln(CAST(c_sl * n_total AS DOUBLE)
+                / CAST(c_s * c_l AS DOUBLE)) AS term
+  FROM cell JOIN ms USING (source) JOIN ml USING (lang) CROSS JOIN tot
+), mi AS (SELECT sum(term) AS mi_raw FROM j)
+SELECT source, lang, c_sl, c_s, c_l,
+       round(pmi_raw, 6) AS pmi_nats,
+       round(mi_raw, 6) AS mi_nats
+FROM j CROSS JOIN mi
+ORDER BY source, lang
+"""
+
+
+def nation_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality decomposition of customer revenue BY NATION —
+    the decomposable alternative to evt_user_gini / customer_pareto_
+    lorenz: T_total = Σ_g w_g·T_within(g) + T_between, where per nation
+    T_within = Σ_c (y_c/Y_g)·ln(y_c·n_g/Y_g) and the between term is
+    w_g·ln(w_g/(n_g/n)) — "how much revenue concentration lives INSIDE
+    nations vs BETWEEN them". Customer revenues are exact cent BIGINTs;
+    every log argument is one exact-integer ratio (cross-magnitude
+    products cleared through DECIMAL(38,0)/HUGEINT); revenue shares
+    export as single exact divisions (unrounded), the ln-sums round 6dp
+    (irrational). Plan: per-customer cent agg → broadcast customer-dim
+    join → per-nation agg → 1-row totals broadcast; the per-customer
+    term sum is one combinable shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    y = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(cents).cast("long").alias("y"))
+        .where(F.col("y") > 0)
+    )
+    yc = y.join(
+        cu.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+        "o_custkey",
+    )
+    g = yc.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("y").cast("long").alias("yg"),
+    )
+    tot = g.agg(
+        F.sum("n_cust").cast("long").alias("n_all"),
+        F.sum("yg").cast("long").alias("y_all"),
+    )
+    w = (
+        yc.join(F.broadcast(g), "c_nationkey")
+        .select(
+            "c_nationkey",
+            (
+                (F.col("y").cast("double") / F.col("yg").cast("double"))
+                * F.log(
+                    (F.col("y").cast("decimal(38,0)") * F.col("n_cust")).cast(
+                        "double"
+                    )
+                    / F.col("yg").cast("double")
+                )
+            ).alias("term"),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum("term").alias("t_within_raw"))
+    )
+    share = F.col("yg").cast("double") / F.col("y_all").cast("double")
+    between = share * F.log(
+        (F.col("yg").cast("decimal(38,0)") * F.col("n_all")).cast("double")
+        / (F.col("y_all").cast("decimal(38,0)") * F.col("n_cust")).cast(
+            "double"
+        )
+    )
+    return (
+        g.join(w, "c_nationkey")
+        .crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(
+                na.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
+            ),
+            "c_nationkey",
+        )
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            "n_name",
+            "n_cust",
+            F.col("yg").alias("rev_cents"),
+            share.alias("rev_share"),
+            F.round(F.col("t_within_raw"), 6).alias("theil_within"),
+            F.round(between, 6).alias("theil_between_term"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_THEIL_SQL = """
+WITH y AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1 HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT)) > 0
+), yc AS (
+  SELECT y.o_custkey, y.y, c.c_nationkey
+  FROM y JOIN customer c ON y.o_custkey = c.c_custkey
+), g AS (
+  SELECT c_nationkey,
+         CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(sum(y) AS BIGINT) AS yg
+  FROM yc GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_cust) AS BIGINT) AS n_all,
+         CAST(sum(yg) AS BIGINT) AS y_all
+  FROM g
+), w AS (
+  SELECT yc.c_nationkey,
+         sum((CAST(yc.y AS DOUBLE) / CAST(g.yg AS DOUBLE))
+             * ln(CAST(CAST(yc.y AS HUGEINT) * g.n_cust AS DOUBLE)
+                  / CAST(g.yg AS DOUBLE))) AS t_within_raw
+  FROM yc JOIN g ON yc.c_nationkey = g.c_nationkey
+  GROUP BY 1
+)
+SELECT g.c_nationkey AS nationkey, na.n_name, g.n_cust,
+       g.yg AS rev_cents,
+       CAST(g.yg AS DOUBLE) / CAST(tot.y_all AS DOUBLE) AS rev_share,
+       round(w.t_within_raw, 6) AS theil_within,
+       round((CAST(g.yg AS DOUBLE) / CAST(tot.y_all AS DOUBLE))
+             * ln(CAST(CAST(g.yg AS HUGEINT) * tot.n_all AS DOUBLE)
+                  / CAST(CAST(tot.y_all AS HUGEINT) * g.n_cust AS DOUBLE)),
+             6) AS theil_between_term
+FROM g JOIN w ON g.c_nationkey = w.c_nationkey
+CROSS JOIN tot
+JOIN nation na ON g.c_nationkey = na.n_nationkey
+ORDER BY nationkey
+"""
+
+
+def g9_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity + average-neighbor-degree (knn) profile over
+    the PART co-order graph (parts appearing together in ≥ 2 distinct
+    orders — the brand-level graph is complete at every scale, so the
+    part level is where degree structure lives) — do high-degree parts
+    connect to other hubs (assortative, r > 0) or to the periphery
+    (disassortative, r < 0)? Newman's r is the Pearson correlation of
+    endpoint degrees over the DIRECTED symmetrized edge list; degrees/
+    counts are exact integers, the moment sums clear in DECIMAL(38,0)/
+    HUGEINT, knn̄(k) exports as one exact-integer division (unrounded)
+    and r rounds 6dp (sqrt-derived). Plan: pair fan-out bounded by
+    lineitems-per-order² (TPC-H ≈ 7 → ≤ 49 pairs/order, never
+    catalog²), two degree joins (AQE-broadcast), one combinable
+    per-degree agg + a 1-row global-moments broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cb = (
+        li.select(
+            F.col("l_orderkey").alias("u"), F.col("l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    a = cb.select("u", F.col("b").alias("src"))
+    c = cb.select("u", F.col("b").alias("dst"))
+    und = (
+        a.join(c, "u")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .where(F.col("common") >= 2)
+        .select("src", "dst")
+    )
+    sym = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    ed = (
+        sym.join(deg, "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("degree").alias("deg_dst")),
+            "dst",
+        )
+        .select(F.col("degree").alias("x"), F.col("deg_dst").alias("yv"))
+    )
+    gl = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("yv")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sx2"),
+        F.sum((F.col("yv") * F.col("yv")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sy2"),
+    )
+    m = F.col("m").cast("decimal(38,0)")
+    covn = m * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    vxn = m * F.col("sx2") - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+    vyn = m * F.col("sy2") - F.col("sy").cast("decimal(38,0)") * F.col("sy")
+    glr = gl.select(
+        F.col("m").alias("n_directed_edges"),
+        F.when(
+            (vxn > 0) & (vyn > 0),
+            F.round(
+                covn.cast("double")
+                / F.sqrt(vxn.cast("double") * vyn.cast("double")),
+                6,
+            ),
+        ).alias("assortativity_r"),
+    )
+    knn = (
+        sym.join(deg, "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("degree").alias("deg_dst")),
+            "dst",
+        )
+        .groupBy(F.col("degree").alias("k"))
+        .agg(
+            F.countDistinct("src").cast("long").alias("n_nodes"),
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum("deg_dst").cast("long").alias("sum_nbr_deg"),
+        )
+    )
+    return (
+        knn.crossJoin(F.broadcast(glr))
+        .select(
+            "k",
+            "n_nodes",
+            "n_edges",
+            "sum_nbr_deg",
+            (
+                F.col("sum_nbr_deg").cast("double")
+                / F.col("n_edges").cast("double")
+            ).alias("knn_avg"),
+            "n_directed_edges",
+            "assortativity_r",
+        )
+        .orderBy("k")
+    )
+
+
+_ASSORT_SQL = """
+WITH cb AS (
+  SELECT DISTINCT l_orderkey AS u, l_partkey AS b FROM lineitem
+), und AS (
+  SELECT a.b AS src, c.b AS dst
+  FROM cb a JOIN cb c ON a.u = c.u AND a.b < c.b
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), sym AS (
+  SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY 1
+), ed AS (
+  SELECT d1.degree AS x, d2.degree AS yv
+  FROM sym JOIN deg d1 ON sym.src = d1.src JOIN deg d2 ON sym.dst = d2.src
+), gl AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(yv) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * yv) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sx2,
+         sum(CAST(yv AS HUGEINT) * yv) AS sy2
+  FROM ed
+), glr AS (
+  SELECT m AS n_directed_edges,
+         CASE WHEN m * sx2 - CAST(sx AS HUGEINT) * sx > 0
+               AND m * sy2 - CAST(sy AS HUGEINT) * sy > 0
+              THEN round(CAST(m * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                   / sqrt(CAST(m * sx2 - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                          * CAST(m * sy2 - CAST(sy AS HUGEINT) * sy AS DOUBLE)),
+                   6)
+         END AS assortativity_r
+  FROM gl
+), knn AS (
+  SELECT d1.degree AS k,
+         CAST(count(DISTINCT sym.src) AS BIGINT) AS n_nodes,
+         CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(d2.degree) AS BIGINT) AS sum_nbr_deg
+  FROM sym JOIN deg d1 ON sym.src = d1.src JOIN deg d2 ON sym.dst = d2.src
+  GROUP BY 1
+)
+SELECT k, n_nodes, n_edges, sum_nbr_deg,
+       CAST(sum_nbr_deg AS DOUBLE) / CAST(n_edges AS DOUBLE) AS knn_avg,
+       n_directed_edges, assortativity_r
+FROM knn CROSS JOIN glr
+ORDER BY k
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
 
@@ -15279,6 +15952,15 @@ ORDER BY label
 # generations old — _R7_FRONT rotates exactly those forward, oldest debt
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # r8 third-session additions — land BELOW the 50-slot window (the r8
+    # prepend cap is spent); the _R8_FRONT rebuild leaves them at the head
+    # of the post-window tail, and r9 rotates them to the front first.
+    "evt_welch_ttest": (evt_welch_ttest, _WELCH_SQL),
+    "evt_quadratic_trend": (evt_quadratic_trend, _QUAD_TREND_SQL),
+    "vocab_chao1_richness": (vocab_chao1_richness, _CHAO1_SQL),
+    "doc_source_mi": (doc_source_mi, _SOURCE_MI_SQL),
+    "nation_theil_decomposition": (nation_theil_decomposition, _THEIL_SQL),
+    "g9_assortativity": (g9_assortativity, _ASSORT_SQL),
     "emb_hubness_audit": (emb_hubness_audit, _HUBNESS_SQL),
     "evt_holt_linear": (evt_holt_linear, _HOLT_SQL),
     "g7_hits": (g7_hits, _g7_hits_sql()),

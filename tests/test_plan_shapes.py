@@ -171,6 +171,14 @@ _NESTED_LOOP_OK = {
     "g6_clustering_coeff",     # 1-row max-weight frame broadcast for
                                # the relative edge-sparsification
                                # threshold (the g5 pattern)
+    "evt_welch_ttest",         # |types|-row per-type-stats frame
+                               # broadcast pair join (t1 < t2)
+    "doc_source_mi",           # 1-row corpus-total + 1-row MI-sum
+                               # frame broadcasts onto the cell frame
+    "nation_theil_decomposition",  # 1-row totals frame broadcast onto
+                                   # the |nations| aggregate
+    "g9_assortativity",        # 1-row global-moments frame broadcast
+                               # onto the per-degree knn profile
 }
 
 
