@@ -15936,6 +15936,502 @@ ORDER BY k
 """
 
 
+def evt_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue per
+    event type — trend (centered 7-day moving average), day-of-week
+    seasonal component, and residual energy, the STL-shaped audit
+    behind evt_dow_seasonality (which only reports raw dow means, not
+    the detrended component). Everything stays EXACT RATIONAL: daily
+    cents x are exact ints, the MA-7 trend is T/7 with T = Σ±3 x
+    (exact int, full windows only), the detrended value is
+    p/7 = (7x−T)/7, the dow seasonal mean is Σp/(7·cnt) and the
+    per-dow residual sum-of-squares is Σ(cnt·p − Σp)²/(7·cnt)² — every
+    export is ONE division of exact DECIMAL(38,0)/HUGEINT integers →
+    bit-identical doubles, zero rounding anywhere (the Theil-Sen
+    rational-export discipline). Plan: one combinable daily agg, a
+    calendar-bounded spine, a 7-row window (dense grid ⇒ rows-frame
+    is calendar-correct), two tiny per-(type,dow) aggs."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    grid = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("cents", F.lit(0)).alias("x")
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    )
+    tr = grid.select(
+        "event_type",
+        "d",
+        "x",
+        F.sum("x").over(w7).cast("long").alias("tnum"),
+        F.count(F.lit(1)).over(w7).alias("wn"),
+    ).where(F.col("wn") == 7)
+    p = tr.select(
+        "event_type",
+        (F.col("d") % 7).alias("dow"),
+        (7 * F.col("x") - F.col("tnum")).cast("long").alias("p"),
+    )
+    sg = p.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("p").cast("long").alias("sp"),
+    )
+    r = (
+        p.join(F.broadcast(sg), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "dow",
+            (F.col("cnt") * F.col("p") - F.col("sp"))
+            .cast("decimal(18,0)")
+            .alias("rn"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.sum(F.col("rn") * F.col("rn")).alias("rss_num"))
+    )
+    return (
+        sg.join(r, ["event_type", "dow"])
+        .select(
+            "event_type",
+            "dow",
+            F.col("cnt").alias("n_days"),
+            F.col("sp").alias("detrended_sum_num"),
+            (
+                F.col("sp").cast("double")
+                / (7 * F.col("cnt")).cast("double")
+            ).alias("seasonal_cents"),
+            (
+                F.col("rss_num").cast("double")
+                / (
+                    (7 * F.col("cnt")).cast("decimal(38,0)")
+                    * (7 * F.col("cnt"))
+                ).cast("double")
+            ).alias("resid_ss"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+_SEASONAL_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS d
+  FROM bounds
+), grid AS (
+  SELECT s.event_type, s.d, coalesce(a.cents, 0) AS x
+  FROM spine s LEFT JOIN daily a
+    ON s.event_type = a.event_type AND s.d = a.d
+), tr AS (
+  SELECT event_type, d, x,
+         CAST(sum(x) OVER (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS tnum,
+         count(*) OVER (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+  FROM grid
+), p AS (
+  SELECT event_type, d % 7 AS dow,
+         CAST(7 * x - tnum AS BIGINT) AS p
+  FROM tr WHERE wn = 7
+), sg AS (
+  SELECT event_type, dow,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(p) AS BIGINT) AS sp
+  FROM p GROUP BY 1, 2
+), r AS (
+  SELECT p.event_type, p.dow,
+         sum((CAST(sg.cnt AS HUGEINT) * p.p - sg.sp)
+             * (CAST(sg.cnt AS HUGEINT) * p.p - sg.sp)) AS rss_num
+  FROM p JOIN sg ON p.event_type = sg.event_type AND p.dow = sg.dow
+  GROUP BY 1, 2
+)
+SELECT sg.event_type, sg.dow, sg.cnt AS n_days,
+       sg.sp AS detrended_sum_num,
+       CAST(sg.sp AS DOUBLE) / CAST(7 * sg.cnt AS DOUBLE) AS seasonal_cents,
+       CAST(r.rss_num AS DOUBLE)
+         / CAST(CAST(7 * sg.cnt AS HUGEINT) * (7 * sg.cnt) AS DOUBLE)
+         AS resid_ss
+FROM sg JOIN r ON sg.event_type = r.event_type AND sg.dow = r.dow
+ORDER BY sg.event_type, sg.dow
+"""
+
+
+_CMS_HASHES = [
+    (0, 1103515245, 12345),
+    (1, 1013904223, 67890),
+    (2, 1664525, 54321),
+    (3, 22695477, 98765),
+]
+_CMS_P = 2147483647  # Mersenne prime 2^31-1; pre-mod keeps a*k < 2^52 (ANSI)
+_CMS_KMOD = 1048573  # prime < 2^20
+_CMS_W = 256
+
+
+def evt_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-query audit over per-user event counts —
+    the mergeable fixed-size frequency sketch (d=4 universal-hash rows
+    × w=256 buckets) whose one-sided error the audit measures against
+    exact counts for the top-20 users: estimate = min over rows of the
+    hashed bucket count, ALWAYS ≥ exact, overestimate bounded by
+    collision mass. All arithmetic is integer (universal hashes
+    ((a·(k mod 2^20') + b) mod (2^31−1)) mod 256 with constants < 2^31
+    — the ANSI hash-constant rule), so every export is an exact BIGINT;
+    no floats anywhere. Plan: the sketch build is ONE combinable
+    4×256-cell agg (map-side 4-way explode, the distributed-sketch
+    merge shape — cells are a fixed 1 KB regardless of corpus size);
+    the audit joins the exploded top-20 probe frame to the broadcast
+    cell frame — at 100 TB the build stays a single shuffle of bounded
+    partial sketches."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.col("user_id") % F.lit(_CMS_KMOD)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (((F.lit(a) * k + F.lit(b)) % F.lit(_CMS_P)) % F.lit(_CMS_W))
+                .cast("long")
+                .alias("bucket"),
+            )
+            for i, a, b in _CMS_HASHES
+        ]
+    )
+    cells = (
+        e.select(F.explode(rows).alias("h"))
+        .groupBy(F.col("h.i").alias("i"), F.col("h.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cell"))
+    )
+    exact = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    # distributed top-k (TakeOrderedAndProject), then rank the 20-row
+    # result — never a global row_number over the full |users| frame
+    wtop = Window.orderBy(F.col("exact_count").desc(), F.col("user_id").asc())
+    top = (
+        exact.orderBy(F.col("exact_count").desc(), F.col("user_id").asc())
+        .limit(20)
+        .withColumn("rnk", F.row_number().over(wtop))
+    )
+    probes = top.select(
+        "user_id", "exact_count", "rnk", F.explode(rows).alias("h")
+    ).select(
+        "user_id",
+        "exact_count",
+        "rnk",
+        F.col("h.i").alias("i"),
+        F.col("h.bucket").alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("user_id", "exact_count", "rnk")
+        .agg(F.min("cell").cast("long").alias("cms_estimate"))
+    )
+    return est.select(
+        "rnk",
+        "user_id",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+    ).orderBy("rnk")
+
+
+def _cms_sql() -> str:
+    hashes = ", ".join(f"({i}, {a}, {b})" for i, a, b in _CMS_HASHES)
+    return f"""
+WITH h(i, a, b) AS (VALUES {hashes}),
+cells AS (
+  SELECT h.i,
+         ((h.a * (e.user_id % {_CMS_KMOD}) + h.b) % {_CMS_P}) % {_CMS_W}
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS cell
+  FROM events e CROSS JOIN h
+  GROUP BY 1, 2
+), exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+  FROM events GROUP BY 1
+), top AS (
+  SELECT user_id, exact_count,
+         row_number() OVER (ORDER BY exact_count DESC, user_id ASC) AS rnk
+  FROM exact QUALIFY rnk <= 20
+), probes AS (
+  SELECT t.user_id, t.exact_count, t.rnk, h.i,
+         ((h.a * (t.user_id % {_CMS_KMOD}) + h.b) % {_CMS_P}) % {_CMS_W}
+           AS bucket
+  FROM top t CROSS JOIN h
+)
+SELECT p.rnk, p.user_id, p.exact_count,
+       CAST(min(c.cell) AS BIGINT) AS cms_estimate,
+       CAST(min(c.cell) - p.exact_count AS BIGINT) AS overestimate
+FROM probes p JOIN cells c ON p.i = c.i AND p.bucket = c.bucket
+GROUP BY p.rnk, p.user_id, p.exact_count
+ORDER BY rnk
+"""
+
+
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source over the corpus aggregate — the
+    classic readability screen for curation (alongside the Gopher-style
+    lm_quality_scores): 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words), with a deterministic engine-portable
+    syllable heuristic (count of [aeiouy]+ vowel groups in the
+    lowercased text — the standard regex approximation) and sentences
+    as non-empty [.!?]+ splits. Word/sentence/vowel-group counts are
+    EXACT integers summed per source; the score is arithmetic over two
+    single exact-integer divisions → bit-identical doubles, exported
+    UNROUNDED. Plan: one map-side per-doc count pass (regexp + split,
+    whole-stage codegen), one combinable per-source agg — no joins, no
+    window."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda tk: tk != "",
+        )
+    ).cast("long")
+    sents = F.size(
+        F.filter(
+            F.split(F.col("text"), r"[.!?]+"),
+            lambda s: F.trim(s) != "",
+        )
+    ).cast("long")
+    syls = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+    per = d.select(
+        "source",
+        words.alias("w"),
+        sents.alias("s"),
+        syls.alias("y"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("s").cast("long").alias("n_sents"),
+        F.sum("y").cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sents").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    ok = (F.col("n_sents") > 0) & (F.col("n_words") > 0)
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_sents",
+        "n_syllables",
+        F.when(ok, wps).alias("words_per_sentence"),
+        F.when(ok, spw).alias("syllables_per_word"),
+        F.when(
+            ok, F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+        ).alias("flesch_reading_ease"),
+    ).orderBy("source")
+
+
+_READABILITY_SQL = r"""
+WITH per AS (
+  SELECT source,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              t -> t <> '')) AS BIGINT) AS w,
+         CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                              s -> trim(s) <> '')) AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS y
+  FROM documents
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS n_words,
+         CAST(sum(s) AS BIGINT) AS n_sents,
+         CAST(sum(y) AS BIGINT) AS n_syllables
+  FROM per GROUP BY 1
+)
+SELECT source, n_docs, n_words, n_sents, n_syllables,
+       CASE WHEN n_sents > 0 AND n_words > 0
+            THEN CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)
+       END AS words_per_sentence,
+       CASE WHEN n_sents > 0 AND n_words > 0
+            THEN CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
+       END AS syllables_per_word,
+       CASE WHEN n_sents > 0 AND n_words > 0
+            THEN 206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE))
+       END AS flesch_reading_ease
+FROM agg
+ORDER BY source
+"""
+
+
+def evt_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1..3) per event type's daily
+    revenue via the Durbin-Levinson recursion — the AR-order
+    identification companion to evt_ljung_box (which reports raw ACF):
+    φ11 = ρ1, φ22 = (ρ2−ρ1²)/(1−ρ1²), φ33 from the level-2
+    coefficients. Reuses the Ljung-Box exact-centering identity —
+    scaled residuals c = n·x − S are exact DECIMAL(18,0) integers, so
+    every ρk = Σc·c₊ₖ / Σc² is a single division of exact integers →
+    bit-identical doubles, and the recursion is pure double arithmetic
+    on identical inputs (identical expression trees both engines);
+    exports round 6dp (irrational). Plan: identical to evt_ljung_box
+    with a 3-way lag explode — |types|×|days|×3 rows at any scale."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    grid = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("cents", F.lit(0)).alias("x")
+    )
+    stats = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    g = grid.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "d",
+        "n",
+        (F.col("n") * F.col("x") - F.col("s"))
+        .cast("decimal(18,0)")
+        .alias("c"),
+    )
+    den = g.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).alias("den"),
+        F.max("n").alias("n"),
+    )
+    a = g.select(
+        "event_type",
+        "d",
+        F.col("c").alias("ca"),
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("lag"),
+    )
+    b = g.select("event_type", F.col("d").alias("db"), F.col("c").alias("cb"))
+    num = (
+        a.join(
+            b,
+            (a.event_type == b.event_type) & (b.db == a.d + a.lag),
+        )
+        .groupBy(a.event_type.alias("event_type"), "lag")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("num"))
+    )
+    piv = num.groupBy("event_type").agg(
+        F.min(F.when(F.col("lag") == 1, F.col("num"))).alias("n1"),
+        F.min(F.when(F.col("lag") == 2, F.col("num"))).alias("n2"),
+        F.min(F.when(F.col("lag") == 3, F.col("num"))).alias("n3"),
+    )
+    j = piv.join(F.broadcast(den), "event_type")
+    r1 = F.col("n1").cast("double") / F.col("den").cast("double")
+    r2 = F.col("n2").cast("double") / F.col("den").cast("double")
+    r3 = F.col("n3").cast("double") / F.col("den").cast("double")
+    phi22 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    phi21 = r1 - phi22 * r1
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / (
+        F.lit(1.0) - phi21 * r1 - phi22 * r2
+    )
+    ok = F.col("den") > 0
+    return j.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.when(ok, F.round(r1, 6)).alias("acf1"),
+        F.when(ok, F.round(r2, 6)).alias("acf2"),
+        F.when(ok, F.round(r3, 6)).alias("acf3"),
+        F.when(ok, F.round(r1, 6)).alias("pacf1"),
+        F.when(ok & (F.lit(1.0) - r1 * r1 != 0), F.round(phi22, 6)).alias(
+            "pacf2"
+        ),
+        F.when(
+            ok
+            & (F.lit(1.0) - r1 * r1 != 0)
+            & (F.lit(1.0) - phi21 * r1 - phi22 * r2 != 0),
+            F.round(phi33, 6),
+        ).alias("pacf3"),
+    ).orderBy("event_type")
+
+
+_PACF_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS d
+  FROM bounds
+), grid AS (
+  SELECT s.event_type, s.d, coalesce(a.cents, 0) AS x
+  FROM spine s LEFT JOIN daily a
+    ON s.event_type = a.event_type AND s.d = a.d
+), stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s
+  FROM grid GROUP BY 1
+), g AS (
+  SELECT grid.event_type, grid.d, stats.n,
+         CAST(stats.n * grid.x - stats.s AS HUGEINT) AS c
+  FROM grid JOIN stats ON grid.event_type = stats.event_type
+), den AS (
+  SELECT event_type, sum(c * c) AS den, max(n) AS n
+  FROM g GROUP BY 1
+), lags AS (SELECT unnest(generate_series(1, 3)) AS lag
+), num AS (
+  SELECT a.event_type, l.lag, sum(a.c * b.c) AS num
+  FROM g a JOIN lags l ON TRUE
+  JOIN g b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+  GROUP BY 1, 2
+), piv AS (
+  SELECT event_type,
+         min(CASE WHEN lag = 1 THEN num END) AS n1,
+         min(CASE WHEN lag = 2 THEN num END) AS n2,
+         min(CASE WHEN lag = 3 THEN num END) AS n3
+  FROM num GROUP BY 1
+), st AS (
+  SELECT p.event_type, d.n, d.den,
+         CAST(p.n1 AS DOUBLE) / CAST(d.den AS DOUBLE) AS r1,
+         CAST(p.n2 AS DOUBLE) / CAST(d.den AS DOUBLE) AS r2,
+         CAST(p.n3 AS DOUBLE) / CAST(d.den AS DOUBLE) AS r3
+  FROM piv p JOIN den d ON p.event_type = d.event_type
+), dl AS (
+  SELECT event_type, n, den, r1, r2, r3,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22,
+         r1 - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1 AS phi21
+  FROM st
+)
+SELECT event_type, n AS n_days,
+       CASE WHEN den > 0 THEN round(r1, 6) END AS acf1,
+       CASE WHEN den > 0 THEN round(r2, 6) END AS acf2,
+       CASE WHEN den > 0 THEN round(r3, 6) END AS acf3,
+       CASE WHEN den > 0 THEN round(r1, 6) END AS pacf1,
+       CASE WHEN den > 0 AND 1.0 - r1 * r1 <> 0
+            THEN round(phi22, 6) END AS pacf2,
+       CASE WHEN den > 0 AND 1.0 - r1 * r1 <> 0
+             AND 1.0 - phi21 * r1 - phi22 * r2 <> 0
+            THEN round((r3 - phi21 * r2 - phi22 * r1)
+                 / (1.0 - phi21 * r1 - phi22 * r2), 6) END AS pacf3
+FROM dl
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -15961,6 +16457,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "doc_source_mi": (doc_source_mi, _SOURCE_MI_SQL),
     "nation_theil_decomposition": (nation_theil_decomposition, _THEIL_SQL),
     "g9_assortativity": (g9_assortativity, _ASSORT_SQL),
+    "evt_seasonal_decompose": (evt_seasonal_decompose, _SEASONAL_SQL),
+    "evt_cms_audit": (evt_cms_audit, _cms_sql()),
+    "doc_readability": (doc_readability, _READABILITY_SQL),
+    "evt_pacf_durbin": (evt_pacf_durbin, _PACF_SQL),
     "emb_hubness_audit": (emb_hubness_audit, _HUBNESS_SQL),
     "evt_holt_linear": (evt_holt_linear, _HOLT_SQL),
     "g7_hits": (g7_hits, _g7_hits_sql()),
