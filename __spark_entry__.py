@@ -16069,17 +16069,6 @@ ORDER BY sg.event_type, sg.dow
 """
 
 
-_CMS_HASHES = [
-    (0, 1103515245, 12345),
-    (1, 1013904223, 67890),
-    (2, 1664525, 54321),
-    (3, 22695477, 98765),
-]
-_CMS_P = 2147483647  # Mersenne prime 2^31-1; pre-mod keeps a*k < 2^52 (ANSI)
-_CMS_KMOD = 1048573  # prime < 2^20
-_CMS_W = 256
-
-
 def evt_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point-query audit over per-user event counts —
     the mergeable fixed-size frequency sketch (d=4 universal-hash rows
@@ -16094,25 +16083,12 @@ def evt_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge shape — cells are a fixed 1 KB regardless of corpus size);
     the audit joins the exploded top-20 probe frame to the broadcast
     cell frame — at 100 TB the build stays a single shuffle of bounded
-    partial sketches."""
+    partial sketches. Sketch primitives shared with the streaming
+    maintenance twin via operators/sketches.py."""
+    from vector_search_optimization_spark.operators import sketches as SK
+
     e = load_table(spark, sf_dir, "events")
-    k = F.col("user_id") % F.lit(_CMS_KMOD)
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                (((F.lit(a) * k + F.lit(b)) % F.lit(_CMS_P)) % F.lit(_CMS_W))
-                .cast("long")
-                .alias("bucket"),
-            )
-            for i, a, b in _CMS_HASHES
-        ]
-    )
-    cells = (
-        e.select(F.explode(rows).alias("h"))
-        .groupBy(F.col("h.i").alias("i"), F.col("h.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).cast("long").alias("cell"))
-    )
+    cells = SK.cms_cells(e, "user_id")
     exact = e.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("exact_count")
     )
@@ -16124,20 +16100,7 @@ def evt_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .withColumn("rnk", F.row_number().over(wtop))
     )
-    probes = top.select(
-        "user_id", "exact_count", "rnk", F.explode(rows).alias("h")
-    ).select(
-        "user_id",
-        "exact_count",
-        "rnk",
-        F.col("h.i").alias("i"),
-        F.col("h.bucket").alias("bucket"),
-    )
-    est = (
-        probes.join(F.broadcast(cells), ["i", "bucket"])
-        .groupBy("user_id", "exact_count", "rnk")
-        .agg(F.min("cell").cast("long").alias("cms_estimate"))
-    )
+    est = SK.cms_point_estimates(cells, top, "user_id")
     return est.select(
         "rnk",
         "user_id",
@@ -16148,12 +16111,14 @@ def evt_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cms_sql() -> str:
-    hashes = ", ".join(f"({i}, {a}, {b})" for i, a, b in _CMS_HASHES)
+    from vector_search_optimization_spark.operators import sketches as SK
+
+    hashes = ", ".join(f"({i}, {a}, {b})" for i, a, b in SK.CMS_HASHES)
     return f"""
 WITH h(i, a, b) AS (VALUES {hashes}),
 cells AS (
   SELECT h.i,
-         ((h.a * (e.user_id % {_CMS_KMOD}) + h.b) % {_CMS_P}) % {_CMS_W}
+         ((h.a * (e.user_id % {SK.CMS_KMOD}) + h.b) % {SK.CMS_P}) % {SK.CMS_W}
            AS bucket,
          CAST(count(*) AS BIGINT) AS cell
   FROM events e CROSS JOIN h
@@ -16167,7 +16132,7 @@ cells AS (
   FROM exact QUALIFY rnk <= 20
 ), probes AS (
   SELECT t.user_id, t.exact_count, t.rnk, h.i,
-         ((h.a * (t.user_id % {_CMS_KMOD}) + h.b) % {_CMS_P}) % {_CMS_W}
+         ((h.a * (t.user_id % {SK.CMS_KMOD}) + h.b) % {SK.CMS_P}) % {SK.CMS_W}
            AS bucket
   FROM top t CROSS JOIN h
 )
