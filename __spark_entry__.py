@@ -16397,6 +16397,375 @@ ORDER BY event_type
 """
 
 
+def evt_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value audit of WEEKLY block maxima of daily revenue per
+    event type — Gumbel (EV-I) fit by method of moments, the classic
+    capacity-planning question ("what daily revenue spike should we
+    provision for per month / per year?") that mean-based monitors
+    (EWMA/Holt) can't answer: β̂ = √(6v)/π, μ̂ = m − γβ̂ (γ Euler-
+    Mascheroni), and return levels RL_T = μ̂ − β̂·ln(−ln(1−1/T)) for
+    T = 4 (≈ monthly) and T = 52 (≈ yearly) weeks. Daily cents and the
+    per-block maxima are EXACT integers on the dense calendar spine
+    (zero-filled — an empty week's max is genuinely 0); the moment
+    inputs S, Q clear in BIGINT/DECIMAL(38,0), so m and v are single
+    exact-integer divisions and the fit chains correctly-rounded double
+    ops on bit-identical inputs; β̂/μ̂/RL round 6dp (sqrt/ln-derived).
+    Plan: one combinable daily agg → calendar-bounded spine → one
+    per-(type, week) max agg → one per-type moments agg."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    grid = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        F.floor(F.col("d") / 7).cast("long").alias("wk"),
+        F.coalesce("cents", F.lit(0)).alias("x"),
+    )
+    blocks = grid.groupBy("event_type", "wk").agg(
+        F.max("x").cast("long").alias("mx")
+    )
+    agg = blocks.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("mx").cast("long").alias("s"),
+        F.sum((F.col("mx") * F.col("mx")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+        F.max("mx").cast("long").alias("max_cents"),
+    )
+    n, s = F.col("n_blocks"), F.col("s")
+    m = s.cast("double") / n.cast("double")
+    num = F.col("q") * n - s.cast("decimal(38,0)") * s
+    v = num.cast("double") / (n * (n - 1)).cast("double")
+    pi = F.lit(3.141592653589793)
+    gamma = F.lit(0.5772156649015329)
+    beta = F.sqrt(F.lit(6.0) * v) / pi
+    mu = m - gamma * beta
+    rl4 = mu - beta * F.log(-F.log(F.lit(0.75)))
+    rl52 = mu - beta * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / F.lit(52.0)))
+    ok = (n > 1) & (num > 0)
+    return agg.select(
+        "event_type",
+        "n_blocks",
+        F.col("s").alias("sum_max_cents"),
+        "max_cents",
+        F.when(ok, F.round(beta, 6)).alias("gumbel_beta"),
+        F.when(ok, F.round(mu, 6)).alias("gumbel_mu"),
+        F.when(ok, F.round(rl4, 6)).alias("return_level_4wk"),
+        F.when(ok, F.round(rl52, 6)).alias("return_level_52wk"),
+    ).orderBy("event_type")
+
+
+_GUMBEL_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS d
+  FROM bounds
+), grid AS (
+  SELECT s.event_type,
+         CAST(floor(s.d / 7) AS BIGINT) AS wk,
+         coalesce(a.cents, 0) AS x
+  FROM spine s LEFT JOIN daily a
+    ON s.event_type = a.event_type AND s.d = a.d
+), blocks AS (
+  SELECT event_type, wk, CAST(max(x) AS BIGINT) AS mx
+  FROM grid GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(mx) AS BIGINT) AS s,
+         sum(CAST(mx AS HUGEINT) * mx) AS q,
+         CAST(max(mx) AS BIGINT) AS max_cents
+  FROM blocks GROUP BY 1
+), st AS (
+  SELECT event_type, n_blocks, s, max_cents,
+         q * n_blocks - CAST(s AS HUGEINT) * s AS num,
+         CAST(s AS DOUBLE) / CAST(n_blocks AS DOUBLE) AS m,
+         CAST(q * n_blocks - CAST(s AS HUGEINT) * s AS DOUBLE)
+           / CAST(n_blocks * (n_blocks - 1) AS DOUBLE) AS v
+  FROM agg
+), fit AS (
+  SELECT event_type, n_blocks, s, max_cents, num,
+         m, sqrt(6.0 * v) / 3.141592653589793 AS beta
+  FROM st
+)
+SELECT event_type, n_blocks, s AS sum_max_cents, max_cents,
+       CASE WHEN n_blocks > 1 AND num > 0
+            THEN round(beta, 6) END AS gumbel_beta,
+       CASE WHEN n_blocks > 1 AND num > 0
+            THEN round(m - 0.5772156649015329 * beta, 6) END AS gumbel_mu,
+       CASE WHEN n_blocks > 1 AND num > 0
+            THEN round((m - 0.5772156649015329 * beta)
+                 - beta * ln(-ln(0.75)), 6) END AS return_level_4wk,
+       CASE WHEN n_blocks > 1 AND num > 0
+            THEN round((m - 0.5772156649015329 * beta)
+                 - beta * ln(-ln(1.0 - 1.0 / 52.0)), 6)
+       END AS return_level_52wk
+FROM fit
+ORDER BY event_type
+"""
+
+
+_G10_DRIVER_EDGE_LIMIT = 2_000_000
+
+
+def g10_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius closeness/harmonic centrality from the top-5
+    highest-degree landmarks of the part co-order graph (the g9 edge
+    derivation) — the landmark-BFS pattern that makes centrality
+    tractable at scale: exact all-pairs closeness is O(n·m), landmark
+    profiles are O(|landmarks|·m) with the same ranking power. Four
+    fixed frontier rounds (radius 4 ≥ the co-order graph's observed
+    effective diameter); per landmark the export carries the per-ring
+    counts c₁..c₄ (exact ints), harmonic centrality as the EXACT
+    rational (12c₁+6c₂+4c₃+3c₄)/12 (one integer division → bit-
+    identical) and bounded closeness (n_reached/sum_dist, same). Plan:
+    each round is one frontier-edge equi-join + distinct + anti-join
+    against the visited set — |frontier|·d̄ work, never n²; the
+    landmark pick is a distributed TakeOrdered of the degree frame.
+    Oracle: unrolled EXCEPT-chained rounds with every frame
+    MATERIALIZED (the g8_kcore_peel CTE-inlining rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cb = li.select(
+        F.col("l_orderkey").alias("u"), F.col("l_partkey").alias("b")
+    ).distinct()
+    a = cb.select("u", F.col("b").alias("src"))
+    c = cb.select("u", F.col("b").alias("dst"))
+    und = (
+        a.join(c, "u")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .where(F.col("common") >= 2)
+        .select("src", "dst")
+    )
+    sym = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    deg = sym.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    lm = (
+        deg.orderBy(F.col("degree").desc(), F.col("src").asc())
+        .limit(5)
+        .select(F.col("src").alias("l"), F.col("degree").alias("l_degree"))
+    )
+    # small-graph driver fast path (the g3_pagerank / g4 bfs_distances
+    # discipline): within the bounded-collect contract the 4-round walk
+    # runs in plain python — identical counts, no per-round stage
+    # floors. The distributed frontier loop below is the scale path
+    # (pytest-pinned equal by forcing the limit to 0).
+    if sym.count() <= _G10_DRIVER_EDGE_LIMIT:
+        adj: dict = {}
+        for r in sym.collect():
+            adj.setdefault(r["src"], []).append(r["dst"])
+        rows = []
+        for lr in lm.collect():
+            l, ldeg = lr["l"], lr["l_degree"]
+            dist = {l: 0}
+            frontier = [l]
+            ck = [0, 0, 0, 0]
+            for hop in range(1, 5):
+                nxt = []
+                for u in frontier:
+                    for v in adj.get(u, ()):
+                        if v not in dist:
+                            dist[v] = hop
+                            nxt.append(v)
+                ck[hop - 1] = len(nxt)
+                frontier = nxt
+            k1, k2, k3, k4 = ck
+            reach = k1 + k2 + k3 + k4
+            sd = k1 + 2 * k2 + 3 * k3 + 4 * k4
+            hn = 12 * k1 + 6 * k2 + 4 * k3 + 3 * k4
+            rows.append(
+                (
+                    int(l),
+                    int(ldeg),
+                    k1,
+                    k2,
+                    k3,
+                    k4,
+                    reach,
+                    sd,
+                    hn,
+                    hn / 12.0,
+                    (float(reach) / float(sd)) if sd > 0 else None,
+                )
+            )
+        out = spark.createDataFrame(
+            rows,
+            "landmark long, l_degree long, c1 long, c2 long, c3 long, "
+            "c4 long, n_reached long, sum_dist long, harmonic_num long, "
+            "harmonic double, closeness4 double",
+        ).orderBy("landmark")
+        out._vso_caches = [sym]
+        return out
+    visited = lm.select("l", F.col("l").alias("node"))
+    frontier = visited
+    rings = []
+    caches = [sym]
+    for k in range(1, 5):
+        # persist each frontier: the iterative lineage otherwise
+        # re-executes every prior round per downstream consumer (the
+        # g3_pagerank round-persist discipline)
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select("l", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["l", "node"], "left_anti")
+            .persist()
+        )
+        caches.append(nxt)
+        rings.append(nxt.select("l", F.lit(k).alias("dist")))
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    counts = (
+        rings[0]
+        .unionByName(rings[1])
+        .unionByName(rings[2])
+        .unionByName(rings[3])
+        .groupBy("l")
+        .agg(
+            F.sum(F.when(F.col("dist") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("dist") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+            F.sum(F.when(F.col("dist") == 3, 1).otherwise(0))
+            .cast("long")
+            .alias("c3"),
+            F.sum(F.when(F.col("dist") == 4, 1).otherwise(0))
+            .cast("long")
+            .alias("c4"),
+        )
+    )
+    counts = counts.withColumnRenamed("l", "lc")
+    c1, c2, c3, c4 = F.col("c1"), F.col("c2"), F.col("c3"), F.col("c4")
+    reached = c1 + c2 + c3 + c4
+    sumd = c1 + 2 * c2 + 3 * c3 + 4 * c4
+    harm_num = 12 * c1 + 6 * c2 + 4 * c3 + 3 * c4
+    out = (
+        lm.join(counts, F.col("l") == F.col("lc"), "left")
+        .select(
+            F.col("l").alias("landmark"),
+            "l_degree",
+            F.coalesce(c1, F.lit(0)).alias("c1"),
+            F.coalesce(c2, F.lit(0)).alias("c2"),
+            F.coalesce(c3, F.lit(0)).alias("c3"),
+            F.coalesce(c4, F.lit(0)).alias("c4"),
+        )
+        .select(
+            "landmark",
+            "l_degree",
+            "c1",
+            "c2",
+            "c3",
+            "c4",
+            reached.cast("long").alias("n_reached"),
+            sumd.cast("long").alias("sum_dist"),
+            harm_num.cast("long").alias("harmonic_num"),
+            (harm_num.cast("double") / F.lit(12.0)).alias("harmonic"),
+            F.when(
+                sumd > 0, reached.cast("double") / sumd.cast("double")
+            ).alias("closeness4"),
+        )
+        .orderBy("landmark")
+    )
+    out._vso_caches = caches
+    return out
+
+
+_G10_CLOSENESS_SQL = """
+WITH cb AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS u, l_partkey AS b FROM lineitem
+), und AS MATERIALIZED (
+  SELECT a.b AS src, c.b AS dst
+  FROM cb a JOIN cb c ON a.u = c.u AND a.b < c.b
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), sym AS MATERIALIZED (
+  SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und
+), deg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY 1
+), lm AS MATERIALIZED (
+  SELECT src AS l, degree AS l_degree FROM deg
+  ORDER BY degree DESC, src ASC LIMIT 5
+), v0 AS MATERIALIZED (
+  SELECT l, l AS node FROM lm
+), f1 AS MATERIALIZED (
+  SELECT DISTINCT v0.l, s.dst AS node
+  FROM v0 JOIN sym s ON s.src = v0.node
+  EXCEPT SELECT l, node FROM v0
+), v1 AS MATERIALIZED (
+  SELECT l, node FROM v0 UNION ALL SELECT l, node FROM f1
+), f2 AS MATERIALIZED (
+  SELECT DISTINCT f1.l, s.dst AS node
+  FROM f1 JOIN sym s ON s.src = f1.node
+  EXCEPT SELECT l, node FROM v1
+), v2 AS MATERIALIZED (
+  SELECT l, node FROM v1 UNION ALL SELECT l, node FROM f2
+), f3 AS MATERIALIZED (
+  SELECT DISTINCT f2.l, s.dst AS node
+  FROM f2 JOIN sym s ON s.src = f2.node
+  EXCEPT SELECT l, node FROM v2
+), v3 AS MATERIALIZED (
+  SELECT l, node FROM v2 UNION ALL SELECT l, node FROM f3
+), f4 AS MATERIALIZED (
+  SELECT DISTINCT f3.l, s.dst AS node
+  FROM f3 JOIN sym s ON s.src = f3.node
+  EXCEPT SELECT l, node FROM v3
+), rings AS (
+  SELECT l, 1 AS dist FROM f1
+  UNION ALL SELECT l, 2 FROM f2
+  UNION ALL SELECT l, 3 FROM f3
+  UNION ALL SELECT l, 4 FROM f4
+), counts AS (
+  SELECT l,
+         CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(sum(CASE WHEN dist = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+  FROM rings GROUP BY 1
+)
+SELECT lm.l AS landmark, lm.l_degree,
+       coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2,
+       coalesce(c3, 0) AS c3, coalesce(c4, 0) AS c4,
+       CAST(coalesce(c1, 0) + coalesce(c2, 0) + coalesce(c3, 0)
+            + coalesce(c4, 0) AS BIGINT) AS n_reached,
+       CAST(coalesce(c1, 0) + 2 * coalesce(c2, 0) + 3 * coalesce(c3, 0)
+            + 4 * coalesce(c4, 0) AS BIGINT) AS sum_dist,
+       CAST(12 * coalesce(c1, 0) + 6 * coalesce(c2, 0)
+            + 4 * coalesce(c3, 0) + 3 * coalesce(c4, 0) AS BIGINT)
+         AS harmonic_num,
+       CAST(12 * coalesce(c1, 0) + 6 * coalesce(c2, 0)
+            + 4 * coalesce(c3, 0) + 3 * coalesce(c4, 0) AS DOUBLE) / 12.0
+         AS harmonic,
+       CASE WHEN coalesce(c1, 0) + 2 * coalesce(c2, 0) + 3 * coalesce(c3, 0)
+                 + 4 * coalesce(c4, 0) > 0
+            THEN CAST(coalesce(c1, 0) + coalesce(c2, 0) + coalesce(c3, 0)
+                      + coalesce(c4, 0) AS DOUBLE)
+                 / CAST(coalesce(c1, 0) + 2 * coalesce(c2, 0)
+                        + 3 * coalesce(c3, 0) + 4 * coalesce(c4, 0) AS DOUBLE)
+       END AS closeness4
+FROM lm LEFT JOIN counts ON lm.l = counts.l
+ORDER BY landmark
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -16426,6 +16795,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_cms_audit": (evt_cms_audit, _cms_sql()),
     "doc_readability": (doc_readability, _READABILITY_SQL),
     "evt_pacf_durbin": (evt_pacf_durbin, _PACF_SQL),
+    "evt_gumbel_maxima": (evt_gumbel_maxima, _GUMBEL_SQL),
+    "g10_closeness": (g10_closeness, _G10_CLOSENESS_SQL),
     "emb_hubness_audit": (emb_hubness_audit, _HUBNESS_SQL),
     "evt_holt_linear": (evt_holt_linear, _HOLT_SQL),
     "g7_hits": (g7_hits, _g7_hits_sql()),

@@ -478,3 +478,124 @@ def test_isotonic_query_invariants(spark, sf_small):
             assert r.iso_fit_cents == pytest.approx(
                 r.block_cents / r.block_days
             )
+
+
+# ---------------------------------------------------------------------------
+# r8 third-session additions
+# ---------------------------------------------------------------------------
+
+
+def test_g10_distributed_loop_equals_driver_fast_path(spark, sf_small):
+    """Forcing the edge limit to 0 exercises the distributed frontier
+    loop; both paths must produce identical ring counts and derived
+    centralities (the pagerank path-equality discipline)."""
+    fast = m.queries()["g10_closeness"](spark, sf_small)
+    fast_rows = sorted(tuple(r) for r in fast.collect())
+    for c in getattr(fast, "_vso_caches", []):
+        c.unpersist()
+    old = m._G10_DRIVER_EDGE_LIMIT
+    m._G10_DRIVER_EDGE_LIMIT = 0
+    try:
+        slow = m.queries()["g10_closeness"](spark, sf_small)
+        slow_rows = sorted(tuple(r) for r in slow.collect())
+        for c in getattr(slow, "_vso_caches", []):
+            c.unpersist()
+    finally:
+        m._G10_DRIVER_EDGE_LIMIT = old
+    assert fast_rows == slow_rows
+
+
+def test_welch_ttest_identities(spark, sf_small):
+    rows = m.queries()["evt_welch_ttest"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.n1 > 0 and r.n2 > 0
+        if r.welch_t is not None:
+            # df bounded by min(n1,n2)-1 .. n1+n2-2 (Welch-Satterthwaite)
+            assert min(r.n1, r.n2) - 1 <= r.welch_df + 1e-6
+            assert r.welch_df <= r.n1 + r.n2 - 2 + 1e-6
+            # t sign matches the mean difference
+            if abs(r.mean_diff_cents) > 1e-9:
+                assert (r.welch_t > 0) == (r.mean_diff_cents > 0)
+
+
+def test_seasonal_decompose_identities(spark, sf_small):
+    rows = m.queries()["evt_seasonal_decompose"](spark, sf_small).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert r.resid_ss >= -1e-9
+        assert 0 <= r.dow <= 6
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        # the dow seasonal components average (weighted by coverage) to
+        # the mean detrended value: sum of sp numerators is the total
+        total_num = sum(r.detrended_sum_num for r in rs)
+        recomputed = sum(round(r.seasonal_cents * 7 * r.n_days) for r in rs)
+        assert recomputed == total_num
+
+
+def test_chao1_dominates_observed_richness(spark, sf_small):
+    rows = m.queries()["vocab_chao1_richness"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.chao1 >= r.n_types - 1e-9
+        assert 0.0 <= r.gt_unseen_mass <= 1.0
+
+
+def test_source_mi_nonnegative_and_consistent(spark, sf_small):
+    rows = m.queries()["doc_source_mi"](spark, sf_small).collect()
+    assert rows
+    mi = {r.mi_nats for r in rows}
+    assert len(mi) == 1  # global MI repeated per cell
+    assert mi.pop() >= -1e-6
+    n = sum(r.c_sl for r in rows)
+    assert all(r.c_sl <= r.c_s and r.c_sl <= r.c_l for r in rows)
+    assert all(r.c_s <= n and r.c_l <= n for r in rows)
+
+
+def test_theil_decomposition_identities(spark, sf_small):
+    rows = m.queries()["nation_theil_decomposition"](spark, sf_small).collect()
+    assert rows
+    assert sum(r.rev_share for r in rows) == pytest.approx(1.0, rel=1e-9)
+    for r in rows:
+        assert r.theil_within >= -1e-6  # Theil-T within is nonneg
+
+
+def test_assortativity_bounds(spark, sf_small):
+    rows = m.queries()["g9_assortativity"](spark, sf_small).collect()
+    assert rows
+    r0 = rows[0]
+    if r0.assortativity_r is not None:
+        assert -1.0 - 1e-9 <= r0.assortativity_r <= 1.0 + 1e-9
+    for r in rows:
+        assert r.n_edges == r.k * r.n_nodes  # per-degree edge identity
+        assert r.knn_avg >= 1.0 - 1e-9
+
+
+def test_gumbel_return_levels_ordered(spark, sf_small):
+    rows = m.queries()["evt_gumbel_maxima"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        if r.gumbel_beta is not None:
+            assert r.gumbel_beta > 0
+            # longer horizon -> higher return level
+            assert r.return_level_52wk > r.return_level_4wk
+
+
+def test_pacf_first_lag_equals_acf(spark, sf_small):
+    rows = m.queries()["evt_pacf_durbin"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.pacf1 == r.acf1
+        for v in (r.acf1, r.acf2, r.acf3, r.pacf2, r.pacf3):
+            if v is not None:
+                assert -1.2 <= v <= 1.2
+
+
+def test_readability_counts_positive(spark, sf_small):
+    rows = m.queries()["doc_readability"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words > 0 and r.n_sents > 0 and r.n_syllables > 0
+        assert r.syllables_per_word >= 1.0 - 1e-9
