@@ -16766,6 +16766,344 @@ ORDER BY landmark
 """
 
 
+def doc_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's token
+    distribution and the corpus — the SYMMETRIC, bounded (≤ ln 2)
+    companion to source_token_kl (KL explodes on missing words; JSD is
+    what mixture rebalancers actually minimize). Uses the absent-word
+    identity to stay vocab-local: for words the source lacks, the
+    mixture term collapses to q·ln2, so JSD = ½[Σ_{p>0} p·ln(2pNc′/…)
+    + Σ_{p>0} q·ln(2qNs′/…) + (1−Σ_{p>0}q)·ln2] needs ONLY the
+    source's own vocabulary joined to corpus counts — never a
+    |vocab|×|sources| expansion. Count ratios inside every ln are
+    exact-integer (cleared in DECIMAL(38,0)/HUGEINT); the shared
+    corpus mass Σq exports as one exact division (unrounded); the ln
+    sums round 6dp (irrational). Plan: two combinable token shuffles
+    (per-source-word, per-word) + an equi-join on the word key + 1-row
+    corpus-total broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda tk: tk != "",
+            )
+        ).alias("w"),
+    )
+    # ONE persisted tokenization feeds both count frames (the
+    # doc_bigram_lm single-pass lesson); everything downstream derives
+    # from sw so the corpus margin is a re-agg, not a re-tokenize
+    sw = (
+        toks.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cp"))
+        .persist()
+    )
+    ns = sw.groupBy("source").agg(F.sum("cp").cast("long").alias("ns"))
+    cw = sw.groupBy("w").agg(F.sum("cp").cast("long").alias("cq"))
+    nc = cw.agg(F.sum("cq").cast("long").alias("nc"))
+    j = (
+        sw.join(cw, "w")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nc))
+    )
+    pn = F.col("cp").cast("decimal(38,0)") * F.col("nc")
+    qn = F.col("cq").cast("decimal(38,0)") * F.col("ns")
+    mix = (pn + qn).cast("double")
+    t1 = (F.col("cp").cast("double") / F.col("ns").cast("double")) * F.log(
+        (F.lit(2) * pn).cast("double") / mix
+    )
+    t2 = (F.col("cq").cast("double") / F.col("nc").cast("double")) * F.log(
+        (F.lit(2) * qn).cast("double") / mix
+    )
+    agg = j.groupBy("source", "ns", "nc").agg(
+        F.sum(t1).alias("s1"),
+        F.sum(t2).alias("s2"),
+        F.sum("cq").cast("long").alias("sq"),
+    )
+    ln2 = F.lit(0.6931471805599453)
+    shared = F.col("sq").cast("double") / F.col("nc").cast("double")
+    jsd = F.lit(0.5) * (
+        F.col("s1") + F.col("s2") + (F.lit(1.0) - shared) * ln2
+    )
+    out = agg.select(
+        "source",
+        F.col("ns").alias("n_tokens"),
+        shared.alias("shared_corpus_mass"),
+        F.round(jsd, 6).alias("jsd_nats"),
+        F.round(jsd / ln2, 6).alias("jsd_normalized"),
+    ).orderBy("source")
+    out._vso_caches = [sw]
+    return out
+
+
+_JSD_SQL = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS w
+  FROM documents
+), sw AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS cp FROM tok GROUP BY 1, 2
+), ns AS (
+  SELECT source, CAST(sum(cp) AS BIGINT) AS ns FROM sw GROUP BY 1
+), cw AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cq FROM tok GROUP BY 1
+), nc AS (
+  SELECT CAST(sum(cq) AS BIGINT) AS nc FROM cw
+), agg AS (
+  SELECT sw.source, ns.ns, nc.nc,
+         sum((CAST(sw.cp AS DOUBLE) / CAST(ns.ns AS DOUBLE))
+             * ln(CAST(2 * (CAST(sw.cp AS HUGEINT) * nc.nc) AS DOUBLE)
+                  / CAST(CAST(sw.cp AS HUGEINT) * nc.nc
+                         + CAST(cw.cq AS HUGEINT) * ns.ns AS DOUBLE))) AS s1,
+         sum((CAST(cw.cq AS DOUBLE) / CAST(nc.nc AS DOUBLE))
+             * ln(CAST(2 * (CAST(cw.cq AS HUGEINT) * ns.ns) AS DOUBLE)
+                  / CAST(CAST(sw.cp AS HUGEINT) * nc.nc
+                         + CAST(cw.cq AS HUGEINT) * ns.ns AS DOUBLE))) AS s2,
+         CAST(sum(cw.cq) AS BIGINT) AS sq
+  FROM sw JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN nc
+  GROUP BY 1, 2, 3
+)
+SELECT source, ns AS n_tokens,
+       CAST(sq AS DOUBLE) / CAST(nc AS DOUBLE) AS shared_corpus_mass,
+       round(0.5 * (s1 + s2
+             + (1.0 - CAST(sq AS DOUBLE) / CAST(nc AS DOUBLE))
+               * 0.6931471805599453), 6) AS jsd_nats,
+       round(0.5 * (s1 + s2
+             + (1.0 - CAST(sq AS DOUBLE) / CAST(nc AS DOUBLE))
+               * 0.6931471805599453) / 0.6931471805599453, 6)
+         AS jsd_normalized
+FROM agg
+ORDER BY source
+"""
+
+
+def lineitem_discount_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount–quantity correlation and OLS slope per return flag —
+    the "does discounting move volume" merchandising read, and the
+    minimal template for fact-level two-column regression at scale:
+    ONE combinable moments agg (n, Σx, Σy, Σxy, Σx², Σy² — discounts
+    as exact percent integers, quantities integral by construction),
+    then r = cov/√(vₓ·v_y) (6dp, sqrt-derived) and slope/intercept
+    from the same exact DECIMAL(38,0)/HUGEINT moments — slope is ONE
+    exact-integer division (unrounded), intercept chains
+    correctly-rounded doubles on bit-identical inputs (unrounded)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_quantity")).cast("long")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum((x * y).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sx2"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sy2"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    covn = n * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    vxn = n * F.col("sx2") - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+    vyn = n * F.col("sy2") - F.col("sy").cast("decimal(38,0)") * F.col("sy")
+    ok = (vxn > 0) & (vyn > 0)
+    slope = covn.cast("double") / vxn.cast("double")
+    mean_y = F.col("sy").cast("double") / F.col("n").cast("double")
+    mean_x = F.col("sx").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.col("sx").alias("sum_disc_pct"),
+        F.col("sy").alias("sum_qty"),
+        mean_x.alias("mean_disc_pct"),
+        mean_y.alias("mean_qty"),
+        F.when(
+            ok,
+            F.round(
+                covn.cast("double")
+                / F.sqrt(vxn.cast("double") * vyn.cast("double")),
+                6,
+            ),
+        ).alias("pearson_r"),
+        F.when(ok, slope).alias("ols_slope"),
+        F.when(ok, mean_y - slope * mean_x).alias("ols_intercept"),
+    ).orderBy("l_returnflag")
+
+
+_DISC_QTY_SQL = """
+WITH agg AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sy,
+         sum(CAST(round(l_discount * 100) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS sxy,
+         sum(CAST(round(l_discount * 100) AS HUGEINT)
+             * CAST(round(l_discount * 100) AS HUGEINT)) AS sx2,
+         sum(CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(l_quantity) AS HUGEINT)) AS sy2
+  FROM lineitem GROUP BY 1
+), st AS (
+  SELECT l_returnflag, n, sx, sy,
+         n * sxy - CAST(sx AS HUGEINT) * sy AS covn,
+         n * sx2 - CAST(sx AS HUGEINT) * sx AS vxn,
+         n * sy2 - CAST(sy AS HUGEINT) * sy AS vyn
+  FROM agg
+)
+SELECT l_returnflag, n, sx AS sum_disc_pct, sy AS sum_qty,
+       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_disc_pct,
+       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+       CASE WHEN vxn > 0 AND vyn > 0
+            THEN round(CAST(covn AS DOUBLE)
+                 / sqrt(CAST(vxn AS DOUBLE) * CAST(vyn AS DOUBLE)), 6)
+       END AS pearson_r,
+       CASE WHEN vxn > 0 AND vyn > 0
+            THEN CAST(covn AS DOUBLE) / CAST(vxn AS DOUBLE)
+       END AS ols_slope,
+       CASE WHEN vxn > 0 AND vyn > 0
+            THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(covn AS DOUBLE) / CAST(vxn AS DOUBLE))
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+       END AS ols_intercept
+FROM st
+ORDER BY l_returnflag
+"""
+
+
+def evt_histogram_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid histogram quantile sketch vs exact order statistics —
+    the accuracy audit behind "can a 64-bucket mergeable histogram
+    replace an exact sort at 100 TB": event cents are bucketed on a
+    64-cell equi-width grid (integer bucket math from a 1-row global
+    min/max broadcast), the sketch answers quantiles {.25,.5,.75,.9,
+    .99} by first-covering-bucket midpoint, and the export reports the
+    EXACT type-1 quantile beside it with the signed cent error. Every
+    export is an exact integer: bucket index/midpoint/rank use
+    floor(·) of the SAME correctly-rounded division on both engines
+    (operands « 2^53, so the doubles are exact and the floors agree
+    bit-for-bit), and the exact quantile is min{c: cum(c) ≥ ⌈q·n⌉}
+    over the bounded value-domain frame.
+    Plan: one combinable per-cents agg (domain-bounded: 2-dec values),
+    one 64-row histogram agg, two windows over bounded frames, a
+    5-row literal quantile explode joined by range — the same
+    sketch-vs-exact dual the evt_sketch_audit family establishes."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = F.round(F.col("value") * 100).cast("long")
+    vals = e.groupBy(c.alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    mm = vals.agg(
+        F.min("c").alias("mn"),
+        F.max("c").alias("mx"),
+        F.sum("cnt").cast("long").alias("n"),
+    )
+    v = vals.crossJoin(F.broadcast(mm))
+    span = F.col("mx") - F.col("mn") + 1
+    hist = v.groupBy(
+        F.floor((F.col("c") - F.col("mn")) * 64 / span).cast("long").alias("b")
+    ).agg(F.sum("cnt").cast("long").alias("bcnt"))
+    wb = Window.orderBy("b")
+    histc = hist.select(
+        "b", F.sum("bcnt").over(wb).cast("long").alias("bcum")
+    )
+    wv = Window.orderBy("c")
+    valsc = v.select(
+        "c", "mn", "mx", "n", F.sum("cnt").over(wv).cast("long").alias("vcum")
+    )
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(
+                F.lit(25), F.lit(50), F.lit(75), F.lit(90), F.lit(99)
+            )
+        ).alias("qpct")
+    )
+    tgt = qs.crossJoin(F.broadcast(mm)).select(
+        "qpct",
+        "mn",
+        "mx",
+        "n",
+        # ceil(q*n/100) in exact integer arithmetic
+        (-F.floor(-(F.col("qpct") * F.col("n")) / 100)).cast("long").alias(
+            "r"
+        ),
+    )
+    exact = (
+        tgt.join(valsc.select("c", "vcum"), F.col("vcum") >= F.col("r"))
+        .groupBy("qpct", "mn", "mx", "n", "r")
+        .agg(F.min("c").cast("long").alias("exact_cents"))
+    )
+    approx = (
+        tgt.join(F.broadcast(histc), F.col("bcum") >= F.col("r"))
+        .groupBy("qpct")
+        .agg(F.min("b").cast("long").alias("b"))
+    )
+    out = (
+        exact.join(approx, "qpct")
+        .select(
+            "qpct",
+            F.col("r").alias("target_rank"),
+            "exact_cents",
+            (
+                F.col("mn")
+                + F.floor(
+                    (2 * F.col("b") + 1) * (F.col("mx") - F.col("mn") + 1) / 128
+                )
+            )
+            .cast("long")
+            .alias("approx_cents"),
+        )
+        .select(
+            "qpct",
+            "target_rank",
+            "exact_cents",
+            "approx_cents",
+            (F.col("approx_cents") - F.col("exact_cents")).alias("err_cents"),
+        )
+        .orderBy("qpct")
+    )
+    return out
+
+
+_HIST_QUANTILE_SQL = """
+WITH vals AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), mm AS (
+  SELECT min(c) AS mn, max(c) AS mx, CAST(sum(cnt) AS BIGINT) AS n FROM vals
+), hist AS (
+  SELECT CAST(floor((v.c - mm.mn) * 64 / (mm.mx - mm.mn + 1)) AS BIGINT)
+           AS b,
+         CAST(sum(cnt) AS BIGINT) AS bcnt
+  FROM vals v CROSS JOIN mm GROUP BY 1
+), histc AS (
+  SELECT b, CAST(sum(bcnt) OVER (ORDER BY b) AS BIGINT) AS bcum FROM hist
+), valsc AS (
+  SELECT c, CAST(sum(cnt) OVER (ORDER BY c) AS BIGINT) AS vcum FROM vals
+), qs AS (
+  SELECT unnest([25, 50, 75, 90, 99]) AS qpct
+), tgt AS (
+  SELECT q.qpct, mm.mn, mm.mx, mm.n,
+         CAST(-floor(-(q.qpct * mm.n) / 100) AS BIGINT) AS r
+  FROM qs q CROSS JOIN mm
+), exact AS (
+  SELECT t.qpct, t.mn, t.mx, t.n, t.r,
+         CAST(min(v.c) AS BIGINT) AS exact_cents
+  FROM tgt t JOIN valsc v ON v.vcum >= t.r
+  GROUP BY 1, 2, 3, 4, 5
+), approx AS (
+  SELECT t.qpct, CAST(min(h.b) AS BIGINT) AS b
+  FROM tgt t JOIN histc h ON h.bcum >= t.r
+  GROUP BY 1
+)
+SELECT e.qpct, e.r AS target_rank, e.exact_cents,
+       CAST(e.mn + floor((2 * a.b + 1) * (e.mx - e.mn + 1) / 128) AS BIGINT)
+         AS approx_cents,
+       CAST(e.mn + floor((2 * a.b + 1) * (e.mx - e.mn + 1) / 128) AS BIGINT)
+         - e.exact_cents AS err_cents
+FROM exact e JOIN approx a ON e.qpct = a.qpct
+ORDER BY e.qpct
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -16797,6 +17135,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_pacf_durbin": (evt_pacf_durbin, _PACF_SQL),
     "evt_gumbel_maxima": (evt_gumbel_maxima, _GUMBEL_SQL),
     "g10_closeness": (g10_closeness, _G10_CLOSENESS_SQL),
+    "doc_js_divergence": (doc_js_divergence, _JSD_SQL),
+    "lineitem_discount_qty_corr": (lineitem_discount_qty_corr, _DISC_QTY_SQL),
+    "evt_histogram_quantile_audit": (
+        evt_histogram_quantile_audit,
+        _HIST_QUANTILE_SQL,
+    ),
     "emb_hubness_audit": (emb_hubness_audit, _HUBNESS_SQL),
     "evt_holt_linear": (evt_holt_linear, _HOLT_SQL),
     "g7_hits": (g7_hits, _g7_hits_sql()),

@@ -179,6 +179,11 @@ _NESTED_LOOP_OK = {
                                    # the |nations| aggregate
     "g9_assortativity",        # 1-row global-moments frame broadcast
                                # onto the per-degree knn profile
+    "doc_js_divergence",       # 1-row corpus-total frame broadcast
+                               # onto the per-source-word frame
+    "evt_histogram_quantile_audit",  # 1-row min/max/n broadcast + 5-row
+                                     # quantile probe range-joined onto
+                                     # the bounded cum frames
 }
 
 

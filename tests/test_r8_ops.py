@@ -599,3 +599,48 @@ def test_readability_counts_positive(spark, sf_small):
     for r in rows:
         assert r.n_words > 0 and r.n_sents > 0 and r.n_syllables > 0
         assert r.syllables_per_word >= 1.0 - 1e-9
+
+
+def test_jsd_bounds_and_shared_mass(spark, sf_small):
+    rows = m.queries()["doc_js_divergence"](spark, sf_small).collect()
+    assert rows
+    ln2 = 0.6931471805599453
+    for r in rows:
+        assert -1e-9 <= r.jsd_nats <= ln2 + 1e-9
+        assert -1e-9 <= r.jsd_normalized <= 1.0 + 1e-9
+        assert 0.0 < r.shared_corpus_mass <= 1.0
+
+
+def test_discount_qty_corr_identities(spark, sf_small):
+    rows = m.queries()["lineitem_discount_qty_corr"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        if r.pearson_r is not None:
+            assert -1.0 - 1e-9 <= r.pearson_r <= 1.0 + 1e-9
+            # slope sign matches r sign
+            if abs(r.pearson_r) > 1e-9:
+                assert (r.ols_slope > 0) == (r.pearson_r > 0)
+            # regression line passes through the mean point
+            assert r.ols_intercept + r.ols_slope * r.mean_disc_pct == (
+                pytest.approx(r.mean_qty, rel=1e-9)
+            )
+
+
+def test_histogram_quantile_error_bounded_by_bucket_width(spark, sf_small):
+    from vector_search_optimization_spark.sources import load_table
+
+    rows = m.queries()["evt_histogram_quantile_audit"](
+        spark, sf_small
+    ).collect()
+    assert [r.qpct for r in rows] == [25, 50, 75, 90, 99]
+    e = load_table(spark, sf_small, "events").where(F.col("value").isNotNull())
+    c = F.round(F.col("value") * 100).cast("long")
+    mm = e.agg(F.min(c).alias("mn"), F.max(c).alias("mx")).first()
+    width = (mm.mx - mm.mn + 1) / 64
+    ex = [r.exact_cents for r in rows]
+    ap = [r.approx_cents for r in rows]
+    assert ex == sorted(ex) and ap == sorted(ap)
+    for r in rows:
+        # the covering bucket contains the exact quantile -> midpoint
+        # error is at most one bucket width
+        assert abs(r.err_cents) <= width + 1
