@@ -17104,6 +17104,349 @@ ORDER BY e.qpct
 """
 
 
+def evt_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (period 7) of daily
+    revenue per event type — the seasonal extension of evt_holt_linear
+    for series where the dow cycle (evt_seasonal_decompose shows it
+    exists) would otherwise leak into the trend: level l' = α(x−s_dow)
+    + (1−α)(l+b), trend b' = β(l'−l) + (1−β)b, seasonal s'_dow =
+    γ(x−l') + (1−γ)s_dow with repr-exact dyadic α=0.5, β=γ=0.25 and a
+    deterministic zero-seasonal init from the first grid day. The
+    seven seasonal slots are SCALAR state fields updated by dow CASE
+    (no array indexing — both engines run the identical expression
+    trees), so the sequential fold (F.aggregate over the array_sort'ed
+    dense series ≡ DuckDB day-indexed recursive CTE) is bit-identical
+    before the 6dp rounds; the 7-day-ahead forecast lands on the last
+    day's own dow (d+7 ≡ d mod 7). Plan: the holt_from_daily contract
+    — one combinable daily agg, |types|×|days| fold work, grid size
+    independent of fact rows."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", "hi", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    grid = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        "hi",
+        "d",
+        F.coalesce("cents", F.lit(0)).cast("double").alias("x"),
+    )
+    ser = grid.groupBy("event_type", "hi").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "x"))),
+            lambda s: F.struct((s.d % 7).alias("dow"), s.x.alias("x")),
+        ).alias("xs")
+    )
+    xs = F.col("xs")
+
+    def sdow(acc, dow):
+        c = F.when(dow == 0, acc.s0)
+        for k in range(1, 7):
+            c = c.when(dow == k, acc["s%d" % k])
+        return c.otherwise(F.lit(0.0))
+
+    def fold_step(acc, el):
+        sprev = sdow(acc, el.dow)
+        lnew = F.lit(0.5) * (el.x - sprev) + F.lit(0.5) * (acc.l + acc.b)
+        fitted = acc.l + acc.b + sprev
+        fields = [
+            lnew.alias("l"),
+            (F.lit(0.25) * (lnew - acc.l) + F.lit(0.75) * acc.b).alias("b"),
+        ]
+        for k in range(7):
+            fields.append(
+                F.when(
+                    el.dow == k,
+                    F.lit(0.25) * (el.x - lnew)
+                    + F.lit(0.75) * acc["s%d" % k],
+                )
+                .otherwise(acc["s%d" % k])
+                .alias("s%d" % k)
+            )
+        fields.append(
+            (acc.sse + (el.x - fitted) * (el.x - fitted)).alias("sse")
+        )
+        return F.struct(*fields)
+
+    init = F.struct(
+        xs[0].x.alias("l"),
+        F.lit(0.0).alias("b"),
+        *[F.lit(0.0).alias("s%d" % k) for k in range(7)],
+        F.lit(0.0).alias("sse"),
+    )
+    acc = F.aggregate(F.slice(xs, F.lit(2), F.size(xs) - 1), init, fold_step)
+    base = ser.where(F.size(xs) >= 2).select(
+        "event_type",
+        F.size(xs).cast("long").alias("n_days"),
+        (F.col("hi") % 7).cast("long").alias("dow_last"),
+        acc.alias("a"),
+    )
+    fcast = F.col("a.l") + F.lit(7.0) * F.col("a.b") + sdow(
+        F.col("a"), F.col("dow_last")
+    )
+    return base.select(
+        "event_type",
+        "n_days",
+        "dow_last",
+        F.round(F.col("a.l"), 6).alias("level_cents"),
+        F.round(F.col("a.b"), 6).alias("trend_cents"),
+        *[
+            F.round(F.col("a.s%d" % k), 6).alias("seasonal_%d" % k)
+            for k in range(7)
+        ],
+        F.round(fcast, 6).alias("forecast_7d_cents"),
+        F.round(
+            F.sqrt(F.col("a.sse") / (F.col("n_days") - 1).cast("double")), 6
+        ).alias("rmse_cents"),
+    ).orderBy("event_type")
+
+
+def _holt_winters_sql() -> str:
+    case_prev = (
+        "CASE g.dow WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 "
+        "WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 "
+        "WHEN 6 THEN r.s6 ELSE 0.0 END"
+    )
+    lnew = f"0.5 * (g.x - {case_prev}) + 0.5 * (r.l + r.b)"
+    s_updates = ",\n         ".join(
+        f"CASE WHEN g.dow = {k} THEN 0.25 * (g.x - ({lnew})) + 0.75 * r.s{k} "
+        f"ELSE r.s{k} END"
+        for k in range(7)
+    )
+    case_last = (
+        "CASE dow_last WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 "
+        "WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 WHEN 6 THEN s6 "
+        "ELSE 0.0 END"
+    )
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type, hi,
+         CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS d
+  FROM bounds
+), grid AS (
+  SELECT s.event_type, s.hi, s.d,
+         CAST(coalesce(a.cents, 0) AS DOUBLE) AS x
+  FROM spine s LEFT JOIN daily a
+    ON s.event_type = a.event_type AND s.d = a.d
+), idx AS (
+  SELECT event_type, hi, x, CAST(d % 7 AS BIGINT) AS dow,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM grid
+), rec AS (
+  SELECT event_type, hi, CAST(1 AS BIGINT) AS i, n,
+         x AS l, CAST(0.0 AS DOUBLE) AS b,
+         CAST(0.0 AS DOUBLE) AS s0, CAST(0.0 AS DOUBLE) AS s1,
+         CAST(0.0 AS DOUBLE) AS s2, CAST(0.0 AS DOUBLE) AS s3,
+         CAST(0.0 AS DOUBLE) AS s4, CAST(0.0 AS DOUBLE) AS s5,
+         CAST(0.0 AS DOUBLE) AS s6,
+         CAST(0.0 AS DOUBLE) AS sse
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT r.event_type, r.hi, r.i + 1, r.n,
+         {lnew},
+         0.25 * (({lnew}) - r.l) + 0.75 * r.b,
+         {s_updates},
+         r.sse + (g.x - (r.l + r.b + {case_prev}))
+               * (g.x - (r.l + r.b + {case_prev}))
+  FROM rec r JOIN idx g
+    ON g.event_type = r.event_type AND g.i = r.i + 1
+)
+, fin AS (
+  SELECT event_type, n, CAST(hi % 7 AS BIGINT) AS dow_last,
+         l, b, s0, s1, s2, s3, s4, s5, s6, sse
+  FROM rec WHERE i = n AND n >= 2
+)
+SELECT event_type, n AS n_days, dow_last,
+       round(l, 6) AS level_cents,
+       round(b, 6) AS trend_cents,
+       round(s0, 6) AS seasonal_0, round(s1, 6) AS seasonal_1,
+       round(s2, 6) AS seasonal_2, round(s3, 6) AS seasonal_3,
+       round(s4, 6) AS seasonal_4, round(s5, 6) AS seasonal_5,
+       round(s6, 6) AS seasonal_6,
+       round(l + 7.0 * b + {case_last}, 6) AS forecast_7d_cents,
+       round(sqrt(sse / CAST(n - 1 AS DOUBLE)), 6) AS rmse_cents
+FROM fin
+ORDER BY event_type
+"""
+
+
+def orders_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLA profile per order priority — the
+    operational "are URGENT orders actually shipped faster" quantile
+    read, and the template for latency-SLA reporting over a fact-fact
+    join: delay = ship day − order day in EXACT integer days, per
+    priority n/min/max/sum exact plus p50/p90 on the proven
+    F.percentile == quantile_cont identity (exact interpolating
+    quantiles of integers → dyadic-rational doubles, exported
+    UNROUNDED). Plan: one orderkey equi-join (AQE handles the
+    fact-fact side), one combinable agg; the percentile agg is bounded
+    by |priorities| groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    sday = F.floor(F.unix_timestamp(F.col("l_shipdate")) / F.lit(86400.0))
+    oday = F.floor(F.unix_timestamp(F.col("o_orderdate")) / F.lit(86400.0))
+    j = li.select("l_orderkey", sday.cast("long").alias("sd")).join(
+        o.select(
+            "o_orderkey", "o_orderpriority", oday.cast("long").alias("od")
+        ),
+        li["l_orderkey"] == o["o_orderkey"],
+    )
+    d = (F.col("sd") - F.col("od")).alias("delay")
+    return (
+        j.select("o_orderpriority", d)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("delay").cast("long").alias("min_days"),
+            F.max("delay").cast("long").alias("max_days"),
+            F.sum("delay").cast("long").alias("sum_days"),
+            F.percentile(F.col("delay"), F.lit(0.5)).alias("p50_days"),
+            F.percentile(F.col("delay"), F.lit(0.9)).alias("p90_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_SHIP_DELAY_SQL = """
+WITH j AS (
+  SELECT o.o_orderpriority,
+         CAST(floor(floor(epoch(l.l_shipdate)) / 86400.0) AS BIGINT)
+         - CAST(floor(floor(epoch(o.o_orderdate)) / 86400.0) AS BIGINT)
+           AS delay
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(delay) AS BIGINT) AS min_days,
+       CAST(max(delay) AS BIGINT) AS max_days,
+       CAST(sum(delay) AS BIGINT) AS sum_days,
+       quantile_cont(delay, 0.5) AS p50_days,
+       quantile_cont(delay, 0.9) AS p90_days
+FROM j
+GROUP BY 1
+ORDER BY o_orderpriority
+"""
+
+
+def g11_component_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component size profile of the part co-order graph —
+    the percolation read ("is the catalog one giant co-purchase blob
+    or an archipelago?") that complements g9's degree mixing and g10's
+    centrality: component labels via the distributed two-pass
+    union-find + pointer jumping (operators/graph.connected_components
+    — the same corpus-scale building block DBSCAN and near-dup
+    canonicalization use), then a size histogram (size → how many
+    components) and the giant-component share as ONE exact-integer
+    division (unrounded). Isolated parts (no kept edge) are outside
+    the graph by construction — documented. Oracle: DuckDB recursive
+    min-reachable-label closure (set-semantics UNION walk — the
+    entity_resolution_clusters pattern; component-bounded pair volume).
+    Plan: the bounded co-order pair derivation, union-find contraction
+    (≤ one edge per node before any iteration), two tiny aggs + a
+    1-row totals broadcast."""
+    from vector_search_optimization_spark.operators import graph as GR
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cb = li.select(
+        F.col("l_orderkey").alias("u"), F.col("l_partkey").alias("b")
+    ).distinct()
+    a = cb.select("u", F.col("b").alias("src"))
+    c = cb.select("u", F.col("b").alias("dst"))
+    und = (
+        a.join(c, "u")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .where(F.col("common") >= 2)
+        .select("src", "dst")
+    )
+    cc = GR.connected_components(und, id_col="pid")
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    prof = sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components")
+    )
+    tot = sizes.agg(
+        F.sum("size").cast("long").alias("n_nodes_graph"),
+        F.count(F.lit(1)).cast("long").alias("n_components_graph"),
+        F.max("size").cast("long").alias("giant_size"),
+    )
+    return (
+        prof.crossJoin(F.broadcast(tot))
+        .select(
+            "size",
+            "n_components",
+            (F.col("size") * F.col("n_components")).alias("n_nodes_at_size"),
+            "n_nodes_graph",
+            "n_components_graph",
+            "giant_size",
+            (
+                F.col("giant_size").cast("double")
+                / F.col("n_nodes_graph").cast("double")
+            ).alias("giant_share"),
+        )
+        .orderBy("size")
+    )
+
+
+_G11_COMPONENTS_SQL = """
+WITH RECURSIVE cb AS (
+  SELECT DISTINCT l_orderkey AS u, l_partkey AS b FROM lineitem
+), und AS (
+  SELECT a.b AS src, c.b AS dst
+  FROM cb a JOIN cb c ON a.u = c.u AND a.b < c.b
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), sym AS (
+  SELECT src AS s, dst AS d FROM und
+  UNION SELECT dst, src FROM und
+), nodes AS (
+  SELECT DISTINCT s AS pid FROM sym
+), walk(a, b) AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT w.a, s.d FROM walk w JOIN sym s ON w.b = s.s
+), lbl AS (
+  SELECT n.pid,
+         least(n.pid, coalesce(min(w.b), n.pid)) AS component
+  FROM nodes n LEFT JOIN walk w ON w.a = n.pid
+  GROUP BY n.pid
+), sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS size FROM lbl GROUP BY 1
+), prof AS (
+  SELECT size, CAST(count(*) AS BIGINT) AS n_components
+  FROM sizes GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(size) AS BIGINT) AS n_nodes_graph,
+         CAST(count(*) AS BIGINT) AS n_components_graph,
+         CAST(max(size) AS BIGINT) AS giant_size
+  FROM sizes
+)
+SELECT size, n_components,
+       CAST(size * n_components AS BIGINT) AS n_nodes_at_size,
+       n_nodes_graph, n_components_graph, giant_size,
+       CAST(giant_size AS DOUBLE) / CAST(n_nodes_graph AS DOUBLE)
+         AS giant_share
+FROM prof CROSS JOIN tot
+ORDER BY size
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -17141,6 +17484,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         evt_histogram_quantile_audit,
         _HIST_QUANTILE_SQL,
     ),
+    "evt_holt_winters": (evt_holt_winters, _holt_winters_sql()),
+    "orders_ship_delay": (orders_ship_delay, _SHIP_DELAY_SQL),
+    "g11_component_profile": (g11_component_profile, _G11_COMPONENTS_SQL),
     "emb_hubness_audit": (emb_hubness_audit, _HUBNESS_SQL),
     "evt_holt_linear": (evt_holt_linear, _HOLT_SQL),
     "g7_hits": (g7_hits, _g7_hits_sql()),

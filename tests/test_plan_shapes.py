@@ -184,6 +184,8 @@ _NESTED_LOOP_OK = {
     "evt_histogram_quantile_audit",  # 1-row min/max/n broadcast + 5-row
                                      # quantile probe range-joined onto
                                      # the bounded cum frames
+    "g11_component_profile",   # 1-row component-totals frame broadcast
+                               # onto the size histogram
 }
 
 
