@@ -17447,6 +17447,293 @@ ORDER BY size
 """
 
 
+def evt_user_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy, exported as a bounded HISTOGRAM —
+    the scale-correct shape for user-level profiling (the per-user
+    frame is |users|-sized and never leaves the cluster; only the
+    ≤ ⌈ln|types|·10⌉ bucket rows come back): H(user) = ln n −
+    (Σc·ln c)/n over the user's event-type mix, bucketed at 0.1-nat
+    steps on the 6dp-ROUNDED entropy (floor of a raw order-dependent
+    float would be edge-unstable; floor-after-round inherits the
+    standard 6dp cross-engine agreement). Counts are exact integers;
+    per-bucket user/event totals are exact. Plan: one (user, type)
+    count shuffle → one per-user agg → one ≤20-row bucket agg — all
+    combinable."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per = ut.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+        .alias("clnc"),
+    )
+    h = F.log(F.col("n").cast("double")) - F.col("clnc") / F.col(
+        "n"
+    ).cast("double")
+    per2 = per.select(
+        "n", F.floor(F.round(h, 6) * 10).cast("long").alias("bucket")
+    )
+    return (
+        per2.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_USER_ENTROPY_SQL = """
+WITH ut AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), per AS (
+  SELECT user_id,
+         CAST(sum(c) AS BIGINT) AS n,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+  FROM ut GROUP BY 1
+), per2 AS (
+  SELECT n,
+         CAST(floor(round(ln(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE),
+                          6) * 10) AS BIGINT) AS bucket
+  FROM per
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM per2
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+def evt_circadian_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular (hour-of-day) activity statistics per event type — the
+    circadian read behind load shaping and anomaly windows: peak hour
+    (exact argmax with hour-asc tie-break), the mean activity angle in
+    hours, and the resultant length R = |Σc_h·e^{iθ_h}|/n ∈ [0,1]
+    (1 = perfectly concentrated hour, 0 = uniform). Hour counts are
+    exact integers; the cos/sin weights are irrational constants
+    (θ_h = h·2π/24 as a repr-exact shared literal), so the 24-term
+    sums absorb engine summation order in the 6dp round; atan2/sqrt
+    chain on near-identical doubles. Plan: one combinable (type, hour)
+    count shuffle → a 24-row-per-type frame for the window and the
+    moment agg — fact-size-independent downstream."""
+    e = load_table(spark, sf_dir, "events")
+    hour = (
+        F.floor(F.unix_timestamp(F.col("ts")) / F.lit(3600.0)) % 24
+    ).cast("long")
+    hc = e.groupBy(F.col("event_type"), hour.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tau24 = F.lit(0.2617993877991494)  # 2*pi/24
+    theta = F.col("h").cast("double") * tau24
+    mom = hc.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c").cast("double") * F.cos(theta)).alias("sc"),
+        F.sum(F.col("c").cast("double") * F.sin(theta)).alias("ss"),
+    )
+    wpk = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), F.col("h").asc()
+    )
+    peak = (
+        hc.withColumn("rn", F.row_number().over(wpk))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("peak_hour"),
+            F.col("c").alias("peak_count"),
+        )
+    )
+    r = F.sqrt(F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")) / F.col(
+        "n"
+    ).cast("double")
+    ang = F.atan2(F.col("ss"), F.col("sc")) / tau24
+    mean_hour = F.when(ang < 0, ang + 24.0).otherwise(ang)
+    return (
+        mom.join(peak, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "peak_hour",
+            "peak_count",
+            F.round(r, 6).alias("resultant_r"),
+            F.round(mean_hour, 6).alias("mean_hour"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CIRCADIAN_SQL = """
+WITH hc AS (
+  SELECT event_type,
+         CAST(CAST(floor(floor(epoch(ts)) / 3600.0) AS BIGINT) % 24
+              AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT event_type,
+         CAST(sum(c) AS BIGINT) AS n,
+         sum(CAST(c AS DOUBLE) * cos(CAST(h AS DOUBLE)
+             * 0.2617993877991494)) AS sc,
+         sum(CAST(c AS DOUBLE) * sin(CAST(h AS DOUBLE)
+             * 0.2617993877991494)) AS ss
+  FROM hc GROUP BY 1
+), peak AS (
+  SELECT event_type, h AS peak_hour, c AS peak_count
+  FROM (SELECT event_type, h, c,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY c DESC, h ASC) AS rn
+        FROM hc)
+  WHERE rn = 1
+)
+SELECT m.event_type, m.n, p.peak_hour, p.peak_count,
+       round(sqrt(m.sc * m.sc + m.ss * m.ss) / CAST(m.n AS DOUBLE), 6)
+         AS resultant_r,
+       round(CASE WHEN atan2(m.ss, m.sc) / 0.2617993877991494 < 0
+                  THEN atan2(m.ss, m.sc) / 0.2617993877991494 + 24.0
+                  ELSE atan2(m.ss, m.sc) / 0.2617993877991494 END, 6)
+         AS mean_hour
+FROM mom m JOIN peak p ON m.event_type = p.event_type
+ORDER BY m.event_type
+"""
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic ±1 Achlioptas projection, 16 rows × 64 cols, from
+    the repo's universal-hash recipe (constants < 2^31, ANSI-safe).
+    Data-independent — the same literals are embedded in the oracle."""
+    rows = []
+    a, b, p = 1103515245, 12345, 2147483647
+    for k in range(16):
+        row = []
+        for j in range(64):
+            h = (a * (k * 64 + j) + b) % p
+            row.append(1 if h % 2 == 0 else -1)
+        rows.append(row)
+    return rows
+
+
+def emb_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distance-preservation audit of the ±1
+    random projection 64→16 — the measurement behind the RP blocking
+    step in dedup.embedding_near_duplicates and every
+    reduced-dimension prefilter: over all CONSECUTIVE vec_id pairs
+    (deterministic, a linear pass — no sampling), the distortion ratio
+    |R(u−v)|²/(k·|u−v|²) (unbiased for ±1 entries at k = 16 rows)
+    should concentrate near 1. Per label the export carries exact pair
+    counts, the count within the JL band [0.5, 2], and 6dp
+    mean/min/max ratios. Vector folds use the fold-order-identical
+    zip_with/list_reduce identity (the j9/m8 discipline); the ±1 sign
+    matrix is a data-independent literal on both sides. Plan: a
+    map-side projection pass (16 fused fold expressions), one
+    (vec_id+1) equi-self-join, one combinable per-label agg."""
+    signs = _jl_signs()
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def project(col):
+        ys = []
+        for row in signs:
+            lit = F.array(*[F.lit(float(s)) for s in row])
+            ys.append(
+                F.aggregate(
+                    F.zip_with(col, lit, lambda x, s: x.cast("double") * s),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            )
+        return F.array(*ys)
+
+    base = emb.select(
+        "vec_id", "label", F.col("embedding").alias("v"),
+        project(F.col("embedding")).alias("y"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("i"), "label",
+        F.col("v").alias("va"), F.col("y").alias("ya"),
+    )
+    b = base.select(
+        (F.col("vec_id") - 1).alias("i"),
+        F.col("v").alias("vb"), F.col("y").alias("yb"),
+    )
+    pairs = a.join(b, "i")
+    exact = F.aggregate(
+        F.zip_with(
+            F.col("va"),
+            F.col("vb"),
+            lambda x, z: (x.cast("double") - z.cast("double"))
+            * (x.cast("double") - z.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    proj = F.aggregate(
+        F.zip_with(
+            F.col("ya"), F.col("yb"), lambda x, z: (x - z) * (x - z)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # E[|R(u-v)|²] = k·|u-v|² for ±1 entries (k = 16 rows), so the
+    # unbiased distortion ratio is proj/(16·exact)
+    ratio = (proj / F.lit(16.0)) / exact
+    pr = pairs.where(exact > 0).select("label", ratio.alias("r"))
+    return (
+        pr.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when((F.col("r") >= 0.5) & (F.col("r") <= 2.0), 1).otherwise(0))
+            .cast("long")
+            .alias("n_in_band"),
+            F.round(F.avg("r"), 6).alias("mean_ratio"),
+            F.round(F.min("r"), 6).alias("min_ratio"),
+            F.round(F.max("r"), 6).alias("max_ratio"),
+        )
+        .orderBy("label")
+    )
+
+
+def _jl_sql() -> str:
+    signs = _jl_signs()
+    proj_cols = ",\n         ".join(
+        "list_reduce(list_transform(list_zip(embedding, "
+        + "[" + ", ".join(f"{s}.0" for s in row) + "]"
+        + "), p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
+        + f" AS y{k}"
+        for k, row in enumerate(signs)
+    )
+    proj_sq = " + ".join(f"(a.y{k} - b.y{k}) * (a.y{k} - b.y{k})" for k in range(16))
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, embedding,
+         {proj_cols}
+  FROM embeddings
+), pairs AS (
+  SELECT a.label,
+         list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                   * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+              (x, y) -> x + y) AS exact_sq,
+         {proj_sq} AS proj_sq
+  FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+), pr AS (
+  SELECT label, (proj_sq / 16.0) / exact_sq AS r
+  FROM pairs WHERE exact_sq > 0
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN r >= 0.5 AND r <= 2.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_in_band,
+       round(avg(r), 6) AS mean_ratio,
+       round(min(r), 6) AS min_ratio,
+       round(max(r), 6) AS max_ratio
+FROM pr
+GROUP BY 1
+ORDER BY label
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -17487,6 +17774,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_holt_winters": (evt_holt_winters, _holt_winters_sql()),
     "orders_ship_delay": (orders_ship_delay, _SHIP_DELAY_SQL),
     "g11_component_profile": (g11_component_profile, _G11_COMPONENTS_SQL),
+    "evt_user_entropy_profile": (evt_user_entropy_profile, _USER_ENTROPY_SQL),
+    "evt_circadian_profile": (evt_circadian_profile, _CIRCADIAN_SQL),
+    "emb_jl_projection_audit": (emb_jl_projection_audit, _jl_sql()),
     "emb_hubness_audit": (emb_hubness_audit, _HUBNESS_SQL),
     "evt_holt_linear": (evt_holt_linear, _HOLT_SQL),
     "g7_hits": (g7_hits, _g7_hits_sql()),

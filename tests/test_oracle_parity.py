@@ -87,6 +87,8 @@ _IRRATIONAL_MEAN_OK = {
     "lm_quality_scores",       # avg -ln surprisal
     "curation_pipeline",       # avg -ln surprisal
     "doc_bigram_lm",           # avg -ln interpolated bigram surprisal
+    "emb_jl_projection_audit",  # avg of projected/exact distance ratios
+                                # (irrational float-sum quotients)
 }
 
 

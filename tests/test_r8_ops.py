@@ -688,3 +688,38 @@ def test_component_profile_partition_identity(spark, sf_small):
     assert sum(r.n_nodes_at_size for r in rows) == total
     assert sum(r.n_components for r in rows) == rows[0].n_components_graph
     assert rows[0].giant_size == max(r.size for r in rows)
+
+
+def test_user_entropy_buckets_bounded(spark, sf_small):
+    rows = m.queries()["evt_user_entropy_profile"](spark, sf_small).collect()
+    assert rows
+    import math
+
+    max_bucket = math.floor(math.log(5) * 10)  # ln|types| ceiling
+    for r in rows:
+        assert 0 <= r.bucket <= max_bucket
+        assert r.n_users > 0 and r.n_events >= r.n_users
+
+
+def test_circadian_resultant_bounds(spark, sf_small):
+    rows = m.queries()["evt_circadian_profile"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.resultant_r <= 1.0 + 1e-9
+        assert 0 <= r.peak_hour <= 23
+        assert 0.0 <= r.mean_hour < 24.0
+        assert r.peak_count > 0
+
+
+def test_jl_band_and_identity_projection(spark, sf_small):
+    rows = m.queries()["emb_jl_projection_audit"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.n_in_band <= r.n_pairs
+        assert r.min_ratio <= r.mean_ratio <= r.max_ratio
+        assert r.min_ratio > 0
+        # JL with k=16 rows: distortion std ~ sqrt(2/k) ≈ 0.35, so a
+        # majority (not all) pairs land in the [0.5, 2] band, and the
+        # unbiased ratio concentrates near 1
+        assert r.n_in_band / r.n_pairs > 0.4
+        assert 0.6 < r.mean_ratio < 1.6
