@@ -17734,6 +17734,317 @@ ORDER BY label
 """
 
 
+def orders_basket_negbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit to BASKET SIZE (lineitems
+    per order) per order priority — the overdispersed count model the
+    Poisson dispersion audit motivates: r̂ = m²/(v−m), p̂ = m/v from
+    the exact basket-size moments. Basket sizes are exact integers
+    (one combinable per-order count, one per-priority moments agg with
+    Q = Σk² in DECIMAL(38,0)/HUGEINT); m and v are single
+    exact-integer divisions, so r̂/p̂ chain bit-identical doubles —
+    exported UNROUNDED with a v > m guard (underdispersed groups
+    export NULL, the model doesn't apply). Plan: two combinable
+    shuffles; the moments frame is |priorities| rows at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    basket = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    j = basket.join(
+        o.select("o_orderkey", "o_orderpriority"),
+        basket["l_orderkey"] == o["o_orderkey"],
+    )
+    agg = j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("s"),
+        F.sum((F.col("k") * F.col("k")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    n, s = F.col("n"), F.col("s")
+    m = s.cast("double") / n.cast("double")
+    num = F.col("q") * n - s.cast("decimal(38,0)") * s
+    v = num.cast("double") / (n * (n - 1)).cast("double")
+    ok = (n > 1) & (v > m)
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        F.col("s").alias("n_lineitems"),
+        m.alias("mean_basket"),
+        v.alias("var_basket"),
+        F.when(ok, (m * m) / (v - m)).alias("nb_r"),
+        F.when(ok, m / v).alias("nb_p"),
+    ).orderBy("o_orderpriority")
+
+
+_NEGBIN_SQL = """
+WITH basket AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT o.o_orderpriority, b.k
+  FROM basket b JOIN orders o ON b.l_orderkey = o.o_orderkey
+), agg AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(k) AS BIGINT) AS s,
+         sum(CAST(k AS HUGEINT) * k) AS q
+  FROM j GROUP BY 1
+), st AS (
+  SELECT o_orderpriority, n, s,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         CAST(q * n - CAST(s AS HUGEINT) * s AS DOUBLE)
+           / CAST(n * (n - 1) AS DOUBLE) AS v
+  FROM agg
+)
+SELECT o_orderpriority, n, s AS n_lineitems,
+       m AS mean_basket, v AS var_basket,
+       CASE WHEN n > 1 AND v > m THEN (m * m) / (v - m) END AS nb_r,
+       CASE WHEN n > 1 AND v > m THEN m / v END AS nb_p
+FROM st
+ORDER BY o_orderpriority
+"""
+
+
+def part_return_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate Wilson score intervals per brand — the
+    small-sample-safe CI the plain ±z√(p(1−p)/n) interval gets wrong
+    at extreme rates, and the ranking-by-lower-bound pattern
+    (sort-by-wilson-lo) that powers 'worst offenders' dashboards:
+    per brand the exact return counts feed p̂ = r/n and the z=1.96
+    Wilson bounds. r and n are exact integers from one combinable agg
+    over the broadcast-dim join; p̂ is a single exact division
+    (unrounded); the bounds round 6dp (sqrt-derived). Output is
+    ordered by wilson_lo DESC (worst-first ranking on the ROUNDED
+    bound with a brand tie-break — the rank-on-rounded rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    j = li.select("l_partkey", "l_returnflag").join(
+        F.broadcast(pt.select("p_partkey", "p_brand")),
+        li["l_partkey"] == pt["p_partkey"],
+    )
+    agg = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("r"),
+    )
+    z = F.lit(1.96)
+    n = F.col("n").cast("double")
+    p = F.col("r").cast("double") / n
+    denom = F.lit(1.0) + z * z / n
+    center = p + z * z / (F.lit(2.0) * n)
+    rad = z * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z * z / (F.lit(4.0) * n * n)
+    )
+    lo = F.round((center - rad) / denom, 6)
+    hi = F.round((center + rad) / denom, 6)
+    return (
+        agg.select(
+            "p_brand",
+            F.col("n").alias("n_lineitems"),
+            F.col("r").alias("n_returned"),
+            p.alias("return_rate"),
+            lo.alias("wilson_lo"),
+            hi.alias("wilson_hi"),
+        )
+        .orderBy(F.col("wilson_lo").desc(), F.col("p_brand").asc())
+    )
+
+
+_WILSON_SQL = """
+WITH agg AS (
+  SELECT p.p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+), st AS (
+  SELECT p_brand, n, r,
+         CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         CAST(n AS DOUBLE) AS nd
+  FROM agg
+)
+SELECT p_brand, n AS n_lineitems, r AS n_returned,
+       p AS return_rate,
+       round((p + 1.96 * 1.96 / (2.0 * nd)
+              - 1.96 * sqrt(p * (1.0 - p) / nd
+                            + 1.96 * 1.96 / (4.0 * nd * nd)))
+             / (1.0 + 1.96 * 1.96 / nd), 6) AS wilson_lo,
+       round((p + 1.96 * 1.96 / (2.0 * nd)
+              + 1.96 * sqrt(p * (1.0 - p) / nd
+                            + 1.96 * 1.96 / (4.0 * nd * nd)))
+             / (1.0 + 1.96 * 1.96 / nd), 6) AS wilson_hi
+FROM st
+ORDER BY wilson_lo DESC, p_brand ASC
+"""
+
+
+_LOO_KNN_BROADCAST_LIMIT = 100_000
+
+
+def emb_loo_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN classification accuracy per label — the
+    embedding-space quality read behind j7's centroid classifier and
+    the ANN recall audits: for every vector, its nearest OTHER vector's
+    label is the prediction; per true label the export carries exact
+    n/correct counts and the derived accuracy (one exact-integer
+    division, unrounded), plus the most-confused predicted label
+    (argmax of the confusion row, count-desc/label-asc tie-break).
+    Squared distances in the kernel path via float64 GEMM (|a|²+|b|²
+    −2ab̄ᵀ — the j7/m8 mapInPandas BLAS discipline; the interpreted
+    zip_with fold over corpus²×dim is the measured 60s-at-sf0.1
+    anti-pattern), (r, j) deterministic NN tie-break. Plan: broadcast
+    the ≤ _LOO_KNN_BROADCAST_LIMIT reference matrix and stream the
+    corpus through one Arrow pass (no pair materialization); above the
+    limit the declarative pair-join path runs (pytest-pinned equal),
+    and at production scale the audit runs per IVF cell on the
+    documented ann.py sample contract — accuracy is a per-cell
+    combinable aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if emb.count() <= _LOO_KNN_BROADCAST_LIMIT:
+        import pandas as pd  # noqa: F401
+
+        ref = emb.select("vec_id", "label", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in ref], dtype=np.int64)
+        labs = np.array([r["label"] for r in ref], dtype=np.int64)
+        mat = np.array([r["embedding"] for r in ref], dtype=np.float64)
+        order = np.argsort(ids)  # j-asc tie-break = first argmin hit
+        ids, labs, mat = ids[order], labs[order], mat[order]
+        bnorm = (mat * mat).sum(axis=1)
+        bc = spark.sparkContext.broadcast((ids, labs, mat, bnorm))
+
+        def _nn_batches(it):
+            r_ids, r_labs, r_mat, r_bn = bc.value
+            for pdf in it:
+                a = np.array(list(pdf["embedding"]), dtype=np.float64)
+                an = (a * a).sum(axis=1)
+                d2 = an[:, None] + r_bn[None, :] - 2.0 * (a @ r_mat.T)
+                self_mask = (
+                    pdf["vec_id"].to_numpy()[:, None] == r_ids[None, :]
+                )
+                d2[self_mask] = np.inf
+                pick = d2.argmin(axis=1)
+                yield pdf.assign(pred_label=r_labs[pick])[
+                    ["vec_id", "label", "pred_label"]
+                ]
+
+        nn = emb.select("vec_id", "label", "embedding").mapInPandas(
+            _nn_batches,
+            schema="vec_id long, label int, pred_label long",
+        ).select(
+            F.col("vec_id").alias("i"),
+            F.col("label").alias("true_label"),
+            F.col("pred_label").cast("int").alias("pred_label"),
+        )
+    else:
+        a = emb.select(
+            F.col("vec_id").alias("i"),
+            F.col("label").alias("true_label"),
+            F.col("embedding").alias("va"),
+        )
+        b = emb.select(
+            F.col("vec_id").alias("j"),
+            F.col("label").alias("pred_label"),
+            F.col("embedding").alias("vb"),
+        )
+        d = (
+            a.crossJoin(b)
+            .where(F.col("i") != F.col("j"))
+            .select(
+                "i",
+                "true_label",
+                "pred_label",
+                V.sq_euclidean("va", "vb").alias("r"),
+                "j",
+            )
+        )
+        wnn = Window.partitionBy("i").orderBy("r", "j")
+        nn = (
+            d.withColumn("rn", F.row_number().over(wnn))
+            .where(F.col("rn") == 1)
+            .select("i", "true_label", "pred_label")
+        )
+    per = nn.groupBy("true_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+    )
+    conf = nn.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wconf = Window.partitionBy("true_label").orderBy(
+        F.col("c").desc(), F.col("pred_label").asc()
+    )
+    top_pred = (
+        conf.withColumn("rn", F.row_number().over(wconf))
+        .where(F.col("rn") == 1)
+        .select(
+            "true_label",
+            F.col("pred_label").alias("top_predicted"),
+            F.col("c").alias("top_predicted_n"),
+        )
+    )
+    return (
+        per.join(top_pred, "true_label")
+        .select(
+            F.col("true_label").alias("label"),
+            "n",
+            "n_correct",
+            (
+                F.col("n_correct").cast("double") / F.col("n").cast("double")
+            ).alias("accuracy"),
+            "top_predicted",
+            "top_predicted_n",
+        )
+        .orderBy("label")
+    )
+
+
+_LOO_KNN_SQL = """
+WITH d AS (
+  SELECT a.vec_id AS i, a.label AS true_label, b.label AS pred_label,
+         list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                   * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+              (x, y) -> x + y) AS r,
+         b.vec_id AS j
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), nn AS (
+  SELECT i, true_label, pred_label
+  FROM (SELECT i, true_label, pred_label,
+               row_number() OVER (PARTITION BY i ORDER BY r, j) AS rn
+        FROM d)
+  WHERE rn = 1
+), per AS (
+  SELECT true_label,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct
+  FROM nn GROUP BY 1
+), conf AS (
+  SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS c
+  FROM nn GROUP BY 1, 2
+), top_pred AS (
+  SELECT true_label, pred_label AS top_predicted, c AS top_predicted_n
+  FROM (SELECT true_label, pred_label, c,
+               row_number() OVER (PARTITION BY true_label
+                                  ORDER BY c DESC, pred_label ASC) AS rn
+        FROM conf)
+  WHERE rn = 1
+)
+SELECT per.true_label AS label, per.n, per.n_correct,
+       CAST(per.n_correct AS DOUBLE) / CAST(per.n AS DOUBLE) AS accuracy,
+       tp.top_predicted, tp.top_predicted_n
+FROM per JOIN top_pred tp ON per.true_label = tp.true_label
+ORDER BY label
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -17777,6 +18088,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_user_entropy_profile": (evt_user_entropy_profile, _USER_ENTROPY_SQL),
     "evt_circadian_profile": (evt_circadian_profile, _CIRCADIAN_SQL),
     "emb_jl_projection_audit": (emb_jl_projection_audit, _jl_sql()),
+    "orders_basket_negbin": (orders_basket_negbin, _NEGBIN_SQL),
+    "part_return_wilson": (part_return_wilson, _WILSON_SQL),
+    "emb_loo_knn_accuracy": (emb_loo_knn_accuracy, _LOO_KNN_SQL),
     "emb_hubness_audit": (emb_hubness_audit, _HUBNESS_SQL),
     "evt_holt_linear": (evt_holt_linear, _HOLT_SQL),
     "g7_hits": (g7_hits, _g7_hits_sql()),

@@ -186,6 +186,9 @@ _NESTED_LOOP_OK = {
                                      # the bounded cum frames
     "g11_component_profile",   # 1-row component-totals frame broadcast
                                # onto the size histogram
+    "emb_loo_knn_accuracy",    # bounded corpus² LOO pair join (the
+                               # j9 all-pairs class; IVF-cell sample
+                               # path documented for production scale)
 }
 
 

@@ -723,3 +723,46 @@ def test_jl_band_and_identity_projection(spark, sf_small):
         # unbiased ratio concentrates near 1
         assert r.n_in_band / r.n_pairs > 0.4
         assert 0.6 < r.mean_ratio < 1.6
+
+
+def test_negbin_moments_consistency(spark, sf_small):
+    rows = m.queries()["orders_basket_negbin"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.mean_basket == pytest.approx(r.n_lineitems / r.n)
+        if r.nb_r is not None:
+            assert r.nb_r > 0 and 0 < r.nb_p < 1
+            # MoM identities: mean = r(1-p)/p, var = mean/p
+            assert r.nb_r * (1 - r.nb_p) / r.nb_p == pytest.approx(
+                r.mean_basket, rel=1e-9
+            )
+
+
+def test_wilson_interval_contains_rate(spark, sf_small):
+    rows = m.queries()["part_return_wilson"](spark, sf_small).collect()
+    assert rows
+    los = [r.wilson_lo for r in rows]
+    assert los == sorted(los, reverse=True)
+    for r in rows:
+        assert 0.0 <= r.wilson_lo <= r.return_rate <= r.wilson_hi <= 1.0
+
+
+def test_loo_knn_kernel_equals_pair_join(spark, sf_small):
+    """The GEMM kernel path and the declarative pair-join path must
+    agree exactly (the g10/pagerank path-equality discipline)."""
+    fast = sorted(
+        tuple(r)
+        for r in m.queries()["emb_loo_knn_accuracy"](spark, sf_small).collect()
+    )
+    old = m._LOO_KNN_BROADCAST_LIMIT
+    m._LOO_KNN_BROADCAST_LIMIT = 0
+    try:
+        slow = sorted(
+            tuple(r)
+            for r in m.queries()["emb_loo_knn_accuracy"](
+                spark, sf_small
+            ).collect()
+        )
+    finally:
+        m._LOO_KNN_BROADCAST_LIMIT = old
+    assert fast == slow
