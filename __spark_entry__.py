@@ -15950,73 +15950,16 @@ def evt_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical doubles, zero rounding anywhere (the Theil-Sen
     rational-export discipline). Plan: one combinable daily agg, a
     calendar-bounded spine, a 7-row window (dense grid ⇒ rows-frame
-    is calendar-correct), two tiny per-(type,dow) aggs."""
+    is calendar-correct), two tiny per-(type,dow) aggs. The
+    decomposition itself is the SHARED timeseries.seasonal_from_daily
+    combine (also driven continuously by
+    streaming/seasonal_maintenance.py)."""
     e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
     daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
         F.round(F.sum("value") * 100).cast("long").alias("cents")
     )
-    bounds = daily.groupBy("event_type").agg(
-        F.min("d").alias("lo"), F.max("d").alias("hi")
-    )
-    spine = bounds.select(
-        "event_type", F.explode(F.sequence("lo", "hi")).alias("d")
-    )
-    grid = spine.join(daily, ["event_type", "d"], "left").select(
-        "event_type", "d", F.coalesce("cents", F.lit(0)).alias("x")
-    )
-    w7 = (
-        Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
-    )
-    tr = grid.select(
-        "event_type",
-        "d",
-        "x",
-        F.sum("x").over(w7).cast("long").alias("tnum"),
-        F.count(F.lit(1)).over(w7).alias("wn"),
-    ).where(F.col("wn") == 7)
-    p = tr.select(
-        "event_type",
-        (F.col("d") % 7).alias("dow"),
-        (7 * F.col("x") - F.col("tnum")).cast("long").alias("p"),
-    )
-    sg = p.groupBy("event_type", "dow").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt"),
-        F.sum("p").cast("long").alias("sp"),
-    )
-    r = (
-        p.join(F.broadcast(sg), ["event_type", "dow"])
-        .select(
-            "event_type",
-            "dow",
-            (F.col("cnt") * F.col("p") - F.col("sp"))
-            .cast("decimal(18,0)")
-            .alias("rn"),
-        )
-        .groupBy("event_type", "dow")
-        .agg(F.sum(F.col("rn") * F.col("rn")).alias("rss_num"))
-    )
-    return (
-        sg.join(r, ["event_type", "dow"])
-        .select(
-            "event_type",
-            "dow",
-            F.col("cnt").alias("n_days"),
-            F.col("sp").alias("detrended_sum_num"),
-            (
-                F.col("sp").cast("double")
-                / (7 * F.col("cnt")).cast("double")
-            ).alias("seasonal_cents"),
-            (
-                F.col("rss_num").cast("double")
-                / (
-                    (7 * F.col("cnt")).cast("decimal(38,0)")
-                    * (7 * F.col("cnt"))
-                ).cast("double")
-            ).alias("resid_ss"),
-        )
-        .orderBy("event_type", "dow")
-    )
+    return TS.seasonal_from_daily(daily)
 
 
 _SEASONAL_SQL = """
@@ -18045,6 +17988,75 @@ ORDER BY label
 """
 
 
+def evt_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness timeline — the canonical product-engagement
+    ratio, computed EXACTLY: per day, the distinct active users that
+    day (DAU) and over the trailing 28 days (MAU), stickiness =
+    DAU/MAU as one exact-integer division (unrounded). The trailing
+    window avoids a range join entirely: each (user, day) activity row
+    fans out to the 28 future days it keeps the user "monthly-active"
+    for (a fixed 28× map-side explode), so MAU is a plain combinable
+    distinct-count per day — the same rewrite that makes the query
+    shuffle-friendly at 100 TB (distinct aggs partial-combine;
+    exact distincts can swap to the bitmap/HLL path documented in
+    evt_bitmap_rollup at extreme user cardinality). Days before the
+    first full 28-day window are flagged partial (exact semantics,
+    documented) via the 1-row global-min-day broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    ud = e.select(F.col("user_id").alias("u"), day.alias("d")).distinct()
+    dau = ud.groupBy("d").agg(F.countDistinct("u").cast("long").alias("dau"))
+    span = ud.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    fan = ud.select(
+        "u", "d", F.explode(F.sequence(F.lit(0), F.lit(27))).alias("k")
+    ).select("u", (F.col("d") + F.col("k")).alias("d"))
+    mau = (
+        fan.groupBy("d")
+        .agg(F.countDistinct("u").cast("long").alias("mau"))
+    )
+    out = (
+        dau.join(mau, "d")
+        .crossJoin(F.broadcast(span))
+        .where(F.col("d") <= F.col("mx"))
+        .select(
+            "d",
+            "dau",
+            "mau",
+            (F.col("d") >= F.col("mn") + 27).alias("full_window"),
+            (F.col("dau").cast("double") / F.col("mau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("d")
+    )
+    return out
+
+
+_DAU_MAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d
+  FROM events
+), dau AS (
+  SELECT d, CAST(count(DISTINCT u) AS BIGINT) AS dau FROM ud GROUP BY 1
+), span AS (
+  SELECT min(d) AS mn, max(d) AS mx FROM ud
+), fan AS (
+  SELECT u, d + CAST(k.range AS BIGINT) AS d
+  FROM ud CROSS JOIN range(0, 28) k
+), mau AS (
+  SELECT d, CAST(count(DISTINCT u) AS BIGINT) AS mau FROM fan GROUP BY 1
+)
+SELECT dau.d, dau.dau, mau.mau,
+       dau.d >= span.mn + 27 AS full_window,
+       CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+FROM dau JOIN mau ON dau.d = mau.d
+CROSS JOIN span
+WHERE dau.d <= span.mx
+ORDER BY dau.d
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -18091,6 +18103,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "orders_basket_negbin": (orders_basket_negbin, _NEGBIN_SQL),
     "part_return_wilson": (part_return_wilson, _WILSON_SQL),
     "emb_loo_knn_accuracy": (emb_loo_knn_accuracy, _LOO_KNN_SQL),
+    "evt_dau_mau_stickiness": (evt_dau_mau_stickiness, _DAU_MAU_SQL),
     "emb_hubness_audit": (emb_hubness_audit, _HUBNESS_SQL),
     "evt_holt_linear": (evt_holt_linear, _HOLT_SQL),
     "g7_hits": (g7_hits, _g7_hits_sql()),

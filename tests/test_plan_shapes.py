@@ -189,6 +189,8 @@ _NESTED_LOOP_OK = {
     "emb_loo_knn_accuracy",    # bounded corpus² LOO pair join (the
                                # j9 all-pairs class; IVF-cell sample
                                # path documented for production scale)
+    "evt_dau_mau_stickiness",  # 1-row calendar-span frame broadcast
+                               # onto the per-day timeline
 }
 
 

@@ -766,3 +766,15 @@ def test_loo_knn_kernel_equals_pair_join(spark, sf_small):
     finally:
         m._LOO_KNN_BROADCAST_LIMIT = old
     assert fast == slow
+
+
+def test_dau_mau_identities(spark, sf_small):
+    rows = m.queries()["evt_dau_mau_stickiness"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.dau <= r.mau
+        assert 0.0 < r.stickiness <= 1.0
+    # once the window is full, MAU dominates any single day's DAU and
+    # the timeline is day-contiguous within the span
+    ds = [r.d for r in rows]
+    assert ds == sorted(ds)

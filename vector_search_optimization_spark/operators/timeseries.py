@@ -14,7 +14,92 @@ __all__ = [
     "holt_from_daily",
     "isotonic_blocks",
     "runs_test_from_daily",
+    "seasonal_from_daily",
 ]
+
+
+def seasonal_from_daily(
+    daily,
+    group_col: str = "event_type",
+    day_col: str = "d",
+    cents_col: str = "cents",
+):
+    """Additive seasonal decomposition from a (group, day, exact-integer
+    cents) frame — the SHARED combine behind the evt_seasonal_decompose
+    batch query and streaming/seasonal_maintenance.py (the
+    holt_from_daily one-combine-two-paths pattern).
+
+    Densifies onto each group's own daily span (missing days = 0), takes
+    the centered MA-7 trend on full windows only, and exports per
+    (group, dow): coverage, the exact detrended-sum numerator
+    sp = Σ(7x−T), the seasonal component sp/(7·cnt) and the residual
+    sum-of-squares Σ(cnt·p−sp)²/(7·cnt)² — every float is ONE division
+    of exact DECIMAL/BIGINT integers (bit-identical across engines;
+    see the batch query's docstring for the algebra). |groups|×|days|
+    work wherever it runs."""
+    from pyspark.sql import Window as _W
+
+    bounds = daily.groupBy(group_col).agg(
+        F.min(day_col).alias("lo"), F.max(day_col).alias("hi")
+    )
+    spine = bounds.select(
+        group_col, F.explode(F.sequence("lo", "hi")).alias(day_col)
+    )
+    grid = spine.join(daily, [group_col, day_col], "left").select(
+        group_col,
+        day_col,
+        F.coalesce(cents_col, F.lit(0)).alias("x"),
+    )
+    w7 = _W.partitionBy(group_col).orderBy(day_col).rowsBetween(-3, 3)
+    tr = grid.select(
+        group_col,
+        day_col,
+        "x",
+        F.sum("x").over(w7).cast("long").alias("tnum"),
+        F.count(F.lit(1)).over(w7).alias("wn"),
+    ).where(F.col("wn") == 7)
+    p = tr.select(
+        group_col,
+        (F.col(day_col) % 7).alias("dow"),
+        (7 * F.col("x") - F.col("tnum")).cast("long").alias("p"),
+    )
+    sg = p.groupBy(group_col, "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("p").cast("long").alias("sp"),
+    )
+    r = (
+        p.join(F.broadcast(sg), [group_col, "dow"])
+        .select(
+            group_col,
+            "dow",
+            (F.col("cnt") * F.col("p") - F.col("sp"))
+            .cast("decimal(18,0)")
+            .alias("rn"),
+        )
+        .groupBy(group_col, "dow")
+        .agg(F.sum(F.col("rn") * F.col("rn")).alias("rss_num"))
+    )
+    return (
+        sg.join(r, [group_col, "dow"])
+        .select(
+            group_col,
+            "dow",
+            F.col("cnt").alias("n_days"),
+            F.col("sp").alias("detrended_sum_num"),
+            (
+                F.col("sp").cast("double")
+                / (7 * F.col("cnt")).cast("double")
+            ).alias("seasonal_cents"),
+            (
+                F.col("rss_num").cast("double")
+                / (
+                    (7 * F.col("cnt")).cast("decimal(38,0)")
+                    * (7 * F.col("cnt"))
+                ).cast("double")
+            ).alias("resid_ss"),
+        )
+        .orderBy(group_col, "dow")
+    )
 
 
 def holt_from_daily(
