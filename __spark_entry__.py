@@ -18057,6 +18057,275 @@ ORDER BY dau.d
 """
 
 
+def evt_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample power analysis per event-type pair — the experiment-
+    design companion to evt_welch_ttest: given the OBSERVED mean gap δ
+    and pooled variance, the per-arm n required to detect that gap at
+    α = 0.05 (two-sided, z_α/2 = 1.959964) with 80% power
+    (z_β = 0.841621): n = (z_α/2 + z_β)²·(v₁+v₂)/δ². Moments are the
+    exact cent integers of the Welch query (Q in DECIMAL/HUGEINT), so
+    v and δ chain bit-identical doubles; n_required exports as
+    ⌈·⌉ of that identical double (ceil ties measure-zero on the
+    irrational-valued ratio) plus the raw value at 6dp. One combinable
+    moments shuffle + the |types|²/2 broadcast pair join."""
+    e = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("long")
+    per = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c).cast("long").alias("s"),
+        F.sum((c * c).cast("decimal(38,0)")).cast("decimal(38,0)").alias("q"),
+    )
+    a = per.select(
+        F.col("event_type").alias("t1"),
+        F.col("n").alias("n1"),
+        F.col("s").alias("s1"),
+        F.col("q").alias("q1"),
+    )
+    b = per.select(
+        F.col("event_type").alias("t2"),
+        F.col("n").alias("n2"),
+        F.col("s").alias("s2"),
+        F.col("q").alias("q2"),
+    )
+    pr = a.join(F.broadcast(b), F.col("t1") < F.col("t2"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("s1").cast("double") / n1.cast("double")
+    m2 = F.col("s2").cast("double") / n2.cast("double")
+    v1 = (
+        (F.col("q1") * n1 - F.col("s1").cast("decimal(38,0)") * F.col("s1"))
+        .cast("double")
+        / (n1 * (n1 - 1)).cast("double")
+    )
+    v2 = (
+        (F.col("q2") * n2 - F.col("s2").cast("decimal(38,0)") * F.col("s2"))
+        .cast("double")
+        / (n2 * (n2 - 1)).cast("double")
+    )
+    delta = m1 - m2
+    zsum = F.lit(1.959964) + F.lit(0.841621)
+    nreq = zsum * zsum * (v1 + v2) / (delta * delta)
+    ok = (n1 > 1) & (n2 > 1) & (delta != 0)
+    return pr.select(
+        "t1",
+        "t2",
+        delta.alias("observed_diff_cents"),
+        F.when(ok, F.round(nreq, 6)).alias("n_required_raw"),
+        F.when(ok, F.ceil(nreq).cast("long")).alias("n_required"),
+        F.when(
+            ok, (n1 + n2).cast("double") / (F.lit(2.0) * nreq)
+        ).alias("power_headroom"),
+    ).orderBy("t1", "t2")
+
+
+_POWER_SQL = """
+WITH per AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         sum(CAST(round(value * 100) AS HUGEINT)
+             * CAST(round(value * 100) AS HUGEINT)) AS q
+  FROM events GROUP BY 1
+), pr AS (
+  SELECT a.event_type AS t1, b.event_type AS t2,
+         a.n AS n1, b.n AS n2, a.s AS s1, b.s AS s2, a.q AS q1, b.q AS q2
+  FROM per a JOIN per b ON a.event_type < b.event_type
+), st AS (
+  SELECT t1, t2, n1, n2,
+         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+         - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS delta,
+         CAST(q1 * n1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+           / CAST(n1 * (n1 - 1) AS DOUBLE) AS v1,
+         CAST(q2 * n2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+           / CAST(n2 * (n2 - 1) AS DOUBLE) AS v2
+  FROM pr
+)
+SELECT t1, t2, delta AS observed_diff_cents,
+       CASE WHEN n1 > 1 AND n2 > 1 AND delta <> 0
+            THEN round((1.959964 + 0.841621) * (1.959964 + 0.841621)
+                 * (v1 + v2) / (delta * delta), 6) END AS n_required_raw,
+       CASE WHEN n1 > 1 AND n2 > 1 AND delta <> 0
+            THEN CAST(ceil((1.959964 + 0.841621) * (1.959964 + 0.841621)
+                 * (v1 + v2) / (delta * delta)) AS BIGINT)
+       END AS n_required,
+       CASE WHEN n1 > 1 AND n2 > 1 AND delta <> 0
+            THEN CAST(n1 + n2 AS DOUBLE)
+                 / (2.0 * ((1.959964 + 0.841621) * (1.959964 + 0.841621)
+                    * (v1 + v2) / (delta * delta)))
+       END AS power_headroom
+FROM st
+ORDER BY t1, t2
+"""
+
+
+def source_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling plan across sources — the
+    sampling-design operator behind mixture_sample_apply: for a
+    10,000-doc budget, the variance-minimizing allocation samples
+    stratum h in proportion to N_h·σ_h (length std as the cost proxy).
+    Per-source N and the n_chars moments are exact integers (Q in
+    DECIMAL/HUGEINT); σ_h is sqrt of an exact-ratio double; the
+    allocation weight w_h = N_hσ_h/ΣN_kσ_k divides two doubles whose
+    20-term denominator sum is order-dependent → weights and
+    allocations round 6dp; the integer allocation is ⌊budget·w_h⌋ on
+    the ROUNDED weight (floor-after-round, the entropy-bucket rule).
+    One combinable moments shuffle + a 1-row total broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum(x).cast("long").alias("s"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("decimal(38,0)").alias("q"),
+    )
+    nh = F.col("nh")
+    var = (
+        (F.col("q") * nh - F.col("s").cast("decimal(38,0)") * F.col("s"))
+        .cast("double")
+        / (nh * (nh - 1)).cast("double")
+    )
+    wsd = per.select(
+        "source",
+        "nh",
+        F.when(nh > 1, nh.cast("double") * F.sqrt(var)).otherwise(
+            F.lit(0.0)
+        ).alias("nsig"),
+    )
+    tot = wsd.agg(F.sum("nsig").alias("tot_nsig"))
+    w = F.round(F.col("nsig") / F.col("tot_nsig"), 6)
+    return (
+        wsd.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("nh").alias("n_docs"),
+            w.alias("neyman_weight"),
+            F.floor(F.lit(10000) * w).cast("long").alias("allocation"),
+        )
+        .orderBy("source")
+    )
+
+
+_NEYMAN_SQL = """
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS nh,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         sum(CAST(n_chars AS HUGEINT) * n_chars) AS q
+  FROM documents GROUP BY 1
+), wsd AS (
+  SELECT source, nh,
+         CASE WHEN nh > 1
+              THEN CAST(nh AS DOUBLE)
+                   * sqrt(CAST(q * nh - CAST(s AS HUGEINT) * s AS DOUBLE)
+                          / CAST(nh * (nh - 1) AS DOUBLE))
+              ELSE 0.0 END AS nsig
+  FROM per
+), tot AS (
+  SELECT sum(nsig) AS tot_nsig FROM wsd
+)
+SELECT source, nh AS n_docs,
+       round(nsig / tot_nsig, 6) AS neyman_weight,
+       CAST(floor(10000 * round(nsig / tot_nsig, 6)) AS BIGINT)
+         AS allocation
+FROM wsd CROSS JOIN tot
+ORDER BY source
+"""
+
+
+def g12_densification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph densification over time (Leskovec et al.'s E(t) ∝ N(t)^a
+    law) on the user/event-type co-occurrence graph — does the
+    interaction graph densify (a > 1) or grow sparsely (a ≈ 1) as the
+    system accumulates users? Cumulative node/edge counts per month
+    need NO re-scan per snapshot: each node (user) and edge (distinct
+    user-type pair... node = user, edge = co-occurrence pair keyed by
+    (type_a, type_b, user)) carries its FIRST month (a combinable min
+    agg), and the month timeline is a cumulative sum over ≤ |months|
+    rows. Counts exact; the densification exponent ln E/ln N rounds
+    6dp (log-ratio of exact ints, the Heaps-β discipline). Plan: two
+    combinable first-month aggs + two tiny cumulative windows."""
+    e = load_table(spark, sf_dir, "events")
+    mon = F.floor(
+        F.unix_timestamp(F.col("ts")) / F.lit(86400.0 * 7.0)
+    ).cast("long")
+    # node = user: first week seen
+    un = e.groupBy("user_id").agg(F.min(mon).alias("m"))
+    nodes_m = un.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("dn"))
+    # edge = (user, unordered type pair) co-occurrence: first week both
+    # types were seen for the user is when the edge materializes
+    ut = e.groupBy("user_id", "event_type").agg(F.min(mon).alias("fm"))
+    a = ut.select("user_id", F.col("event_type").alias("ta"), F.col("fm").alias("fa"))
+    b = ut.select("user_id", F.col("event_type").alias("tb"), F.col("fm").alias("fb"))
+    ed = (
+        a.join(b, "user_id")
+        .where(F.col("ta") < F.col("tb"))
+        .select(F.greatest(F.col("fa"), F.col("fb")).alias("m"))
+    )
+    edges_m = ed.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("de"))
+    wcum = Window.orderBy("m")
+    tl = (
+        nodes_m.join(edges_m, "m", "outer")
+        .select(
+            "m",
+            F.coalesce("dn", F.lit(0)).alias("dn"),
+            F.coalesce("de", F.lit(0)).alias("de"),
+        )
+        .select(
+            "m",
+            F.sum("dn").over(wcum).cast("long").alias("n_nodes"),
+            F.sum("de").over(wcum).cast("long").alias("n_edges"),
+        )
+    )
+    return tl.select(
+        "m",
+        "n_nodes",
+        "n_edges",
+        F.when(
+            (F.col("n_nodes") > 1) & (F.col("n_edges") > 0),
+            F.round(
+                F.log(F.col("n_edges").cast("double"))
+                / F.log(F.col("n_nodes").cast("double")),
+                6,
+            ),
+        ).alias("densification_exp"),
+    ).orderBy("m")
+
+
+_DENSIFICATION_SQL = """
+WITH un AS (
+  SELECT user_id,
+         min(CAST(floor(floor(epoch(ts)) / 604800.0) AS BIGINT)) AS m
+  FROM events GROUP BY 1
+), nodes_m AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS dn FROM un GROUP BY 1
+), ut AS (
+  SELECT user_id, event_type,
+         min(CAST(floor(floor(epoch(ts)) / 604800.0) AS BIGINT)) AS fm
+  FROM events GROUP BY 1, 2
+), ed AS (
+  SELECT greatest(a.fm, b.fm) AS m
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+), edges_m AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS de FROM ed GROUP BY 1
+), tl AS (
+  SELECT coalesce(n.m, e.m) AS m,
+         coalesce(n.dn, 0) AS dn, coalesce(e.de, 0) AS de
+  FROM nodes_m n FULL OUTER JOIN edges_m e ON n.m = e.m
+), cum AS (
+  SELECT m,
+         CAST(sum(dn) OVER (ORDER BY m) AS BIGINT) AS n_nodes,
+         CAST(sum(de) OVER (ORDER BY m) AS BIGINT) AS n_edges
+  FROM tl
+)
+SELECT m, n_nodes, n_edges,
+       CASE WHEN n_nodes > 1 AND n_edges > 0
+            THEN round(ln(CAST(n_edges AS DOUBLE))
+                 / ln(CAST(n_nodes AS DOUBLE)), 6)
+       END AS densification_exp
+FROM cum
+ORDER BY m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -18104,6 +18373,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "part_return_wilson": (part_return_wilson, _WILSON_SQL),
     "emb_loo_knn_accuracy": (emb_loo_knn_accuracy, _LOO_KNN_SQL),
     "evt_dau_mau_stickiness": (evt_dau_mau_stickiness, _DAU_MAU_SQL),
+    "evt_power_sample_size": (evt_power_sample_size, _POWER_SQL),
+    "source_neyman_allocation": (source_neyman_allocation, _NEYMAN_SQL),
+    "g12_densification": (g12_densification, _DENSIFICATION_SQL),
     "emb_hubness_audit": (emb_hubness_audit, _HUBNESS_SQL),
     "evt_holt_linear": (evt_holt_linear, _HOLT_SQL),
     "g7_hits": (g7_hits, _g7_hits_sql()),

@@ -191,6 +191,10 @@ _NESTED_LOOP_OK = {
                                # path documented for production scale)
     "evt_dau_mau_stickiness",  # 1-row calendar-span frame broadcast
                                # onto the per-day timeline
+    "evt_power_sample_size",   # |types|-row per-type-stats frame
+                               # broadcast pair join (the welch shape)
+    "source_neyman_allocation",  # 1-row allocation-total frame
+                                 # broadcast onto |sources| strata
 }
 
 

@@ -778,3 +778,38 @@ def test_dau_mau_identities(spark, sf_small):
     # the timeline is day-contiguous within the span
     ds = [r.d for r in rows]
     assert ds == sorted(ds)
+
+
+def test_power_sample_size_identities(spark, sf_small):
+    rows = m.queries()["evt_power_sample_size"](spark, sf_small).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        if r.n_required is not None:
+            assert r.n_required == math.ceil(r.n_required_raw) or (
+                abs(r.n_required - r.n_required_raw) < 1e-6
+            )
+            assert r.n_required >= 1
+            assert r.power_headroom > 0
+
+
+def test_neyman_weights_sum_to_one(spark, sf_small):
+    rows = m.queries()["source_neyman_allocation"](spark, sf_small).collect()
+    assert rows
+    assert sum(r.neyman_weight for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r.allocation for r in rows) <= 10000
+    for r in rows:
+        assert 0.0 <= r.neyman_weight <= 1.0
+
+
+def test_densification_cumulative_monotone(spark, sf_small):
+    rows = m.queries()["g12_densification"](spark, sf_small).collect()
+    assert rows
+    nn = [r.n_nodes for r in rows]
+    ne = [r.n_edges for r in rows]
+    assert nn == sorted(nn) and ne == sorted(ne)
+    last = rows[-1]
+    if last.densification_exp is not None:
+        # E <= N(N-1)/2 * |type-pairs-bound|; exponent sane
+        assert 0.0 < last.densification_exp < 3.0
