@@ -18326,6 +18326,121 @@ ORDER BY m
 """
 
 
+def evt_exponential_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential goodness-of-fit for inter-arrival gaps per event
+    type — the distributional follow-up to evt_poisson_dispersion and
+    the cadence family: fit λ̂ = n/Σgap (one exact-integer ratio) and
+    measure the Kolmogorov-Smirnov distance between the empirical gap
+    CDF and Exp(λ̂), handling ties correctly (D evaluated at both the
+    below- and at-value steps of each DISTINCT gap). Gaps are exact
+    integer seconds (lag over the per-type time order with event_id
+    tie-break); the empirical steps are exact-count ratios; F(g) =
+    1−e^{−λ̂g} chains bit-identical doubles, so D and the scaled
+    D·√n round 6dp (exp-derived). Plan: one per-type lag window
+    (sessionize shape), one distinct-gap count agg, a cumulative
+    window over the gap-domain-bounded frame, one max agg."""
+    e = load_table(spark, sf_dir, "events")
+    ts = F.unix_timestamp(F.col("ts")).cast("long")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("t"), F.col("event_id")
+    )
+    gaps = (
+        e.select("event_type", ts.alias("t"), "event_id")
+        .withColumn("gap", F.col("t") - F.lag("t").over(w))
+        .where(F.col("gap").isNotNull())
+        .select("event_type", "gap")
+    )
+    gc = gaps.groupBy("event_type", "gap").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gap").cast("long").alias("sgap"),
+    )
+    wcum = Window.partitionBy("event_type").orderBy("gap")
+    cum = gc.select(
+        "event_type",
+        "gap",
+        F.sum("c").over(wcum).cast("long").alias("cum_at"),
+        (F.sum("c").over(wcum) - F.col("c")).cast("long").alias("cum_below"),
+    )
+    j = cum.join(F.broadcast(tot), "event_type")
+    lam = F.col("n").cast("double") / F.col("sgap").cast("double")
+    fg = F.lit(1.0) - F.exp(-lam * F.col("gap").cast("double"))
+    d_at = F.abs(F.col("cum_at").cast("double") / F.col("n").cast("double") - fg)
+    d_below = F.abs(
+        F.col("cum_below").cast("double") / F.col("n").cast("double") - fg
+    )
+    per = j.select(
+        "event_type",
+        "n",
+        "sgap",
+        F.greatest(d_at, d_below).alias("d"),
+    ).groupBy("event_type", "n", "sgap").agg(F.max("d").alias("ks_d_raw"))
+    return per.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.col("sgap").alias("sum_gap_s"),
+        (F.col("n").cast("double") / F.col("sgap").cast("double")).alias(
+            "lambda_per_s"
+        ),
+        F.round(F.col("ks_d_raw"), 6).alias("ks_d"),
+        F.round(
+            F.col("ks_d_raw") * F.sqrt(F.col("n").cast("double")), 6
+        ).alias("ks_d_scaled"),
+    ).orderBy("event_type")
+
+
+_EXP_GOF_SQL = """
+WITH ordered AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         event_id
+  FROM events
+), gaps AS (
+  SELECT event_type,
+         t - lag(t) OVER (PARTITION BY event_type
+                          ORDER BY t, event_id) AS gap
+  FROM ordered
+  QUALIFY gap IS NOT NULL
+), gc AS (
+  SELECT event_type, gap, CAST(count(*) AS BIGINT) AS c
+  FROM gaps GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(gap) AS BIGINT) AS sgap
+  FROM gaps GROUP BY 1
+), cum AS (
+  SELECT event_type, gap, c,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY gap)
+              AS BIGINT) AS cum_at,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY gap) - c
+              AS BIGINT) AS cum_below
+  FROM gc
+), per AS (
+  SELECT cum.event_type, tot.n, tot.sgap,
+         max(greatest(
+           abs(CAST(cum_at AS DOUBLE) / CAST(tot.n AS DOUBLE)
+               - (1.0 - exp(-(CAST(tot.n AS DOUBLE)
+                              / CAST(tot.sgap AS DOUBLE))
+                            * CAST(gap AS DOUBLE)))),
+           abs(CAST(cum_below AS DOUBLE) / CAST(tot.n AS DOUBLE)
+               - (1.0 - exp(-(CAST(tot.n AS DOUBLE)
+                              / CAST(tot.sgap AS DOUBLE))
+                            * CAST(gap AS DOUBLE))))
+         )) AS ks_d_raw
+  FROM cum JOIN tot ON cum.event_type = tot.event_type
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, n AS n_gaps, sgap AS sum_gap_s,
+       CAST(n AS DOUBLE) / CAST(sgap AS DOUBLE) AS lambda_per_s,
+       round(ks_d_raw, 6) AS ks_d,
+       round(ks_d_raw * sqrt(CAST(n AS DOUBLE)), 6) AS ks_d_scaled
+FROM per
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -18376,6 +18491,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_power_sample_size": (evt_power_sample_size, _POWER_SQL),
     "source_neyman_allocation": (source_neyman_allocation, _NEYMAN_SQL),
     "g12_densification": (g12_densification, _DENSIFICATION_SQL),
+    "evt_exponential_gof": (evt_exponential_gof, _EXP_GOF_SQL),
     "emb_hubness_audit": (emb_hubness_audit, _HUBNESS_SQL),
     "evt_holt_linear": (evt_holt_linear, _HOLT_SQL),
     "g7_hits": (g7_hits, _g7_hits_sql()),

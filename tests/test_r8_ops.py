@@ -813,3 +813,14 @@ def test_densification_cumulative_monotone(spark, sf_small):
     if last.densification_exp is not None:
         # E <= N(N-1)/2 * |type-pairs-bound|; exponent sane
         assert 0.0 < last.densification_exp < 3.0
+
+
+def test_exponential_gof_bounds(spark, sf_small):
+    rows = m.queries()["evt_exponential_gof"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.ks_d <= 1.0
+        assert r.lambda_per_s == pytest.approx(r.n_gaps / r.sum_gap_s)
+        assert r.ks_d_scaled == pytest.approx(
+            r.ks_d * (r.n_gaps ** 0.5), abs=1e-4
+        )
