@@ -18441,6 +18441,276 @@ ORDER BY event_type
 """
 
 
+def evt_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single optimal changepoint per type by binary segmentation — the
+    split-point finder CUSUM (threshold-crossing detector) doesn't
+    give: over the dense daily revenue grid, choose the split t
+    maximizing the between-segment sum-of-squares gain G_t = S_t²/t +
+    (S−S_t)²/(n−t) − S²/n. Prefix sums are exact cent BIGINTs; each
+    G_t term is ONE division of exact DECIMAL/HUGEINT integers →
+    bit-identical doubles; the argmax ranks on the 6dp-ROUNDED gain
+    with a day-asc tie-break (the rank-on-rounded rule), and the
+    before/after means derive UNROUNDED from the same exact sums.
+    Plan: one combinable daily agg → spine → one cumulative window +
+    one rank window, both on the calendar-bounded |types|×|days|
+    frame."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    grid = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("cents", F.lit(0)).alias("x")
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    pre = grid.select(
+        "event_type",
+        "d",
+        F.row_number().over(wo).cast("long").alias("t"),
+        F.sum("x")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("st"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy("event_type").orderBy("d").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("n"),
+        F.sum("x")
+        .over(
+            Window.partitionBy("event_type").orderBy("d").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("s"),
+    ).where(F.col("t") < F.col("n"))
+    st, s, t, n = F.col("st"), F.col("s"), F.col("t"), F.col("n")
+    term1 = (st.cast("decimal(38,0)") * st).cast("double") / t.cast("double")
+    rem = s - st
+    term2 = (rem.cast("decimal(38,0)") * rem).cast("double") / (
+        n - t
+    ).cast("double")
+    term3 = (s.cast("decimal(38,0)") * s).cast("double") / n.cast("double")
+    g = pre.select(
+        "event_type",
+        "d",
+        "t",
+        "n",
+        "st",
+        "s",
+        F.round(term1 + term2 - term3, 6).alias("gain"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("gain").desc(), F.col("d").asc()
+    )
+    return (
+        g.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("d").alias("split_day"),
+            F.col("t").alias("split_index"),
+            F.col("gain").alias("gain_cents2"),
+            (F.col("st").cast("double") / F.col("t").cast("double")).alias(
+                "mean_before_cents"
+            ),
+            (
+                (F.col("s") - F.col("st")).cast("double")
+                / (F.col("n") - F.col("t")).cast("double")
+            ).alias("mean_after_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_BINSEG_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS d
+  FROM bounds
+), grid AS (
+  SELECT s.event_type, s.d, coalesce(a.cents, 0) AS x
+  FROM spine s LEFT JOIN daily a
+    ON s.event_type = a.event_type AND s.d = a.d
+), pre AS (
+  SELECT event_type, d,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS t,
+         CAST(sum(x) OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS st,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s
+  FROM grid
+  QUALIFY t < n
+), g AS (
+  SELECT event_type, d, t, n, st, s,
+         round(CAST(CAST(st AS HUGEINT) * st AS DOUBLE) / CAST(t AS DOUBLE)
+               + CAST(CAST(s - st AS HUGEINT) * (s - st) AS DOUBLE)
+                 / CAST(n - t AS DOUBLE)
+               - CAST(CAST(s AS HUGEINT) * s AS DOUBLE) / CAST(n AS DOUBLE),
+               6) AS gain
+  FROM pre
+)
+SELECT event_type, n AS n_days, d AS split_day, t AS split_index,
+       gain AS gain_cents2,
+       CAST(st AS DOUBLE) / CAST(t AS DOUBLE) AS mean_before_cents,
+       CAST(s - st AS DOUBLE) / CAST(n - t AS DOUBLE) AS mean_after_cents
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY gain DESC, d ASC) AS rn
+      FROM g)
+WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+def evt_spc_individuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart individuals/moving-range control chart per event type —
+    the SPC monitoring read (center line, ±2.66·MR̄ control limits,
+    out-of-control day count) on daily revenue: center = S/n and
+    MR̄ = ΣMR/(n−1) are single exact-integer divisions (daily cents
+    and |lag diffs| exact), the limits chain bit-identical doubles
+    (2.66 = the d₂-derived individuals-chart constant, repr-exact
+    literal both sides), and violations are exact counts of
+    comparisons on those identical doubles. Plan: one combinable
+    daily agg → spine → one lag window + one moments agg on the
+    calendar-bounded grid."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    grid = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("cents", F.lit(0)).alias("x")
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    mr = grid.select(
+        "event_type",
+        "x",
+        F.abs(F.col("x") - F.lag("x").over(wo)).cast("long").alias("mr"),
+    )
+    agg = mr.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum("mr").cast("long").alias("smr"),
+    )
+    center = F.col("s").cast("double") / F.col("n").cast("double")
+    mrbar = F.col("smr").cast("double") / (F.col("n") - 1).cast("double")
+    ucl = center + F.lit(2.66) * mrbar
+    lcl = center - F.lit(2.66) * mrbar
+    lim = agg.where(F.col("n") > 1).select(
+        "event_type", "n", "s", "smr",
+        center.alias("center_cents"),
+        mrbar.alias("mrbar_cents"),
+        ucl.alias("ucl_cents"),
+        lcl.alias("lcl_cents"),
+    )
+    viol = (
+        grid.join(F.broadcast(lim), "event_type")
+        .select(
+            "event_type",
+            F.when(
+                (F.col("x").cast("double") > F.col("ucl_cents"))
+                | (F.col("x").cast("double") < F.col("lcl_cents")),
+                1,
+            )
+            .otherwise(0)
+            .alias("v"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("v").cast("long").alias("n_violations"))
+    )
+    return (
+        lim.join(viol, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "center_cents",
+            "mrbar_cents",
+            "ucl_cents",
+            "lcl_cents",
+            "n_violations",
+        )
+        .orderBy("event_type")
+    )
+
+
+_SPC_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS d
+  FROM bounds
+), grid AS (
+  SELECT s.event_type, s.d, coalesce(a.cents, 0) AS x
+  FROM spine s LEFT JOIN daily a
+    ON s.event_type = a.event_type AND s.d = a.d
+), mr AS (
+  SELECT event_type, x,
+         CAST(abs(x - lag(x) OVER (PARTITION BY event_type ORDER BY d))
+              AS BIGINT) AS mr
+  FROM grid
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(mr) AS BIGINT) AS smr
+  FROM mr GROUP BY 1
+), lim AS (
+  SELECT event_type, n, s, smr,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS center_cents,
+         CAST(smr AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS mrbar_cents,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+           + 2.66 * (CAST(smr AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+           AS ucl_cents,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+           - 2.66 * (CAST(smr AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+           AS lcl_cents
+  FROM agg WHERE n > 1
+), viol AS (
+  SELECT g.event_type,
+         CAST(sum(CASE WHEN CAST(g.x AS DOUBLE) > l.ucl_cents
+                         OR CAST(g.x AS DOUBLE) < l.lcl_cents
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM grid g JOIN lim l ON g.event_type = l.event_type
+  GROUP BY 1
+)
+SELECT lim.event_type, lim.n AS n_days, center_cents, mrbar_cents,
+       ucl_cents, lcl_cents, viol.n_violations
+FROM lim JOIN viol ON lim.event_type = viol.event_type
+ORDER BY lim.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -18492,6 +18762,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "source_neyman_allocation": (source_neyman_allocation, _NEYMAN_SQL),
     "g12_densification": (g12_densification, _DENSIFICATION_SQL),
     "evt_exponential_gof": (evt_exponential_gof, _EXP_GOF_SQL),
+    "evt_binseg_changepoint": (evt_binseg_changepoint, _BINSEG_SQL),
+    "evt_spc_individuals": (evt_spc_individuals, _SPC_SQL),
     "emb_hubness_audit": (emb_hubness_audit, _HUBNESS_SQL),
     "evt_holt_linear": (evt_holt_linear, _HOLT_SQL),
     "g7_hits": (g7_hits, _g7_hits_sql()),

