@@ -18711,6 +18711,140 @@ ORDER BY lim.event_type
 """
 
 
+def evt_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness B = (σ−μ)/(σ+μ) and memory coefficient
+    M (lag-1 correlation of consecutive inter-arrival gaps) per event
+    type — the two-number characterization of arrival-process
+    character (B→1 bursty, B→−1 clockwork; M>0 long/short gaps
+    cluster) that complements evt_exponential_gof's distribution test.
+    Gaps are exact integer seconds; both moment sets (per-gap n/S/Q
+    and consecutive-pair 5-moment) accumulate exactly with Q-class
+    sums in DECIMAL(38,0)/HUGEINT, so μ, σ², and the correlation
+    numerator/denominators are single exact-derivation doubles; B and
+    M round 6dp (sqrt-derived). Plan: one per-type lag window
+    (sessionize shape) applied twice on the same partition order, two
+    combinable moment aggs."""
+    e = load_table(spark, sf_dir, "events")
+    ts = F.unix_timestamp(F.col("ts")).cast("long")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("t"), F.col("event_id")
+    )
+    gaps = (
+        e.select("event_type", ts.alias("t"), "event_id")
+        .withColumn("gap", F.col("t") - F.lag("t").over(w))
+        .withColumn("nxt", F.lead("gap").over(w))
+        .where(F.col("gap").isNotNull())
+        .select("event_type", "gap", "nxt")
+    )
+    g = F.col("gap")
+    mom = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(g).cast("long").alias("s"),
+        F.sum((g * g).cast("decimal(38,0)")).cast("decimal(38,0)").alias("q"),
+        F.sum(F.when(F.col("nxt").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+        F.sum(F.when(F.col("nxt").isNotNull(), g)).cast("long").alias("sx"),
+        F.sum(F.when(F.col("nxt").isNotNull(), F.col("nxt")))
+        .cast("long")
+        .alias("sy"),
+        F.sum(
+            F.when(F.col("nxt").isNotNull(), (g * F.col("nxt")).cast("decimal(38,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.when(F.col("nxt").isNotNull(), (g * g).cast("decimal(38,0)")))
+        .cast("decimal(38,0)")
+        .alias("sx2"),
+        F.sum(
+            F.when(
+                F.col("nxt").isNotNull(),
+                (F.col("nxt") * F.col("nxt")).cast("decimal(38,0)"),
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("sy2"),
+    )
+    n, s = F.col("n"), F.col("s")
+    mu = s.cast("double") / n.cast("double")
+    num = F.col("q") * n - s.cast("decimal(38,0)") * s
+    sig = F.sqrt(num.cast("double") / (n * (n - 1)).cast("double"))
+    b = (sig - mu) / (sig + mu)
+    npc = F.col("np").cast("decimal(38,0)")
+    covn = npc * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    vxn = npc * F.col("sx2") - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+    vyn = npc * F.col("sy2") - F.col("sy").cast("decimal(38,0)") * F.col("sy")
+    okb = (n > 1) & (s > 0)
+    okm = (F.col("np") > 1) & (vxn > 0) & (vyn > 0)
+    return mom.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.col("s").alias("sum_gap_s"),
+        F.when(okb, F.round(b, 6)).alias("burstiness_b"),
+        F.when(
+            okm,
+            F.round(
+                covn.cast("double")
+                / F.sqrt(vxn.cast("double") * vyn.cast("double")),
+                6,
+            ),
+        ).alias("memory_m"),
+    ).orderBy("event_type")
+
+
+_BURSTINESS_SQL = """
+WITH ordered AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id
+  FROM events
+), g0 AS (
+  SELECT event_type, t, event_id,
+         t - lag(t) OVER (PARTITION BY event_type
+                          ORDER BY t, event_id) AS gap
+  FROM ordered
+), gaps AS (
+  SELECT event_type, gap,
+         lead(gap) OVER (PARTITION BY event_type
+                         ORDER BY t, event_id) AS nxt
+  FROM g0
+  QUALIFY gap IS NOT NULL
+), mom AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(gap) AS BIGINT) AS s,
+         sum(CAST(gap AS HUGEINT) * gap) AS q,
+         CAST(sum(CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS np,
+         CAST(sum(CASE WHEN nxt IS NOT NULL THEN gap END) AS BIGINT) AS sx,
+         CAST(sum(CASE WHEN nxt IS NOT NULL THEN nxt END) AS BIGINT) AS sy,
+         sum(CASE WHEN nxt IS NOT NULL
+                  THEN CAST(gap AS HUGEINT) * nxt END) AS sxy,
+         sum(CASE WHEN nxt IS NOT NULL
+                  THEN CAST(gap AS HUGEINT) * gap END) AS sx2,
+         sum(CASE WHEN nxt IS NOT NULL
+                  THEN CAST(nxt AS HUGEINT) * nxt END) AS sy2
+  FROM gaps GROUP BY 1
+), st AS (
+  SELECT event_type, n, s, np,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         sqrt(CAST(q * n - CAST(s AS HUGEINT) * s AS DOUBLE)
+              / CAST(n * (n - 1) AS DOUBLE)) AS sig,
+         np * sxy - CAST(sx AS HUGEINT) * sy AS covn,
+         np * sx2 - CAST(sx AS HUGEINT) * sx AS vxn,
+         np * sy2 - CAST(sy AS HUGEINT) * sy AS vyn
+  FROM mom
+)
+SELECT event_type, n AS n_gaps, s AS sum_gap_s,
+       CASE WHEN n > 1 AND s > 0
+            THEN round((sig - mu) / (sig + mu), 6) END AS burstiness_b,
+       CASE WHEN np > 1 AND vxn > 0 AND vyn > 0
+            THEN round(CAST(covn AS DOUBLE)
+                 / sqrt(CAST(vxn AS DOUBLE) * CAST(vyn AS DOUBLE)), 6)
+       END AS memory_m
+FROM st
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -18764,6 +18898,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_exponential_gof": (evt_exponential_gof, _EXP_GOF_SQL),
     "evt_binseg_changepoint": (evt_binseg_changepoint, _BINSEG_SQL),
     "evt_spc_individuals": (evt_spc_individuals, _SPC_SQL),
+    "evt_arrival_burstiness": (evt_arrival_burstiness, _BURSTINESS_SQL),
     "emb_hubness_audit": (emb_hubness_audit, _HUBNESS_SQL),
     "evt_holt_linear": (evt_holt_linear, _HOLT_SQL),
     "g7_hits": (g7_hits, _g7_hits_sql()),

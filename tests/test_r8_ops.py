@@ -848,3 +848,13 @@ def test_spc_limits_ordered(spark, sf_small):
         assert r.lcl_cents < r.center_cents < r.ucl_cents
         assert r.mrbar_cents >= 0
         assert 0 <= r.n_violations <= r.n_days
+
+
+def test_burstiness_bounds(spark, sf_small):
+    rows = m.queries()["evt_arrival_burstiness"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        if r.burstiness_b is not None:
+            assert -1.0 <= r.burstiness_b <= 1.0
+        if r.memory_m is not None:
+            assert -1.0 - 1e-9 <= r.memory_m <= 1.0 + 1e-9
