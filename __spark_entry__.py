@@ -18792,7 +18792,7 @@ def evt_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-_BURSTINESS_SQL = """
+_ARRIVAL_BURSTINESS_SQL = """
 WITH ordered AS (
   SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id
   FROM events
@@ -18898,7 +18898,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_exponential_gof": (evt_exponential_gof, _EXP_GOF_SQL),
     "evt_binseg_changepoint": (evt_binseg_changepoint, _BINSEG_SQL),
     "evt_spc_individuals": (evt_spc_individuals, _SPC_SQL),
-    "evt_arrival_burstiness": (evt_arrival_burstiness, _BURSTINESS_SQL),
+    "evt_arrival_burstiness": (evt_arrival_burstiness, _ARRIVAL_BURSTINESS_SQL),
     "emb_hubness_audit": (emb_hubness_audit, _HUBNESS_SQL),
     "evt_holt_linear": (evt_holt_linear, _HOLT_SQL),
     "g7_hits": (g7_hits, _g7_hits_sql()),

@@ -107,3 +107,28 @@ def test_no_new_rounded_mean_exports():
         and re.search(r"round\(\s*avg\(", sql, re.IGNORECASE)
     ]
     assert not offenders, offenders
+
+
+def test_no_two_queries_share_an_oracle():
+    """Guard for the module-level SQL-variable rebinding bug class
+    (evt_arrival_burstiness initially rebound text_word_burstiness's
+    _BURSTINESS_SQL and silently redirected its registry entry):
+    every registered oracle text must be unique."""
+    import __spark_entry__ as m
+
+    # decontaminate_bloom is the approximate path audited against the
+    # SAME exact-overlap ground truth as decontaminate_overlap — the
+    # one legitimate shared oracle.
+    allowed_shared = {
+        frozenset({"decontaminate_bloom", "decontaminate_overlap"}),
+        # the EP3 pipeline's audit stage is value-checked against the
+        # same Lloyd-audit oracle — long-established shared ground truth
+        frozenset({"ep3_lloyd_audit", "ep3_label_pipeline"}),
+    }
+    texts = {}
+    for name, sql in m.oracle_sql().items():
+        if sql in texts and frozenset({name, texts[sql]}) not in allowed_shared:
+            raise AssertionError(
+                f"{name} and {texts[sql]} share identical oracle SQL"
+            )
+        texts[sql] = name
