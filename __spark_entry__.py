@@ -15589,8 +15589,11 @@ def doc_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     in nats; the per-cell PMI flags which source is over/under-
     indexed on which language — the signal a mixture rebalancer acts
     on. Counts are exact integers; PMI's log argument is ONE exact-
-    integer ratio (products ≤ N² — decimal-safe far past corpus
-    scale); PMI and the 25-cell MI sum round 6dp (ln-derived,
+    integer ratio whose products are accumulated in DECIMAL(38,0) /
+    HUGEINT (the squared-sums rule — plain BIGINT would ANSI-error
+    once corpus counts near ~3e9, since c_sl·N ≤ N²) and cast to
+    double only at the ln; PMI and the 25-cell MI sum round 6dp
+    (ln-derived,
     irrational, tie measure-zero). Plan: three combinable count
     shuffles (cell, two margins) + two 1-row broadcasts — margin
     joins are broadcast-equi on the tiny dimension frames."""
@@ -15607,8 +15610,8 @@ def doc_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
     )
     pmi = F.log(
-        (F.col("c_sl") * F.col("n_total")).cast("double")
-        / (F.col("c_s") * F.col("c_l")).cast("double")
+        (F.col("c_sl").cast("decimal(38,0)") * F.col("n_total")).cast("double")
+        / (F.col("c_s").cast("decimal(38,0)") * F.col("c_l")).cast("double")
     )
     term = (F.col("c_sl").cast("double") / F.col("n_total").cast("double")) * pmi
     cells = j.select(
@@ -15648,11 +15651,11 @@ WITH cell AS (
   SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents
 ), j AS (
   SELECT cell.source, cell.lang, c_sl, c_s, c_l,
-         ln(CAST(c_sl * n_total AS DOUBLE)
-            / CAST(c_s * c_l AS DOUBLE)) AS pmi_raw,
+         ln(CAST(CAST(c_sl AS HUGEINT) * n_total AS DOUBLE)
+            / CAST(CAST(c_s AS HUGEINT) * c_l AS DOUBLE)) AS pmi_raw,
          (CAST(c_sl AS DOUBLE) / CAST(n_total AS DOUBLE))
-           * ln(CAST(c_sl * n_total AS DOUBLE)
-                / CAST(c_s * c_l AS DOUBLE)) AS term
+           * ln(CAST(CAST(c_sl AS HUGEINT) * n_total AS DOUBLE)
+                / CAST(CAST(c_s AS HUGEINT) * c_l AS DOUBLE)) AS term
   FROM cell JOIN ms USING (source) JOIN ml USING (lang) CROSS JOIN tot
 ), mi AS (SELECT sum(term) AS mi_raw FROM j)
 SELECT source, lang, c_sl, c_s, c_l,
@@ -17838,7 +17841,11 @@ def emb_loo_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Squared distances in the kernel path via float64 GEMM (|a|²+|b|²
     −2ab̄ᵀ — the j7/m8 mapInPandas BLAS discipline; the interpreted
     zip_with fold over corpus²×dim is the measured 60s-at-sf0.1
-    anti-pattern), (r, j) deterministic NN tie-break. Plan: broadcast
+    anti-pattern), (r, j) deterministic NN tie-break. The expanded
+    form differs from the pair-join/oracle Σ(a−b)² in low-order bits,
+    so candidates within a relative epsilon of the GEMM argmin are
+    re-ranked on the exact Σ(a−b)² (j-asc tie) — kernel, pair join,
+    and oracle rank near-ties on the same value. Plan: broadcast
     the ≤ _LOO_KNN_BROADCAST_LIMIT reference matrix and stream the
     corpus through one Arrow pass (no pair materialization); above the
     limit the declarative pair-join path runs (pytest-pinned equal),
@@ -17869,6 +17876,19 @@ def emb_loo_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 d2[self_mask] = np.inf
                 pick = d2.argmin(axis=1)
+                # near-tie refinement (ADVICE r8): the expanded-form d2
+                # and the pair-join's sum((a-b)^2) disagree in low-order
+                # bits; re-rank every candidate within eps of the min on
+                # the exact form so a near-tie can't flip between paths.
+                dmin = d2[np.arange(len(pick)), pick]
+                eps = 1e-6 * (1.0 + np.abs(dmin))
+                multi = np.where(
+                    (d2 <= (dmin + eps)[:, None]).sum(axis=1) > 1
+                )[0]
+                for r in multi:
+                    cand = np.where(d2[r] <= dmin[r] + eps[r])[0]
+                    ex = ((a[r][None, :] - r_mat[cand]) ** 2).sum(axis=1)
+                    pick[r] = cand[int(np.argmin(ex))]
                 yield pdf.assign(pred_label=r_labs[pick])[
                     ["vec_id", "label", "pred_label"]
                 ]
@@ -18234,24 +18254,25 @@ def g12_densification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph densification over time (Leskovec et al.'s E(t) ∝ N(t)^a
     law) on the user/event-type co-occurrence graph — does the
     interaction graph densify (a > 1) or grow sparsely (a ≈ 1) as the
-    system accumulates users? Cumulative node/edge counts per month
+    system accumulates users? Cumulative node/edge counts per WEEKLY
+    snapshot (86400·7 s buckets, exported as the `m` bucket index)
     need NO re-scan per snapshot: each node (user) and edge (distinct
     user-type pair... node = user, edge = co-occurrence pair keyed by
-    (type_a, type_b, user)) carries its FIRST month (a combinable min
-    agg), and the month timeline is a cumulative sum over ≤ |months|
+    (type_a, type_b, user)) carries its FIRST week (a combinable min
+    agg), and the weekly timeline is a cumulative sum over ≤ |weeks|
     rows. Counts exact; the densification exponent ln E/ln N rounds
     6dp (log-ratio of exact ints, the Heaps-β discipline). Plan: two
-    combinable first-month aggs + two tiny cumulative windows."""
+    combinable first-week aggs + two tiny cumulative windows."""
     e = load_table(spark, sf_dir, "events")
-    mon = F.floor(
+    wk = F.floor(
         F.unix_timestamp(F.col("ts")) / F.lit(86400.0 * 7.0)
     ).cast("long")
     # node = user: first week seen
-    un = e.groupBy("user_id").agg(F.min(mon).alias("m"))
+    un = e.groupBy("user_id").agg(F.min(wk).alias("m"))
     nodes_m = un.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("dn"))
     # edge = (user, unordered type pair) co-occurrence: first week both
     # types were seen for the user is when the edge materializes
-    ut = e.groupBy("user_id", "event_type").agg(F.min(mon).alias("fm"))
+    ut = e.groupBy("user_id", "event_type").agg(F.min(wk).alias("fm"))
     a = ut.select("user_id", F.col("event_type").alias("ta"), F.col("fm").alias("fa"))
     b = ut.select("user_id", F.col("event_type").alias("tb"), F.col("fm").alias("fb"))
     ed = (
@@ -19372,6 +19393,59 @@ _REGISTRY = {
         *_R8_FRONT,
         *_R8_NEXT,
         *(k for k in _REGISTRY if k not in {*_R8_FRONT, *_R8_NEXT}),
+    )
+}
+
+# r9 window rotation (VERDICT r8 "Next round" items 1 + 5, executed): the 32
+# r8 third-session additions landed BELOW the r8 window (the r8 prepend cap
+# was spent) and have never had a driver row — they fill 32 of the 50 slots.
+# r9-NEW queries prepend on top as they land; the cap is 18 (18 + 32 = 50)
+# so every one of the 32 keeps a window slot — do NOT exceed it.  Below the
+# window: _R8_NEXT (the r3-audited remainder, the oldest audit debt), then
+# the r4/r5-audited bulk in registry order (VERDICT r8 item 5).
+_R9_FRONT: list[str] = [
+    # r9-NEW queries go HERE (top), newest first, as they land (cap 18).
+    # the 32 never-driver-audited r8 third-session queries (VERDICT item 1):
+    "evt_welch_ttest",
+    "evt_quadratic_trend",
+    "vocab_chao1_richness",
+    "doc_source_mi",
+    "nation_theil_decomposition",
+    "g9_assortativity",
+    "evt_seasonal_decompose",
+    "evt_cms_audit",
+    "doc_readability",
+    "evt_pacf_durbin",
+    "evt_gumbel_maxima",
+    "g10_closeness",
+    "doc_js_divergence",
+    "lineitem_discount_qty_corr",
+    "evt_histogram_quantile_audit",
+    "evt_holt_winters",
+    "orders_ship_delay",
+    "g11_component_profile",
+    "evt_user_entropy_profile",
+    "evt_circadian_profile",
+    "emb_jl_projection_audit",
+    "orders_basket_negbin",
+    "part_return_wilson",
+    "emb_loo_knn_accuracy",
+    "evt_dau_mau_stickiness",
+    "evt_power_sample_size",
+    "source_neyman_allocation",
+    "g12_densification",
+    "evt_exponential_gof",
+    "evt_binseg_changepoint",
+    "evt_spc_individuals",
+    "evt_arrival_burstiness",
+]
+
+_REGISTRY = {
+    name: _REGISTRY[name]
+    for name in (
+        *_R9_FRONT,
+        *_R8_NEXT,
+        *(k for k in _REGISTRY if k not in {*_R9_FRONT, *_R8_NEXT}),
     )
 }
 

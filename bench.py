@@ -151,17 +151,37 @@ def main() -> None:
             warm[name] = float("nan")
     anchor_after = round(_timed(anchor), 3)
 
+    # The driver front-truncates captured output and keeps only the TAIL
+    # (BENCH_r07/r08 both recorded "parsed": null because the totals led
+    # the giant per-query line and were cut off — VERDICT r8 item 2).
+    # Two defenses: (a) the big line puts the per-query maps FIRST and the
+    # totals LAST so the surviving tail carries them; (b) a second, short
+    # summary-only JSON line follows, so "parse the last line" always
+    # succeeds regardless of how much of the big line survived.
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    print(
+        json.dumps(
+            {
+                "queries": timings,
+                "queries_warm": warm,
+                "warm_anchor": anchor,
+                "warm_anchor_s": [anchor_before, anchor_after],
+                "metric": "suite_seconds",
+                "unit": "sec",
+                "n": len(timings),
+                "sf": sf_val,
+                "value": round(total, 3),
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "suite_seconds",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "warm_anchor": anchor,
-                "warm_anchor_s": [anchor_before, anchor_after],
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n": len(timings),
+                "sf": sf_val,
             }
         )
     )

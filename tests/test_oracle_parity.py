@@ -132,3 +132,30 @@ def test_no_two_queries_share_an_oracle():
                 f"{name} and {texts[sql]} share identical oracle SQL"
             )
         texts[sql] = name
+
+
+def test_no_two_queries_share_an_oracle_callable():
+    """VERDICT r8 item 7: the same rebinding bug class for GENERATOR
+    oracles — two registry entries bound to the same callable object
+    means a copy-paste rebound one of them (a shared callable always
+    resolves to identical text, but catching the object identity names
+    the bug directly at its source)."""
+    import __spark_entry__ as m
+
+    # same whitelist as the text check: bloom is audited against the
+    # SAME exact-overlap ground truth generator as overlap by design
+    allowed_shared = {
+        frozenset({"decontaminate_bloom", "decontaminate_overlap"}),
+    }
+    seen: dict[int, str] = {}
+    for name, (_, sql) in m._REGISTRY.items():
+        if callable(sql):
+            if (
+                id(sql) in seen
+                and frozenset({name, seen[id(sql)]}) not in allowed_shared
+            ):
+                raise AssertionError(
+                    f"{name} and {seen[id(sql)]} share the same oracle "
+                    "generator callable"
+                )
+            seen[id(sql)] = name

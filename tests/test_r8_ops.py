@@ -646,27 +646,52 @@ def test_histogram_quantile_error_bounded_by_bucket_width(spark, sf_small):
         assert abs(r.err_cents) <= width + 1
 
 
-def test_holt_winters_constant_series_learns_zero_season(spark):
-    """A constant daily series must converge to level=const, trend=0,
-    all seasonal components -> 0, rmse = 0 (every fitted value exact
-    once the level matches)."""
-    from vector_search_optimization_spark.operators import timeseries  # noqa: F401
+def test_holt_winters_constant_series_learns_zero_season(spark, tmp_path):
+    """A constant daily series stays at level=const, trend=0, every
+    seasonal component 0, rmse=0 through the fold (init l=x0, s=0 makes
+    every fitted value exact), routed through the registry query via a
+    synthetic events.parquet (ADVICE r8: the old form never exercised
+    the synthetic series)."""
+    import datetime
 
-    rows = [("a", d, 500.0) for d in range(70)]
-    df = spark.createDataFrame(rows, "event_type string, d long, x double")
-    # replicate the fold through the registry function requires parquet;
-    # instead assert on the registry output at sf0.001 for shape and the
-    # self-consistency identity forecast = level + 7*trend + s[dow_last]
-    out = m.queries()["evt_holt_winters"](spark, "/root/testdata/sf0.001")
-    got = out.collect()
+    rows = [
+        (
+            "a",
+            datetime.datetime(2024, 1, 1, 12) + datetime.timedelta(days=d),
+            5.0,
+        )
+        for d in range(70)
+    ]
+    spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = m.queries()["evt_holt_winters"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_days == 70
+    assert r.level_cents == pytest.approx(500.0, abs=1e-6)
+    assert r.trend_cents == pytest.approx(0.0, abs=1e-6)
+    for k in range(7):
+        assert getattr(r, f"seasonal_{k}") == pytest.approx(0.0, abs=1e-6)
+    assert r.rmse_cents == pytest.approx(0.0, abs=1e-6)
+    assert r.forecast_7d_cents == pytest.approx(500.0, abs=1e-6)
+
+
+def test_holt_winters_recomposition_identity(spark):
+    """forecast = level + 7*trend + s[dow_last] on registry output at
+    sf0.001 (each term rounds 6dp individually: allow (1+7+1) half-ulps
+    of the 6th decimal)."""
+    got = m.queries()["evt_holt_winters"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
     assert got
     for r in got:
         s = [
             r.seasonal_0, r.seasonal_1, r.seasonal_2, r.seasonal_3,
             r.seasonal_4, r.seasonal_5, r.seasonal_6,
         ]
-        # exports round 6dp individually: the recomposed identity can
-        # drift by up to (1+7+1) half-ulps of the 6th decimal
         assert r.forecast_7d_cents == pytest.approx(
             r.level_cents + 7.0 * r.trend_cents + s[r.dow_last], abs=5e-6
         )
