@@ -18866,6 +18866,524 @@ ORDER BY event_type
 """
 
 
+def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel analytics view → click → purchase — the
+    conversion companion to session_entry_exit / evt_retention_cohorts
+    that neither covers: a user reaches step k only with an event of
+    that type STRICTLY AFTER their step-(k-1) arrival (first-touch
+    semantics: earliest view, then earliest click after it, then
+    earliest purchase after that). Per step the export carries exact
+    user counts, conversion vs the previous step and vs all active
+    users (single exact-integer divisions, unrounded), and the
+    median / p90 seconds from the previous step among converters
+    (F.percentile == DuckDB quantile_cont on exact integer gaps —
+    interpolated midpoints are dyadic rationals, float-exact on both
+    engines, exported unrounded). Plan: each step is one equi-join on
+    user_id + a combinable min agg — shuffles keyed on the user id,
+    no window over the fact table, no range join; the 3-row step
+    frame and the 1-row denominator broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts")).cast("long")
+    ev = e.select("user_id", "event_type", sec.alias("t"))
+    u1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    u2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(u1, "user_id")
+        .where(F.col("t") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"), F.min("t1").alias("t1"))
+    )
+    u3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(u2.select("user_id", "t2"), "user_id")
+        .where(F.col("t") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"), F.min("t2").alias("t2"))
+    )
+    n0 = ev.agg(F.countDistinct("user_id").cast("long").alias("n_all"))
+    r1 = u1.agg(
+        F.lit(1).cast("long").alias("step"),
+        F.lit("view").alias("step_name"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.lit(None).cast("double").alias("median_gap_s"),
+        F.lit(None).cast("double").alias("p90_gap_s"),
+    )
+    gap2 = (F.col("t2") - F.col("t1")).cast("double")
+    r2 = u2.agg(
+        F.lit(2).cast("long").alias("step"),
+        F.lit("click").alias("step_name"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.percentile(gap2, F.lit(0.5)).alias("median_gap_s"),
+        F.percentile(gap2, F.lit(0.9)).alias("p90_gap_s"),
+    )
+    gap3 = (F.col("t3") - F.col("t2")).cast("double")
+    r3 = u3.agg(
+        F.lit(3).cast("long").alias("step"),
+        F.lit("purchase").alias("step_name"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.percentile(gap3, F.lit(0.5)).alias("median_gap_s"),
+        F.percentile(gap3, F.lit(0.9)).alias("p90_gap_s"),
+    )
+    steps = r1.unionByName(r2).unionByName(r3).crossJoin(F.broadcast(n0))
+    wprev = Window.orderBy("step")
+    prev = F.lag("n_users").over(wprev)
+    return steps.select(
+        "step",
+        "step_name",
+        "n_users",
+        "n_all",
+        F.when(
+            prev > 0, F.col("n_users").cast("double") / prev.cast("double")
+        ).alias("conv_vs_prev"),
+        F.when(
+            F.col("n_all") > 0,
+            F.col("n_users").cast("double") / F.col("n_all").cast("double"),
+        ).alias("conv_vs_all"),
+        "median_gap_s",
+        "p90_gap_s",
+    ).orderBy("step")
+
+
+_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+), u1 AS (
+  SELECT user_id, min(t) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1
+), u2 AS (
+  SELECT ev.user_id, min(ev.t) AS t2, min(u1.t1) AS t1
+  FROM ev JOIN u1 ON ev.user_id = u1.user_id
+  WHERE ev.event_type = 'click' AND ev.t > u1.t1
+  GROUP BY 1
+), u3 AS (
+  SELECT ev.user_id, min(ev.t) AS t3, min(u2.t2) AS t2
+  FROM ev JOIN u2 ON ev.user_id = u2.user_id
+  WHERE ev.event_type = 'purchase' AND ev.t > u2.t2
+  GROUP BY 1
+), n0 AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_all FROM ev
+), steps AS (
+  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(NULL AS DOUBLE) AS median_gap_s,
+         CAST(NULL AS DOUBLE) AS p90_gap_s
+  FROM u1
+  UNION ALL
+  SELECT 2, 'click', CAST(count(*) AS BIGINT),
+         quantile_cont(CAST(t2 - t1 AS DOUBLE), 0.5),
+         quantile_cont(CAST(t2 - t1 AS DOUBLE), 0.9)
+  FROM u2
+  UNION ALL
+  SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+         quantile_cont(CAST(t3 - t2 AS DOUBLE), 0.5),
+         quantile_cont(CAST(t3 - t2 AS DOUBLE), 0.9)
+  FROM u3
+)
+SELECT step, step_name, n_users, n_all,
+       CASE WHEN lag(n_users) OVER (ORDER BY step) > 0
+            THEN CAST(n_users AS DOUBLE)
+                 / CAST(lag(n_users) OVER (ORDER BY step) AS DOUBLE)
+       END AS conv_vs_prev,
+       CASE WHEN n_all > 0
+            THEN CAST(n_users AS DOUBLE) / CAST(n_all AS DOUBLE)
+       END AS conv_vs_all,
+       median_gap_s, p90_gap_s
+FROM steps CROSS JOIN n0
+ORDER BY step
+"""
+
+
+def evt_dau_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-decline-recovery (drawdown) analytics on the per-type
+    daily-active-users series — the engagement-health read neither
+    evt_dau_mau_stickiness (level) nor evt_binseg_changepoint (mean
+    shift) gives: how far below its historical peak did DAU fall, and
+    how long did it stay underwater? Per type: the all-time peak, the
+    max drawdown depth vs the running peak (exact ints; trough = the
+    FIRST day attaining it), the depth as a fraction of the running
+    peak at the trough (one exact-integer division, unrounded), and
+    the longest consecutive-day underwater spell (dense-grid islands
+    via the d − row_number() trick, missing days = 0 DAU). Plan: one
+    (type, day) distinct-count shuffle, a calendar-bounded grid
+    explode, two per-type windows over ≤|days| rows, one combinable
+    final agg — fact-size-independent after the first shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("d").alias("mn"), F.max("d").alias("mx")
+    )
+    grid = span.select(
+        "event_type", F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+    )
+    dense = grid.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        "d",
+        F.coalesce("dau", F.lit(0).cast("long")).alias("dau"),
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = dense.select(
+        "event_type",
+        "d",
+        "dau",
+        (F.max("dau").over(wrun) - F.col("dau")).alias("dd"),
+    )
+    wrow = Window.partitionBy("event_type").orderBy("d")
+    under = dd.where(F.col("dd") > 0).select(
+        "event_type",
+        (F.col("d") - F.row_number().over(wrow)).alias("grp"),
+    )
+    spell = (
+        under.groupBy("event_type", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("len"))
+        .groupBy("event_type")
+        .agg(F.max("len").cast("long").alias("longest_underwater_days"))
+    )
+    agg = dd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("dau").cast("long").alias("peak_dau"),
+        F.max("dd").cast("long").alias("max_drawdown"),
+    )
+    # trough day + running peak at the trough need the max_drawdown
+    # first: one tiny broadcast join back onto the |types|x|days| frame
+    troughs = (
+        dd.join(
+            F.broadcast(agg.select("event_type", "max_drawdown")),
+            "event_type",
+        )
+        .where(F.col("dd") == F.col("max_drawdown"))
+        .groupBy("event_type", "max_drawdown")
+        .agg(F.min(F.struct("d", "dau")).alias("_td"))
+        .select(
+            "event_type",
+            F.col("_td.d").cast("long").alias("trough_day"),
+            (F.col("_td.dau") + F.col("max_drawdown"))
+            .cast("long")
+            .alias("peak_at_trough"),
+        )
+    )
+    return (
+        agg.join(troughs, "event_type")
+        .join(spell, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            "peak_dau",
+            "max_drawdown",
+            "trough_day",
+            F.when(
+                F.col("peak_at_trough") > 0,
+                F.col("max_drawdown").cast("double")
+                / F.col("peak_at_trough").cast("double"),
+            ).alias("max_drawdown_pct"),
+            F.coalesce("longest_underwater_days", F.lit(0).cast("long")).alias(
+                "longest_underwater_days"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DAU_DRAWDOWN_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(d) AS mn, max(d) AS mx FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type, CAST(unnest(generate_series(mn, mx)) AS BIGINT) AS d
+  FROM span
+), dense AS (
+  SELECT s.event_type, s.d, coalesce(a.dau, 0) AS dau
+  FROM spine s LEFT JOIN daily a
+    ON s.event_type = a.event_type AND s.d = a.d
+), dd AS (
+  SELECT event_type, d, dau,
+         max(dau) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) - dau AS dd
+  FROM dense
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(max(dau) AS BIGINT) AS peak_dau,
+         CAST(max(dd) AS BIGINT) AS max_drawdown
+  FROM dd GROUP BY 1
+), trough AS (
+  SELECT dd.event_type, min(dd.d) AS trough_day,
+         arg_min(dd.dau, dd.d) + agg.max_drawdown AS peak_at_trough
+  FROM dd JOIN agg ON dd.event_type = agg.event_type
+  WHERE dd.dd = agg.max_drawdown
+  GROUP BY dd.event_type, agg.max_drawdown
+), under AS (
+  SELECT event_type,
+         d - row_number() OVER (PARTITION BY event_type ORDER BY d) AS grp
+  FROM dd WHERE dd > 0
+), spell AS (
+  SELECT event_type, CAST(max(len) AS BIGINT)
+           AS longest_underwater_days
+  FROM (SELECT event_type, grp, count(*) AS len
+        FROM under GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT agg.event_type, agg.n_days, agg.peak_dau, agg.max_drawdown,
+       CAST(trough.trough_day AS BIGINT) AS trough_day,
+       CASE WHEN trough.peak_at_trough > 0
+            THEN CAST(agg.max_drawdown AS DOUBLE)
+                 / CAST(trough.peak_at_trough AS DOUBLE)
+       END AS max_drawdown_pct,
+       coalesce(spell.longest_underwater_days, 0)
+         AS longest_underwater_days
+FROM agg
+JOIN trough ON agg.event_type = trough.event_type
+LEFT JOIN spell ON agg.event_type = spell.event_type
+ORDER BY agg.event_type
+"""
+
+
+def evt_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point randomness test on the dense per-type daily count
+    series — the i.i.d. audit that complements evt_runs_test (signs)
+    and evt_arrival_burstiness (gaps): count interior days that are a
+    strict local peak or trough; under i.i.d. the expectation is
+    2(n−2)/3 with variance (16n−29)/90 (Kendall & Stuart), so the
+    standardized z flags serial structure. Counts and the turning-
+    point tally are EXACT integers (strict inequalities on exact ints;
+    plateau days count as neither — documented, deterministic);
+    expected exports as ONE exact-integer division (unrounded), z
+    rounds 6dp (sqrt-derived irrational). Plan: one (type, day) count
+    shuffle, a calendar-bounded grid explode, one lag/lead window over
+    ≤|days| rows per type, one combinable agg."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("d").alias("mn"), F.max("d").alias("mx")
+    )
+    grid = span.select(
+        "event_type", F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
+    )
+    dense = grid.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("x", F.lit(0).cast("long")).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    tp = dense.select(
+        "event_type",
+        "x",
+        F.lag("x").over(w).alias("p"),
+        F.lead("x").over(w).alias("q"),
+    ).select(
+        "event_type",
+        F.when(
+            ((F.col("p") < F.col("x")) & (F.col("x") > F.col("q")))
+            | ((F.col("p") > F.col("x")) & (F.col("x") < F.col("q"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_tp"),
+    )
+    s = tp.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("is_tp").cast("long").alias("n_turning"),
+    )
+    n = F.col("n_days").cast("double")
+    expected = F.lit(2.0) * (n - F.lit(2.0)) / F.lit(3.0)
+    variance = (F.lit(16.0) * n - F.lit(29.0)) / F.lit(90.0)
+    ok = F.col("n_days") >= 3
+    return s.select(
+        "event_type",
+        "n_days",
+        "n_turning",
+        F.when(ok, expected).alias("expected_turning"),
+        F.when(
+            ok & (variance > 0),
+            F.round(
+                (F.col("n_turning").cast("double") - expected)
+                / F.sqrt(variance),
+                6,
+            ),
+        ).alias("z_score"),
+    ).orderBy("event_type")
+
+
+_TURNING_POINTS_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(d) AS mn, max(d) AS mx FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type, CAST(unnest(generate_series(mn, mx)) AS BIGINT) AS d
+  FROM span
+), dense AS (
+  SELECT s.event_type, s.d, coalesce(a.x, 0) AS x
+  FROM spine s LEFT JOIN daily a
+    ON s.event_type = a.event_type AND s.d = a.d
+), lagged AS (
+  SELECT event_type, x,
+         lag(x)  OVER (PARTITION BY event_type ORDER BY d) AS p,
+         lead(x) OVER (PARTITION BY event_type ORDER BY d) AS q
+  FROM dense
+), s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(CASE WHEN (p < x AND x > q) OR (p > x AND x < q)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, n_days, n_turning,
+       CASE WHEN n_days >= 3
+            THEN 2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0
+       END AS expected_turning,
+       CASE WHEN n_days >= 3
+                 AND (16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0 > 0
+            THEN round((CAST(n_turning AS DOUBLE)
+                        - 2.0 * (CAST(n_days AS DOUBLE) - 2.0) / 3.0)
+                 / sqrt((16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0), 6)
+       END AS z_score
+FROM s
+ORDER BY event_type
+"""
+
+
+def evt_records_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-breaking count test per event type — the extreme-value
+    randomness audit behind evt_gumbel_maxima: in an i.i.d. sequence
+    of n values the number of upper records (value strictly above
+    every prior value; the first observation counts) has mean H_n and
+    variance H_n − H_n⁽²⁾ (harmonic numbers), independent of the
+    distribution — trending series blow past it, and the lower-record
+    count breaks symmetrically. Values are exact cents ordered by
+    (second, event_id); record flags are strict comparisons on exact
+    ints (ties never set records — deterministic); H_n / H_n⁽²⁾ fold
+    k=1..n in doubles and z rounds 6dp (harmonic sums irrational for
+    n>1, rounding ties measure-zero). Plan: one per-type running-max/
+    min window over the fact order, one combinable agg; the harmonic
+    fold is |types| rows × n terms — driver-free and tiny."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    sec = F.unix_timestamp(F.col("ts")).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = e.select(
+        "event_type", sec.alias("t"), "event_id", cents.alias("c")
+    ).select(
+        "event_type",
+        F.when(
+            F.max("c").over(w).isNull() | (F.col("c") > F.max("c").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("up"),
+        F.when(
+            F.min("c").over(w).isNull() | (F.col("c") < F.min("c").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("dn"),
+    )
+    s = flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("up").cast("long").alias("n_upper_records"),
+        F.sum("dn").cast("long").alias("n_lower_records"),
+    )
+    hn = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), F.col("n")),
+        F.lit(0.0),
+        lambda a, k: a + F.lit(1.0) / k.cast("double"),
+    )
+    hn2 = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), F.col("n")),
+        F.lit(0.0),
+        lambda a, k: a + F.lit(1.0) / (k * k).cast("double"),
+    )
+    base = s.select(
+        "event_type",
+        "n",
+        "n_upper_records",
+        "n_lower_records",
+        hn.alias("_hn"),
+        (hn - hn2).alias("_v"),
+    )
+    return base.select(
+        "event_type",
+        "n",
+        "n_upper_records",
+        "n_lower_records",
+        F.round(F.col("_hn"), 6).alias("expected_records"),
+        F.when(
+            F.col("_v") > 0,
+            F.round(
+                (F.col("n_upper_records").cast("double") - F.col("_hn"))
+                / F.sqrt(F.col("_v")),
+                6,
+            ),
+        ).alias("z_upper"),
+        F.when(
+            F.col("_v") > 0,
+            F.round(
+                (F.col("n_lower_records").cast("double") - F.col("_hn"))
+                / F.sqrt(F.col("_v")),
+                6,
+            ),
+        ).alias("z_lower"),
+    ).orderBy("event_type")
+
+
+_RECORDS_TEST_SQL = """
+WITH vals AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+), flagged AS (
+  SELECT event_type,
+         CASE WHEN max(c) OVER w IS NULL OR c > max(c) OVER w
+              THEN 1 ELSE 0 END AS up,
+         CASE WHEN min(c) OVER w IS NULL OR c < min(c) OVER w
+              THEN 1 ELSE 0 END AS dn
+  FROM vals
+  WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(up) AS BIGINT) AS n_upper_records,
+         CAST(sum(dn) AS BIGINT) AS n_lower_records
+  FROM flagged GROUP BY 1
+), harm AS (
+  SELECT event_type, sum(1.0 / CAST(k AS DOUBLE)) AS hn,
+         sum(1.0 / CAST(k * k AS DOUBLE)) AS hn2
+  FROM (SELECT event_type,
+               CAST(unnest(generate_series(1, n)) AS BIGINT) AS k
+        FROM s)
+  GROUP BY 1
+)
+SELECT s.event_type, s.n, s.n_upper_records, s.n_lower_records,
+       round(harm.hn, 6) AS expected_records,
+       CASE WHEN harm.hn - harm.hn2 > 0
+            THEN round((CAST(s.n_upper_records AS DOUBLE) - harm.hn)
+                 / sqrt(harm.hn - harm.hn2), 6) END AS z_upper,
+       CASE WHEN harm.hn - harm.hn2 > 0
+            THEN round((CAST(s.n_lower_records AS DOUBLE) - harm.hn)
+                 / sqrt(harm.hn - harm.hn2), 6) END AS z_lower
+FROM s JOIN harm ON s.event_type = harm.event_type
+ORDER BY s.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -18882,6 +19400,11 @@ ORDER BY event_type
 # generations old — _R7_FRONT rotates exactly those forward, oldest debt
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # r9 additions (the _R9_FRONT rebuild puts them at the window top):
+    "evt_funnel_conversion": (evt_funnel_conversion, _FUNNEL_SQL),
+    "evt_dau_drawdown": (evt_dau_drawdown, _DAU_DRAWDOWN_SQL),
+    "evt_turning_points": (evt_turning_points, _TURNING_POINTS_SQL),
+    "evt_records_test": (evt_records_test, _RECORDS_TEST_SQL),
     # r8 third-session additions — land BELOW the 50-slot window (the r8
     # prepend cap is spent); the _R8_FRONT rebuild leaves them at the head
     # of the post-window tail, and r9 rotates them to the front first.
@@ -19405,6 +19928,10 @@ _REGISTRY = {
 # the r4/r5-audited bulk in registry order (VERDICT r8 item 5).
 _R9_FRONT: list[str] = [
     # r9-NEW queries go HERE (top), newest first, as they land (cap 18).
+    "evt_records_test",
+    "evt_turning_points",
+    "evt_dau_drawdown",
+    "evt_funnel_conversion",
     # the 32 never-driver-audited r8 third-session queries (VERDICT item 1):
     "evt_welch_ttest",
     "evt_quadratic_trend",

@@ -1,0 +1,127 @@
+"""r9 additions: funnel conversion, DAU drawdown, turning-point and
+record-count randomness tests — unit semantics beyond the automatic
+oracle-parity coverage."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import __spark_entry__ as m
+
+
+def test_funnel_steps_monotone_and_bounded(spark, sf_small):
+    rows = m.queries()["evt_funnel_conversion"](spark, sf_small).collect()
+    assert [r.step for r in rows] == [1, 2, 3]
+    assert [r.step_name for r in rows] == ["view", "click", "purchase"]
+    # strict-order funnel: each step is a subset of the previous
+    assert rows[0].n_users >= rows[1].n_users >= rows[2].n_users
+    for r in rows:
+        assert r.n_users <= r.n_all
+        if r.conv_vs_prev is not None:
+            assert 0.0 <= r.conv_vs_prev <= 1.0
+        if r.conv_vs_all is not None:
+            assert 0.0 <= r.conv_vs_all <= 1.0
+        if r.step == 1:
+            assert r.median_gap_s is None and r.p90_gap_s is None
+        elif r.n_users > 0:
+            # strict 'after' on whole seconds: every gap >= 1
+            assert r.median_gap_s >= 1.0
+            assert r.p90_gap_s >= r.median_gap_s
+
+
+def test_funnel_step2_matches_manual_first_touch(spark, sf_small):
+    """Recompute step-2 count by hand from the raw events: users whose
+    first click lands strictly after their first view."""
+    from pyspark.sql import functions as F
+
+    from vector_search_optimization_spark.sources import load_table
+
+    e = load_table(spark, sf_small, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("t")
+    )
+    clicks: dict[int, list[int]] = {}
+    views: dict[int, int] = {}
+    for r in e.collect():
+        if r.event_type == "view":
+            views[r.user_id] = min(views.get(r.user_id, r.t), r.t)
+        elif r.event_type == "click":
+            clicks.setdefault(r.user_id, []).append(r.t)
+    expected = sum(
+        1
+        for u, t1 in views.items()
+        if any(t > t1 for t in clicks.get(u, []))
+    )
+    rows = m.queries()["evt_funnel_conversion"](spark, sf_small).collect()
+    assert rows[1].n_users == expected
+
+
+def test_dau_drawdown_bounds(spark, sf_small):
+    rows = m.queries()["evt_dau_drawdown"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.max_drawdown <= r.peak_dau
+        assert r.longest_underwater_days <= r.n_days
+        if r.max_drawdown_pct is not None:
+            assert 0.0 <= r.max_drawdown_pct <= 1.0
+        if r.max_drawdown > 0:
+            # an underwater day exists, so the longest spell is >= 1
+            assert r.longest_underwater_days >= 1
+
+
+def test_turning_points_bounds_and_expectation(spark, sf_small):
+    rows = m.queries()["evt_turning_points"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        # only interior days can turn
+        assert 0 <= r.n_turning <= max(r.n_days - 2, 0)
+        if r.n_days >= 3:
+            assert r.expected_turning == pytest.approx(
+                2.0 * (r.n_days - 2) / 3.0
+            )
+
+
+def test_records_expected_is_harmonic_number(spark, sf_small):
+    rows = m.queries()["evt_records_test"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        hn = sum(1.0 / k for k in range(1, r.n + 1))
+        assert r.expected_records == pytest.approx(round(hn, 6), abs=2e-6)
+        # the first observation is always both an upper and lower record
+        assert r.n_upper_records >= 1
+        assert r.n_lower_records >= 1
+        assert r.n_upper_records <= r.n
+        assert r.n_lower_records <= r.n
+
+
+def test_records_on_strictly_increasing_series(spark, tmp_path):
+    """A strictly increasing value series: every one of the n rows is
+    an upper record and only the first is a lower record."""
+    import datetime
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 3, 1) + datetime.timedelta(hours=i),
+            "a",
+            1.0 + i,
+        )
+        for i in range(50)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = m.queries()["evt_records_test"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n == 50
+    assert r.n_upper_records == 50
+    assert r.n_lower_records == 1
+    expected_z = (50 - r.expected_records) / math.sqrt(
+        sum(1.0 / k for k in range(1, 51))
+        - sum(1.0 / (k * k) for k in range(1, 51))
+    )
+    assert r.z_upper == pytest.approx(expected_z, abs=1e-4)

@@ -660,6 +660,206 @@ def main() -> None:
 
     stage("theil_sen_pairgrid", _theil_sen_pairgrid)
 
+    def _loo_knn_cells():
+        """emb_loo_knn_accuracy's PRODUCTION contract (the docstring's
+        per-IVF-cell path): cells of FIXED ~1,000 vectors, cell count
+        grows with scale, one GEMM per cell via applyInPandas, accuracy
+        a per-cell combinable aggregate. Cost must be linear in the
+        cell count — a superlinear read means the cell bound broke."""
+        n_cells = 2 * SCALE
+        cells = emb.select(
+            (F.col("vec_id") % n_cells).alias("cell"),
+            "vec_id",
+            (F.col("vec_id") % 7).cast("int").alias("label"),
+            "embedding",
+        )
+
+        def _cell_loo(pdf):
+            import pandas as pd
+
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            mat, labs = mat[order], pdf["label"].to_numpy()[order]
+            bn = (mat * mat).sum(axis=1)
+            d2 = bn[:, None] + bn[None, :] - 2.0 * (mat @ mat.T)
+            np.fill_diagonal(d2, np.inf)
+            pick = d2.argmin(axis=1)
+            return pd.DataFrame(
+                {
+                    "cell": [int(pdf["cell"].iloc[0])],
+                    "n": [len(ids)],
+                    "n_correct": [int((labs[pick] == labs).sum())],
+                }
+            )
+
+        return (
+            cells.groupBy("cell")
+            .applyInPandas(_cell_loo, "cell long, n long, n_correct long")
+            .count()
+        )
+
+    stage("loo_knn_cells", _loo_knn_cells)
+
+    def _loo_gemm_vs_pairjoin():
+        """emb_loo_knn_accuracy's two in-repo paths at a FIXED 1,200-
+        vector slice (scale-independent crossover record): broadcast
+        GEMM kernel vs the declarative pair-join twin. The ratio is the
+        reason _LOO_KNN_BROADCAST_LIMIT sits at 100k — the pair join
+        exists as the beyond-broadcast declarative twin, not a peer."""
+        from vector_search_optimization_spark.functions import vector as V
+
+        sub = emb.where(F.col("vec_id") < 1200).select(
+            "vec_id",
+            (F.col("vec_id") % 7).cast("int").alias("label"),
+            "embedding",
+        ).persist()
+        sub.count()
+        ref = sub.collect()
+        t = time.time()
+        ids = np.array([r["vec_id"] for r in ref], dtype=np.int64)
+        labs = np.array([r["label"] for r in ref])
+        mat = np.array([r["embedding"] for r in ref], dtype=np.float64)
+        bn = (mat * mat).sum(axis=1)
+        d2 = bn[:, None] + bn[None, :] - 2.0 * (mat @ mat.T)
+        np.fill_diagonal(d2, np.inf)
+        acc_kernel = int((labs[d2.argmin(axis=1)] == labs).sum())
+        out["loo_gemm_1200_s"] = round(time.time() - t, 2)
+        from pyspark.sql import Window as W
+
+        a = sub.select(
+            F.col("vec_id").alias("i"),
+            F.col("label").alias("la"),
+            F.col("embedding").alias("va"),
+        )
+        b = sub.select(
+            F.col("vec_id").alias("j"),
+            F.col("label").alias("lb"),
+            F.col("embedding").alias("vb"),
+        )
+        t = time.time()
+        wnn = W.partitionBy("i").orderBy("r", "j")
+        nn = (
+            a.crossJoin(b)
+            .where(F.col("i") != F.col("j"))
+            .select("i", "la", "lb", V.sq_euclidean("va", "vb").alias("r"), "j")
+            .withColumn("rn", F.row_number().over(wnn))
+            .where(F.col("rn") == 1)
+        )
+        acc_join = nn.where(F.col("la") == F.col("lb")).count()
+        out["loo_pairjoin_1200_s"] = round(time.time() - t, 2)
+        assert acc_kernel == acc_join, (acc_kernel, acc_join)
+        sub.unpersist()
+        return acc_join
+
+    stage("loo_gemm_vs_pairjoin", _loo_gemm_vs_pairjoin)
+
+    def _hubness_label_exponent():
+        """emb_hubness_audit / emb_intrinsic_dim family: per-LABEL
+        pair-join cost ~ sum(L^2). Timed at label sizes 400/800/1600
+        (5 labels, fixed — scale-independent exponent record): the
+        log2 time ratios measure the exponent the docstrings claim,
+        and the absolute second reading at L=1600 is where the
+        documented IVF-cell-sample contract must engage."""
+        from pyspark.sql import Window as W
+        from vector_search_optimization_spark.functions import vector as V
+
+        last = 0
+        for L in (400, 800, 1600):
+            sub = emb.where(F.col("vec_id") < 5 * L).select(
+                (F.col("vec_id") % 5).alias("label"),
+                F.col("vec_id").alias("i"),
+                F.col("embedding").alias("va"),
+            ).persist()
+            sub.count()
+            t = time.time()
+            b = sub.select(
+                F.col("label"),
+                F.col("i").alias("j"),
+                F.col("va").alias("vb"),
+            )
+            d = (
+                sub.join(b, "label")
+                .where(F.col("i") != F.col("j"))
+                .select("label", "i", "j", V.sq_euclidean("va", "vb").alias("r"))
+            )
+            wnn = W.partitionBy("label", "i").orderBy("r", "j")
+            occ = (
+                d.withColumn("rn", F.row_number().over(wnn))
+                .where(F.col("rn") <= 5)
+                .groupBy("label", "j")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            last = occ.count()
+            out[f"hubness_L{L}_s"] = round(time.time() - t, 2)
+            sub.unpersist()
+        return last
+
+    stage("hubness_label_exponent", _hubness_label_exponent)
+
+    def _g10_landmark_bfs():
+        """g10_closeness's distributed frontier loop on a synthetic
+        random graph that GROWS with scale (nodes 10k×SCALE, d̄≈10):
+        4 rounds × (frontier-edge equi-join + distinct + anti-join),
+        each round |frontier|·d̄ work — the whole stage must stay
+        linear in the edge count, never n²."""
+        n_nodes = 10_000 * SCALE
+        edges = spark.range(0, 5 * n_nodes, 1, 32).select(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(11)), n_nodes).alias("src"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(12)), n_nodes).alias("dst"),
+        ).where(F.col("src") != F.col("dst"))
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).persist()
+        sym.count()
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        lm = (
+            deg.orderBy(F.col("degree").desc(), F.col("src").asc())
+            .limit(5)
+            .select(F.col("src").alias("l"))
+        )
+        visited = lm.select("l", F.col("l").alias("node")).persist()
+        frontier = visited
+        caches = [sym, visited]
+        reached = 0
+        for _ in range(4):
+            nxt = (
+                frontier.join(sym, frontier["node"] == sym["src"])
+                .select("l", F.col("dst").alias("node"))
+                .distinct()
+                .join(visited, ["l", "node"], "left_anti")
+                .persist()
+            )
+            caches.append(nxt)
+            reached += nxt.count()
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+        for c in caches:
+            c.unpersist()
+        return reached
+
+    stage("g10_landmark_bfs", _g10_landmark_bfs)
+
+    def _dau_mau_fanout():
+        """evt_dau_mau_stickiness's 28× map-side fan-out rewrite at
+        fact scale: n events → distinct (user, day) → explode ×28 →
+        per-day distinct count. Volume is exactly 28·|user-days| —
+        linear with a fixed constant, no range join anywhere."""
+        n = 125_000 * SCALE
+        ev = spark.range(0, n, 1, 32).select(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(13)), n // 50).alias("u"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(14)), 400).alias("d"),
+        )
+        ud = ev.distinct()
+        fan = ud.select(
+            "u", F.explode(F.sequence(F.lit(0), F.lit(27))).alias("k"), "d"
+        ).select("u", (F.col("d") + F.col("k")).alias("d"))
+        return fan.groupBy("d").agg(
+            F.countDistinct("u").alias("mau")
+        ).count()
+
+    stage("dau_mau_fanout", _dau_mau_fanout)
+
     print(json.dumps(out))
     spark.stop()
 
