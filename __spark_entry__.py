@@ -19384,6 +19384,527 @@ ORDER BY s.event_type
 """
 
 
+def evt_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger-causality screen between every ordered event-type
+    pair on the dense daily revenue grid — the CROSS-series companion
+    to evt_lag_correlation (which only measures association, not
+    incremental predictivity): does x's yesterday improve the forecast
+    of y's today beyond y's own yesterday? Unrestricted OLS y_t = a +
+    b·y_{t−1} + c·x_{t−1} vs restricted y_t = a + b·y_{t−1}; F =
+    (RSS_r − RSS_u)·(n−3)/RSS_u with 1 numerator df. Moments are
+    exact (cents products accumulated in DECIMAL(38,0)/HUGEINT per
+    the squared-sums rule); the Cramer solves and RSS chain in
+    DOUBLES through the IDENTICAL expression tree on both engines
+    (the Welch bit-identical-doubles discipline — exact-integer 3×3
+    determinants would overflow DECIMAL(38) once daily cents reach
+    ~1e9, unlike evt_quadratic_trend's small count sums), so F and
+    the betas agree bitwise before their 6dp rounds. Plan: one
+    (type, day) cents shuffle, a calendar-bounded grid, one lag
+    window per type, a |types|²-bounded day equi-join, one combinable
+    moments agg — fact-size-independent after the first shuffle."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    span = daily.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    types = daily.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(span)).select(
+        "event_type", F.explode(F.sequence("mn", "mx")).alias("d")
+    )
+    dense = grid.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        "d",
+        F.coalesce("cents", F.lit(0).cast("long")).alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    ydf = (
+        dense.select(
+            F.col("event_type").alias("y_type"),
+            "d",
+            F.col("x").alias("y"),
+            F.lag("x").over(w).alias("yl"),
+        )
+        .where(F.col("yl").isNotNull())
+    )
+    xdf = dense.select(
+        F.col("event_type").alias("x_type"),
+        (F.col("d") + 1).alias("d"),
+        F.col("x").alias("xl"),
+    )
+    rows = ydf.join(xdf, "d").where(F.col("y_type") != F.col("x_type"))
+
+    def dsum(c: F.Column) -> F.Column:
+        return F.sum(c.cast("decimal(38,0)"))
+
+    mom = rows.groupBy("y_type", "x_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("yl").cast("long").alias("syl"),
+        F.sum("xl").cast("long").alias("sxl"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("y") * F.col("yl")).alias("syyl"),
+        dsum(F.col("y") * F.col("xl")).alias("syxl"),
+        dsum(F.col("yl") * F.col("yl")).alias("syl2"),
+        dsum(F.col("xl") * F.col("yl")).alias("sxlyl"),
+        dsum(F.col("xl") * F.col("xl")).alias("sxl2"),
+    )
+    d_ = mom
+    for c in (
+        "n",
+        "sy",
+        "syl",
+        "sxl",
+        "syy",
+        "syyl",
+        "syxl",
+        "syl2",
+        "sxlyl",
+        "sxl2",
+    ):
+        d_ = d_.withColumn("d" + c, F.col(c).cast("double"))
+    dn, dsy, dsyl, dsxl = (
+        F.col("dn"),
+        F.col("dsy"),
+        F.col("dsyl"),
+        F.col("dsxl"),
+    )
+    dsyy, dsyyl, dsyxl = F.col("dsyy"), F.col("dsyyl"), F.col("dsyxl")
+    dsyl2, dsxlyl, dsxl2 = F.col("dsyl2"), F.col("dsxlyl"), F.col("dsxl2")
+    solved = (
+        d_.withColumn(
+            "det",
+            dn * (dsyl2 * dsxl2 - dsxlyl * dsxlyl)
+            - dsyl * (dsyl * dsxl2 - dsxlyl * dsxl)
+            + dsxl * (dsyl * dsxlyl - dsyl2 * dsxl),
+        )
+        .withColumn(
+            "deta",
+            dsy * (dsyl2 * dsxl2 - dsxlyl * dsxlyl)
+            - dsyl * (dsyyl * dsxl2 - dsxlyl * dsyxl)
+            + dsxl * (dsyyl * dsxlyl - dsyl2 * dsyxl),
+        )
+        .withColumn(
+            "detb",
+            dn * (dsyyl * dsxl2 - dsxlyl * dsyxl)
+            - dsy * (dsyl * dsxl2 - dsxlyl * dsxl)
+            + dsxl * (dsyl * dsyxl - dsyyl * dsxl),
+        )
+        .withColumn(
+            "detc",
+            dn * (dsyl2 * dsyxl - dsyyl * dsxlyl)
+            - dsyl * (dsyl * dsyxl - dsyyl * dsxl)
+            + dsy * (dsyl * dsxlyl - dsyl2 * dsxl),
+        )
+        .withColumn("det2", dn * dsyl2 - dsyl * dsyl)
+        # ANSI: double division by zero is an ERROR — gate every Cramer
+        # division on its determinant (export CASEs alone don't help;
+        # the intermediate would already have thrown)
+        .withColumn(
+            "a", F.when(F.col("det") != 0, F.col("deta") / F.col("det"))
+        )
+        .withColumn(
+            "b", F.when(F.col("det") != 0, F.col("detb") / F.col("det"))
+        )
+        .withColumn(
+            "c", F.when(F.col("det") != 0, F.col("detc") / F.col("det"))
+        )
+        .withColumn(
+            "ar",
+            F.when(
+                F.col("det2") != 0,
+                (dsy * dsyl2 - dsyl * dsyyl) / F.col("det2"),
+            ),
+        )
+        .withColumn(
+            "br",
+            F.when(
+                F.col("det2") != 0,
+                (dn * dsyyl - dsyl * dsy) / F.col("det2"),
+            ),
+        )
+        .withColumn(
+            "rss_u",
+            dsyy
+            - F.col("a") * dsy
+            - F.col("b") * dsyyl
+            - F.col("c") * dsyxl,
+        )
+        .withColumn(
+            "rss_r", dsyy - F.col("ar") * dsy - F.col("br") * dsyyl
+        )
+    )
+    ok = (
+        (F.col("n") >= 4)
+        & (F.col("det") != 0)
+        & (F.col("det2") != 0)
+        & (F.col("rss_u") > 0)
+    )
+    return solved.select(
+        "y_type",
+        "x_type",
+        F.col("n").alias("n_obs"),
+        F.when(ok, F.round(F.col("c"), 6)).alias("beta_xlag"),
+        F.when(
+            ok,
+            F.round(
+                (F.col("rss_r") - F.col("rss_u"))
+                * (dn - F.lit(3.0))
+                / F.col("rss_u"),
+                6,
+            ),
+        ).alias("f_stat"),
+        F.when(
+            ok & (F.col("rss_r") > 0),
+            F.round(
+                (F.col("rss_r") - F.col("rss_u")) / F.col("rss_r"), 6
+            ),
+        ).alias("rss_gain_share"),
+    ).orderBy("y_type", "x_type")
+
+
+_GRANGER_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), span AS (
+  SELECT min(d) AS mn, max(d) AS mx FROM daily
+), grid AS (
+  SELECT t.event_type, CAST(unnest(generate_series(mn, mx)) AS BIGINT) AS d
+  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN span
+), dense AS (
+  SELECT g.event_type, g.d, coalesce(a.cents, 0) AS x
+  FROM grid g LEFT JOIN daily a
+    ON g.event_type = a.event_type AND g.d = a.d
+), ydf AS (
+  SELECT event_type AS y_type, d, x AS y,
+         lag(x) OVER (PARTITION BY event_type ORDER BY d) AS yl
+  FROM dense
+  QUALIFY yl IS NOT NULL
+), xdf AS (
+  SELECT event_type AS x_type, d + 1 AS d, x AS xl FROM dense
+), rows_ AS (
+  SELECT y_type, x_type, y, yl, xl
+  FROM ydf JOIN xdf USING (d)
+  WHERE y_type <> x_type
+), mom AS (
+  SELECT y_type, x_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(yl) AS BIGINT) AS syl,
+         CAST(sum(xl) AS BIGINT) AS sxl,
+         sum(CAST(y AS HUGEINT) * y) AS syy,
+         sum(CAST(y AS HUGEINT) * yl) AS syyl,
+         sum(CAST(y AS HUGEINT) * xl) AS syxl,
+         sum(CAST(yl AS HUGEINT) * yl) AS syl2,
+         sum(CAST(xl AS HUGEINT) * yl) AS sxlyl,
+         sum(CAST(xl AS HUGEINT) * xl) AS sxl2
+  FROM rows_ GROUP BY 1, 2
+), dbl AS (
+  SELECT y_type, x_type, n,
+         CAST(n AS DOUBLE) AS dn, CAST(sy AS DOUBLE) AS dsy,
+         CAST(syl AS DOUBLE) AS dsyl, CAST(sxl AS DOUBLE) AS dsxl,
+         CAST(syy AS DOUBLE) AS dsyy, CAST(syyl AS DOUBLE) AS dsyyl,
+         CAST(syxl AS DOUBLE) AS dsyxl, CAST(syl2 AS DOUBLE) AS dsyl2,
+         CAST(sxlyl AS DOUBLE) AS dsxlyl, CAST(sxl2 AS DOUBLE) AS dsxl2
+  FROM mom
+), dets AS (
+  SELECT *,
+         dn * (dsyl2 * dsxl2 - dsxlyl * dsxlyl)
+         - dsyl * (dsyl * dsxl2 - dsxlyl * dsxl)
+         + dsxl * (dsyl * dsxlyl - dsyl2 * dsxl) AS det,
+         dsy * (dsyl2 * dsxl2 - dsxlyl * dsxlyl)
+         - dsyl * (dsyyl * dsxl2 - dsxlyl * dsyxl)
+         + dsxl * (dsyyl * dsxlyl - dsyl2 * dsyxl) AS deta,
+         dn * (dsyyl * dsxl2 - dsxlyl * dsyxl)
+         - dsy * (dsyl * dsxl2 - dsxlyl * dsxl)
+         + dsxl * (dsyl * dsyxl - dsyyl * dsxl) AS detb,
+         dn * (dsyl2 * dsyxl - dsyyl * dsxlyl)
+         - dsyl * (dsyl * dsyxl - dsyyl * dsxl)
+         + dsy * (dsyl * dsxlyl - dsyl2 * dsxl) AS detc,
+         dn * dsyl2 - dsyl * dsyl AS det2
+  FROM dbl
+), coefs AS (
+  SELECT *,
+         deta / det AS a, detb / det AS b, detc / det AS c,
+         (dsy * dsyl2 - dsyl * dsyyl) / det2 AS ar,
+         (dn * dsyyl - dsyl * dsy) / det2 AS br
+  FROM dets
+), rss AS (
+  SELECT *,
+         dsyy - a * dsy - b * dsyyl - c * dsyxl AS rss_u,
+         dsyy - ar * dsy - br * dsyyl AS rss_r
+  FROM coefs
+)
+SELECT y_type, x_type, n AS n_obs,
+       CASE WHEN n >= 4 AND det <> 0 AND det2 <> 0 AND rss_u > 0
+            THEN round(c, 6) END AS beta_xlag,
+       CASE WHEN n >= 4 AND det <> 0 AND det2 <> 0 AND rss_u > 0
+            THEN round((rss_r - rss_u) * (dn - 3.0) / rss_u, 6)
+       END AS f_stat,
+       CASE WHEN n >= 4 AND det <> 0 AND det2 <> 0 AND rss_u > 0
+                 AND rss_r > 0
+            THEN round((rss_r - rss_u) / rss_r, 6)
+       END AS rss_gain_share
+FROM rss
+ORDER BY y_type, x_type
+"""
+
+
+def source_stylometry_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between every source pair — the stylometric
+    distance authorship attribution runs on: over the corpus's K=30
+    most frequent marker words (count-desc / word-asc tie-break),
+    each source's relative frequency is standardized across sources
+    (z_{s,w} = (f−μ_w)/σ_w, sample ddof=1) and Delta(a,b) is the mean
+    |z_a − z_b|. Counts are exact integers and f is one exact-int
+    division; μ/σ/z chain doubles through the identical expression
+    tree on both engines (σ via explicit Σf/Σf² — builtin stddev
+    implementations differ numerically across engines); Delta is a
+    sqrt-derived irrational mean → 6dp. Zero-variance markers are
+    excluded on the 12dp-rounded variance (deterministic on both
+    engines). Plan: ONE tokenization pass feeding a persisted
+    (source, word) count frame; markers via TakeOrdered-30 on the
+    word margin; everything downstream is |sources|×30 ≤ 600 rows —
+    the pair join is 190×30, driver-free and constant at any corpus
+    size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda tk: tk != "",
+            )
+        ).alias("w"),
+    )
+    sw = (
+        toks.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    ns = sw.groupBy("source").agg(F.sum("c").cast("long").alias("ns"))
+    top = (
+        sw.groupBy("w")
+        .agg(F.sum("c").cast("long").alias("cw"))
+        .orderBy(F.col("cw").desc(), F.col("w").asc())
+        .limit(30)
+        .select("w")
+    )
+    grid = (
+        ns.crossJoin(F.broadcast(top))
+        .join(sw, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (
+                F.coalesce("c", F.lit(0).cast("long")).cast("double")
+                / F.col("ns").cast("double")
+            ).alias("f"),
+        )
+    )
+    stats = grid.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("f").alias("sf"),
+        F.sum(F.col("f") * F.col("f")).alias("sf2"),
+    )
+    mu = F.col("sf") / F.col("k").cast("double")
+    varw = (F.col("sf2") - F.col("k").cast("double") * mu * mu) / (
+        F.col("k") - 1
+    ).cast("double")
+    zs = (
+        grid.join(
+            F.broadcast(
+                stats.select(
+                    "w",
+                    mu.alias("mu"),
+                    F.round(varw, 12).alias("var_r"),
+                    varw.alias("var"),
+                )
+            ),
+            "w",
+        )
+        .where(F.col("var_r") > 0)
+        .select(
+            "source",
+            "w",
+            ((F.col("f") - F.col("mu")) / F.sqrt(F.col("var"))).alias("z"),
+        )
+    )
+    a = zs.select(
+        F.col("source").alias("src_a"), "w", F.col("z").alias("za")
+    )
+    b = zs.select(
+        F.col("source").alias("src_b"), "w", F.col("z").alias("zb")
+    )
+    pairs = (
+        a.join(b, "w")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_markers"),
+            F.sum(F.abs(F.col("za") - F.col("zb"))).alias("sd"),
+        )
+    )
+    out = pairs.select(
+        "src_a",
+        "src_b",
+        "n_markers",
+        F.round(
+            F.col("sd") / F.col("n_markers").cast("double"), 6
+        ).alias("delta_burrows"),
+    ).orderBy("src_a", "src_b")
+    out._vso_caches = [sw]
+    return out
+
+
+_STYLOMETRY_SQL = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS w
+  FROM documents
+), sw AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), ns AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sw GROUP BY 1
+), top AS (
+  SELECT w FROM (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM sw GROUP BY 1)
+  ORDER BY cw DESC, w ASC LIMIT 30
+), grid AS (
+  SELECT ns.source, top.w,
+         CAST(coalesce(sw.c, 0) AS DOUBLE) / CAST(ns.ns AS DOUBLE) AS f
+  FROM ns CROSS JOIN top
+  LEFT JOIN sw ON sw.source = ns.source AND sw.w = top.w
+), stats AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS k,
+         sum(f) AS sf, sum(f * f) AS sf2
+  FROM grid GROUP BY 1
+), mv AS (
+  SELECT w,
+         sf / CAST(k AS DOUBLE) AS mu,
+         (sf2 - CAST(k AS DOUBLE) * (sf / CAST(k AS DOUBLE))
+                * (sf / CAST(k AS DOUBLE)))
+           / CAST(k - 1 AS DOUBLE) AS var,
+         round((sf2 - CAST(k AS DOUBLE) * (sf / CAST(k AS DOUBLE))
+                * (sf / CAST(k AS DOUBLE)))
+           / CAST(k - 1 AS DOUBLE), 12) AS var_r
+  FROM stats
+), zs AS (
+  SELECT g.source, g.w, (g.f - mv.mu) / sqrt(mv.var) AS z
+  FROM grid g JOIN mv ON g.w = mv.w
+  WHERE mv.var_r > 0
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_markers,
+       round(sum(abs(a.z - b.z)) / CAST(count(*) AS DOUBLE), 6)
+         AS delta_burrows
+FROM zs a JOIN zs b ON a.w = b.w AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the REVENUE companion to
+    evt_retention_cohorts (which counts activity, not value): group
+    customers by the calendar month of their FIRST order, then track
+    each cohort's cumulative revenue per months-since-cohort k; LTV
+    per customer = cum cents / cohort size. Month indices are exact
+    ints (year·12 + month−1, UTC calendar), revenue is exact cents,
+    the cumulative window runs over the ≤|cohorts|×|months| curve
+    frame, and ltv is ONE exact-integer division (unrounded). Plan:
+    per-customer first-month combinable min agg, an equi-join back on
+    custkey, one (cohort, k) cents shuffle, a tiny cumulative window
+    — the curve frame is calendar²-bounded regardless of fact rows."""
+    o = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast(
+        "long"
+    )
+    om = o.select(
+        "o_custkey",
+        ym.alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = om.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    sized = first.groupBy("m0").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_customers")
+    )
+    curve = (
+        om.join(first, "o_custkey")
+        .groupBy(F.col("m0").alias("cohort_month"), (F.col("m") - F.col("m0")).alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("cohort_month")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        curve.join(
+            F.broadcast(sized.select(F.col("m0").alias("cohort_month"), "n_customers")),
+            "cohort_month",
+        )
+        .select(
+            "cohort_month",
+            "k",
+            "n_customers",
+            "n_orders",
+            "rev_cents",
+            F.sum("rev_cents").over(wcum).cast("long").alias("cum_rev_cents"),
+        )
+        .select(
+            "cohort_month",
+            "k",
+            "n_customers",
+            "n_orders",
+            "rev_cents",
+            "cum_rev_cents",
+            (
+                F.col("cum_rev_cents").cast("double")
+                / F.col("n_customers").cast("double")
+            ).alias("ltv_cents_per_customer"),
+        )
+        .orderBy("cohort_month", "k")
+    )
+
+
+_COHORT_LTV_SQL = """
+WITH om AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), first_m AS (
+  SELECT o_custkey, min(m) AS m0 FROM om GROUP BY 1
+), sized AS (
+  SELECT m0 AS cohort_month,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+  FROM first_m GROUP BY 1
+), curve AS (
+  SELECT f.m0 AS cohort_month, om.m - f.m0 AS k,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(om.cents) AS BIGINT) AS rev_cents
+  FROM om JOIN first_m f ON om.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+)
+SELECT c.cohort_month, c.k, s.n_customers, c.n_orders, c.rev_cents,
+       CAST(sum(c.rev_cents) OVER (PARTITION BY c.cohort_month ORDER BY c.k
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents,
+       CAST(sum(c.rev_cents) OVER (PARTITION BY c.cohort_month ORDER BY c.k
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / CAST(s.n_customers AS DOUBLE) AS ltv_cents_per_customer
+FROM curve c JOIN sized s ON c.cohort_month = s.cohort_month
+ORDER BY c.cohort_month, c.k
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -19401,6 +19922,9 @@ ORDER BY s.event_type
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # r9 additions (the _R9_FRONT rebuild puts them at the window top):
+    "evt_granger_lag1": (evt_granger_lag1, _GRANGER_SQL),
+    "source_stylometry_delta": (source_stylometry_delta, _STYLOMETRY_SQL),
+    "orders_cohort_ltv": (orders_cohort_ltv, _COHORT_LTV_SQL),
     "evt_funnel_conversion": (evt_funnel_conversion, _FUNNEL_SQL),
     "evt_dau_drawdown": (evt_dau_drawdown, _DAU_DRAWDOWN_SQL),
     "evt_turning_points": (evt_turning_points, _TURNING_POINTS_SQL),
@@ -19928,6 +20452,9 @@ _REGISTRY = {
 # the r4/r5-audited bulk in registry order (VERDICT r8 item 5).
 _R9_FRONT: list[str] = [
     # r9-NEW queries go HERE (top), newest first, as they land (cap 18).
+    "orders_cohort_ltv",
+    "source_stylometry_delta",
+    "evt_granger_lag1",
     "evt_records_test",
     "evt_turning_points",
     "evt_dau_drawdown",

@@ -125,3 +125,92 @@ def test_records_on_strictly_increasing_series(spark, tmp_path):
         - sum(1.0 / (k * k) for k in range(1, 51))
     )
     assert r.z_upper == pytest.approx(expected_z, abs=1e-4)
+
+
+def test_granger_bounds_and_row_count(spark, sf_small):
+    rows = m.queries()["evt_granger_lag1"](spark, sf_small).collect()
+    # 5 event types -> 20 ordered pairs
+    assert len(rows) == 20
+    for r in rows:
+        if r.f_stat is not None:
+            assert r.f_stat >= -1e-9  # RSS_r >= RSS_u up to fp noise
+        if r.rss_gain_share is not None:
+            assert -1e-9 <= r.rss_gain_share < 1.0
+
+
+def test_granger_collinear_pair_is_guarded(spark, tmp_path):
+    """Two types with IDENTICAL daily series: x_lag == y_lag exactly,
+    the unrestricted design matrix is singular (det=0) and the guard
+    must export NULLs instead of garbage."""
+    import datetime
+
+    rows = []
+    eid = 0
+    for d in range(20):
+        ts = datetime.datetime(2024, 5, 1, 6) + datetime.timedelta(days=d)
+        v = float(10 + (d * 7) % 13)
+        for t in ("a", "b"):
+            rows.append((eid, ts, t, v))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = m.queries()["evt_granger_lag1"](spark, str(tmp_path)).collect()
+    assert len(got) == 2
+    for r in got:
+        assert r.beta_xlag is None
+        assert r.f_stat is None
+
+
+def test_stylometry_identical_sources_have_zero_delta(spark, tmp_path):
+    """Two sources with identical token distributions sit at Delta=0;
+    a third, different source sits strictly above."""
+    docs = []
+    for i in range(10):
+        docs.append((i, "alpha beta gamma delta alpha beta", "en", "s1", 30))
+        docs.append((100 + i, "alpha beta gamma delta alpha beta", "en", "s2", 30))
+        docs.append((200 + i, "omega omega psi chi phi omega", "en", "s3", 30))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r.src_a, r.src_b): r.delta_burrows
+        for r in m.queries()["source_stylometry_delta"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[("s1", "s2")] == pytest.approx(0.0, abs=1e-9)
+    assert got[("s1", "s3")] > 0.1
+    assert got[("s1", "s3")] == pytest.approx(got[("s2", "s3")], abs=1e-9)
+
+
+def test_stylometry_delta_nonnegative_and_bounded_markers(spark, sf_small):
+    rows = m.queries()["source_stylometry_delta"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.delta_burrows >= 0
+        assert 1 <= r.n_markers <= 30
+
+
+def test_cohort_ltv_monotone_and_identities(spark, sf_small):
+    rows = m.queries()["orders_cohort_ltv"](spark, sf_small).collect()
+    assert rows
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_month, []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.k)
+        # the cohort's defining month is always a curve point
+        assert rs[0].k == 0
+        cum = 0
+        for r in rs:
+            assert r.k >= 0
+            cum += r.rev_cents
+            assert r.cum_rev_cents == cum
+            assert r.ltv_cents_per_customer == pytest.approx(
+                cum / r.n_customers
+            )
