@@ -19007,91 +19007,25 @@ def evt_dau_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST day attaining it), the depth as a fraction of the running
     peak at the trough (one exact-integer division, unrounded), and
     the longest consecutive-day underwater spell (dense-grid islands
-    via the d − row_number() trick, missing days = 0 DAU). Plan: one
-    (type, day) distinct-count shuffle, a calendar-bounded grid
-    explode, two per-type windows over ≤|days| rows, one combinable
-    final agg — fact-size-independent after the first shuffle."""
+    via the d − row_number() trick, missing days = 0 DAU). The core
+    runs on the SHARED combine operators/timeseries.drawdown_from_daily
+    (one definition, two execution paths —
+    streaming/drawdown_maintenance.py is the twin). Plan: one (type,
+    day) distinct-count shuffle, a calendar-bounded grid explode, two
+    per-type windows over ≤|days| rows, one combinable final agg —
+    fact-size-independent after the first shuffle."""
+    from vector_search_optimization_spark.operators.timeseries import (
+        drawdown_from_daily,
+    )
+
     e = load_table(spark, sf_dir, "events")
     day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
     daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
         F.countDistinct("user_id").cast("long").alias("dau")
     )
-    span = daily.groupBy("event_type").agg(
-        F.min("d").alias("mn"), F.max("d").alias("mx")
-    )
-    grid = span.select(
-        "event_type", F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
-    )
-    dense = grid.join(daily, ["event_type", "d"], "left").select(
-        "event_type",
-        "d",
-        F.coalesce("dau", F.lit(0).cast("long")).alias("dau"),
-    )
-    wrun = (
-        Window.partitionBy("event_type")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    dd = dense.select(
-        "event_type",
-        "d",
-        "dau",
-        (F.max("dau").over(wrun) - F.col("dau")).alias("dd"),
-    )
-    wrow = Window.partitionBy("event_type").orderBy("d")
-    under = dd.where(F.col("dd") > 0).select(
-        "event_type",
-        (F.col("d") - F.row_number().over(wrow)).alias("grp"),
-    )
-    spell = (
-        under.groupBy("event_type", "grp")
-        .agg(F.count(F.lit(1)).cast("long").alias("len"))
-        .groupBy("event_type")
-        .agg(F.max("len").cast("long").alias("longest_underwater_days"))
-    )
-    agg = dd.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.max("dau").cast("long").alias("peak_dau"),
-        F.max("dd").cast("long").alias("max_drawdown"),
-    )
-    # trough day + running peak at the trough need the max_drawdown
-    # first: one tiny broadcast join back onto the |types|x|days| frame
-    troughs = (
-        dd.join(
-            F.broadcast(agg.select("event_type", "max_drawdown")),
-            "event_type",
-        )
-        .where(F.col("dd") == F.col("max_drawdown"))
-        .groupBy("event_type", "max_drawdown")
-        .agg(F.min(F.struct("d", "dau")).alias("_td"))
-        .select(
-            "event_type",
-            F.col("_td.d").cast("long").alias("trough_day"),
-            (F.col("_td.dau") + F.col("max_drawdown"))
-            .cast("long")
-            .alias("peak_at_trough"),
-        )
-    )
-    return (
-        agg.join(troughs, "event_type")
-        .join(spell, "event_type", "left")
-        .select(
-            "event_type",
-            "n_days",
-            "peak_dau",
-            "max_drawdown",
-            "trough_day",
-            F.when(
-                F.col("peak_at_trough") > 0,
-                F.col("max_drawdown").cast("double")
-                / F.col("peak_at_trough").cast("double"),
-            ).alias("max_drawdown_pct"),
-            F.coalesce("longest_underwater_days", F.lit(0).cast("long")).alias(
-                "longest_underwater_days"
-            ),
-        )
-        .orderBy("event_type")
-    )
+    return drawdown_from_daily(
+        daily, group_col="event_type", day_col="d", value_col="dau"
+    ).withColumnRenamed("peak", "peak_dau")
 
 
 _DAU_DRAWDOWN_SQL = """

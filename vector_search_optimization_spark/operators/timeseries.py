@@ -10,12 +10,108 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "drawdown_from_daily",
     "ewma_from_daily",
     "holt_from_daily",
     "isotonic_blocks",
     "runs_test_from_daily",
     "seasonal_from_daily",
 ]
+
+
+def drawdown_from_daily(
+    daily: DataFrame,
+    group_col: str = "event_type",
+    day_col: str = "d",
+    value_col: str = "dau",
+) -> DataFrame:
+    """Peak-decline-recovery (drawdown) analytics from a (group, day,
+    exact-integer value) frame — the SHARED combine behind the
+    evt_dau_drawdown batch query and streaming/drawdown_maintenance.py
+    (the ewma_from_daily one-combine-two-paths pattern).
+
+    Days inside the observed [min, max] span with no rows fill to 0
+    (the dense-calendar contract) via a calendar-bounded spine; the
+    running-peak window, max depth (exact int), first trough day,
+    depth as a fraction of the running peak at the trough (ONE exact-
+    integer division, unrounded) and the longest consecutive underwater
+    spell (d − row_number islands) all run on the |groups×days| grid —
+    fact-size-independent wherever this executes."""
+    from pyspark.sql import Window
+
+    span = daily.groupBy(group_col).agg(
+        F.min(day_col).alias("mn"), F.max(day_col).alias("mx")
+    )
+    grid = span.select(
+        group_col, F.explode(F.sequence("mn", "mx")).alias(day_col)
+    )
+    dense = grid.join(daily, [group_col, day_col], "left").select(
+        group_col,
+        day_col,
+        F.coalesce(value_col, F.lit(0).cast("long")).alias("v"),
+    )
+    wrun = (
+        Window.partitionBy(group_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = dense.select(
+        group_col,
+        day_col,
+        "v",
+        (F.max("v").over(wrun) - F.col("v")).alias("dd"),
+    )
+    wrow = Window.partitionBy(group_col).orderBy(day_col)
+    under = dd.where(F.col("dd") > 0).select(
+        group_col,
+        (F.col(day_col) - F.row_number().over(wrow)).alias("grp"),
+    )
+    spell = (
+        under.groupBy(group_col, "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("len"))
+        .groupBy(group_col)
+        .agg(F.max("len").cast("long").alias("longest_underwater_days"))
+    )
+    agg = dd.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("v").cast("long").alias("peak"),
+        F.max("dd").cast("long").alias("max_drawdown"),
+    )
+    troughs = (
+        dd.join(
+            F.broadcast(agg.select(group_col, "max_drawdown")), group_col
+        )
+        .where(F.col("dd") == F.col("max_drawdown"))
+        .groupBy(group_col, "max_drawdown")
+        .agg(F.min(F.struct(day_col, "v")).alias("_td"))
+        .select(
+            group_col,
+            F.col(f"_td.{day_col}").cast("long").alias("trough_day"),
+            (F.col("_td.v") + F.col("max_drawdown"))
+            .cast("long")
+            .alias("peak_at_trough"),
+        )
+    )
+    return (
+        agg.join(troughs, group_col)
+        .join(spell, group_col, "left")
+        .select(
+            group_col,
+            "n_days",
+            "peak",
+            "max_drawdown",
+            "trough_day",
+            F.when(
+                F.col("peak_at_trough") > 0,
+                F.col("max_drawdown").cast("double")
+                / F.col("peak_at_trough").cast("double"),
+            ).alias("max_drawdown_pct"),
+            F.coalesce(
+                "longest_underwater_days", F.lit(0).cast("long")
+            ).alias("longest_underwater_days"),
+        )
+        .orderBy(group_col)
+    )
 
 
 def seasonal_from_daily(
