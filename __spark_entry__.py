@@ -19839,6 +19839,397 @@ ORDER BY c.cohort_month, c.k
 """
 
 
+def evt_peak_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-over-threshold EVT per event type — the exceedance-based
+    sibling of evt_gumbel_maxima's block maxima (POT uses every tail
+    point, not one per block): threshold u = the EXACT type-1 90th-
+    percentile order statistic of daily revenue (k = ⌈9n/10⌉ via pure
+    integer math (9n+9) div 10 — no float ceil edge), exceedances
+    y = c − u are exact ints, and the GPD fits by method of moments
+    ξ = ½(1 − m²/s²), σ = ½m(1 + m²/s²) from exact S/Q sums (Q in
+    DECIMAL(38,0)/HUGEINT per the squared-sums rule); the 90-day
+    return level u + σ/ξ·((λT)^ξ − 1) chains bit-identical doubles.
+    u and the exceedance counts export exact; ξ/σ/return level round
+    6dp (pow-derived). Plan: one (type, day) cents shuffle, a rank
+    window on the ≤|types|×|days| dense grid, one combinable moments
+    agg — fact-size-independent after the first shuffle."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("d").alias("mn"), F.max("d").alias("mx")
+    )
+    grid = span.select(
+        "event_type", F.explode(F.sequence("mn", "mx")).alias("d")
+    )
+    dense = grid.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        "d",
+        F.coalesce("cents", F.lit(0).cast("long")).alias("c"),
+    )
+    wrank = Window.partitionBy("event_type").orderBy("c", "d")
+    nd = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    ranked = dense.withColumn("rn", F.row_number().over(wrank)).join(
+        F.broadcast(nd), "event_type"
+    )
+    thresh = ranked.where(
+        F.col("rn") == F.expr("(9 * n_days + 9) div 10")
+    ).select("event_type", F.col("c").alias("u"), "n_days")
+    exc = (
+        dense.join(F.broadcast(thresh), "event_type")
+        .where(F.col("c") > F.col("u"))
+        .select(
+            "event_type", "u", "n_days", (F.col("c") - F.col("u")).alias("y")
+        )
+    )
+    mom = exc.groupBy("event_type", "u", "n_days").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("q"),
+    )
+    kd = F.col("k").cast("double")
+    m_ = F.col("s").cast("double") / kd
+    s2 = (
+        F.col("q").cast("double") - kd * m_ * m_
+    ) / (F.col("k") - 1).cast("double")
+    solved = (
+        mom.withColumn("m", m_)
+        .withColumn("s2", F.when(F.col("k") > 1, s2))
+        .withColumn(
+            "xi",
+            F.when(
+                F.col("s2") > 0,
+                F.lit(0.5)
+                * (F.lit(1.0) - F.col("m") * F.col("m") / F.col("s2")),
+            ),
+        )
+        .withColumn(
+            "sigma",
+            F.when(
+                F.col("s2") > 0,
+                F.lit(0.5)
+                * F.col("m")
+                * (F.lit(1.0) + F.col("m") * F.col("m") / F.col("s2")),
+            ),
+        )
+    )
+    lam = F.col("k").cast("double") / F.col("n_days").cast("double")
+    rl = F.col("u").cast("double") + F.col("sigma") / F.col("xi") * (
+        F.pow(lam * F.lit(90.0), F.col("xi")) - F.lit(1.0)
+    )
+    return solved.select(
+        "event_type",
+        "n_days",
+        F.col("u").alias("threshold_cents"),
+        F.col("k").alias("n_exceed"),
+        F.when(F.col("s2") > 0, F.round(F.col("xi"), 6)).alias("gpd_xi"),
+        F.when(F.col("s2") > 0, F.round(F.col("sigma"), 6)).alias(
+            "gpd_sigma"
+        ),
+        F.when(
+            (F.col("s2") > 0) & (F.col("xi") != 0), F.round(rl, 6)
+        ).alias("return_level_90d"),
+    ).orderBy("event_type")
+
+
+_POT_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(d) AS mn, max(d) AS mx FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type, CAST(unnest(generate_series(mn, mx)) AS BIGINT) AS d
+  FROM span
+), dense AS (
+  SELECT s.event_type, s.d, coalesce(a.cents, 0) AS c
+  FROM spine s LEFT JOIN daily a
+    ON s.event_type = a.event_type AND s.d = a.d
+), nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM dense GROUP BY 1
+), ranked AS (
+  SELECT dense.event_type, c, nd.n_days,
+         row_number() OVER (PARTITION BY dense.event_type
+                            ORDER BY c, d) AS rn
+  FROM dense JOIN nd ON dense.event_type = nd.event_type
+), thresh AS (
+  SELECT event_type, c AS u, n_days
+  FROM ranked WHERE rn = (9 * n_days + 9) // 10
+), mom AS (
+  SELECT dense.event_type, t.u, t.n_days,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(c - u) AS BIGINT) AS s,
+         sum(CAST(c - u AS HUGEINT) * (c - u)) AS q
+  FROM dense JOIN thresh t ON dense.event_type = t.event_type
+  WHERE c > u
+  GROUP BY 1, 2, 3
+), solved AS (
+  SELECT *,
+         CAST(s AS DOUBLE) / CAST(k AS DOUBLE) AS m,
+         CASE WHEN k > 1 THEN
+           (CAST(q AS DOUBLE)
+            - CAST(k AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+              * (CAST(s AS DOUBLE) / CAST(k AS DOUBLE)))
+           / CAST(k - 1 AS DOUBLE) END AS s2
+  FROM mom
+), fits AS (
+  SELECT *,
+         CASE WHEN s2 > 0 THEN 0.5 * (1.0 - m * m / s2) END AS xi,
+         CASE WHEN s2 > 0 THEN 0.5 * m * (1.0 + m * m / s2) END AS sigma
+  FROM solved
+)
+SELECT event_type, n_days, u AS threshold_cents, k AS n_exceed,
+       CASE WHEN s2 > 0 THEN round(xi, 6) END AS gpd_xi,
+       CASE WHEN s2 > 0 THEN round(sigma, 6) END AS gpd_sigma,
+       CASE WHEN s2 > 0 AND xi <> 0
+            THEN round(CAST(u AS DOUBLE) + sigma / xi
+                 * (pow(CAST(k AS DOUBLE) / CAST(n_days AS DOUBLE) * 90.0,
+                        xi) - 1.0), 6)
+       END AS return_level_90d
+FROM fits
+ORDER BY event_type
+"""
+
+
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-quartile migration matrix between the first and second
+    half of the order calendar — the TEMPORAL companion to
+    customer_rfm_segments (a static snapshot) and scd2_orders_history
+    (row versioning): which value segment did each customer move to?
+    Halves split at the integer midpoint day; per half, customers
+    bucket 1-4 by total spend against that half's own quartile cuts
+    (F.percentile == quantile_cont, the rfm_segments cut discipline —
+    cuts chain identical doubles, comparisons of exact cents against
+    them are engine-stable), segment 0 = inactive in that half. The
+    matrix exports exact customer counts and each row's share of its
+    origin segment (one exact-int division, unrounded). Plan: two
+    per-customer cents shuffles (one per half) + a full-outer equi-
+    join on custkey + one ≤25-row count agg; the quartile cuts are
+    1-row broadcasts."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.floor(
+        F.unix_timestamp(F.col("o_orderdate")) / F.lit(86400.0)
+    ).cast("long")
+    od = o.select(
+        "o_custkey",
+        day.alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    span = od.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    tagged = od.crossJoin(F.broadcast(span)).select(
+        "o_custkey",
+        "cents",
+        (F.col("d") <= (F.col("mn") + F.col("mx")) / F.lit(2)).alias(
+            "first_half"
+        ),
+    )
+
+    def half(flag: bool, seg_name: str):
+        spend = (
+            tagged.where(F.col("first_half") == flag)
+            .groupBy("o_custkey")
+            .agg(F.sum("cents").cast("long").alias("sp"))
+        )
+        qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        cuts = spend.agg(F.percentile("sp", qs).alias("c"))
+        return spend.crossJoin(F.broadcast(cuts)).select(
+            "o_custkey",
+            (
+                F.lit(1)
+                + (F.col("sp") > F.col("c")[0]).cast("int")
+                + (F.col("sp") > F.col("c")[1]).cast("int")
+                + (F.col("sp") > F.col("c")[2]).cast("int")
+            )
+            .cast("long")
+            .alias(seg_name),
+        )
+
+    a = half(True, "seg_from")
+    b = half(False, "seg_to")
+    mat = (
+        a.join(b, "o_custkey", "outer")
+        .select(
+            F.coalesce("seg_from", F.lit(0).cast("long")).alias("seg_from"),
+            F.coalesce("seg_to", F.lit(0).cast("long")).alias("seg_to"),
+        )
+        .groupBy("seg_from", "seg_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+    worigin = Window.partitionBy("seg_from")
+    return mat.select(
+        "seg_from",
+        "seg_to",
+        "n_customers",
+        (
+            F.col("n_customers").cast("double")
+            / F.sum("n_customers").over(worigin).cast("double")
+        ).alias("origin_share"),
+    ).orderBy("seg_from", "seg_to")
+
+
+_SEGMENT_MIGRATION_SQL = """
+WITH od AS (
+  SELECT o_custkey,
+         CAST(floor(floor(epoch(o_orderdate)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), span AS (
+  SELECT min(d) AS mn, max(d) AS mx FROM od
+), tagged AS (
+  SELECT o_custkey, cents,
+         d <= (mn + mx) / 2 AS first_half
+  FROM od CROSS JOIN span
+), sp_a AS (
+  SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS sp
+  FROM tagged WHERE first_half GROUP BY 1
+), cut_a AS (
+  SELECT quantile_cont(sp, 0.25) AS c1, quantile_cont(sp, 0.5) AS c2,
+         quantile_cont(sp, 0.75) AS c3
+  FROM sp_a
+), seg_a AS (
+  SELECT o_custkey,
+         CAST(1 + CAST(sp > c1 AS INTEGER) + CAST(sp > c2 AS INTEGER)
+              + CAST(sp > c3 AS INTEGER) AS BIGINT) AS seg_from
+  FROM sp_a CROSS JOIN cut_a
+), sp_b AS (
+  SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS sp
+  FROM tagged WHERE NOT first_half GROUP BY 1
+), cut_b AS (
+  SELECT quantile_cont(sp, 0.25) AS c1, quantile_cont(sp, 0.5) AS c2,
+         quantile_cont(sp, 0.75) AS c3
+  FROM sp_b
+), seg_b AS (
+  SELECT o_custkey,
+         CAST(1 + CAST(sp > c1 AS INTEGER) + CAST(sp > c2 AS INTEGER)
+              + CAST(sp > c3 AS INTEGER) AS BIGINT) AS seg_to
+  FROM sp_b CROSS JOIN cut_b
+), mat AS (
+  SELECT coalesce(seg_from, 0) AS seg_from,
+         coalesce(seg_to, 0) AS seg_to,
+         CAST(count(*) AS BIGINT) AS n_customers
+  FROM seg_a FULL OUTER JOIN seg_b USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT seg_from, seg_to, n_customers,
+       CAST(n_customers AS DOUBLE)
+         / CAST(sum(n_customers) OVER (PARTITION BY seg_from) AS DOUBLE)
+         AS origin_share
+FROM mat
+ORDER BY seg_from, seg_to
+"""
+
+
+def doc_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the SET-theoretic
+    corpus comparison next to source_token_kl / doc_js_divergence
+    (frequency-weighted) and source_stylometry_delta (standardized
+    top-K): what fraction of two sources' combined vocabularies is
+    shared, ignoring counts? Distinct (source, word) from the shared
+    whitespace tokenization; the intersection comes from a self-join
+    on the word key (candidate volume Σ_w df_w² with df ≤ |sources| —
+    bounded per word, never corpus²); |A|, |B|, |A∩B| exact ints;
+    jaccard and containment = ONE exact-integer division each,
+    unrounded. Plan: one tokenization pass → distinct shuffle, one
+    per-source count agg, one word-key equi-join + pair count agg —
+    all combinable."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda tk: tk != "",
+            )
+        ).alias("w"),
+    )
+    sw = toks.distinct().persist()
+    sizes = sw.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab")
+    )
+    a = sw.select(F.col("source").alias("src_a"), "w")
+    b = sw.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_a"),
+                    F.col("vocab").alias("vocab_a"),
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_b"),
+                    F.col("vocab").alias("vocab_b"),
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (
+                    F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")
+                ).cast("double")
+            ).alias("jaccard"),
+            (
+                F.col("n_shared").cast("double")
+                / F.least("vocab_a", "vocab_b").cast("double")
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+    out._vso_caches = [sw]
+    return out
+
+
+_VOCAB_JACCARD_SQL = r"""
+WITH tok AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS w
+  FROM documents
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS vocab FROM tok GROUP BY 1
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM tok a JOIN tok b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b,
+       sa.vocab AS vocab_a, sb.vocab AS vocab_b, i.n_shared,
+       CAST(i.n_shared AS DOUBLE)
+         / CAST(sa.vocab + sb.vocab - i.n_shared AS DOUBLE) AS jaccard,
+       CAST(i.n_shared AS DOUBLE)
+         / CAST(least(sa.vocab, sb.vocab) AS DOUBLE) AS containment
+FROM inter i
+JOIN sizes sa ON i.src_a = sa.source
+JOIN sizes sb ON i.src_b = sb.source
+ORDER BY i.src_a, i.src_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -19856,6 +20247,15 @@ ORDER BY c.cohort_month, c.k
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # r9 additions (the _R9_FRONT rebuild puts them at the window top):
+    "evt_peak_over_threshold": (evt_peak_over_threshold, _POT_SQL),
+    "customer_segment_migration": (
+        customer_segment_migration,
+        _SEGMENT_MIGRATION_SQL,
+    ),
+    "doc_source_vocab_jaccard": (
+        doc_source_vocab_jaccard,
+        _VOCAB_JACCARD_SQL,
+    ),
     "evt_granger_lag1": (evt_granger_lag1, _GRANGER_SQL),
     "source_stylometry_delta": (source_stylometry_delta, _STYLOMETRY_SQL),
     "orders_cohort_ltv": (orders_cohort_ltv, _COHORT_LTV_SQL),
@@ -20386,6 +20786,9 @@ _REGISTRY = {
 # the r4/r5-audited bulk in registry order (VERDICT r8 item 5).
 _R9_FRONT: list[str] = [
     # r9-NEW queries go HERE (top), newest first, as they land (cap 18).
+    "doc_source_vocab_jaccard",
+    "customer_segment_migration",
+    "evt_peak_over_threshold",
     "orders_cohort_ltv",
     "source_stylometry_delta",
     "evt_granger_lag1",

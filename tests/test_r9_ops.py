@@ -214,3 +214,51 @@ def test_cohort_ltv_monotone_and_identities(spark, sf_small):
             assert r.ltv_cents_per_customer == pytest.approx(
                 cum / r.n_customers
             )
+
+
+def test_pot_bounds(spark, sf_small):
+    rows = m.queries()["evt_peak_over_threshold"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        # strictly-above-rank-k exceedances: at most floor(n/10)
+        assert 0 <= r.n_exceed <= r.n_days // 10
+        if r.gpd_xi is not None:
+            # MoM xi = 0.5(1 - m^2/s2) < 0.5 always
+            assert r.gpd_xi < 0.5
+            assert r.gpd_sigma > 0
+        if r.return_level_90d is not None:
+            assert r.return_level_90d >= r.threshold_cents - 1e-6
+
+
+def test_segment_migration_partition_identities(spark, sf_small):
+    from vector_search_optimization_spark.sources import load_table
+
+    rows = m.queries()["customer_segment_migration"](
+        spark, sf_small
+    ).collect()
+    assert rows
+    total = sum(r.n_customers for r in rows)
+    n_cust = (
+        load_table(spark, sf_small, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert total == n_cust
+    by_from: dict[int, float] = {}
+    for r in rows:
+        assert 0 <= r.seg_from <= 4 and 0 <= r.seg_to <= 4
+        # (0, 0) is impossible: every counted customer ordered somewhere
+        assert (r.seg_from, r.seg_to) != (0, 0)
+        by_from[r.seg_from] = by_from.get(r.seg_from, 0.0) + r.origin_share
+    for s, tot in by_from.items():
+        assert tot == pytest.approx(1.0, abs=1e-9)
+
+
+def test_vocab_jaccard_bounds(spark, sf_small):
+    rows = m.queries()["doc_source_vocab_jaccard"](spark, sf_small).collect()
+    # 20 sources -> 190 unordered pairs
+    assert len(rows) == 190
+    for r in rows:
+        assert r.n_shared <= min(r.vocab_a, r.vocab_b)
+        assert 0.0 <= r.jaccard <= r.containment <= 1.0
