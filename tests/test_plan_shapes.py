@@ -624,3 +624,41 @@ def test_centroid_cosine_no_sort_merge(spark, sf_small):
     broadcast — a SortMergeJoin would mean the broadcast regressed."""
     plan = _plan(m.queries()["label_centroid_cosine"](spark, sf_small))
     assert "SortMergeJoin" not in plan
+
+
+def test_funnel_steps_are_equi_joins_no_fact_window(spark, sf_small):
+    """evt_funnel_conversion: every step must be an equi-join + min
+    agg keyed on user_id — no SortMergeJoin-free requirement (user
+    joins may SMJ at scale) but absolutely NO window over the fact
+    table (the 3-row step frame's lag window is fine) and no
+    cartesian anywhere."""
+    plan = _plan(m.queries()["evt_funnel_conversion"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    # the only Window in the plan runs AFTER the 3-row union (its
+    # child contains the Union of the three 1-row aggregates)
+    assert plan.count("Window") <= 1
+
+
+def test_cohort_ltv_sizes_broadcast(spark, sf_small):
+    """orders_cohort_ltv: the cohort-size dimension joins broadcast
+    onto the curve frame — a shuffle there would key on the tiny
+    cohort id for no reason."""
+    plan = _plan(m.queries()["orders_cohort_ltv"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stylometry_grid_joins_broadcast(spark, sf_small):
+    """source_stylometry_delta: the top-30 marker list and the
+    per-word moment stats broadcast onto the |sources|x30 grid."""
+    plan = _plan(m.queries()["source_stylometry_delta"](spark, sf_small))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_pot_threshold_pick_is_broadcast(spark, sf_small):
+    """evt_peak_over_threshold: the per-type threshold row broadcasts
+    back onto the dense grid (never a shuffle keyed on 5 rows)."""
+    plan = _plan(m.queries()["evt_peak_over_threshold"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
