@@ -20230,6 +20230,251 @@ ORDER BY i.src_a, i.src_b
 """
 
 
+def doc_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K, Simpson's D and Herdan's C per source — the
+    frequency-SPECTRUM lexical-diversity constants next to
+    vocab_chao1_richness (unseen mass) and corpus_zipf_slope (rank
+    law): K = 10⁴·(Σc_w² − N)/N² is the classic repeat-rate
+    characteristic (scale-invariant for Poisson-mixture text), D the
+    unbiased repeat probability, C = lnV/lnN the vocabulary growth
+    exponent. Σc_w² accumulates in DECIMAL(38,0)/HUGEINT (the
+    squared-sums rule); K and D export as ONE division of two exact
+    integers each (bit-identical, UNROUNDED); C rounds 6dp (log
+    ratio). Plan: one tokenization pass → (source, word) count
+    shuffle → one combinable moments agg — nothing downstream exceeds
+    |sources| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda tk: tk != "",
+            )
+        ).alias("w"),
+    )
+    sw = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    mom = sw.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
+    )
+    n = F.col("n_tokens")
+    num = (F.col("s2") - n).cast("decimal(38,0)")
+    ok = n > 1
+    return mom.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.when(
+            ok,
+            (num * F.lit(10000)).cast("double")
+            / (n.cast("decimal(38,0)") * n).cast("double"),
+        ).alias("yule_k"),
+        F.when(
+            ok,
+            num.cast("double")
+            / (n.cast("decimal(38,0)") * (n - 1)).cast("double"),
+        ).alias("simpson_d"),
+        F.when(
+            (F.col("vocab") > 1) & (n > 1),
+            F.round(
+                F.log(F.col("vocab").cast("double"))
+                / F.log(n.cast("double")),
+                6,
+            ),
+        ).alias("herdan_c"),
+    ).orderBy("source")
+
+
+_YULE_K_SQL = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS w
+  FROM documents
+), sw AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), mom AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         sum(CAST(c AS HUGEINT) * c) AS s2
+  FROM sw GROUP BY 1
+)
+SELECT source, n_tokens, vocab,
+       CASE WHEN n_tokens > 1
+            THEN CAST((s2 - n_tokens) * 10000 AS DOUBLE)
+                 / CAST(CAST(n_tokens AS HUGEINT) * n_tokens AS DOUBLE)
+       END AS yule_k,
+       CASE WHEN n_tokens > 1
+            THEN CAST(s2 - n_tokens AS DOUBLE)
+                 / CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1)
+                        AS DOUBLE)
+       END AS simpson_d,
+       CASE WHEN vocab > 1 AND n_tokens > 1
+            THEN round(ln(CAST(vocab AS DOUBLE))
+                 / ln(CAST(n_tokens AS DOUBLE)), 6)
+       END AS herdan_c
+FROM mom
+ORDER BY source
+"""
+
+
+def lineitem_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory classification of parts — the operations-
+    research matrix behind every stocking policy, absent from the
+    customer-centric Pareto/Lorenz/regularity family: ABC ranks parts
+    by revenue (A while cumulative ≤ 80%, B while ≤ 95%, C rest —
+    the thresholds compare in PURE INTEGER math: cum·5 ≤ total·4 and
+    cum·20 ≤ total·19, no float boundary anywhere) and XYZ buckets
+    demand variability by the coefficient of variation of MONTHLY
+    quantity (X ≤ 0.5, Y ≤ 1.0, Z above, compared on the 6dp-ROUNDED
+    cv — rank-on-rounded). The monthly CV needs NO month-grid
+    materialization: with M calendar months in span, mean = S/M and
+    var = (M·Q − S²)/(M²(M−1) scaling folded in the cv expression)
+    derive from the observed-month sums alone (missing months = 0
+    contribute nothing to S or Q). Exports per (abc, xyz) cell:
+    exact part counts, revenue cents, revenue share (one exact-int
+    division, unrounded). Plan: one (part, month) quantity shuffle,
+    one per-part combinable agg, one revenue-rank window over
+    |parts| rows, a 1-row total broadcast, final ≤9-row agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ym = (
+        F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1
+    ).cast("long")
+    pm = li.groupBy(F.col("l_partkey").alias("p"), ym.alias("m")).agg(
+        F.round(F.sum("l_quantity")).cast("long").alias("q"),
+        F.round(F.sum(F.col("l_extendedprice") * 100))
+        .cast("long")
+        .alias("rev"),
+    )
+    span = pm.agg(
+        (F.max("m") - F.min("m") + 1).cast("long").alias("mm")
+    )
+    per_part = (
+        pm.groupBy("p")
+        .agg(
+            F.sum("rev").cast("long").alias("rev"),
+            F.sum("q").cast("long").alias("s"),
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias(
+                "qq"
+            ),
+        )
+        .crossJoin(F.broadcast(span))
+    )
+    # cv = sd/mean over the FULL M-month calendar: mean = S/M and
+    # var = (M*Q - S^2)/(M*(M-1)), so cv = sd*M/S collapses to ONE
+    # fixed tree sqrt((M*Q - S^2)*M/(M-1))/S on exact-integer inputs
+    md = F.col("mm").cast("double")
+    sd_num = (
+        F.col("mm").cast("decimal(38,0)") * F.col("qq")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    ).cast("double")
+    cv = F.when(
+        (F.col("s") > 0) & (F.col("mm") > 1),
+        F.sqrt(sd_num * md / (md - F.lit(1.0)))
+        / F.col("s").cast("double"),
+    )
+    wrank = Window.orderBy(F.col("rev").desc(), F.col("p").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per_part.agg(F.sum("rev").cast("long").alias("total_rev"))
+    classed = (
+        per_part.withColumn("cum", F.sum("rev").over(wrank).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p",
+            "rev",
+            F.when(
+                F.col("cum") * 5 <= F.col("total_rev") * 4, F.lit("A")
+            )
+            .when(
+                F.col("cum") * 20 <= F.col("total_rev") * 19, F.lit("B")
+            )
+            .otherwise(F.lit("C"))
+            .alias("abc"),
+            F.when(F.round(cv, 6) <= 0.5, F.lit("X"))
+            .when(F.round(cv, 6) <= 1.0, F.lit("Y"))
+            .when(cv.isNotNull(), F.lit("Z"))
+            .otherwise(F.lit("Z"))
+            .alias("xyz"),
+            "total_rev",
+        )
+    )
+    return (
+        classed.groupBy("abc", "xyz", "total_rev")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev").cast("long").alias("rev_cents"),
+        )
+        .select(
+            "abc",
+            "xyz",
+            "n_parts",
+            "rev_cents",
+            (
+                F.col("rev_cents").cast("double")
+                / F.col("total_rev").cast("double")
+            ).alias("rev_share"),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
+_ABC_XYZ_SQL = """
+WITH pm AS (
+  SELECT l_partkey AS p,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)
+           AS m,
+         CAST(round(sum(l_quantity)) AS BIGINT) AS q,
+         CAST(round(sum(l_extendedprice * 100)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1, 2
+), span AS (
+  SELECT CAST(max(m) - min(m) + 1 AS BIGINT) AS mm FROM pm
+), per_part AS (
+  SELECT p, CAST(sum(rev) AS BIGINT) AS rev,
+         CAST(sum(q) AS BIGINT) AS s,
+         sum(CAST(q AS HUGEINT) * q) AS qq,
+         span.mm
+  FROM pm CROSS JOIN span
+  GROUP BY 1, 5
+), tot AS (
+  SELECT CAST(sum(rev) AS BIGINT) AS total_rev FROM per_part
+), classed AS (
+  SELECT p, rev, total_rev,
+         CASE WHEN sum(rev) OVER (ORDER BY rev DESC, p ASC
+                                  ROWS UNBOUNDED PRECEDING) * 5
+                   <= total_rev * 4 THEN 'A'
+              WHEN sum(rev) OVER (ORDER BY rev DESC, p ASC
+                                  ROWS UNBOUNDED PRECEDING) * 20
+                   <= total_rev * 19 THEN 'B'
+              ELSE 'C' END AS abc,
+         CASE WHEN s > 0 AND mm > 1
+                   AND round(sqrt(CAST(CAST(mm AS HUGEINT) * qq
+                                       - CAST(s AS HUGEINT) * s AS DOUBLE)
+                                  * CAST(mm AS DOUBLE)
+                                  / (CAST(mm AS DOUBLE) - 1.0))
+                             / CAST(s AS DOUBLE), 6) <= 0.5 THEN 'X'
+              WHEN s > 0 AND mm > 1
+                   AND round(sqrt(CAST(CAST(mm AS HUGEINT) * qq
+                                       - CAST(s AS HUGEINT) * s AS DOUBLE)
+                                  * CAST(mm AS DOUBLE)
+                                  / (CAST(mm AS DOUBLE) - 1.0))
+                             / CAST(s AS DOUBLE), 6) <= 1.0 THEN 'Y'
+              ELSE 'Z' END AS xyz
+  FROM per_part CROSS JOIN tot
+)
+SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev) AS BIGINT) AS rev_cents,
+       CAST(sum(rev) AS DOUBLE) / CAST(total_rev AS DOUBLE) AS rev_share
+FROM classed
+GROUP BY abc, xyz, total_rev
+ORDER BY abc, xyz
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -20247,6 +20492,8 @@ ORDER BY i.src_a, i.src_b
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # r9 additions (the _R9_FRONT rebuild puts them at the window top):
+    "doc_yule_k": (doc_yule_k, _YULE_K_SQL),
+    "lineitem_abc_xyz": (lineitem_abc_xyz, _ABC_XYZ_SQL),
     "evt_peak_over_threshold": (evt_peak_over_threshold, _POT_SQL),
     "customer_segment_migration": (
         customer_segment_migration,
@@ -20786,6 +21033,8 @@ _REGISTRY = {
 # the r4/r5-audited bulk in registry order (VERDICT r8 item 5).
 _R9_FRONT: list[str] = [
     # r9-NEW queries go HERE (top), newest first, as they land (cap 18).
+    "lineitem_abc_xyz",
+    "doc_yule_k",
     "doc_source_vocab_jaccard",
     "customer_segment_migration",
     "evt_peak_over_threshold",

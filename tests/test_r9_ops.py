@@ -262,3 +262,35 @@ def test_vocab_jaccard_bounds(spark, sf_small):
     for r in rows:
         assert r.n_shared <= min(r.vocab_a, r.vocab_b)
         assert 0.0 <= r.jaccard <= r.containment <= 1.0
+
+
+def test_yule_k_identities(spark, sf_small):
+    rows = m.queries()["doc_yule_k"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.vocab <= r.n_tokens
+        # K = 1e4 * D * (N-1)/N exactly
+        assert r.yule_k == pytest.approx(
+            1e4 * r.simpson_d * (r.n_tokens - 1) / r.n_tokens, rel=1e-12
+        )
+        assert 0.0 <= r.simpson_d <= 1.0
+        assert 0.0 < r.herdan_c <= 1.0
+
+
+def test_abc_xyz_partition_and_shares(spark, sf_small):
+    from vector_search_optimization_spark.sources import load_table
+
+    rows = m.queries()["lineitem_abc_xyz"](spark, sf_small).collect()
+    assert rows
+    n_parts_total = (
+        load_table(spark, sf_small, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_parts for r in rows) == n_parts_total
+    assert sum(r.rev_share for r in rows) == pytest.approx(1.0, abs=1e-9)
+    # the A band holds at most 80% of revenue by construction; with
+    # the closing part it can only undershoot, never overshoot
+    share_a = sum(r.rev_share for r in rows if r.abc == "A")
+    assert share_a <= 0.8 + 1e-9
