@@ -18867,15 +18867,15 @@ ORDER BY event_type
 
 
 def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strict-order funnel analytics view → click → purchase — the
-    conversion companion to session_entry_exit / evt_retention_cohorts
-    that neither covers: a user reaches step k only with an event of
-    that type STRICTLY AFTER their step-(k-1) arrival (first-touch
-    semantics: earliest view, then earliest click after it, then
-    earliest purchase after that). Per step the export carries exact
-    user counts, conversion vs the previous step and vs all active
-    users (single exact-integer divisions, unrounded), and the
-    median / p90 seconds from the previous step among converters
+    """Strict-order funnel with TIME-TO-CONVERT — the latency-aware
+    sibling of evt_funnel (which counts at-or-after reachability and
+    conversion vs step 1 only): a user reaches step k only with an
+    event of that type STRICTLY AFTER their step-(k-1) arrival
+    (first-touch semantics: earliest view, then earliest click after
+    it, then earliest purchase after that). Per step the export
+    carries exact user counts, conversion vs the previous step AND vs
+    all active users (single exact-integer divisions, unrounded), and
+    the median / p90 seconds from the previous step among converters
     (F.percentile == DuckDB quantile_cont on exact integer gaps —
     interpolated midpoints are dyadic rationals, float-exact on both
     engines, exported unrounded). Plan: each step is one equi-join on
@@ -18948,7 +18948,7 @@ def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
-_FUNNEL_SQL = """
+_FUNNEL_CONVERSION_SQL = """
 WITH ev AS (
   SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
   FROM events
@@ -20506,7 +20506,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "evt_granger_lag1": (evt_granger_lag1, _GRANGER_SQL),
     "source_stylometry_delta": (source_stylometry_delta, _STYLOMETRY_SQL),
     "orders_cohort_ltv": (orders_cohort_ltv, _COHORT_LTV_SQL),
-    "evt_funnel_conversion": (evt_funnel_conversion, _FUNNEL_SQL),
+    "evt_funnel_conversion": (evt_funnel_conversion, _FUNNEL_CONVERSION_SQL),
     "evt_dau_drawdown": (evt_dau_drawdown, _DAU_DRAWDOWN_SQL),
     "evt_turning_points": (evt_turning_points, _TURNING_POINTS_SQL),
     "evt_records_test": (evt_records_test, _RECORDS_TEST_SQL),
