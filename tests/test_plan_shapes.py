@@ -195,6 +195,19 @@ _NESTED_LOOP_OK = {
                                # broadcast pair join (the welch shape)
     "source_neyman_allocation",  # 1-row allocation-total frame
                                  # broadcast onto |sources| strata
+    "evt_funnel_conversion",   # 1-row all-users denominator frame
+                               # broadcast onto the 3-row step union
+    "evt_granger_lag1",        # 1-row global-calendar-span frame
+                               # broadcast to build the type×day grid
+    "customer_segment_migration",  # 1-row span + two 1-row quartile-
+                                   # cut frames broadcast onto the
+                                   # per-customer spend aggregates
+    "lineitem_abc_xyz",        # 1-row month-count + 1-row revenue-
+                               # total frames broadcast onto the
+                               # per-part aggregate
+    "source_stylometry_delta",  # |sources|×30 marker grid build —
+                                # the top-30 frame broadcast-crossed
+                                # onto the 20-source dimension
 }
 
 
