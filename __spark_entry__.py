@@ -20475,6 +20475,115 @@ ORDER BY abc, xyz
 """
 
 
+def evt_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journeys — the PATH-level read the pairwise
+    family (evt_markov_transitions, session_entry_exit) can't give:
+    the full ordered event-type sequence of each 30-min-gap session
+    (the evt_sessions rule), ranked by frequency. Path strings build
+    deterministically from the (second, event_id) order via the
+    canonical serialization identity (Spark array_join over
+    array_sort'ed structs == DuckDB string_agg ORDER BY — the
+    CLAUDE.md cross-engine pair); counts and distinct-user counts are
+    exact ints; the session share is ONE exact-integer division
+    (unrounded); rank breaks ties (count desc, path asc) on exact
+    ints. Plan: one lag window + one cumulative-flag window over the
+    per-user event order (the evt_sessions partition), one
+    per-session path agg, one path count agg, a 1-row total
+    broadcast, TakeOrdered-20 — no shuffle after the path counts."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts")).cast("long")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    flagged = (
+        e.select("user_id", "event_type", sec.alias("t"), "event_id")
+        .withColumn("gap", F.col("t") - F.lag("t").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "sess",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    paths = flagged.groupBy("user_id", "sess").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("t", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    tot = paths.agg(F.count(F.lit(1)).cast("long").alias("total_sessions"))
+    wrank = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(wrank).cast("long"))
+        .where(F.col("rank") <= 20)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "path",
+            "n_sessions",
+            "n_users",
+            (
+                F.col("n_sessions").cast("double")
+                / F.col("total_sessions").cast("double")
+            ).alias("session_share"),
+        )
+        .orderBy("rank")
+    )
+
+
+_SESSION_PATHS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                      > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY floor(epoch(ts)), event_id)
+), sessed AS (
+  SELECT user_id, event_type, t, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM flagged
+), paths AS (
+  SELECT user_id, sess,
+         string_agg(event_type, '>' ORDER BY t, event_id) AS path
+  FROM sessed GROUP BY 1, 2
+), counts AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM paths GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS total_sessions FROM paths
+), ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC)
+              AS BIGINT) AS rank,
+         path, n_sessions, n_users
+  FROM counts
+)
+SELECT rank, path, n_sessions, n_users,
+       CAST(n_sessions AS DOUBLE) / CAST(total_sessions AS DOUBLE)
+         AS session_share
+FROM ranked CROSS JOIN tot
+WHERE rank <= 20
+ORDER BY rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -20492,6 +20601,7 @@ ORDER BY abc, xyz
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # r9 additions (the _R9_FRONT rebuild puts them at the window top):
+    "evt_session_paths": (evt_session_paths, _SESSION_PATHS_SQL),
     "doc_yule_k": (doc_yule_k, _YULE_K_SQL),
     "lineitem_abc_xyz": (lineitem_abc_xyz, _ABC_XYZ_SQL),
     "evt_peak_over_threshold": (evt_peak_over_threshold, _POT_SQL),
@@ -21033,6 +21143,7 @@ _REGISTRY = {
 # the r4/r5-audited bulk in registry order (VERDICT r8 item 5).
 _R9_FRONT: list[str] = [
     # r9-NEW queries go HERE (top), newest first, as they land (cap 18).
+    "evt_session_paths",
     "lineitem_abc_xyz",
     "doc_yule_k",
     "doc_source_vocab_jaccard",

@@ -208,6 +208,8 @@ _NESTED_LOOP_OK = {
     "source_stylometry_delta",  # |sources|×30 marker grid build —
                                 # the top-30 frame broadcast-crossed
                                 # onto the 20-source dimension
+    "evt_session_paths",       # 1-row total-sessions frame broadcast
+                               # onto the TakeOrdered-20 path list
 }
 
 

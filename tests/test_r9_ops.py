@@ -294,3 +294,26 @@ def test_abc_xyz_partition_and_shares(spark, sf_small):
     # the closing part it can only undershoot, never overshoot
     share_a = sum(r.rev_share for r in rows if r.abc == "A")
     assert share_a <= 0.8 + 1e-9
+
+
+def test_session_paths_ranked_and_bounded(spark, sf_small):
+    rows = m.queries()["evt_session_paths"](spark, sf_small).collect()
+    assert 1 <= len(rows) <= 20
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    prev = None
+    share = 0.0
+    for r in rows:
+        if prev is not None:
+            # count desc, path asc tie-break
+            assert (r.n_sessions, r.path) <= (prev.n_sessions, r.path) or (
+                r.n_sessions < prev.n_sessions
+                or (r.n_sessions == prev.n_sessions and r.path > prev.path)
+            )
+        assert r.n_users <= r.n_sessions
+        assert 0.0 < r.session_share <= 1.0
+        # every path step is a real event type
+        for step in r.path.split(">"):
+            assert step in {"view", "click", "purchase", "signup", "error"}
+        share += r.session_share
+        prev = r
+    assert share <= 1.0 + 1e-9
