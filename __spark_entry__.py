@@ -20584,6 +20584,102 @@ ORDER BY rank
 """
 
 
+def evt_icc_day_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way random-effects variance decomposition per event type —
+    how much of the event-value variance is a DAY effect? The
+    variance-components companion to evt_kruskal_dunn (rank test) and
+    evt_dow_seasonality (fixed dow means): groups = calendar days,
+    ICC(1) = (MSB − MSW)/(MSB + (k̄−1)·MSW) with the unbalanced-design
+    group size k̄ = (N − Σnᵢ²/N)/(g−1) (Searle). Per-day n/S and the
+    global Q = Σc² are exact integers (Q in DECIMAL(38,0)/HUGEINT);
+    SSB = Σ Sᵢ²/nᵢ − S²/N necessarily sums doubles across days
+    (order-dependent), so the F ratio and ICC export at 6dp (the
+    kruskal cross-type-sum discipline) while every count exports
+    exact. Plan: one (type, day) moments shuffle, one combinable
+    per-type agg over ≤|types|×|days| rows — fact-size-independent
+    after the first shuffle."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_day = e.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("ni"),
+        F.sum(cents).cast("long").alias("si"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("qi"),
+    )
+    agg = per_day.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.sum("ni").cast("long").alias("n"),
+        F.sum("si").cast("long").alias("s"),
+        F.sum("qi").alias("q"),
+        F.sum(
+            F.col("si").cast("double")
+            * F.col("si").cast("double")
+            / F.col("ni").cast("double")
+        ).alias("sgm"),
+        F.sum(F.col("ni").cast("decimal(38,0)") * F.col("ni")).alias("nn"),
+    )
+    nd = F.col("n").cast("double")
+    gd = F.col("g").cast("double")
+    qd = F.col("q").cast("double")
+    sd = F.col("s").cast("double")
+    ssb = F.col("sgm") - sd * sd / nd
+    ssw = qd - F.col("sgm")
+    msb = ssb / (gd - F.lit(1.0))
+    msw = ssw / (nd - gd)
+    kbar = (nd - F.col("nn").cast("double") / nd) / (gd - F.lit(1.0))
+    icc = (msb - msw) / (msb + (kbar - F.lit(1.0)) * msw)
+    ok = (F.col("g") > 1) & (F.col("n") > F.col("g"))
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("g").alias("n_days"),
+        F.when(ok & (msw > 0), F.round(msb / msw, 6)).alias("f_ratio"),
+        F.when(
+            ok & (msb + (kbar - F.lit(1.0)) * msw > 0), F.round(icc, 6)
+        ).alias("icc_day"),
+    ).orderBy("event_type")
+
+
+_ICC_SQL = """
+WITH per_day AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS ni,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS si,
+         sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+             * CAST(round(value * 100) AS BIGINT)) AS qi
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS g,
+         CAST(sum(ni) AS BIGINT) AS n,
+         CAST(sum(si) AS BIGINT) AS s,
+         sum(qi) AS q,
+         sum(CAST(si AS DOUBLE) * CAST(si AS DOUBLE)
+             / CAST(ni AS DOUBLE)) AS sgm,
+         sum(CAST(ni AS HUGEINT) * ni) AS nn
+  FROM per_day GROUP BY 1
+), stats AS (
+  SELECT event_type, n, g,
+         (sgm - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(g AS DOUBLE) - 1.0) AS msb,
+         (CAST(q AS DOUBLE) - sgm) / (CAST(n AS DOUBLE) - CAST(g AS DOUBLE))
+           AS msw,
+         (CAST(n AS DOUBLE) - CAST(nn AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(g AS DOUBLE) - 1.0) AS kbar
+  FROM agg
+)
+SELECT event_type, n AS n_events, g AS n_days,
+       CASE WHEN g > 1 AND n > g AND msw > 0
+            THEN round(msb / msw, 6) END AS f_ratio,
+       CASE WHEN g > 1 AND n > g AND msb + (kbar - 1.0) * msw > 0
+            THEN round((msb - msw) / (msb + (kbar - 1.0) * msw), 6)
+       END AS icc_day
+FROM stats
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -20601,6 +20697,7 @@ ORDER BY rank
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # r9 additions (the _R9_FRONT rebuild puts them at the window top):
+    "evt_icc_day_effect": (evt_icc_day_effect, _ICC_SQL),
     "evt_session_paths": (evt_session_paths, _SESSION_PATHS_SQL),
     "doc_yule_k": (doc_yule_k, _YULE_K_SQL),
     "lineitem_abc_xyz": (lineitem_abc_xyz, _ABC_XYZ_SQL),
@@ -21143,6 +21240,7 @@ _REGISTRY = {
 # the r4/r5-audited bulk in registry order (VERDICT r8 item 5).
 _R9_FRONT: list[str] = [
     # r9-NEW queries go HERE (top), newest first, as they land (cap 18).
+    "evt_icc_day_effect",
     "evt_session_paths",
     "lineitem_abc_xyz",
     "doc_yule_k",

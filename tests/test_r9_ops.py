@@ -317,3 +317,48 @@ def test_session_paths_ranked_and_bounded(spark, sf_small):
         share += r.session_share
         prev = r
     assert share <= 1.0 + 1e-9
+
+
+def test_icc_day_effect_bounds(spark, sf_small):
+    rows = m.queries()["evt_icc_day_effect"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.n_events > r.n_days > 1
+        if r.f_ratio is not None:
+            assert r.f_ratio > 0
+        if r.icc_day is not None:
+            # ICC(1) is bounded by (-1/(kbar-1), 1]; loose sanity band
+            assert -1.0 <= r.icc_day <= 1.0
+
+
+def test_icc_pure_day_effect_is_one(spark, tmp_path):
+    """All events on a day share one value, days differ: MSW = 0 so
+    ICC -> 1 and F is undefined-large but finite-positive; with 4
+    events x 3 distinct-value days the decomposition is exact."""
+    import datetime
+
+    rows = []
+    eid = 0
+    for d, v in enumerate([10.0, 20.0, 40.0]):
+        for j in range(4):
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 9, 1 + d, 6 + j),
+                    "a",
+                    v,
+                )
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = m.queries()["evt_icc_day_effect"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_events == 12 and r.n_days == 3
+    # MSW = 0 -> the f_ratio guard nulls it, ICC = 1 exactly
+    assert r.f_ratio is None
+    assert r.icc_day == pytest.approx(1.0, abs=1e-9)
