@@ -19202,11 +19202,17 @@ def evt_records_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution — trending series blow past it, and the lower-record
     count breaks symmetrically. Values are exact cents ordered by
     (second, event_id); record flags are strict comparisons on exact
-    ints (ties never set records — deterministic); H_n / H_n⁽²⁾ fold
-    k=1..n in doubles and z rounds 6dp (harmonic sums irrational for
-    n>1, rounding ties measure-zero). Plan: one per-type running-max/
-    min window over the fact order, one combinable agg; the harmonic
-    fold is |types| rows × n terms — driver-free and tiny."""
+    ints (ties never set records — deterministic); H_n / H_n⁽²⁾ are
+    combinable SUMS of 1/rn over the rows that already exist (rn =
+    row_number over the same per-type fact order the record window
+    uses — no O(n) array materialization, so no Spark max-array-length
+    ceiling and no k·k LONG overflow at 100 TB row counts; rn casts to
+    double BEFORE squaring). The double sums accumulate in partition
+    order on Spark vs scan order on DuckDB — order-dependent low bits
+    absorbed by the 6dp round (harmonic sums irrational for n>1,
+    rounding ties measure-zero — the stylometry cross-sum discipline).
+    Plan: one per-type window over the fact order (running max/min +
+    row_number share the one sort), one combinable agg."""
     e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     cents = F.round(F.col("value") * 100).cast("long")
     sec = F.unix_timestamp(F.col("ts")).cast("long")
@@ -19215,6 +19221,8 @@ def evt_records_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    wo = Window.partitionBy("event_type").orderBy("t", "event_id")
+    rn_d = F.row_number().over(wo).cast("double")
     flagged = e.select(
         "event_type", sec.alias("t"), "event_id", cents.alias("c")
     ).select(
@@ -19229,29 +19237,23 @@ def evt_records_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
         .alias("dn"),
+        (F.lit(1.0) / rn_d).alias("inv_rn"),
+        (F.lit(1.0) / (rn_d * rn_d)).alias("inv_rn2"),
     )
     s = flagged.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("up").cast("long").alias("n_upper_records"),
         F.sum("dn").cast("long").alias("n_lower_records"),
-    )
-    hn = F.aggregate(
-        F.sequence(F.lit(1).cast("long"), F.col("n")),
-        F.lit(0.0),
-        lambda a, k: a + F.lit(1.0) / k.cast("double"),
-    )
-    hn2 = F.aggregate(
-        F.sequence(F.lit(1).cast("long"), F.col("n")),
-        F.lit(0.0),
-        lambda a, k: a + F.lit(1.0) / (k * k).cast("double"),
+        F.sum("inv_rn").alias("_hn"),
+        F.sum("inv_rn2").alias("_hn2"),
     )
     base = s.select(
         "event_type",
         "n",
         "n_upper_records",
         "n_lower_records",
-        hn.alias("_hn"),
-        (hn - hn2).alias("_v"),
+        "_hn",
+        (F.col("_hn") - F.col("_hn2")).alias("_v"),
     )
     return base.select(
         "event_type",
@@ -19288,32 +19290,30 @@ WITH vals AS (
          CASE WHEN max(c) OVER w IS NULL OR c > max(c) OVER w
               THEN 1 ELSE 0 END AS up,
          CASE WHEN min(c) OVER w IS NULL OR c < min(c) OVER w
-              THEN 1 ELSE 0 END AS dn
+              THEN 1 ELSE 0 END AS dn,
+         1.0 / CAST(row_number() OVER wo AS DOUBLE) AS inv_rn,
+         1.0 / (CAST(row_number() OVER wo AS DOUBLE)
+                * CAST(row_number() OVER wo AS DOUBLE)) AS inv_rn2
   FROM vals
   WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wo AS (PARTITION BY event_type ORDER BY t, event_id)
 ), s AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(up) AS BIGINT) AS n_upper_records,
-         CAST(sum(dn) AS BIGINT) AS n_lower_records
+         CAST(sum(dn) AS BIGINT) AS n_lower_records,
+         sum(inv_rn) AS hn, sum(inv_rn2) AS hn2
   FROM flagged GROUP BY 1
-), harm AS (
-  SELECT event_type, sum(1.0 / CAST(k AS DOUBLE)) AS hn,
-         sum(1.0 / CAST(k * k AS DOUBLE)) AS hn2
-  FROM (SELECT event_type,
-               CAST(unnest(generate_series(1, n)) AS BIGINT) AS k
-        FROM s)
-  GROUP BY 1
 )
 SELECT s.event_type, s.n, s.n_upper_records, s.n_lower_records,
-       round(harm.hn, 6) AS expected_records,
-       CASE WHEN harm.hn - harm.hn2 > 0
-            THEN round((CAST(s.n_upper_records AS DOUBLE) - harm.hn)
-                 / sqrt(harm.hn - harm.hn2), 6) END AS z_upper,
-       CASE WHEN harm.hn - harm.hn2 > 0
-            THEN round((CAST(s.n_lower_records AS DOUBLE) - harm.hn)
-                 / sqrt(harm.hn - harm.hn2), 6) END AS z_lower
-FROM s JOIN harm ON s.event_type = harm.event_type
+       round(s.hn, 6) AS expected_records,
+       CASE WHEN s.hn - s.hn2 > 0
+            THEN round((CAST(s.n_upper_records AS DOUBLE) - s.hn)
+                 / sqrt(s.hn - s.hn2), 6) END AS z_upper,
+       CASE WHEN s.hn - s.hn2 > 0
+            THEN round((CAST(s.n_lower_records AS DOUBLE) - s.hn)
+                 / sqrt(s.hn - s.hn2), 6) END AS z_lower
+FROM s
 ORDER BY s.event_type
 """
 
@@ -19594,12 +19594,16 @@ def source_stylometry_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     each source's relative frequency is standardized across sources
     (z_{s,w} = (f−μ_w)/σ_w, sample ddof=1) and Delta(a,b) is the mean
     |z_a − z_b|. Counts are exact integers and f is one exact-int
-    division; μ/σ/z chain doubles through the identical expression
-    tree on both engines (σ via explicit Σf/Σf² — builtin stddev
-    implementations differ numerically across engines); Delta is a
-    sqrt-derived irrational mean → 6dp. Zero-variance markers are
-    excluded on the 12dp-rounded variance (deterministic on both
-    engines). Plan: ONE tokenization pass feeding a persisted
+    division; μ/σ/z chain doubles through the same written expression
+    (σ via explicit Σf/Σf² — builtin stddev implementations differ
+    numerically across engines), but Σf/Σf² are double sums over ~20
+    sources whose accumulation order differs between Spark partial
+    aggregation and DuckDB scan order — the order-dependent low bits
+    are absorbed by the rounds (the kruskal cross-sum discipline:
+    Delta is a sqrt-derived irrational mean → 6dp, measure-zero
+    ties), NOT bit-identical by construction. Zero-variance markers
+    are excluded on the 12dp-rounded variance (deterministic at any
+    realistic precision drift). Plan: ONE tokenization pass feeding a persisted
     (source, word) count frame; markers via TakeOrdered-30 on the
     word margin; everything downstream is |sources|×30 ≤ 600 rows —
     the pair join is 190×30, driver-free and constant at any corpus

@@ -134,6 +134,43 @@ def test_no_two_queries_share_an_oracle():
         texts[sql] = name
 
 
+def test_no_sql_oracle_variable_assigned_twice():
+    """VERDICT r9 item 7: close the rebinding bug class STATICALLY.
+
+    The runtime guards above catch two REGISTERED entries sharing one
+    oracle, but the r9 incident's mechanism was a module-level variable
+    collision (`evt_funnel_conversion` re-assigned `_FUNNEL_SQL`,
+    silently redirecting `evt_funnel`'s entry until the full gate
+    flagged it). Parse the module source and assert every module-level
+    `_*_SQL` name is assigned exactly once — the collision is then a
+    test failure at commit time even if only one of the two queries is
+    currently registered."""
+    import ast
+
+    import __spark_entry__ as m
+
+    src = open(m.__file__, encoding="utf-8").read()
+    seen: dict[str, int] = {}
+    dupes: list[str] = []
+    for node in ast.parse(src).body:  # module level only
+        targets = []
+        if isinstance(node, ast.Assign):
+            targets = [t for t in node.targets if isinstance(t, ast.Name)]
+        elif isinstance(node, ast.AnnAssign) and isinstance(
+            node.target, ast.Name
+        ):
+            targets = [node.target]
+        for t in targets:
+            if t.id.startswith("_") and t.id.endswith("_SQL"):
+                if t.id in seen:
+                    dupes.append(
+                        f"{t.id} assigned at lines {seen[t.id]} and "
+                        f"{node.lineno}"
+                    )
+                seen[t.id] = node.lineno
+    assert not dupes, dupes
+
+
 def test_no_two_queries_share_an_oracle_callable():
     """VERDICT r8 item 7: the same rebinding bug class for GENERATOR
     oracles — two registry entries bound to the same callable object

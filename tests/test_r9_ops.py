@@ -304,11 +304,8 @@ def test_session_paths_ranked_and_bounded(spark, sf_small):
     share = 0.0
     for r in rows:
         if prev is not None:
-            # count desc, path asc tie-break
-            assert (r.n_sessions, r.path) <= (prev.n_sessions, r.path) or (
-                r.n_sessions < prev.n_sessions
-                or (r.n_sessions == prev.n_sessions and r.path > prev.path)
-            )
+            # count desc, path asc tie-break: prev sorts strictly before r
+            assert (-prev.n_sessions, prev.path) < (-r.n_sessions, r.path)
         assert r.n_users <= r.n_sessions
         assert 0.0 < r.session_share <= 1.0
         # every path step is a real event type
