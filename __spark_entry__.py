@@ -13778,6 +13778,70 @@ ORDER BY event_type
 """
 
 
+# per-label pair-join cap for the embedding audits (VERDICT r9 item 4,
+# mechanized): the r9 `hubness_label_exponent` probe measured the
+# quadratic regime engaging between 800-1600 rows/label (exponent
+# 0.9 -> 2.1), so labels larger than this are audited over a
+# deterministic hash-ranked sample of exactly this many rows
+_EMB_PAIR_LABEL_CAP = 1024
+
+
+def _emb_label_capped(emb: DataFrame) -> DataFrame:
+    """Deterministic ≤_EMB_PAIR_LABEL_CAP rows per label for the
+    pairwise embedding audits (hubness / intrinsic-dim): rank members
+    by a portable universal hash of vec_id (constants < 2^31 per the
+    ANSI overflow rule; vec_id tie-break) and keep the first CAP. The
+    SAME expression runs in the DuckDB oracles, so the audits stay
+    value-oracled at ANY scale — below the cap (every gated sf: max
+    label is 218 rows at sf0.1) the sample IS the full label and
+    nothing changes; above it the per-label join cost is capped at
+    CAP² instead of L² (the r9-probe-measured quadratic blowup).
+    The hash composes two affine maps with DIFFERENT prime moduli —
+    a single affine map mod p is monotone over runs of ~p/a
+    consecutive ids, which would turn the sample into a biased id
+    prefix when vec_ids are assigned sequentially; the second round's
+    step (1000003·69069 ≫ p₂) wraps every increment. All
+    intermediates < 1.5e14, far under the ANSI LONG ceiling.
+
+    The closing repartition matters: the cap window leaves the frame
+    hash-partitioned by LABEL alone, which also satisfies the
+    downstream 1-NN window's (label, i) clustering — so without it
+    the whole CAP² pair fan-out runs on |labels| tasks (measured 38s
+    vs 9s at 5×1600 in the r10 probe). Re-spreading by (label,
+    vec_id) keeps every row's pair group intact while restoring full
+    parallelism; the explicit partition count stops AQE from
+    coalescing the tiny pre-fan-out frame back to one task."""
+    h1 = (
+        (F.col("vec_id") % F.lit(2147483647)) * F.lit(1000003) + F.lit(12345)
+    ) % F.lit(2147483647)
+    h = (h1 * F.lit(69069) + F.lit(1)) % F.lit(2147483629)
+    w = Window.partitionBy("label").orderBy(h.asc(), F.col("vec_id").asc())
+    n_parts = max(32, emb.sparkSession.sparkContext.defaultParallelism)
+    return (
+        emb.select("label", "vec_id", "embedding")
+        .withColumn("_crn", F.row_number().over(w))
+        .where(F.col("_crn") <= _EMB_PAIR_LABEL_CAP)
+        .drop("_crn")
+        .repartition(n_parts, "label", "vec_id")
+    )
+
+
+# the oracle-side mirror of _emb_label_capped — prepend as a CTE
+_EMB_LABEL_CAPPED_CTE = """
+capped AS (
+  SELECT label, vec_id, embedding FROM (
+    SELECT label, vec_id, embedding,
+           row_number() OVER (
+             PARTITION BY label
+             ORDER BY (((CAST(vec_id AS BIGINT) % 2147483647)
+                        * 1000003 + 12345)
+                       % 2147483647 * 69069 + 1) % 2147483629,
+                      vec_id) AS crn
+    FROM embeddings)
+  WHERE crn <= 1024
+)"""
+
+
 def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-NN intrinsic-dimension estimate per label cluster (Facco et
     al. '17 — the MLE from nearest-neighbour distance ratios): with
@@ -13794,11 +13858,13 @@ def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     are excluded from the MLE. The Σ ln is order-dependent → d̂ rounds
     6dp (irrational).
 
-    Plan: per-LABEL self-join (cells ≤ label-size², never corpus²) —
-    the m2/m8 intra-cluster pairwise discipline; at larger clusters
-    the same estimator runs on the IVF-cell sample (the documented
-    ann.py subsample contract)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    Plan: per-LABEL self-join over the _emb_label_capped sample (≤
+    _EMB_PAIR_LABEL_CAP deterministic hash-ranked rows per label —
+    the r10 mechanization of the subsample contract: join cost is
+    min(L, CAP)², never corpus², and the identical cap expression
+    runs in the oracle so the audit stays value-checked at any
+    scale)."""
+    emb = _emb_label_capped(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(
         "label", F.col("vec_id").alias("i"), F.col("embedding").alias("va")
     )
@@ -13845,14 +13911,15 @@ def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INTRINSIC_DIM_SQL = """
-WITH d AS (
+_INTRINSIC_DIM_SQL = f"""
+WITH {_EMB_LABEL_CAPPED_CTE},
+d AS (
   SELECT a.label, a.vec_id AS i, b.vec_id AS j,
          list_reduce(list_transform(list_zip(a.embedding, b.embedding),
               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
               (x, y) -> x + y) AS r
-  FROM embeddings a JOIN embeddings b
+  FROM capped a JOIN capped b
     ON a.label = b.label AND a.vec_id <> b.vec_id
 ), ranked AS (
   SELECT label, i, j, r,
@@ -15139,11 +15206,14 @@ def emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical before its 6dp round; mean occupancy is a single
     exact-int division, exported unrounded.
 
-    Plan: per-LABEL self-join (cells <= label-size^2, never corpus^2 —
-    the m2/m8 intra-cluster pairwise discipline); at larger clusters
-    the same audit runs on the IVF-cell sample per the documented
-    ann.py subsample contract."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    Plan: per-LABEL self-join over the _emb_label_capped sample (<=
+    _EMB_PAIR_LABEL_CAP deterministic hash-ranked rows per label —
+    the r10 mechanization of the subsample contract: join cost is
+    min(L, CAP)^2, never corpus^2, and the identical cap expression
+    runs in the oracle so the audit stays value-checked at any
+    scale; N_k and the antihub census then read over the SAMPLE
+    members, a consistent audit population)."""
+    emb = _emb_label_capped(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(
         "label", F.col("vec_id").alias("i"), F.col("embedding").alias("va")
     )
@@ -15205,14 +15275,15 @@ def emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HUBNESS_SQL = """
-WITH d AS (
+_HUBNESS_SQL = f"""
+WITH {_EMB_LABEL_CAPPED_CTE},
+d AS (
   SELECT a.label, a.vec_id AS i, b.vec_id AS j,
          list_reduce(list_transform(list_zip(a.embedding, b.embedding),
               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
               (x, y) -> x + y) AS r
-  FROM embeddings a JOIN embeddings b
+  FROM capped a JOIN capped b
     ON a.label = b.label AND a.vec_id <> b.vec_id
 ), knn AS (
   SELECT label, j FROM (
@@ -15225,7 +15296,7 @@ WITH d AS (
   FROM knn GROUP BY 1, 2
 ), cnt AS (
   SELECT m.label, CAST(coalesce(o.c, 0) AS BIGINT) AS c
-  FROM (SELECT label, vec_id AS j FROM embeddings) m
+  FROM (SELECT label, vec_id AS j FROM capped) m
   LEFT JOIN occ o ON m.label = o.label AND m.j = o.j
 ), per_label AS (
   SELECT label,
@@ -17828,6 +17899,129 @@ ORDER BY wilson_lo DESC, p_brand ASC
 
 
 _LOO_KNN_BROADCAST_LIMIT = 100_000
+# beyond the broadcast limit the audit runs per IVF cell; cells target
+# this many rows so the per-cell GEMM stays ~target² doubles (~33 MB)
+_LOO_KNN_CELL_TARGET = 2048
+
+
+def _loo_nn_pred(
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    r_ids: np.ndarray,
+    r_labs: np.ndarray,
+    r_mat: np.ndarray,
+    r_bn: np.ndarray | None = None,
+) -> np.ndarray:
+    """Shared LOO 1-NN numpy kernel: per query row, the label of its
+    nearest reference vector that is not itself. GEMM expanded form
+    |a|²+|b|²−2abᵀ with the exact-Σ(a−b)² near-tie re-rank (the
+    expanded form differs from the pair join's exact form in low-order
+    bits); r_ids must be sorted ascending so argmin's first hit is the
+    j-asc tie-break. Callers must guarantee every query row has at
+    least one non-self reference row."""
+    if r_bn is None:
+        r_bn = (r_mat * r_mat).sum(axis=1)
+    an = (q_mat * q_mat).sum(axis=1)
+    d2 = an[:, None] + r_bn[None, :] - 2.0 * (q_mat @ r_mat.T)
+    d2[q_ids[:, None] == r_ids[None, :]] = np.inf
+    pick = d2.argmin(axis=1)
+    dmin = d2[np.arange(len(pick)), pick]
+    eps = 1e-6 * (1.0 + np.abs(dmin))
+    multi = np.where((d2 <= (dmin + eps)[:, None]).sum(axis=1) > 1)[0]
+    for r in multi:
+        cand = np.where(d2[r] <= dmin[r] + eps[r])[0]
+        ex = ((q_mat[r][None, :] - r_mat[cand]) ** 2).sum(axis=1)
+        pick[r] = cand[int(np.argmin(ex))]
+    return r_labs[pick]
+
+
+def _loo_knn_pair_join(emb: DataFrame) -> DataFrame:
+    """Declarative LOO 1-NN twin — the corpus² pair join the oracle
+    mirrors. KEPT AS THE PYTEST ORACLE ONLY (test_loo_knn_* pin the
+    kernel and cell routes equal to it): the r9 `loo_gemm_vs_pairjoin`
+    probe measured the GEMM kernel 46-84× faster, so no production
+    route dispatches here (VERDICT r9 item 3)."""
+    a = emb.select(
+        F.col("vec_id").alias("i"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("j"),
+        F.col("label").alias("pred_label"),
+        F.col("embedding").alias("vb"),
+    )
+    d = (
+        a.crossJoin(b)
+        .where(F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "true_label",
+            "pred_label",
+            V.sq_euclidean("va", "vb").alias("r"),
+            "j",
+        )
+    )
+    wnn = Window.partitionBy("i").orderBy("r", "j")
+    return (
+        d.withColumn("rn", F.row_number().over(wnn))
+        .where(F.col("rn") == 1)
+        .select("i", "true_label", "pred_label")
+    )
+
+
+def _loo_knn_ivf_cells(
+    spark: SparkSession, emb: DataFrame, n_rows: int
+) -> DataFrame:
+    """At-scale LOO 1-NN route (VERDICT r9 item 3, mechanized): assign
+    every vector to an IVF cell (sample-trained seeded quantizer,
+    broadcast argmin — no shuffle) and run the GEMM kernel WITHIN each
+    cell via applyInPandas. One shuffle on cell id; cells target
+    _LOO_KNN_CELL_TARGET rows so the per-cell distance block is ~33 MB
+    — corpus²/K work, never corpus². The audit contract: the per-cell
+    neighbor is the corpus neighbor whenever the quantizer separates
+    the label structure (exactly the planted-fixture pin); singleton
+    cells cannot be left out (LOO needs a non-self reference), so with
+    num_cells == 1 the route degenerates to one exact global cell."""
+    import pandas as pd
+
+    num_cells = max(1, -(-n_rows // _LOO_KNN_CELL_TARGET))
+    sel = emb.select("vec_id", "label", "embedding")
+    if num_cells == 1:
+        assigned = sel.withColumn("cell", F.lit(0))
+    else:
+        cents = ann.train_ivf_centroids(
+            sel, num_cells=num_cells, vector_col="embedding", seed=42
+        )
+        assigned = ann.assign_ivf_cells(sel, cents, vector_col="embedding")
+
+    def _cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            # a 1-row cell has no non-self LOO reference; re-anchor it
+            # to the global audit is a join away — at audit semantics
+            # (aggregate accuracy) dropping the stragglers is the
+            # documented contract, and the pinned fixtures have none
+            return pd.DataFrame(
+                {"vec_id": [], "label": [], "pred_label": []}
+            ).astype({"vec_id": "int64", "label": "int32", "pred_label": "int64"})
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order].astype(np.int64)
+        labs = pdf["label"].to_numpy()[order].astype(np.int64)
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)[order]
+        pred = _loo_nn_pred(ids, mat, ids, labs, mat)
+        return pd.DataFrame(
+            {"vec_id": ids, "label": labs.astype("int32"), "pred_label": pred}
+        )
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(_cell, schema="vec_id long, label int, pred_label long")
+        .select(
+            F.col("vec_id").alias("i"),
+            F.col("label").alias("true_label"),
+            F.col("pred_label").cast("int").alias("pred_label"),
+        )
+    )
 
 
 def emb_loo_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -17847,13 +18041,16 @@ def emb_loo_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-ranked on the exact Σ(a−b)² (j-asc tie) — kernel, pair join,
     and oracle rank near-ties on the same value. Plan: broadcast
     the ≤ _LOO_KNN_BROADCAST_LIMIT reference matrix and stream the
-    corpus through one Arrow pass (no pair materialization); above the
-    limit the declarative pair-join path runs (pytest-pinned equal),
-    and at production scale the audit runs per IVF cell on the
-    documented ann.py sample contract — accuracy is a per-cell
-    combinable aggregate."""
+    corpus through one Arrow pass (no pair materialization); ABOVE the
+    limit the audit routes through ann.train_ivf_centroids +
+    assign_ivf_cells and runs the same kernel per cell (VERDICT r9
+    item 3 — the measured 46-84× kernel-vs-pair-join gap makes the
+    cell route the only sane at-scale fallback; the crossJoin twin
+    survives only as the pytest oracle, _loo_knn_pair_join) —
+    accuracy is a per-cell combinable aggregate."""
     emb = load_table(spark, sf_dir, "embeddings")
-    if emb.count() <= _LOO_KNN_BROADCAST_LIMIT:
+    n_rows = emb.count()
+    if n_rows <= _LOO_KNN_BROADCAST_LIMIT:
         import pandas as pd  # noqa: F401
 
         ref = emb.select("vec_id", "label", "embedding").collect()
@@ -17869,27 +18066,15 @@ def emb_loo_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             r_ids, r_labs, r_mat, r_bn = bc.value
             for pdf in it:
                 a = np.array(list(pdf["embedding"]), dtype=np.float64)
-                an = (a * a).sum(axis=1)
-                d2 = an[:, None] + r_bn[None, :] - 2.0 * (a @ r_mat.T)
-                self_mask = (
-                    pdf["vec_id"].to_numpy()[:, None] == r_ids[None, :]
+                pred = _loo_nn_pred(
+                    pdf["vec_id"].to_numpy().astype(np.int64),
+                    a,
+                    r_ids,
+                    r_labs,
+                    r_mat,
+                    r_bn,
                 )
-                d2[self_mask] = np.inf
-                pick = d2.argmin(axis=1)
-                # near-tie refinement (ADVICE r8): the expanded-form d2
-                # and the pair-join's sum((a-b)^2) disagree in low-order
-                # bits; re-rank every candidate within eps of the min on
-                # the exact form so a near-tie can't flip between paths.
-                dmin = d2[np.arange(len(pick)), pick]
-                eps = 1e-6 * (1.0 + np.abs(dmin))
-                multi = np.where(
-                    (d2 <= (dmin + eps)[:, None]).sum(axis=1) > 1
-                )[0]
-                for r in multi:
-                    cand = np.where(d2[r] <= dmin[r] + eps[r])[0]
-                    ex = ((a[r][None, :] - r_mat[cand]) ** 2).sum(axis=1)
-                    pick[r] = cand[int(np.argmin(ex))]
-                yield pdf.assign(pred_label=r_labs[pick])[
+                yield pdf.assign(pred_label=pred)[
                     ["vec_id", "label", "pred_label"]
                 ]
 
@@ -17902,33 +18087,7 @@ def emb_loo_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pred_label").cast("int").alias("pred_label"),
         )
     else:
-        a = emb.select(
-            F.col("vec_id").alias("i"),
-            F.col("label").alias("true_label"),
-            F.col("embedding").alias("va"),
-        )
-        b = emb.select(
-            F.col("vec_id").alias("j"),
-            F.col("label").alias("pred_label"),
-            F.col("embedding").alias("vb"),
-        )
-        d = (
-            a.crossJoin(b)
-            .where(F.col("i") != F.col("j"))
-            .select(
-                "i",
-                "true_label",
-                "pred_label",
-                V.sq_euclidean("va", "vb").alias("r"),
-                "j",
-            )
-        )
-        wnn = Window.partitionBy("i").orderBy("r", "j")
-        nn = (
-            d.withColumn("rn", F.row_number().over(wnn))
-            .where(F.col("rn") == 1)
-            .select("i", "true_label", "pred_label")
-        )
+        nn = _loo_knn_ivf_cells(spark, emb, n_rows)
     per = nn.groupBy("true_label").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(

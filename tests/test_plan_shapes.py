@@ -186,9 +186,10 @@ _NESTED_LOOP_OK = {
                                      # the bounded cum frames
     "g11_component_profile",   # 1-row component-totals frame broadcast
                                # onto the size histogram
-    "emb_loo_knn_accuracy",    # bounded corpus² LOO pair join (the
-                               # j9 all-pairs class; IVF-cell sample
-                               # path documented for production scale)
+    "emb_loo_knn_accuracy",    # ≤limit: broadcast GEMM kernel; above:
+                               # per-IVF-cell applyInPandas (r10). The
+                               # corpus² pair join survives only as the
+                               # _loo_knn_pair_join pytest oracle twin
     "evt_dau_mau_stickiness",  # 1-row calendar-span frame broadcast
                                # onto the per-day timeline
     "evt_power_sample_size",   # |types|-row per-type-stats frame

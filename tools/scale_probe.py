@@ -758,30 +758,33 @@ def main() -> None:
         """emb_hubness_audit / emb_intrinsic_dim family: per-LABEL
         pair-join cost ~ sum(L^2). Timed at label sizes 400/800/1600
         (5 labels, fixed — scale-independent exponent record): the
-        log2 time ratios measure the exponent the docstrings claim,
-        and the absolute second reading at L=1600 is where the
-        documented IVF-cell-sample contract must engage."""
+        log2 time ratios of the RAW join measure the quadratic regime
+        the r9 probe found engaging between 800-1600 rows/label, and
+        the `hubness_capped_L*` twins run the SAME audit through the
+        production `_emb_label_capped` route (r10, VERDICT r9 item 4)
+        — beyond the 1024-row cap the capped timings must go FLAT
+        (exponent clamped ~<=1) while raw keeps climbing."""
+        import __spark_entry__ as entrymod
         from pyspark.sql import Window as W
         from vector_search_optimization_spark.functions import vector as V
 
-        last = 0
-        for L in (400, 800, 1600):
-            sub = emb.where(F.col("vec_id") < 5 * L).select(
-                (F.col("vec_id") % 5).alias("label"),
+        def _audit_count(frame):
+            a = frame.select(
+                "label",
                 F.col("vec_id").alias("i"),
                 F.col("embedding").alias("va"),
-            ).persist()
-            sub.count()
-            t = time.time()
-            b = sub.select(
-                F.col("label"),
-                F.col("i").alias("j"),
-                F.col("va").alias("vb"),
+            )
+            b = frame.select(
+                "label",
+                F.col("vec_id").alias("j"),
+                F.col("embedding").alias("vb"),
             )
             d = (
-                sub.join(b, "label")
+                a.join(b, "label")
                 .where(F.col("i") != F.col("j"))
-                .select("label", "i", "j", V.sq_euclidean("va", "vb").alias("r"))
+                .select(
+                    "label", "i", "j", V.sq_euclidean("va", "vb").alias("r")
+                )
             )
             wnn = W.partitionBy("label", "i").orderBy("r", "j")
             occ = (
@@ -790,8 +793,22 @@ def main() -> None:
                 .groupBy("label", "j")
                 .agg(F.count(F.lit(1)).alias("c"))
             )
-            last = occ.count()
+            return occ.count()
+
+        last = 0
+        for L in (400, 800, 1600):
+            sub = emb.where(F.col("vec_id") < 5 * L).select(
+                (F.col("vec_id") % 5).alias("label"),
+                F.col("vec_id"),
+                F.col("embedding"),
+            ).persist()
+            sub.count()
+            t = time.time()
+            _audit_count(sub)
             out[f"hubness_L{L}_s"] = round(time.time() - t, 2)
+            t = time.time()
+            last = _audit_count(entrymod._emb_label_capped(sub))
+            out[f"hubness_capped_L{L}_s"] = round(time.time() - t, 2)
             sub.unpersist()
         return last
 
