@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from vector_search_optimization_spark.functions import text as TX
 from vector_search_optimization_spark.functions import vector as V
 from vector_search_optimization_spark.operators import ann, dedup, islands, topk, upsert
+from vector_search_optimization_spark.operators import distribution as DIST
 from vector_search_optimization_spark.operators import nearest_centroid as NC
 from vector_search_optimization_spark.operators import ranking_stats as RKS
 from vector_search_optimization_spark.operators import timeseries as TS
@@ -20844,6 +20845,812 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# r10 additions (breadth capped per VERDICT r9 item 6 — the window cedes
+# its slots to the stale-audit rotation)
+# ---------------------------------------------------------------------------
+
+
+def evt_type_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise exact 1-D earth mover's distance (Wasserstein-1)
+    between every event-type pair's VALUE distribution — the
+    drift-audit family's metric that, unlike PSI/KL (evt_psi_drift,
+    source_token_kl), needs no binning or smoothing, is finite on
+    disjoint supports, and respects the value metric (how many
+    dollars must move, not just how different the histograms look).
+
+    Exactness: on cent-valued support, EMD·n_a·n_b·100 is an exact
+    integer — Σ_grid |cum_a·n_b − cum_b·n_a|·gap accumulated in
+    DECIMAL(38,0)/HUGEINT (the squared-cents rule; cum·n ~1e20 at
+    production counts), then ONE cast-to-double division → identical
+    on both engines, exported unrounded.
+
+    Plan (operators/distribution.py): counts per (type, cents) is one
+    combinable agg; the support grid is DOMAIN-bounded (≤ ~56k cent
+    points), so the grid lead() window, the 5-row broadcast
+    type×grid densification, the per-type cumulative windows, and the
+    |pairs|×|grid| self-join are all constant-size at any corpus
+    size. The (type, cents) count frame is also a pure additive fold
+    — streaming/emd_maintenance.py maintains it continuously and
+    this same combine reads any snapshot."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    counts = e.groupBy(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        DIST.emd_pairs_from_counts(counts)
+        .select(
+            F.col("grp_a").alias("type_a"),
+            F.col("grp_b").alias("type_b"),
+            "n_a",
+            "n_b",
+            F.col("emd").alias("emd_dollars"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_TYPE_EMD_SQL = """
+WITH counts AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), grid AS (
+  SELECT gx, gap FROM (
+    SELECT cents AS gx, lead(cents) OVER (ORDER BY cents) - cents AS gap
+    FROM (SELECT DISTINCT cents FROM counts))
+  WHERE gap IS NOT NULL
+), dense AS (
+  SELECT g.event_type, grid.gx, grid.gap,
+         CAST(coalesce(c.n, 0) AS BIGINT) AS c
+  FROM grid CROSS JOIN (SELECT DISTINCT event_type FROM counts) g
+  LEFT JOIN counts c ON c.event_type = g.event_type AND c.cents = grid.gx
+), cum AS (
+  SELECT event_type, gx, gap,
+         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY gx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM dense
+), totals AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS nt FROM counts GROUP BY 1
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       ta.nt AS n_a, tb.nt AS n_b,
+       CAST(sum(abs(CAST(a.cum AS HUGEINT) * tb.nt
+                    - CAST(b.cum AS HUGEINT) * ta.nt) * a.gap) AS DOUBLE)
+         / (CAST(ta.nt AS DOUBLE) * CAST(tb.nt AS DOUBLE) * 100.0)
+         AS emd_dollars
+FROM cum a
+JOIN cum b ON a.gx = b.gx AND a.event_type < b.event_type
+JOIN totals ta ON ta.event_type = a.event_type
+JOIN totals tb ON tb.event_type = b.event_type
+GROUP BY 1, 2, 3, 4
+ORDER BY type_a, type_b
+"""
+
+
+def evt_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test — the BLOCKED companion to evt_kruskal_dunn:
+    does the daily revenue RANKING of event types stay the same day
+    after day (day = block, type = treatment)? Within each complete
+    day (all types present) types get ×2 average-tie ranks on exact
+    daily cents (2·avg = 2·rank_min + ties − 1 — the spearman ±shift
+    variant is NOT reusable here, see the inline note);
+    χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1), computed from exact BIGINTs
+    as 3·Σ(2R_j)²/(nk(k+1)) − 3n(k+1): integer products first, ONE
+    division, ONE subtraction — bit-identical on both engines, so
+    χ² and the per-type mean ranks export UNROUNDED (no tie
+    correction: ties on exact daily cent sums are near-measure-zero,
+    documented). Plan: one (type, day) combinable agg, one per-day
+    rank window, two tiny rollups; k and the cross-type moment attach
+    via 1-row broadcasts (whitelisted)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy("event_type", day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    k1 = (
+        daily.select("event_type")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    complete = (
+        daily.groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .join(F.broadcast(k1), F.col("cnt") == F.col("k"))
+        .select("d", "k")
+    )
+    # ×2 average-tie rank: 2·avg = 2·rank_min + ties − 1 (NOT the
+    # spearman idiom's −2 — that uniform −1 shift cancels in rho but
+    # would bias the Friedman moments)
+    x2 = (
+        F.lit(2) * F.rank().over(Window.partitionBy("d").orderBy("cents"))
+        + F.count(F.lit(1)).over(Window.partitionBy("d", "cents"))
+        - F.lit(1)
+    ).cast("long")
+    pt = (
+        daily.join(complete, "d")
+        .withColumn("x2", x2)
+        .groupBy("event_type", "k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("x2").cast("long").alias("r2"),
+        )
+    )
+    stats = pt.groupBy("k").agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("s4"),
+        F.max("n_days").cast("long").alias("n"),
+    )
+    chi2 = (F.lit(3) * F.col("s4")).cast("double") / (
+        F.col("k") * F.col("n") * (F.col("k") + 1)
+    ).cast("double") - (F.lit(3) * F.col("n") * (F.col("k") + 1)).cast(
+        "double"
+    )
+    return (
+        pt.join(F.broadcast(stats), "k")
+        .select(
+            "event_type",
+            "n_days",
+            (F.col("r2").cast("double") / (F.lit(2) * F.col("n_days")).cast("double")).alias(
+                "mean_rank"
+            ),
+            chi2.alias("chi2_f"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_FRIEDMAN_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), k1 AS (
+  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM daily
+), complete AS (
+  SELECT d, k FROM (
+    SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM daily GROUP BY 1) c
+  JOIN k1 ON c.cnt = k1.k
+), rk AS (
+  SELECT daily.event_type, complete.k,
+         CAST(2 * rank() OVER (PARTITION BY daily.d ORDER BY cents)
+              + count(*) OVER (PARTITION BY daily.d, cents) - 1
+              AS BIGINT) AS x2
+  FROM daily JOIN complete ON daily.d = complete.d
+), pt AS (
+  SELECT event_type, k,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x2) AS BIGINT) AS r2
+  FROM rk GROUP BY 1, 2
+), stats AS (
+  SELECT k, CAST(sum(r2 * r2) AS BIGINT) AS s4,
+         CAST(max(n_days) AS BIGINT) AS n
+  FROM pt GROUP BY 1
+)
+SELECT pt.event_type, pt.n_days,
+       CAST(pt.r2 AS DOUBLE) / CAST(2 * pt.n_days AS DOUBLE) AS mean_rank,
+       CAST(3 * stats.s4 AS DOUBLE)
+         / CAST(stats.k * stats.n * (stats.k + 1) AS DOUBLE)
+         - CAST(3 * stats.n * (stats.k + 1) AS DOUBLE) AS chi2_f
+FROM pt JOIN stats ON pt.k = stats.k
+ORDER BY pt.event_type
+"""
+
+
+def evt_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-style symbolic motif mining on the daily revenue series per
+    event type (Lin et al. '03, rank-discretized): each day's exact
+    cent total maps to a quartile symbol a-d via ntile(4) over the
+    per-type value order ((cents, d) total order — deterministic and
+    identical in both engines' standard first-buckets-get-extras
+    ntile), then every 3 consecutive days (series order) form a motif
+    word; the export is each type's top-3 motifs (count desc / motif
+    asc — the canonical tie-break). Everything is exact integers and
+    string ops — no rounding anywhere. Plan: one (type, day)
+    combinable agg, one ntile window + one lead window (both per-type,
+    calendar-bounded), one motif agg, one WindowGroupLimit rank
+    window."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy("event_type", day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    sym = daily.withColumn(
+        "s",
+        F.expr("chr(96 + ntile(4) OVER (PARTITION BY event_type ORDER BY cents, d))"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    motifs = (
+        sym.select(
+            "event_type",
+            F.concat(
+                F.col("s"), F.lead("s", 1).over(wd), F.lead("s", 2).over(wd)
+            ).alias("motif"),
+        )
+        .where(F.col("motif").isNotNull())
+        .groupBy("event_type", "motif")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_windows"))
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("n_windows").desc(), F.col("motif").asc()
+    )
+    return (
+        motifs.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "motif", "n_windows")
+        .orderBy("event_type", "rnk")
+    )
+
+
+_SAX_MOTIFS_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), sym AS (
+  SELECT event_type, d,
+         chr(CAST(96 + ntile(4) OVER (PARTITION BY event_type
+                                      ORDER BY cents, d) AS INT)) AS s
+  FROM daily
+), words AS (
+  SELECT event_type,
+         s || lead(s, 1) OVER w || lead(s, 2) OVER w AS motif
+  FROM sym
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+), counts AS (
+  SELECT event_type, motif, CAST(count(*) AS BIGINT) AS n_windows
+  FROM words WHERE motif IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, rnk, motif, n_windows FROM (
+  SELECT event_type, motif, n_windows,
+         CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY n_windows DESC, motif ASC) AS INT) AS rnk
+  FROM counts)
+WHERE rnk <= 3
+ORDER BY event_type, rnk
+"""
+
+
+_MATTR_WINDOW = 25
+
+
+def doc_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR — moving-average type-token ratio per source (Covington &
+    McFall '10), the window-stabilized lexical-diversity metric that,
+    unlike raw TTR, doesn't shrink with document length (and unlike
+    Yule's K / Chao1 / Heaps, measures LOCAL vocabulary churn): slide
+    a W=25-word window over each ≥W-word document and average the
+    windows' distinct-word fractions.
+
+    The naive per-window distinct count is O(n·W); this computes the
+    SAME exact number in one pass via the first-occurrence identity:
+    Σ_windows distinct = Σ_positions (# windows in which position p is
+    its word's first occurrence) = Σ_p max(0, min(p, m) − max(1,
+    p−W+1, prev_p+1) + 1), where prev_p is the previous position of
+    the same word (one lag window) and m = n−W+1. All exact integers;
+    MATTR = Σdistinct / (W·Σm) is ONE division of exact BIGINTs —
+    engine-identical, exported unrounded. Plan: one tokenization pass
+    (posexplode / generate_subscripts — the established per-position
+    idiom), one (doc, word) lag window, two combinable rollups."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.lit(_MATTR_WINDOW)
+    arr = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda tk: tk != "",
+    )
+    toks = (
+        d.select("doc_id", "source", arr.alias("arr"))
+        .withColumn("nw", F.size("arr").cast("long"))
+        .where(F.col("nw") >= w)
+        .select(
+            "doc_id",
+            "source",
+            "nw",
+            F.posexplode("arr").alias("p0", "w"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "nw",
+            (F.col("p0") + 1).cast("long").alias("p"),
+            "w",
+        )
+    )
+    wlag = Window.partitionBy("doc_id", "w").orderBy("p")
+    m = F.col("nw") - w + 1
+    lo = F.greatest(
+        F.lit(1).cast("long"),
+        F.col("p") - w + 1,
+        F.coalesce(F.lag("p").over(wlag), F.lit(0).cast("long")) + 1,
+    )
+    hi = F.least(F.col("p"), m)
+    cnt = F.greatest(F.lit(0).cast("long"), hi - lo + 1)
+    per_doc = (
+        toks.withColumn("c", cnt)
+        .groupBy("doc_id", "source", "nw")
+        .agg(F.sum("c").cast("long").alias("sd"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("nw") - w + 1).cast("long").alias("n_windows"),
+            F.sum("sd").cast("long").alias("sum_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_windows",
+            "sum_distinct",
+            (
+                F.col("sum_distinct").cast("double")
+                / (w * F.col("n_windows")).cast("double")
+            ).alias("mattr"),
+        )
+        .orderBy("source")
+    )
+
+
+_MATTR_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS arr
+  FROM documents
+), toks AS (
+  SELECT doc_id, source, CAST(len(arr) AS BIGINT) AS nw,
+         CAST(generate_subscripts(arr, 1) AS BIGINT) AS p,
+         unnest(arr) AS w
+  FROM docs WHERE len(arr) >= 25
+), flagged AS (
+  SELECT doc_id, source, nw, p,
+         CAST(coalesce(lag(p) OVER (PARTITION BY doc_id, w ORDER BY p), 0)
+              AS BIGINT) AS prev
+  FROM toks
+), contrib AS (
+  SELECT doc_id, source, nw,
+         greatest(CAST(0 AS BIGINT),
+                  least(p, nw - 25 + 1)
+                  - greatest(CAST(1 AS BIGINT), p - 25 + 1, prev + 1)
+                  + 1) AS c
+  FROM flagged
+), per_doc AS (
+  SELECT doc_id, source, nw, CAST(sum(c) AS BIGINT) AS sd
+  FROM contrib GROUP BY 1, 2, 3
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nw - 25 + 1) AS BIGINT) AS n_windows,
+       CAST(sum(sd) AS BIGINT) AS sum_distinct,
+       CAST(sum(sd) AS DOUBLE)
+         / CAST(25 * sum(nw - 25 + 1) AS DOUBLE) AS mattr
+FROM per_doc GROUP BY 1
+ORDER BY source
+"""
+
+
+def orders_priority_trend_ca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: is the share of high-urgency
+    orders (1-URGENT / 2-HIGH) drifting across order months? The
+    categorical TREND companion to doc_lang_source_chi2 (independence)
+    and evt_proportion_ztest (two-group rates): months get integer
+    scores s=1..m, T = Σ sᵢrᵢ is compared to its null expectation
+    R·S₁/N with variance p(1−p)(S₂ − S₁²/N). All accumulators (N, R,
+    S₁, S₂, T) are exact BIGINTs over the per-month rollup (S₂ ≤
+    N·s_max² with s calendar-bounded — no overflow below ~1e14 rows;
+    S₁² is formed in DOUBLES, not integers, exactly because it would
+    overflow at scale); z then chains the IDENTICAL expression tree
+    through doubles on both engines (the welch discipline) and rounds
+    6dp (sqrt-irrational). Plan: one month rollup (combinable), the
+    month index via a global min over the ≤hundreds-row month frame,
+    one 1-row reduce."""
+    o = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    urgent = (
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    )
+    monthly = o.groupBy(ym.alias("ym")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(urgent).cast("long").alias("r"),
+    )
+    s = (
+        F.col("ym") - F.min("ym").over(Window.partitionBy()) + 1
+    ).cast("long")
+    scored = monthly.select(s.alias("s"), "n", "r")
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("r").cast("long").alias("rr"),
+        F.sum(F.col("s") * F.col("n")).cast("long").alias("s1"),
+        F.sum(F.col("s") * F.col("s") * F.col("n")).cast("long").alias("s2"),
+        F.sum(F.col("s") * F.col("r")).cast("long").alias("t"),
+    )
+    p = F.col("rr").cast("double") / F.col("nn").cast("double")
+    s1d = F.col("s1").cast("double")
+    var = (
+        p
+        * (F.lit(1.0) - p)
+        * (F.col("s2").cast("double") - s1d * s1d / F.col("nn").cast("double"))
+    )
+    num = F.col("t").cast("double") - p * s1d
+    return agg.select(
+        "n_months",
+        F.col("nn").alias("n_orders"),
+        F.col("rr").alias("n_urgent"),
+        F.when(var > 0, F.round(num / F.sqrt(var), 6)).alias("z_ca"),
+    )
+
+
+_CA_TREND_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT CAST(ym - min(ym) OVER () + 1 AS BIGINT) AS s, n, r FROM monthly
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_months,
+         CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(r) AS BIGINT) AS rr,
+         CAST(sum(s * n) AS BIGINT) AS s1,
+         CAST(sum(s * s * n) AS BIGINT) AS s2,
+         CAST(sum(s * r) AS BIGINT) AS t
+  FROM scored
+)
+SELECT n_months, nn AS n_orders, rr AS n_urgent,
+       CASE WHEN (CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+                 * (1.0 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+                 * (CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      / CAST(nn AS DOUBLE)) > 0
+            THEN round(
+              (CAST(t AS DOUBLE)
+               - (CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+                 * CAST(s1 AS DOUBLE))
+              / sqrt((CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+                     * (1.0 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+                     * (CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                          / CAST(nn AS DOUBLE))), 6)
+       END AS z_ca
+FROM agg
+"""
+
+
+def evt_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator per event type — the order-statistics
+    heavy-tail reader next to evt_peak_over_threshold's GPD moments
+    fit (Hill regresses only on the top-k log-spacings and needs no
+    variance, so the two disagree exactly when the tail isn't Pareto
+    — a useful cross-check pair): γ̂ = (1/k)Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) on
+    the k = max(10, n div 20) largest positive values, α̂ = 1/γ̂.
+    Determinism: x₍ᵢ₎ picked by row_number over the exact (cents,
+    event_id) order (ties never straddle ambiguously), the threshold
+    is the single rn = n−k row — all pure integer math; the ln-ratio
+    sum is order-dependent doubles → γ̂ rounds 6dp (log-irrational,
+    ties measure-zero) and α̂ derives 1/γ̂ FROM THE ROUNDED value
+    (identical inputs → identical division). Plan: one per-type rank
+    window over the facts, a k-bounded (5%) exceedance frame, one
+    combinable agg — the spirit of the POT plan one level rawer."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    vals = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        "event_id",
+    ).where(F.col("c") >= 1)
+    nd = vals.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wrank = Window.partitionBy("event_type").orderBy("c", "event_id")
+    ranked = vals.withColumn("rn", F.row_number().over(wrank)).join(
+        F.broadcast(nd), "event_type"
+    )
+    k = F.greatest(F.lit(10).cast("long"), F.expr("n div 20"))
+    tail = ranked.withColumn("k", k).where(
+        (F.col("rn") >= F.col("n") - F.col("k")) & (F.col("n") > F.col("k"))
+    )
+    thr = tail.where(F.col("rn") == F.col("n") - F.col("k")).select(
+        "event_type", F.col("c").alias("thr")
+    )
+    return (
+        tail.where(F.col("rn") > F.col("n") - F.col("k"))
+        .join(F.broadcast(thr), "event_type")
+        .groupBy("event_type", "n", "k", "thr")
+        .agg(
+            F.sum(
+                F.log(F.col("c").cast("double") / F.col("thr").cast("double"))
+            ).alias("sl")
+        )
+        .select(
+            "event_type",
+            "n",
+            "k",
+            F.col("thr").alias("xk1_cents"),
+            F.round(F.col("sl") / F.col("k").cast("double"), 6).alias(
+                "hill_gamma"
+            ),
+            F.when(
+                F.round(F.col("sl") / F.col("k").cast("double"), 6) > 0,
+                F.lit(1.0)
+                / F.round(F.col("sl") / F.col("k").cast("double"), 6),
+            ).alias("tail_alpha"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_HILL_SQL = """
+WITH vals AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c, event_id
+  FROM events WHERE value IS NOT NULL AND CAST(round(value * 100) AS BIGINT) >= 1
+), nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY 1
+), ranked AS (
+  SELECT v.event_type, v.c, nd.n,
+         greatest(CAST(10 AS BIGINT), nd.n // 20) AS k,
+         row_number() OVER (PARTITION BY v.event_type
+                            ORDER BY v.c, v.event_id) AS rn
+  FROM vals v JOIN nd ON v.event_type = nd.event_type
+), thr AS (
+  SELECT event_type, c AS thr FROM ranked WHERE rn = n - k AND n > k
+), agg AS (
+  SELECT r.event_type, r.n, r.k, t.thr,
+         sum(ln(CAST(r.c AS DOUBLE) / CAST(t.thr AS DOUBLE))) AS sl
+  FROM ranked r JOIN thr t ON r.event_type = t.event_type
+  WHERE r.rn > r.n - r.k
+  GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, n, k, thr AS xk1_cents,
+       round(sl / CAST(k AS DOUBLE), 6) AS hill_gamma,
+       CASE WHEN round(sl / CAST(k AS DOUBLE), 6) > 0
+            THEN 1.0 / round(sl / CAST(k AS DOUBLE), 6) END AS tail_alpha
+FROM agg
+ORDER BY event_type
+"""
+
+
+_HAAR_SCALES = (2, 4, 8)
+
+
+def evt_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet detail-energy decomposition of the daily revenue
+    series per event type — the TIME-frequency companion to
+    evt_spectral_dft (which localizes in frequency only): at dyadic
+    widths w ∈ {2,4,8}, each complete block's unnormalized detail is
+    (first-half sum − second-half sum) of exact daily cents, and the
+    scale's energy is Σ d² — EXACT integers end to end (d² accumulated
+    in DECIMAL(38,0)/HUGEINT per the squared-cents rule). Energy and
+    its per-type share export as cast-double exact values (one
+    division — identical both engines, UNROUNDED). Blocks index the
+    series by row_number (series order, the hurst convention);
+    incomplete trailing blocks are dropped exactly. Plan: one (type,
+    day) shuffle, a 3-literal scale fan-out of the calendar-bounded
+    grid, two combinable rollups, one 3-row-partition share window."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy("event_type", day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
+    )
+    wt = Window.partitionBy("event_type").orderBy("d")
+    seq = daily.withColumn("t", (F.row_number().over(wt) - 1).cast("long"))
+    fan = seq.select(
+        "event_type",
+        "t",
+        "cents",
+        F.explode(
+            F.array(*[F.lit(w).cast("long") for w in _HAAR_SCALES])
+        ).alias("w"),
+    )
+    blk = fan.select(
+        "event_type",
+        "w",
+        (F.col("t") / F.col("w")).cast("long").alias("b"),
+        (
+            F.lit(1)
+            - F.lit(2) * ((F.col("t") / (F.col("w") / 2)).cast("long") % 2)
+        ).alias("sgn"),
+        "cents",
+    )
+    details = (
+        blk.groupBy("event_type", "w", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(F.col("sgn") * F.col("cents")).cast("long").alias("dd"),
+        )
+        .where(F.col("m") == F.col("w"))
+    )
+    per_scale = details.groupBy("event_type", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.col("dd").cast("decimal(38,0)") * F.col("dd")).alias("en"),
+    )
+    wtot = Window.partitionBy("event_type")
+    return (
+        per_scale.withColumn("tot", F.sum("en").over(wtot))
+        .select(
+            "event_type",
+            F.col("w").alias("scale"),
+            "n_blocks",
+            F.col("en").cast("double").alias("energy"),
+            F.when(
+                F.col("tot") > 0,
+                F.col("en").cast("double") / F.col("tot").cast("double"),
+            ).alias("energy_share"),
+        )
+        .orderBy("event_type", "scale")
+    )
+
+
+_HAAR_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, cents,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) - 1
+              AS BIGINT) AS t
+  FROM daily
+), fan AS (
+  SELECT event_type, t, cents, CAST(w AS BIGINT) AS w
+  FROM seq CROSS JOIN (VALUES (2), (4), (8)) s(w)
+), blk AS (
+  SELECT event_type, w, t // w AS b,
+         1 - 2 * ((t // (w // 2)) % 2) AS sgn, cents
+  FROM fan
+), details AS (
+  SELECT event_type, w, b,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(sgn * cents) AS BIGINT) AS dd
+  FROM blk GROUP BY 1, 2, 3
+), complete AS (
+  SELECT * FROM details WHERE m = w
+), per_scale AS (
+  SELECT event_type, w,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         sum(CAST(dd AS HUGEINT) * dd) AS en
+  FROM complete GROUP BY 1, 2
+)
+SELECT event_type, w AS scale, n_blocks,
+       CAST(en AS DOUBLE) AS energy,
+       CASE WHEN sum(en) OVER (PARTITION BY event_type) > 0
+            THEN CAST(en AS DOUBLE)
+                 / CAST(sum(en) OVER (PARTITION BY event_type) AS DOUBLE)
+       END AS energy_share
+FROM per_scale
+ORDER BY event_type, scale
+"""
+
+
+def doc_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift per source: the sup-norm
+    distance between each source's document-length (n_chars)
+    distribution and the REST of the corpus — completing the drift
+    triptych (PSI = binned density ratio, EMD = CDF integral, KS =
+    CDF sup) with the one that powers distribution-shift alarms.
+    EXACT: on the shared integer support, D·n_s·n_rest =
+    max|cum_s·n_rest − cum_rest·n_s| is an exact integer (products in
+    DECIMAL(38,0)/HUGEINT — cum·n reaches ~1e20 at production
+    counts); D is ONE cast-double division (UNROUNDED, identical both
+    engines) and the attained length is the argmax with the smallest-
+    length tie-break (rank on exact integers). Plan: one (source,
+    n_chars) combinable agg; the support grid is LENGTH-domain-bounded,
+    so the |sources|-row broadcast densification, per-source
+    cumulative windows, and the argmax rank window are all constant-
+    size at any corpus volume (the operators/distribution.py
+    posture)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", F.col("n_chars").alias("x")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = counts.select("x").distinct()
+    sources = counts.select("source").distinct()
+    dense = (
+        grid.crossJoin(F.broadcast(sources))
+        .join(counts, ["source", "x"], "left")
+        .select(
+            "source", "x", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+        )
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_s = dense.select(
+        "source", "x", F.sum("c").over(wcum).alias("cs")
+    )
+    gtot = counts.groupBy("x").agg(F.sum("c").cast("long").alias("gc"))
+    wg = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_g = gtot.select("x", F.sum("gc").over(wg).alias("cg"))
+    ns = counts.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    nt = counts.agg(F.sum("c").cast("long").alias("n_tot"))
+    v = F.abs(
+        F.col("cs").cast("decimal(38,0)") * (F.col("n_tot") - F.col("n_s"))
+        - (F.col("cg") - F.col("cs")).cast("decimal(38,0)") * F.col("n_s")
+    )
+    scored = (
+        cum_s.join(cum_g, "x")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nt))
+        .select("source", "x", "n_s", "n_tot", v.alias("v"))
+    )
+    wmax = Window.partitionBy("source").orderBy(
+        F.col("v").desc(), F.col("x").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wmax))
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            (
+                F.col("v").cast("double")
+                / (
+                    F.col("n_s").cast("double")
+                    * (F.col("n_tot") - F.col("n_s")).cast("double")
+                )
+            ).alias("d_ks"),
+            F.col("x").alias("at_n_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_LENGTH_KS_SQL = """
+WITH counts AS (
+  SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), dense AS (
+  SELECT s.source, g.x, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+  FROM (SELECT DISTINCT x FROM counts) g
+  CROSS JOIN (SELECT DISTINCT source FROM counts) s
+  LEFT JOIN counts c ON c.source = s.source AND c.x = g.x
+), cum_s AS (
+  SELECT source, x,
+         CAST(sum(c) OVER (PARTITION BY source ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cs
+  FROM dense
+), cum_g AS (
+  SELECT x,
+         CAST(sum(gc) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cg
+  FROM (SELECT x, CAST(sum(c) AS BIGINT) AS gc FROM counts GROUP BY 1)
+), ns AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM counts GROUP BY 1
+), nt AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM counts
+), scored AS (
+  SELECT cum_s.source, cum_s.x, ns.n_s, nt.n_tot,
+         abs(CAST(cum_s.cs AS HUGEINT) * (nt.n_tot - ns.n_s)
+             - CAST(cum_g.cg - cum_s.cs AS HUGEINT) * ns.n_s) AS v
+  FROM cum_s
+  JOIN cum_g ON cum_s.x = cum_g.x
+  JOIN ns ON ns.source = cum_s.source
+  CROSS JOIN nt
+)
+SELECT source, n_s AS n_docs,
+       CAST(v AS DOUBLE)
+         / (CAST(n_s AS DOUBLE) * CAST(n_tot - n_s AS DOUBLE)) AS d_ks,
+       x AS at_n_chars
+FROM (SELECT source, x, n_s, n_tot, v,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY v DESC, x ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
 
@@ -20859,6 +21666,15 @@ ORDER BY event_type
 # generations old — _R7_FRONT rotates exactly those forward, oldest debt
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # r10 additions (the _R10_FRONT rebuild puts them at the window top):
+    "evt_hill_tail_index": (evt_hill_tail_index, _HILL_SQL),
+    "evt_haar_energy": (evt_haar_energy, _HAAR_SQL),
+    "doc_length_ks_drift": (doc_length_ks_drift, _LENGTH_KS_SQL),
+    "evt_type_emd": (evt_type_emd, _TYPE_EMD_SQL),
+    "evt_friedman_test": (evt_friedman_test, _FRIEDMAN_SQL),
+    "evt_sax_motifs": (evt_sax_motifs, _SAX_MOTIFS_SQL),
+    "doc_mattr_diversity": (doc_mattr_diversity, _MATTR_SQL),
+    "orders_priority_trend_ca": (orders_priority_trend_ca, _CA_TREND_SQL),
     # r9 additions (the _R9_FRONT rebuild puts them at the window top):
     "evt_icc_day_effect": (evt_icc_day_effect, _ICC_SQL),
     "evt_session_paths": (evt_session_paths, _SESSION_PATHS_SQL),
@@ -21458,6 +22274,84 @@ _REGISTRY = {
         *_R9_FRONT,
         *_R8_NEXT,
         *(k for k in _REGISTRY if k not in {*_R9_FRONT, *_R8_NEXT}),
+    )
+}
+
+# r10 window rotation (VERDICT r9 item 1, executed): additions were capped
+# at 8 (item 6 allowed ~10) so the stale-audit debt finally cycles.
+# Window = 8 r10-new + 4 r10-CHANGED (evt_records_test harmonic rewrite;
+# emb_loo_knn_accuracy cell-route dispatch; emb_hubness_audit /
+# emb_intrinsic_dim label-cap — their plans changed, exports identical at
+# gated scales) + ALL 35 r3-audited _R8_NEXT remainder entries (the
+# oldest debt: j5_literal_map..fraction_sample) + the first 3 r5-audited
+# bulk entries (m4_grid_sweep..lsh_banding_audit) = 50 exactly.  Below
+# the window the remaining 41 r5-audited entries lead in registry order
+# (ann_matryoshka_topk, text_gopher_repetition, evt_funnel, ...) —
+# rotate them (and anything r11-new/changed) forward in r11; after that
+# every registry entry's latest driver row is r6+.
+_R10_FRONT: list[str] = [
+    # r10-NEW queries go HERE (top), newest first, as they land (cap 8 —
+    # VERDICT r9 allowed ~10; 8 + 4 changed + 35 r3-audited + 3 r5 = 50).
+    "evt_hill_tail_index",
+    "evt_haar_energy",
+    "doc_length_ks_drift",
+    "orders_priority_trend_ca",
+    "doc_mattr_diversity",
+    "evt_sax_motifs",
+    "evt_friedman_test",
+    "evt_type_emd",
+    # r10-CHANGED (plan-affecting rewrites need fresh driver rows):
+    "evt_records_test",
+    "emb_loo_knn_accuracy",
+    "emb_hubness_audit",
+    "emb_intrinsic_dim",
+    # the 35 r3-audited _R8_NEXT remainder entries (oldest audit debt):
+    "j5_literal_map",
+    "m1_kmeans_clusters",
+    "m2_silhouette",
+    "m3_k_sweep",
+    "m10_pca_variance",
+    "m11_spectral_embedding",
+    "a16_dict_accum",
+    "p8_null_tolerant",
+    "f10_bpe_token_count",
+    "mm_asset_features",
+    "split_assign",
+    "pack_batches",
+    "decontaminate_overlap",
+    "f11_token_budget",
+    "s7_convert_docs",
+    "s7_pdf_roundtrip",
+    "doc_chunking",
+    "text_repetition",
+    "evt_rollup",
+    "ann_quantized_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_refined_topk",
+    "ann_ivfpq_refined_topk",
+    "hybrid_search_rrf",
+    "doc_winnow_fingerprints",
+    "ngram_jaccard_dedup",
+    "pii_redaction",
+    "lm_quality_scores",
+    "tfidf_keywords",
+    "skew_salted_agg",
+    "curation_pipeline",
+    "dq_constraints",
+    "stratified_sample",
+    "fraction_sample",
+    # the first 3 r5-audited bulk entries (the rest rotate in r11):
+    "m4_grid_sweep",
+    "skew_salted_join",
+    "lsh_banding_audit",
+]
+
+_REGISTRY = {
+    name: _REGISTRY[name]
+    for name in (
+        *_R10_FRONT,
+        *(k for k in _REGISTRY if k not in set(_R10_FRONT)),
     )
 }
 

@@ -211,6 +211,15 @@ _NESTED_LOOP_OK = {
                                 # onto the 20-source dimension
     "evt_session_paths",       # 1-row total-sessions frame broadcast
                                # onto the TakeOrdered-20 path list
+    "evt_type_emd",            # |types|-row (5) group frame broadcast-
+                               # crossed onto the domain-bounded support
+                               # grid (operators/distribution.py
+                               # densification — constant-size at any
+                               # corpus volume)
+    "doc_length_ks_drift",     # |sources|-row (20) frame broadcast-
+                               # crossed onto the length-domain-bounded
+                               # support grid + 1-row corpus-total
+                               # broadcast (same densification posture)
 }
 
 

@@ -161,6 +161,304 @@ def test_emb_label_cap_matches_duckdb_mirror(spark):
     }
 
 
+def test_emd_metric_properties(spark):
+    """EMD on planted distributions: exact value on a hand-computable
+    pair, zero on identical distributions, and the triangle/shift
+    identities a metric must satisfy."""
+    from vector_search_optimization_spark.operators.distribution import (
+        emd_pairs_from_counts,
+    )
+
+    # g0: mass at $1.00 (100c); g1: same mass at $3.00 -> EMD = $2 exactly
+    # g2: identical to g0 -> EMD(g0,g2) = 0
+    # g3: half at $1, half at $3 -> EMD(g0,g3) = $1 exactly
+    rows = [
+        ("g0", 100, 4),
+        ("g1", 300, 4),
+        ("g2", 100, 4),
+        ("g3", 100, 2),
+        ("g3", 300, 2),
+    ]
+    counts = spark.createDataFrame(
+        rows, schema="event_type string, cents long, n long"
+    )
+    got = {
+        (r.grp_a, r.grp_b): r.emd
+        for r in emd_pairs_from_counts(counts).collect()
+    }
+    assert got[("g0", "g1")] == pytest.approx(2.0, abs=1e-12)
+    assert got[("g0", "g2")] == 0.0
+    assert got[("g0", "g3")] == pytest.approx(1.0, abs=1e-12)
+    assert got[("g1", "g3")] == pytest.approx(1.0, abs=1e-12)
+    # triangle inequality across the planted triple
+    assert got[("g0", "g1")] <= got[("g0", "g3")] + got[("g1", "g3")] + 1e-12
+
+
+def test_type_emd_query_shape(spark, sf_small):
+    rows = m.queries()["evt_type_emd"](spark, sf_small).collect()
+    assert len(rows) == 10  # C(5,2) ordered pairs
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert r.emd_dollars >= 0.0
+        assert r.n_a > 0 and r.n_b > 0
+
+
+def test_friedman_identities(spark, sf_small):
+    rows = m.queries()["evt_friedman_test"](spark, sf_small).collect()
+    k = len(rows)
+    assert k == 5
+    n = rows[0].n_days
+    assert all(r.n_days == n for r in rows)
+    # mean ranks average to (k+1)/2 exactly, chi2 >= 0 and equal on rows
+    assert sum(r.mean_rank for r in rows) == pytest.approx(
+        k * (k + 1) / 2.0, abs=1e-9
+    )
+    chis = {r.chi2_f for r in rows}
+    assert len(chis) == 1
+    assert rows[0].chi2_f >= -1e-9
+
+
+def test_sax_motifs_ranked_and_alphabet(spark, sf_small):
+    rows = m.queries()["evt_sax_motifs"](spark, sf_small).collect()
+    by_type = {}
+    for r in rows:
+        assert len(r.motif) == 3 and set(r.motif) <= set("abcd")
+        assert r.n_windows >= 1
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        for prev, cur in zip(rs, rs[1:]):
+            assert (-prev.n_windows, prev.motif) < (-cur.n_windows, cur.motif)
+
+
+def test_mattr_bounds_and_exactness(spark, sf_small):
+    rows = m.queries()["doc_mattr_diversity"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        # a window of W words has between 1 and W distinct words
+        assert 0.0 < r.mattr <= 1.0
+        assert r.n_windows >= r.n_docs  # every eligible doc has >=1 window
+        assert r.sum_distinct <= m._MATTR_WINDOW * r.n_windows
+        # exactness: the export IS the single division of its own ints
+        assert r.mattr == r.sum_distinct / (m._MATTR_WINDOW * r.n_windows)
+
+
+def test_mattr_first_occurrence_identity_vs_bruteforce(spark):
+    """The one-pass first-occurrence formula must equal the brute-force
+    per-window distinct count on a planted repetitive document."""
+    text = "a b a c b a d a b c a a e b c d a b c a b c d e f"
+    words = text.split()
+    W = m._MATTR_WINDOW
+    # shrink the window for the fixture via monkeypatching the module
+    # constant is NOT possible (the SQL inlines 25), so plant a doc
+    # longer than 25 words instead and brute-force at W=25
+    words = (words * 3)[:40]
+    text = " ".join(words)
+    brute = sum(
+        len(set(words[s : s + W])) for s in range(0, len(words) - W + 1)
+    )
+    n_windows = len(words) - W + 1
+    df = spark.createDataFrame(
+        [(1, "s1", text)], schema="doc_id long, source string, text string"
+    )
+    import vector_search_optimization_spark.sources.readers as R
+
+    orig = m.load_table
+    try:
+        m.load_table = lambda _s, _d, name: df  # noqa: ARG005
+        rows = m.doc_mattr_diversity(spark, "ignored").collect()
+    finally:
+        m.load_table = orig
+    assert len(rows) == 1
+    assert rows[0].n_windows == n_windows
+    assert rows[0].sum_distinct == brute
+    assert rows[0].mattr == brute / (W * n_windows)
+
+
+def test_ca_trend_single_row_and_bounds(spark, sf_small):
+    rows = m.queries()["orders_priority_trend_ca"](spark, sf_small).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 < r.n_urgent < r.n_orders
+    assert r.n_months >= 2
+    assert r.z_ca is not None
+
+
+def test_ca_trend_detects_planted_trend(spark):
+    """A planted monotone-increasing urgent share must yield a large
+    positive z; a flat share must yield |z| near 0."""
+    import datetime as dt
+
+    def frame(shares):
+        rows = []
+        k = 0
+        for i, p in enumerate(shares):
+            n = 200
+            for j in range(n):
+                pri = "1-URGENT" if j < int(p * n) else "5-LOW"
+                rows.append(
+                    (
+                        k,
+                        1,
+                        "O",
+                        100.0,
+                        dt.datetime(2024, 1 + i, 15),
+                        pri,
+                    )
+                )
+                k += 1
+        return spark.createDataFrame(
+            rows,
+            schema="o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        )
+
+    orig = m.load_table
+    try:
+        m.load_table = lambda _s, _d, name: frame([0.1, 0.3, 0.5, 0.7])
+        up = m.orders_priority_trend_ca(spark, "ignored").collect()[0]
+        m.load_table = lambda _s, _d, name: frame([0.4, 0.4, 0.4, 0.4])
+        flat = m.orders_priority_trend_ca(spark, "ignored").collect()[0]
+    finally:
+        m.load_table = orig
+    assert up.z_ca > 5.0
+    assert abs(flat.z_ca) < 1e-6
+
+
+def test_hill_tail_index_identities(spark, sf_small):
+    rows = m.queries()["evt_hill_tail_index"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.k == max(10, r.n // 20)
+        assert r.k < r.n
+        assert r.xk1_cents >= 1
+        # gamma is a mean of ln(x/thr) with x >= thr -> non-negative
+        assert r.hill_gamma >= 0.0
+        if r.hill_gamma > 0:
+            assert r.tail_alpha == 1.0 / r.hill_gamma
+
+
+def test_hill_on_planted_pareto(spark):
+    """On exact Pareto(alpha=2) quantile values the Hill estimate must
+    land near gamma = 0.5."""
+    import math
+
+    n = 4000
+    rows = []
+    for i in range(n):
+        u = (i + 0.5) / n
+        v = round(100.0 * (1.0 - u) ** -0.5, 2)  # Pareto(2) quantiles
+        rows.append((i, i % 7, "P", None, v))
+    df = spark.createDataFrame(
+        rows,
+        schema="event_id long, user_id long, event_type string,"
+        " ts timestamp, value double",
+    )
+    orig = m.load_table
+    try:
+        m.load_table = lambda _s, _d, name: df
+        got = m.evt_hill_tail_index(spark, "ignored").collect()
+    finally:
+        m.load_table = orig
+    assert len(got) == 1
+    assert got[0].hill_gamma == pytest.approx(0.5, rel=0.15)
+
+
+def test_haar_energy_identities(spark, sf_small):
+    rows = m.queries()["evt_haar_energy"](spark, sf_small).collect()
+    by_type = {}
+    for r in rows:
+        assert r.scale in (2, 4, 8)
+        assert r.energy >= 0.0
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        shares = [r.energy_share for r in rs if r.energy_share is not None]
+        if shares:
+            assert sum(shares) == pytest.approx(1.0, abs=1e-12)
+        # block counts halve (floor) as the width doubles
+        byw = {r.scale: r.n_blocks for r in rs}
+        if 2 in byw and 4 in byw:
+            assert byw[4] <= byw[2] // 2 + 1
+
+
+def test_haar_energy_on_planted_alternation(spark):
+    """A pure ±1-alternating daily series is ALL scale-2 detail: every
+    width-2 block differs by a constant, wider blocks cancel."""
+    import datetime as dt
+
+    rows = []
+    for i in range(64):
+        rows.append(
+            (
+                i,
+                1,
+                "A",
+                dt.datetime(2024, 1, 1) + dt.timedelta(days=i),
+                100.0 if i % 2 == 0 else 50.0,
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        schema="event_id long, user_id long, event_type string,"
+        " ts timestamp, value double",
+    )
+    orig = m.load_table
+    try:
+        m.load_table = lambda _s, _d, name: df
+        got = {
+            r.scale: (r.energy, r.energy_share)
+            for r in m.evt_haar_energy(spark, "ignored").collect()
+        }
+    finally:
+        m.load_table = orig
+    assert got[2][1] == pytest.approx(1.0, abs=1e-12)
+    assert got[4][0] == 0.0 and got[8][0] == 0.0
+    # scale-2 detail per block is exactly (10000 - 5000) cents
+    assert got[2][0] == 32 * (5000.0**2)
+
+
+def test_length_ks_bounds_and_argmax(spark, sf_small):
+    rows = m.queries()["doc_length_ks_drift"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.d_ks <= 1.0
+        assert r.n_docs >= 1
+        assert r.at_n_chars >= 0
+
+
+def test_length_ks_exact_on_planted_split(spark):
+    """Two disjoint length distributions must give D = 1 at the split
+    point; identical distributions must give D = 0... except D is vs
+    the REST, so plant 3 sources: a low block, a high block, and check
+    the low one's D against rest exactly."""
+    rows = []
+    did = 0
+    for _ in range(10):
+        rows.append((did, "t" * 10, "en", "lo", 10))
+        did += 1
+    for _ in range(10):
+        rows.append((did, "t" * 50, "en", "hi", 50))
+        did += 1
+    df = spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    orig = m.load_table
+    try:
+        m.load_table = lambda _s, _d, name: df
+        got = {
+            r.source: (r.d_ks, r.at_n_chars)
+            for r in m.doc_length_ks_drift(spark, "ignored").collect()
+        }
+    finally:
+        m.load_table = orig
+    # lo's CDF is 1 at x=10 while rest (hi) is 0 -> D = 1 attained at 10
+    assert got["lo"] == (1.0, 10)
+    assert got["hi"] == (1.0, 10)
+
+
 def test_loo_knn_singleton_cells_dropped_not_selfmatched(spark, monkeypatch):
     """A 1-row cell has no non-self LOO reference: the documented audit
     contract drops it rather than letting the GEMM argmin degenerate to
