@@ -877,6 +877,41 @@ def main() -> None:
 
     stage("dau_mau_fanout", _dau_mau_fanout)
 
+    def _emd_domain_bound():
+        """evt_type_emd / operators/distribution.py: the claim is that
+        EVERYTHING after the counts agg is bounded by the VALUE DOMAIN
+        (≤56k distinct cents), not corpus rows — so timing the combine
+        at 1M and 4M synthetic event rows over the SAME 56,021-cent
+        domain must read ~flat (the counts agg itself is the only
+        linear-scan term)."""
+        from vector_search_optimization_spark.operators.distribution import (
+            emd_pairs_from_counts,
+        )
+
+        last = 0
+        for n_rows in (1_000_000, 4_000_000):
+            ev = spark.range(0, n_rows, 1, 32).select(
+                F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias(
+                    "event_type"
+                ),
+                # deterministic value spread over a FIXED 56,021-cent
+                # domain regardless of n_rows (id-hash driven)
+                ((F.col("id") * 48271 + F.col("id") % 7) % 56021).alias(
+                    "cents"
+                ),
+            )
+            counts = ev.groupBy("event_type", "cents").agg(
+                F.count(F.lit(1)).cast("long").alias("n")
+            )
+            t = time.time()
+            last = emd_pairs_from_counts(counts).count()
+            out[f"emd_rows{n_rows // 1_000_000}M_s"] = round(
+                time.time() - t, 2
+            )
+        return last
+
+    stage("emd_domain_bound", _emd_domain_bound)
+
     print(json.dumps(out))
     spark.stop()
 
