@@ -21048,39 +21048,18 @@ def evt_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     word; the export is each type's top-3 motifs (count desc / motif
     asc — the canonical tie-break). Everything is exact integers and
     string ops — no rounding anywhere. Plan: one (type, day)
-    combinable agg, one ntile window + one lead window (both per-type,
-    calendar-bounded), one motif agg, one WindowGroupLimit rank
-    window."""
+    combinable agg, then the SHARED timeseries.sax_motifs_from_daily
+    combine (one ntile window + one lead window, both per-type and
+    calendar-bounded, one motif agg, one WindowGroupLimit rank window)
+    — the same combine streaming/sax_maintenance.py reads its
+    maintained daily grid through (grid state, NOT motif counts: late
+    data shifts the quartile cuts, see the combine's note)."""
     e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
     daily = e.groupBy("event_type", day.alias("d")).agg(
         F.round(F.sum("value") * 100).cast("long").alias("cents")
     )
-    sym = daily.withColumn(
-        "s",
-        F.expr("chr(96 + ntile(4) OVER (PARTITION BY event_type ORDER BY cents, d))"),
-    )
-    wd = Window.partitionBy("event_type").orderBy("d")
-    motifs = (
-        sym.select(
-            "event_type",
-            F.concat(
-                F.col("s"), F.lead("s", 1).over(wd), F.lead("s", 2).over(wd)
-            ).alias("motif"),
-        )
-        .where(F.col("motif").isNotNull())
-        .groupBy("event_type", "motif")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_windows"))
-    )
-    wr = Window.partitionBy("event_type").orderBy(
-        F.col("n_windows").desc(), F.col("motif").asc()
-    )
-    return (
-        motifs.withColumn("rnk", F.row_number().over(wr))
-        .where(F.col("rnk") <= 3)
-        .select("event_type", "rnk", "motif", "n_windows")
-        .orderBy("event_type", "rnk")
-    )
+    return TS.sax_motifs_from_daily(daily).orderBy("event_type", "rnk")
 
 
 _SAX_MOTIFS_SQL = """

@@ -15,8 +15,57 @@ __all__ = [
     "holt_from_daily",
     "isotonic_blocks",
     "runs_test_from_daily",
+    "sax_motifs_from_daily",
     "seasonal_from_daily",
 ]
+
+
+def sax_motifs_from_daily(
+    daily: DataFrame,
+    group_col: str = "event_type",
+    day_col: str = "d",
+    cents_col: str = "cents",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k SAX motif words from a (group, day, exact-cents) frame —
+    the SHARED combine behind the evt_sax_motifs batch query and
+    streaming/sax_maintenance.py (the seasonal_from_daily
+    one-combine-two-paths pattern). Quartile symbols via ntile(4)
+    over the per-group (cents, day) total order, 3-day motif words
+    via lead windows, top-k on (count desc, motif asc). Everything is
+    exact integers and strings. NOTE for streaming: the state must be
+    the DAILY GRID, not the motif counts — late data changes a day's
+    cents, which can shift the ntile quartile CUTS and therefore every
+    symbol of the group, so motif counts are not an incremental fold."""
+    from pyspark.sql import Window
+
+    sym = daily.withColumn(
+        "s",
+        F.expr(
+            f"chr(96 + ntile(4) OVER (PARTITION BY {group_col} "
+            f"ORDER BY {cents_col}, {day_col}))"
+        ),
+    )
+    wd = Window.partitionBy(group_col).orderBy(day_col)
+    motifs = (
+        sym.select(
+            group_col,
+            F.concat(
+                F.col("s"), F.lead("s", 1).over(wd), F.lead("s", 2).over(wd)
+            ).alias("motif"),
+        )
+        .where(F.col("motif").isNotNull())
+        .groupBy(group_col, "motif")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_windows"))
+    )
+    wr = Window.partitionBy(group_col).orderBy(
+        F.col("n_windows").desc(), F.col("motif").asc()
+    )
+    return (
+        motifs.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= top_k)
+        .select(group_col, "rnk", "motif", "n_windows")
+    )
 
 
 def drawdown_from_daily(
