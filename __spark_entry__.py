@@ -21629,6 +21629,168 @@ ORDER BY source
 """
 
 
+def evt_rqa_determinism(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurrence quantification analysis (Webber & Zbilut) of the
+    daily revenue series per event type — the NONLINEAR structure
+    reader next to the linear family (ACF/PACF/DFT/Haar): a day pair
+    (i < j) recurs when |c_i − c_j| ≤ ε, RR is the recurrent fraction,
+    DET the fraction of recurrent points lying on diagonal lines of
+    length ≥ 2 (deterministic dynamics revisit whole TRAJECTORIES, so
+    their recurrence plots are line-dominated; noise scatters isolated
+    points), and L_max the longest diagonal line.
+
+    Exactness end to end: ε = (IQR div 5) cents from exact type-1
+    order statistics (the POT integer-position idiom, k₂₅ = (n+3) div
+    4, k₇₅ = (3n+3) div 4; floored at 1 cent), recurrence is an exact
+    integer comparison, diagonal lines are t_i − row_number islands
+    per (type, offset), RR/DET single exact-int divisions UNROUNDED,
+    L_max exact. Plan: one (type, day) combinable agg, one rank
+    window for the quantile positions, ONE calendar²-bounded ordered
+    self-join (pairs ≤ |days|²/2 per type — fact-size-independent
+    after the first shuffle; the same bound class as the theil-sen
+    pair grid), one islands window, two tiny rollups."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy("event_type", day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("c")
+    )
+    wt = Window.partitionBy("event_type").orderBy("d")
+    seq = daily.withColumn("t", F.row_number().over(wt).cast("long"))
+    nd = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wrank = Window.partitionBy("event_type").orderBy("c", "t")
+    ranked = seq.withColumn("rq", F.row_number().over(wrank)).join(
+        F.broadcast(nd), "event_type"
+    )
+    eps = (
+        ranked.groupBy("event_type", "n")
+        .agg(
+            F.max(
+                F.when(F.col("rq") == F.expr("(n + 3) div 4"), F.col("c"))
+            ).alias("q25"),
+            F.max(
+                F.when(F.col("rq") == F.expr("(3 * n + 3) div 4"), F.col("c"))
+            ).alias("q75"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("(q75 - q25) div 5"),
+            ).alias("eps"),
+        )
+    )
+    a = seq.select("event_type", F.col("t").alias("ti"), F.col("c").alias("ca"))
+    b = seq.select("event_type", F.col("t").alias("tj"), F.col("c").alias("cb"))
+    rec = (
+        a.join(b, "event_type")
+        .where(F.col("ti") < F.col("tj"))
+        .join(F.broadcast(eps), "event_type")
+        .where(F.abs(F.col("ca") - F.col("cb")) <= F.col("eps"))
+        .select(
+            "event_type",
+            "n",
+            "eps",
+            (F.col("tj") - F.col("ti")).alias("off"),
+            "ti",
+        )
+    )
+    wisl = Window.partitionBy("event_type", "off").orderBy("ti")
+    runs = (
+        rec.withColumn(
+            "grp", F.col("ti") - F.row_number().over(wisl).cast("long")
+        )
+        .groupBy("event_type", "n", "eps", "off", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+    )
+    per_type = runs.groupBy("event_type", "n", "eps").agg(
+        F.sum("run_len").cast("long").alias("n_rec"),
+        F.sum(F.when(F.col("run_len") >= 2, F.col("run_len")).otherwise(0))
+        .cast("long")
+        .alias("n_det"),
+        F.max("run_len").cast("long").alias("l_max"),
+    )
+    return (
+        per_type.select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.col("eps").alias("eps_cents"),
+            "n_rec",
+            (
+                F.lit(2.0)
+                * F.col("n_rec").cast("double")
+                / (F.col("n") * (F.col("n") - 1)).cast("double")
+            ).alias("rr"),
+            F.when(
+                F.col("n_rec") > 0,
+                F.col("n_det").cast("double") / F.col("n_rec").cast("double"),
+            ).alias("det"),
+            "l_max",
+        )
+        .orderBy("event_type")
+    )
+
+
+_RQA_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, c,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS t
+  FROM daily
+), nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM seq GROUP BY 1
+), ranked AS (
+  SELECT seq.event_type, seq.c, nd.n,
+         row_number() OVER (PARTITION BY seq.event_type
+                            ORDER BY seq.c, seq.t) AS rq
+  FROM seq JOIN nd ON seq.event_type = nd.event_type
+), eps AS (
+  SELECT event_type, n,
+         greatest(CAST(1 AS BIGINT),
+                  (max(CASE WHEN rq = (3 * n + 3) // 4 THEN c END)
+                   - max(CASE WHEN rq = (n + 3) // 4 THEN c END)) // 5)
+           AS eps
+  FROM ranked GROUP BY 1, 2
+), rec AS (
+  SELECT a.event_type, e.n, e.eps, b.t - a.t AS off, a.t AS ti
+  FROM seq a
+  JOIN seq b ON a.event_type = b.event_type AND a.t < b.t
+  JOIN eps e ON e.event_type = a.event_type
+  WHERE abs(a.c - b.c) <= e.eps
+), runs AS (
+  SELECT event_type, n, eps, off,
+         ti - row_number() OVER (PARTITION BY event_type, off
+                                 ORDER BY ti) AS grp
+  FROM rec
+), run_lens AS (
+  SELECT event_type, n, eps, off, grp,
+         CAST(count(*) AS BIGINT) AS run_len
+  FROM runs GROUP BY 1, 2, 3, 4, 5
+), per_type AS (
+  SELECT event_type, n, eps,
+         CAST(sum(run_len) AS BIGINT) AS n_rec,
+         CAST(sum(CASE WHEN run_len >= 2 THEN run_len ELSE 0 END)
+              AS BIGINT) AS n_det,
+         CAST(max(run_len) AS BIGINT) AS l_max
+  FROM run_lens GROUP BY 1, 2, 3
+)
+SELECT event_type, n AS n_days, eps AS eps_cents, n_rec,
+       2.0 * CAST(n_rec AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS rr,
+       CASE WHEN n_rec > 0
+            THEN CAST(n_det AS DOUBLE) / CAST(n_rec AS DOUBLE) END AS det,
+       l_max
+FROM per_type
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -21646,6 +21808,7 @@ ORDER BY source
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # r10 additions (the _R10_FRONT rebuild puts them at the window top):
+    "evt_rqa_determinism": (evt_rqa_determinism, _RQA_SQL),
     "evt_hill_tail_index": (evt_hill_tail_index, _HILL_SQL),
     "evt_haar_energy": (evt_haar_energy, _HAAR_SQL),
     "doc_length_ks_drift": (doc_length_ks_drift, _LENGTH_KS_SQL),
@@ -22257,20 +22420,21 @@ _REGISTRY = {
 }
 
 # r10 window rotation (VERDICT r9 item 1, executed): additions were capped
-# at 8 (item 6 allowed ~10) so the stale-audit debt finally cycles.
-# Window = 8 r10-new + 4 r10-CHANGED (evt_records_test harmonic rewrite;
+# at 9 (item 6 allowed ~10) so the stale-audit debt finally cycles.
+# Window = 9 r10-new + 4 r10-CHANGED (evt_records_test harmonic rewrite;
 # emb_loo_knn_accuracy cell-route dispatch; emb_hubness_audit /
 # emb_intrinsic_dim label-cap — their plans changed, exports identical at
 # gated scales) + ALL 35 r3-audited _R8_NEXT remainder entries (the
-# oldest debt: j5_literal_map..fraction_sample) + the first 3 r5-audited
-# bulk entries (m4_grid_sweep..lsh_banding_audit) = 50 exactly.  Below
-# the window the remaining 41 r5-audited entries lead in registry order
-# (ann_matryoshka_topk, text_gopher_repetition, evt_funnel, ...) —
-# rotate them (and anything r11-new/changed) forward in r11; after that
-# every registry entry's latest driver row is r6+.
+# oldest debt: j5_literal_map..fraction_sample) + the first 2 r5-audited
+# bulk entries (m4_grid_sweep, skew_salted_join) = 50 exactly.  Below
+# the window the remaining 42 r5-audited entries lead in registry order
+# (lsh_banding_audit, ann_matryoshka_topk, text_gopher_repetition,
+# evt_funnel, ...) — rotate them (and anything r11-new/changed) forward
+# in r11; after that every registry entry's latest driver row is r6+.
 _R10_FRONT: list[str] = [
-    # r10-NEW queries go HERE (top), newest first, as they land (cap 8 —
-    # VERDICT r9 allowed ~10; 8 + 4 changed + 35 r3-audited + 3 r5 = 50).
+    # r10-NEW queries go HERE (top), newest first, as they land (cap 9 —
+    # VERDICT r9 allowed ~10; 9 + 4 changed + 35 r3-audited + 2 r5 = 50).
+    "evt_rqa_determinism",
     "evt_hill_tail_index",
     "evt_haar_energy",
     "doc_length_ks_drift",
@@ -22320,10 +22484,9 @@ _R10_FRONT: list[str] = [
     "dq_constraints",
     "stratified_sample",
     "fraction_sample",
-    # the first 3 r5-audited bulk entries (the rest rotate in r11):
+    # the first 2 r5-audited bulk entries (the rest rotate in r11):
     "m4_grid_sweep",
     "skew_salted_join",
-    "lsh_banding_audit",
 ]
 
 _REGISTRY = {

@@ -459,6 +459,61 @@ def test_length_ks_exact_on_planted_split(spark):
     assert got["hi"] == (1.0, 10)
 
 
+def test_rqa_identities(spark, sf_small):
+    rows = m.queries()["evt_rqa_determinism"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.eps_cents >= 1
+        max_pairs = r.n_days * (r.n_days - 1) // 2
+        assert 0 <= r.n_rec <= max_pairs
+        assert 0.0 <= r.rr <= 1.0
+        if r.n_rec > 0:
+            assert 0.0 <= r.det <= 1.0
+            assert 1 <= r.l_max <= r.n_days - 1
+        assert r.rr == 2.0 * r.n_rec / (r.n_days * (r.n_days - 1))
+
+
+def test_rqa_on_planted_periodic_series(spark):
+    """An exactly period-3 series recurs ONLY at offsets that are
+    multiples of 3 (with the IQR/5 epsilon separating the levels), and
+    every recurrent point then lies on a full-length diagonal line:
+    DET = 1 and L_max = n − 3 exactly."""
+    import datetime as dt
+
+    n = 12
+    vals = [0.10, 0.20, 0.30] * (n // 3)
+    rows = [
+        (
+            i,
+            1,
+            "P",
+            dt.datetime(2024, 5, 1) + dt.timedelta(days=i),
+            vals[i],
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        schema="event_id long, user_id long, event_type string,"
+        " ts timestamp, value double",
+    )
+    orig = m.load_table
+    try:
+        m.load_table = lambda _s, _d, name: df
+        got = m.evt_rqa_determinism(spark, "ignored").collect()
+    finally:
+        m.load_table = orig
+    assert len(got) == 1
+    r = got[0]
+    # IQR = 30 - 10 = 20 cents -> eps = 4: only equal values recur
+    assert r.eps_cents == 4
+    # offsets 3,6,9 with 9,6,3 pairs -> 18 recurrent pairs, all in runs
+    assert r.n_rec == 18
+    assert r.det == 1.0
+    assert r.l_max == n - 3  # the offset-3 diagonal has n-3 points
+    assert r.rr == 2.0 * 18 / (n * (n - 1))
+
+
 def test_loo_knn_singleton_cells_dropped_not_selfmatched(spark, monkeypatch):
     """A 1-row cell has no non-self LOO reference: the documented audit
     contract drops it rather than letting the GEMM argmin degenerate to
