@@ -21791,6 +21791,127 @@ ORDER BY event_type
 """
 
 
+def evt_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (Bandt & Pompe '02) of the daily revenue
+    series per event type at order m=3 — the complexity companion to
+    evt_rqa_determinism (RQA reads recurrence STRUCTURE, permutation
+    entropy reads how evenly the 3! ordinal patterns of consecutive
+    triples are used: ~0 for monotone/periodic dynamics, ln 6 for
+    white noise). Patterns come from exact integer comparisons of
+    (c_t, c_{t+1}, c_{t+2}) with the standard earlier-index-wins tie
+    rule (ties on exact daily cents are near-measure-zero, rule
+    documented): the pattern id is the rank word of the triple.
+    Counts are exact; each ln's argument is ONE exact-int ratio
+    (cast-double division, identical both engines); the ≤6-term
+    entropy sum is order-dependent doubles → 6dp (the circadian
+    discipline), normalized form divides by the ln(6) LITERAL after
+    rounding the numerator. Plan: one (type, day) combinable agg, two
+    lead windows over the calendar-bounded series, one ≤|types|×6
+    rollup."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy("event_type", day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("c")
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    tri = daily.select(
+        "event_type",
+        F.col("c").alias("c1"),
+        F.lead("c", 1).over(wd).alias("c2"),
+        F.lead("c", 2).over(wd).alias("c3"),
+    ).where(F.col("c3").isNotNull())
+    # rank of each position inside the triple (earlier index wins ties):
+    # r1 counts strictly-smaller peers + earlier ties, etc.
+    r1 = (
+        F.lit(0)
+        + F.when(F.col("c2") < F.col("c1"), 1).otherwise(0)
+        + F.when(F.col("c3") < F.col("c1"), 1).otherwise(0)
+    )
+    r2 = (
+        F.when(F.col("c1") <= F.col("c2"), 1).otherwise(0)
+        + F.when(F.col("c3") < F.col("c2"), 1).otherwise(0)
+    )
+    r3 = (
+        F.when(F.col("c1") <= F.col("c3"), 1).otherwise(0)
+        + F.when(F.col("c2") <= F.col("c3"), 1).otherwise(0)
+    )
+    pat = F.concat(
+        r1.cast("string"), r2.cast("string"), r3.cast("string")
+    ).alias("pattern")
+    counts = tri.select("event_type", pat).groupBy(
+        "event_type", "pattern"
+    ).agg(F.count(F.lit(1)).cast("long").alias("np"))
+    wtot = Window.partitionBy("event_type")
+    scored = counts.withColumn("nt", F.sum("np").over(wtot))
+    ent_term = -(
+        F.col("np").cast("double") / F.col("nt").cast("double")
+    ) * F.log(F.col("np").cast("double") / F.col("nt").cast("double"))
+    per_type = (
+        scored.withColumn("h", ent_term)
+        .groupBy("event_type", "nt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_patterns"),
+            F.round(F.sum("h"), 6).alias("perm_entropy"),
+        )
+    )
+    return (
+        per_type.select(
+            "event_type",
+            F.col("nt").alias("n_windows"),
+            "n_patterns",
+            "perm_entropy",
+            (F.col("perm_entropy") / F.log(F.lit(6.0))).alias(
+                "perm_entropy_norm"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PERM_ENTROPY_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(floor(epoch(ts)) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), tri AS (
+  SELECT event_type, c AS c1,
+         lead(c, 1) OVER w AS c2,
+         lead(c, 2) OVER w AS c3
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+), pats AS (
+  SELECT event_type,
+         CAST(CASE WHEN c2 < c1 THEN 1 ELSE 0 END
+              + CASE WHEN c3 < c1 THEN 1 ELSE 0 END AS VARCHAR)
+         || CAST(CASE WHEN c1 <= c2 THEN 1 ELSE 0 END
+                 + CASE WHEN c3 < c2 THEN 1 ELSE 0 END AS VARCHAR)
+         || CAST(CASE WHEN c1 <= c3 THEN 1 ELSE 0 END
+                 + CASE WHEN c2 <= c3 THEN 1 ELSE 0 END AS VARCHAR)
+           AS pattern
+  FROM tri WHERE c3 IS NOT NULL
+), counts AS (
+  SELECT event_type, pattern, CAST(count(*) AS BIGINT) AS np
+  FROM pats GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, np,
+         CAST(sum(np) OVER (PARTITION BY event_type) AS BIGINT) AS nt
+  FROM counts
+), per_type AS (
+  SELECT event_type, nt,
+         CAST(count(*) AS BIGINT) AS n_patterns,
+         round(sum(-(CAST(np AS DOUBLE) / CAST(nt AS DOUBLE))
+                   * ln(CAST(np AS DOUBLE) / CAST(nt AS DOUBLE))), 6)
+           AS perm_entropy
+  FROM scored GROUP BY 1, 2
+)
+SELECT event_type, nt AS n_windows, n_patterns, perm_entropy,
+       perm_entropy / ln(6.0) AS perm_entropy_norm
+FROM per_type
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -21808,6 +21929,7 @@ ORDER BY event_type
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # r10 additions (the _R10_FRONT rebuild puts them at the window top):
+    "evt_permutation_entropy": (evt_permutation_entropy, _PERM_ENTROPY_SQL),
     "evt_rqa_determinism": (evt_rqa_determinism, _RQA_SQL),
     "evt_hill_tail_index": (evt_hill_tail_index, _HILL_SQL),
     "evt_haar_energy": (evt_haar_energy, _HAAR_SQL),
@@ -22420,20 +22542,23 @@ _REGISTRY = {
 }
 
 # r10 window rotation (VERDICT r9 item 1, executed): additions were capped
-# at 9 (item 6 allowed ~10) so the stale-audit debt finally cycles.
-# Window = 9 r10-new + 4 r10-CHANGED (evt_records_test harmonic rewrite;
+# at 10 (the item-6 limit) so the stale-audit debt finally cycles.
+# Window = 10 r10-new + 4 r10-CHANGED (evt_records_test harmonic rewrite;
 # emb_loo_knn_accuracy cell-route dispatch; emb_hubness_audit /
 # emb_intrinsic_dim label-cap — their plans changed, exports identical at
 # gated scales) + ALL 35 r3-audited _R8_NEXT remainder entries (the
-# oldest debt: j5_literal_map..fraction_sample) + the first 2 r5-audited
-# bulk entries (m4_grid_sweep, skew_salted_join) = 50 exactly.  Below
-# the window the remaining 42 r5-audited entries lead in registry order
-# (lsh_banding_audit, ann_matryoshka_topk, text_gopher_repetition,
-# evt_funnel, ...) — rotate them (and anything r11-new/changed) forward
-# in r11; after that every registry entry's latest driver row is r6+.
+# oldest debt: j5_literal_map..fraction_sample) + the first r5-audited
+# bulk entry (m4_grid_sweep) = 50 exactly.  Below the window the
+# remaining 43 r5-audited entries lead in registry order
+# (skew_salted_join, lsh_banding_audit, ann_matryoshka_topk,
+# text_gopher_repetition, evt_funnel, ...) — rotate them (and anything
+# r11-new/changed) forward in r11; after that every registry entry's
+# latest driver row is r6+.
 _R10_FRONT: list[str] = [
-    # r10-NEW queries go HERE (top), newest first, as they land (cap 9 —
-    # VERDICT r9 allowed ~10; 9 + 4 changed + 35 r3-audited + 2 r5 = 50).
+    # r10-NEW queries go HERE (top), newest first, as they land (cap 10 —
+    # the VERDICT r9 limit; 10 + 4 changed + 35 r3-audited + 1 r5 = 50.
+    # The cap is now SPENT — no further r10 additions).
+    "evt_permutation_entropy",
     "evt_rqa_determinism",
     "evt_hill_tail_index",
     "evt_haar_energy",
@@ -22484,9 +22609,8 @@ _R10_FRONT: list[str] = [
     "dq_constraints",
     "stratified_sample",
     "fraction_sample",
-    # the first 2 r5-audited bulk entries (the rest rotate in r11):
+    # the first r5-audited bulk entry (the rest rotate in r11):
     "m4_grid_sweep",
-    "skew_salted_join",
 ]
 
 _REGISTRY = {

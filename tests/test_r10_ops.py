@@ -514,6 +514,62 @@ def test_rqa_on_planted_periodic_series(spark):
     assert r.rr == 2.0 * 18 / (n * (n - 1))
 
 
+def test_permutation_entropy_identities(spark, sf_small):
+    import math
+
+    rows = m.queries()["evt_permutation_entropy"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_patterns <= 6
+        assert 0.0 <= r.perm_entropy <= math.log(6) + 1e-9
+        assert r.perm_entropy_norm == r.perm_entropy / math.log(6.0)
+        # entropy is bounded by ln(observed patterns)
+        assert r.perm_entropy <= math.log(r.n_patterns) + 1e-6
+
+
+def test_permutation_entropy_on_planted_series(spark):
+    """A strictly monotone series uses ONE ordinal pattern (H = 0); a
+    period-3 zigzag built from two alternating patterns at equal
+    frequency gives H = ln 2 exactly (before the 6dp round)."""
+    import datetime as dt
+    import math
+
+    def frame(vals):
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    1,
+                    "S",
+                    dt.datetime(2024, 6, 1) + dt.timedelta(days=i),
+                    v,
+                )
+                for i, v in enumerate(vals)
+            ],
+            schema="event_id long, user_id long, event_type string,"
+            " ts timestamp, value double",
+        )
+
+    orig = m.load_table
+    try:
+        m.load_table = lambda _s, _d, name: frame(
+            [float(i + 1) for i in range(20)]
+        )
+        mono = m.evt_permutation_entropy(spark, "ignored").collect()[0]
+        # up-up-down cycle: triples rotate between exactly 3 patterns;
+        # use 1,2,3,1,2,3... -> triples (1,2,3),(2,3,1),(3,1,2): 3
+        # patterns equally often over a multiple-of-3 window count
+        m.load_table = lambda _s, _d, name: frame(
+            [1.0, 2.0, 3.0] * 4 + [1.0, 2.0]
+        )  # 14 days -> 12 triples, 4 of each pattern
+        zig = m.evt_permutation_entropy(spark, "ignored").collect()[0]
+    finally:
+        m.load_table = orig
+    assert mono.n_patterns == 1 and mono.perm_entropy == 0.0
+    assert zig.n_patterns == 3 and zig.n_windows == 12
+    assert zig.perm_entropy == pytest.approx(math.log(3.0), abs=1e-6)
+
+
 def test_loo_knn_singleton_cells_dropped_not_selfmatched(spark, monkeypatch):
     """A 1-row cell has no non-self LOO reference: the documented audit
     contract drops it rather than letting the GEMM argmin degenerate to
