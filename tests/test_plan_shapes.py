@@ -687,3 +687,66 @@ def test_pot_threshold_pick_is_broadcast(spark, sf_small):
     plan = _plan(m.queries()["evt_peak_over_threshold"](spark, sf_small))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sax_motifs_topk_is_window_group_limit(spark, sf_small):
+    """evt_sax_motifs: the top-3-per-type rank filter must plan as a
+    WindowGroupLimit (per-partition limit before the full sort), and
+    the motif build is window+agg only — no joins at all."""
+    plan = _plan(m.queries()["evt_sax_motifs"](spark, sf_small))
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+
+
+def test_friedman_k_and_moment_attach_broadcast(spark, sf_small):
+    """evt_friedman_test: the 1-row k frame and the 1-row cross-type
+    moment frame both attach via BroadcastHashJoin — a sort-merge on a
+    1-row side would shuffle the day grid for nothing."""
+    plan = _plan(m.queries()["evt_friedman_test"](spark, sf_small))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_emd_pair_join_keeps_partial_aggregation(spark, sf_small):
+    """evt_type_emd: the per-pair EMD sum must map-side combine
+    (partial_sum before the exchange) — the |pairs|×|grid| frame never
+    shuffles unaggregated at scale."""
+    plan = _plan(m.queries()["evt_type_emd"](spark, sf_small))
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_hill_tail_threshold_broadcasts(spark, sf_small):
+    """evt_hill_tail_index: per-type counts and the single threshold
+    row broadcast back onto the ranked frame (the POT discipline)."""
+    plan = _plan(m.queries()["evt_hill_tail_index"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rqa_pair_join_is_equi_on_type(spark, sf_small):
+    """evt_rqa_determinism: the day-pair build must be an equi-join on
+    event_type (calendar²-bounded per type), never a cartesian across
+    types."""
+    plan = _plan(m.queries()["evt_rqa_determinism"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mattr_is_single_fact_pass_no_joins(spark, sf_small):
+    """doc_mattr_diversity: the first-occurrence identity needs ONE
+    tokenization pass + one lag window — any join would mean the
+    O(n·W) formulation snuck back in."""
+    plan = _plan(m.queries()["doc_mattr_diversity"](spark, sf_small))
+    assert "Join" not in plan
+    assert "Generate" in plan  # the posexplode pass
+
+
+def test_loo_knn_cell_route_no_cartesian(spark):
+    """The beyond-limit LOO route must never plan a cartesian: cell
+    assignment is a broadcast argmin and the per-cell GEMM is an
+    applyInPandas over one shuffle on cell id."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    plan = _plan(m._loo_knn_ivf_cells(spark, emb, emb.count()))
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
