@@ -13801,8 +13801,9 @@ def _emb_label_capped(emb: DataFrame) -> DataFrame:
     a single affine map mod p is monotone over runs of ~p/a
     consecutive ids, which would turn the sample into a biased id
     prefix when vec_ids are assigned sequentially; the second round's
-    step (1000003·69069 ≫ p₂) wraps every increment. All
-    intermediates < 1.5e14, far under the ANSI LONG ceiling.
+    step (1000003·69069 ≫ p₂) wraps every increment. The largest
+    intermediate is (2^31-2)·1000003 ≈ 2.2e15 — still ~4200× under
+    the 2^63 ANSI LONG ceiling.
 
     The closing repartition matters: the cap window leaves the frame
     hash-partitioned by LABEL alone, which also satisfies the
@@ -13827,8 +13828,10 @@ def _emb_label_capped(emb: DataFrame) -> DataFrame:
     )
 
 
-# the oracle-side mirror of _emb_label_capped — prepend as a CTE
-_EMB_LABEL_CAPPED_CTE = """
+# the oracle-side mirror of _emb_label_capped — prepend as a CTE.  The
+# cap literal is interpolated from _EMB_PAIR_LABEL_CAP so the two sides
+# cannot drift (ADVICE r10 item 1).
+_EMB_LABEL_CAPPED_CTE = f"""
 capped AS (
   SELECT label, vec_id, embedding FROM (
     SELECT label, vec_id, embedding,
@@ -13839,7 +13842,7 @@ capped AS (
                        % 2147483647 * 69069 + 1) % 2147483629,
                       vec_id) AS crn
     FROM embeddings)
-  WHERE crn <= 1024
+  WHERE crn <= {_EMB_PAIR_LABEL_CAP}
 )"""
 
 
@@ -17995,6 +17998,22 @@ def _loo_knn_ivf_cells(
             sel, num_cells=num_cells, vector_col="embedding", seed=42
         )
         assigned = ann.assign_ivf_cells(sel, cents, vector_col="embedding")
+        # surface the singleton-drop volume (ADVICE r10 item 4): a
+        # pathological quantizer split would otherwise silently shrink
+        # the accuracy denominator.  One cheap cell-size rollup on the
+        # already-computed assignment; beyond-limit route only.
+        n_dropped = (
+            assigned.groupBy("cell")
+            .count()
+            .where(F.col("count") < 2)
+            .agg(F.coalesce(F.sum("count"), F.lit(0)).alias("d"))
+            .collect()[0]["d"]
+        )
+        if n_dropped:
+            print(
+                f"emb_loo_knn_accuracy: {n_dropped}/{n_rows} rows in "
+                f"singleton IVF cells dropped from the LOO denominator"
+            )
 
     def _cell(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -21172,7 +21191,8 @@ def doc_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MATTR_SQL = r"""
+# window literal interpolated from _MATTR_WINDOW (ADVICE r10 item 1)
+_MATTR_SQL = rf"""
 WITH docs AS (
   SELECT doc_id, source,
          list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -21182,7 +21202,7 @@ WITH docs AS (
   SELECT doc_id, source, CAST(len(arr) AS BIGINT) AS nw,
          CAST(generate_subscripts(arr, 1) AS BIGINT) AS p,
          unnest(arr) AS w
-  FROM docs WHERE len(arr) >= 25
+  FROM docs WHERE len(arr) >= {_MATTR_WINDOW}
 ), flagged AS (
   SELECT doc_id, source, nw, p,
          CAST(coalesce(lag(p) OVER (PARTITION BY doc_id, w ORDER BY p), 0)
@@ -21191,8 +21211,8 @@ WITH docs AS (
 ), contrib AS (
   SELECT doc_id, source, nw,
          greatest(CAST(0 AS BIGINT),
-                  least(p, nw - 25 + 1)
-                  - greatest(CAST(1 AS BIGINT), p - 25 + 1, prev + 1)
+                  least(p, nw - {_MATTR_WINDOW} + 1)
+                  - greatest(CAST(1 AS BIGINT), p - {_MATTR_WINDOW} + 1, prev + 1)
                   + 1) AS c
   FROM flagged
 ), per_doc AS (
@@ -21201,10 +21221,10 @@ WITH docs AS (
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(nw - 25 + 1) AS BIGINT) AS n_windows,
+       CAST(sum(nw - {_MATTR_WINDOW} + 1) AS BIGINT) AS n_windows,
        CAST(sum(sd) AS BIGINT) AS sum_distinct,
        CAST(sum(sd) AS DOUBLE)
-         / CAST(25 * sum(nw - 25 + 1) AS DOUBLE) AS mattr
+         / CAST({_MATTR_WINDOW} * sum(nw - {_MATTR_WINDOW} + 1) AS DOUBLE) AS mattr
 FROM per_doc GROUP BY 1
 ORDER BY source
 """
@@ -21569,12 +21589,17 @@ def doc_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.col("n_s").alias("n_docs"),
-            (
+            # when()-gate: a single-source corpus makes the divisor
+            # n_s*(n_tot-n_s) zero, an ERROR under ANSI (the Cramer/var
+            # gate discipline; ADVICE r10 item 3) — KS vs an empty rest
+            # is undefined, export NULL
+            F.when(
+                F.col("n_tot") > F.col("n_s"),
                 F.col("v").cast("double")
                 / (
                     F.col("n_s").cast("double")
                     * (F.col("n_tot") - F.col("n_s")).cast("double")
-                )
+                ),
             ).alias("d_ks"),
             F.col("x").alias("at_n_chars"),
         )
@@ -21617,8 +21642,10 @@ WITH counts AS (
   CROSS JOIN nt
 )
 SELECT source, n_s AS n_docs,
-       CAST(v AS DOUBLE)
-         / (CAST(n_s AS DOUBLE) * CAST(n_tot - n_s AS DOUBLE)) AS d_ks,
+       CASE WHEN n_tot > n_s THEN
+         CAST(v AS DOUBLE)
+           / (CAST(n_s AS DOUBLE) * CAST(n_tot - n_s AS DOUBLE))
+       END AS d_ks,
        x AS at_n_chars
 FROM (SELECT source, x, n_s, n_tot, v,
              row_number() OVER (PARTITION BY source
