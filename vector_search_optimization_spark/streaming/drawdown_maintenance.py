@@ -1,28 +1,26 @@
 """Streaming DAU-drawdown maintenance — the evt_dau_drawdown batch
 query replayed continuously.
 
-The batch drawdown is a function of the calendar-bounded DAILY
-DAU GRID only, but DAU is a DISTINCT count — so unlike the
-cents-sum monitors (ewma/holt/seasonal) the maintained state cannot
-be a (group, day) -> sum: a user seen again on the same day must not
-re-count. The state is therefore the distinct-activity grid
-(group, day, user) -> count (complete-mode aggregate; the count is
+Grid-rewrite family (see streaming/grid_monitor.py for the shared
+state/rounding/scale discipline), with one twist: DAU is a DISTINCT
+count, so unlike the cents-sum members the maintained state cannot be
+a (group, day) → sum — a user seen again on the same day must not
+re-count.  The state is therefore the distinct-activity grid
+(group, day, user) (complete-mode aggregate; the per-key count is
 irrelevant — presence is the datum), and every micro-batch rewrites
 the per-group drawdown profile from it via the SHARED combine
-(operators/timeseries.drawdown_from_daily), so
-stream-after-absorbing-rows ≡ batch by construction. Running peaks /
-troughs can move when late data lands on an old day — another reason
-only the grid is a valid incremental state (a folded running peak
-could never be revised downward).
+(operators/timeseries.drawdown_from_daily).  Running peaks / troughs
+can move when late data lands on an old day — another reason only the
+grid is a valid incremental state (a folded running peak could never
+be revised downward).  Stream ≡ batch pytest-pinned in
+tests/test_streaming_drawdown.py.
 
-Scale notes (100 TB/day streams): state is |distinct (group, day,
-user) activity| rows — the same volume evt_dau_mau_stickiness's
-fan-out handles batch-side, bounded by active-user-days, NOT by
-event volume (map-side combine absorbs duplicate events before the
-shuffle). At extreme user cardinality swap the exact distinct grid
-for the per-day roaring-bitmap/HLL state documented in
-evt_bitmap_rollup — the combine is unchanged, only the dau column's
-producer differs.
+Scale: state is |distinct (group, day, user) activity| rows — bounded
+by active-user-days, NOT by event volume (map-side combine absorbs
+duplicate events before the shuffle).  At extreme user cardinality
+swap the exact distinct grid for the per-day roaring-bitmap/HLL state
+documented in evt_bitmap_rollup — the combine is unchanged, only the
+dau column's producer differs.
 """
 
 from __future__ import annotations
@@ -32,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.timeseries import drawdown_from_daily
+from .grid_monitor import start_grid_rewrite_monitor
 
 __all__ = ["stream_drawdown_monitor"]
 
@@ -59,17 +58,14 @@ def stream_drawdown_monitor(
         .agg(F.count(F.lit(1)).alias("_seen"))
     )
 
-    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+    def _snapshot(batch_df: DataFrame) -> DataFrame:
         daily = batch_df.groupBy(group_col, "d").agg(
             F.count(F.lit(1)).cast("long").alias("dau")
         )
-        drawdown_from_daily(
+        return drawdown_from_daily(
             daily, group_col=group_col, day_col="d", value_col="dau"
-        ).write.mode("overwrite").parquet(out_path)
+        )
 
-    return (
-        grid.writeStream.outputMode("complete")
-        .foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    return start_grid_rewrite_monitor(
+        grid, out_path, checkpoint_dir, _snapshot
     )
