@@ -133,9 +133,19 @@ def main() -> None:
     # a fixed sub-second anchor query around the loop — if the anchor
     # reads several× its cold time, the whole block ran under steal and
     # must not be used for regression claims.
-    slowest = sorted(
-        (n for n, v in timings.items() if v == v), key=lambda n: -timings[n]
-    )[:8]
+    # Re-time set = slowest 8 ∪ every >5×-median cold (VERDICT r10
+    # item 2: rotation between rounds changes which plan compiles
+    # first, and a probe showed the multi-second first-action premium
+    # is PER-PLAN codegen — a synthetic heavy-expression warmup does
+    # NOT transfer (3.8s → 3.6s on evt_bitmap_rollup), so prevention
+    # is impossible and the record must self-adjudicate instead).
+    ok = {n: v for n, v in timings.items() if v == v}
+    med = sorted(ok.values())[len(ok) // 2] if ok else 0.0
+    outlier_bar = max(3.0, 5.0 * med)
+    slowest = sorted(ok, key=lambda n: -ok[n])[:8]
+    slowest += [
+        n for n in ok if ok[n] > outlier_bar and n not in set(slowest)
+    ]
 
     def _timed(name: str) -> float:
         t0 = time.time()
@@ -159,6 +169,15 @@ def main() -> None:
             warm[name] = float("nan")
     anchor_after = round(_timed(anchor), 3)
 
+    # mechanical cold-outlier adjudication: any query whose cold read
+    # is >10× its min-of-2 warm read was charged one-time plan codegen
+    # (or steal) — the amortized-at-scale cost is the warm number
+    cold_outliers = {
+        n: [timings[n], w]
+        for n, w in warm.items()
+        if w == w and w > 0 and timings[n] > 10.0 * w
+    }
+
     # The driver front-truncates captured output and keeps only the TAIL
     # (BENCH_r07/r08 both recorded "parsed": null because the totals led
     # the giant per-query line and were cut off — VERDICT r8 item 2).
@@ -172,6 +191,7 @@ def main() -> None:
             {
                 "queries": timings,
                 "queries_warm": warm,
+                "cold_outliers": cold_outliers,
                 "warm_anchor": anchor,
                 "warm_anchor_s": [anchor_before, anchor_after],
                 "metric": "suite_seconds",
