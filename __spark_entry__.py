@@ -21939,6 +21939,746 @@ ORDER BY event_type
 """
 
 
+def evt_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical upper-tail dependence λ_U between every pair of event
+    types' daily revenue series — the BIVARIATE extreme-value read next
+    to the univariate EVT family (gumbel maxima / POT / hill): when one
+    series has an extreme day, how often does the other? Correlation
+    (evt_lag_correlation) measures co-movement in the bulk; λ_U
+    measures co-movement in the TAIL, which is what risk aggregation
+    actually cares about (two metrics can be uncorrelated yet spike
+    together).
+
+    Exact end to end: daily cents are exact ints, each side's 0.8
+    threshold is the exact type-1 order statistic over the SHARED days
+    (rank position ceil(0.8n) = (8n+9) div 10, the POT integer idiom;
+    (cents, day) tie-break), exceedance is a strict integer compare,
+    and λ̂_U = 2·n_joint/(n_exc1+n_exc2) (the symmetrized conditional
+    estimator) is ONE exact-integer division, unrounded.  when()-gated
+    for the no-exceedance corner (n=0 shared days ⇒ pair absent by the
+    inner join).  Plan: one (type, day) combinable agg, a day-keyed
+    pair join (|types|²/2 × days — calendar²-bounded, fact-size-
+    independent after the first shuffle), two rank windows on the pair
+    frame, one broadcast threshold attach, one combinable reduce."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
+    daily = e.groupBy("event_type", day.alias("d")).agg(
+        F.round(F.sum("value") * 100).cast("long").alias("c")
+    )
+    a = daily.select(
+        F.col("event_type").alias("t1"), "d", F.col("c").alias("c1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("t2"), "d", F.col("c").alias("c2")
+    )
+    pr = a.join(b, "d").where(F.col("t1") < F.col("t2"))
+    w1 = Window.partitionBy("t1", "t2").orderBy("c1", "d")
+    w2 = Window.partitionBy("t1", "t2").orderBy("c2", "d")
+    ranked = pr.withColumn("r1", F.row_number().over(w1)).withColumn(
+        "r2", F.row_number().over(w2)
+    )
+    nn = pr.groupBy("t1", "t2").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pos = F.expr("(8 * n + 9) div 10")
+    thr = (
+        ranked.join(F.broadcast(nn), ["t1", "t2"])
+        .groupBy("t1", "t2", "n")
+        .agg(
+            F.max(F.when(F.col("r1") == pos, F.col("c1"))).alias("thr1"),
+            F.max(F.when(F.col("r2") == pos, F.col("c2"))).alias("thr2"),
+        )
+    )
+    exc1 = (F.col("c1") > F.col("thr1")).cast("long")
+    exc2 = (F.col("c2") > F.col("thr2")).cast("long")
+    agg = (
+        pr.join(F.broadcast(thr), ["t1", "t2"])
+        .groupBy("t1", "t2", "n", "thr1", "thr2")
+        .agg(
+            F.sum(exc1).cast("long").alias("n_exc1"),
+            F.sum(exc2).cast("long").alias("n_exc2"),
+            F.sum(exc1 * exc2).cast("long").alias("n_joint"),
+        )
+    )
+    return agg.select(
+        "t1",
+        "t2",
+        F.col("n").alias("n_days"),
+        F.col("thr1").alias("thr1_cents"),
+        F.col("thr2").alias("thr2_cents"),
+        "n_exc1",
+        "n_exc2",
+        "n_joint",
+        F.when(
+            (F.col("n_exc1") + F.col("n_exc2")) > 0,
+            2.0
+            * F.col("n_joint").cast("double")
+            / (F.col("n_exc1") + F.col("n_exc2")).cast("double"),
+        ).alias("lambda_u"),
+    ).orderBy("t1", "t2")
+
+
+_TAIL_DEP_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS d,
+         CAST(round(sum(value) * 100) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), pr AS (
+  SELECT a.event_type AS t1, b.event_type AS t2, a.d,
+         a.c AS c1, b.c AS c2
+  FROM daily a JOIN daily b ON a.d = b.d AND a.event_type < b.event_type
+), ranked AS (
+  SELECT t1, t2, c1, c2,
+         row_number() OVER (PARTITION BY t1, t2 ORDER BY c1, d) AS r1,
+         row_number() OVER (PARTITION BY t1, t2 ORDER BY c2, d) AS r2,
+         CAST(count(*) OVER (PARTITION BY t1, t2) AS BIGINT) AS n
+  FROM pr
+), thr AS (
+  SELECT t1, t2, n,
+         max(CASE WHEN r1 = (8 * n + 9) // 10 THEN c1 END) AS thr1,
+         max(CASE WHEN r2 = (8 * n + 9) // 10 THEN c2 END) AS thr2
+  FROM ranked GROUP BY 1, 2, 3
+), agg AS (
+  SELECT r.t1, r.t2, t.n, t.thr1, t.thr2,
+         CAST(sum(CASE WHEN r.c1 > t.thr1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exc1,
+         CAST(sum(CASE WHEN r.c2 > t.thr2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exc2,
+         CAST(sum(CASE WHEN r.c1 > t.thr1 AND r.c2 > t.thr2
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_joint
+  FROM ranked r JOIN thr t ON r.t1 = t.t1 AND r.t2 = t.t2
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT t1, t2, n AS n_days, thr1 AS thr1_cents, thr2 AS thr2_cents,
+       n_exc1, n_exc2, n_joint,
+       CASE WHEN n_exc1 + n_exc2 > 0 THEN
+         2.0 * CAST(n_joint AS DOUBLE) / CAST(n_exc1 + n_exc2 AS DOUBLE)
+       END AS lambda_u
+FROM agg
+ORDER BY t1, t2
+"""
+
+
+def part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher monthly price indices over the
+    lineitem fact — the economics read absent from the stats family:
+    how did effective unit prices (discounted revenue per unit) move
+    vs the FIRST shipping month, holding the basket fixed at base
+    quantities (Laspeyres), current quantities (Paasche), and their
+    geometric mean (Fisher)?  Per (part, month) the unit value
+    p = Σcents/Σqty is a single exact-int division (cents BIGINT, qty
+    integral); index sums over the matched basket are order-dependent
+    doubles of identical per-term IEEE products, so the three indices
+    round 6dp (the granger/welch engine-identical-expression
+    discipline).  Base month = global min month, matched basket =
+    parts present in BOTH base and current month (the standard
+    matched-sample index).  Plan: one (part, month) combinable agg,
+    one broadcast of the |parts|-row base basket, one month rollup —
+    the index frame is calendar-bounded at any fact volume."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).cast("long")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    pm = li.groupBy(F.col("l_partkey").alias("pk"), m.alias("m")).agg(
+        F.sum(cents).cast("long").alias("cents"),
+        F.sum(qty).cast("long").alias("qty"),
+    )
+    m0 = pm.agg(F.min("m").alias("m0"))
+    base = (
+        pm.join(F.broadcast(m0), pm["m"] == m0["m0"])
+        .select(
+            "pk",
+            (F.col("cents").cast("double") / F.col("qty").cast("double"))
+            .alias("p0"),
+            F.col("qty").alias("q0"),
+        )
+    )
+    cur = pm.select(
+        "pk",
+        "m",
+        (F.col("cents").cast("double") / F.col("qty").cast("double"))
+        .alias("pt"),
+        F.col("qty").alias("qt"),
+    )
+    j = cur.join(F.broadcast(base), "pk")
+    agg = j.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts_matched"),
+        F.sum(F.col("pt") * F.col("q0").cast("double")).alias("l_num"),
+        F.sum(F.col("p0") * F.col("q0").cast("double")).alias("l_den"),
+        F.sum(F.col("pt") * F.col("qt").cast("double")).alias("p_num"),
+        F.sum(F.col("p0") * F.col("qt").cast("double")).alias("p_den"),
+    )
+    lasp = F.col("l_num") / F.col("l_den")
+    paas = F.col("p_num") / F.col("p_den")
+    return agg.select(
+        F.col("m").alias("month_idx"),
+        "n_parts_matched",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    ).orderBy("month_idx")
+
+
+_PRICE_INDEX_SQL = """
+WITH pm AS (
+  SELECT l_partkey AS pk,
+         CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT) AS m,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+), m0 AS (
+  SELECT min(m) AS m0 FROM pm
+), base AS (
+  SELECT pk, CAST(cents AS DOUBLE) / CAST(qty AS DOUBLE) AS p0,
+         qty AS q0
+  FROM pm, m0 WHERE pm.m = m0.m0
+), agg AS (
+  SELECT c.m, CAST(count(*) AS BIGINT) AS n_parts_matched,
+         sum((CAST(c.cents AS DOUBLE) / CAST(c.qty AS DOUBLE))
+             * CAST(b.q0 AS DOUBLE)) AS l_num,
+         sum(b.p0 * CAST(b.q0 AS DOUBLE)) AS l_den,
+         sum((CAST(c.cents AS DOUBLE) / CAST(c.qty AS DOUBLE))
+             * CAST(c.qty AS DOUBLE)) AS p_num,
+         sum(b.p0 * CAST(c.qty AS DOUBLE)) AS p_den
+  FROM pm c JOIN base b ON c.pk = b.pk
+  GROUP BY 1
+)
+SELECT m AS month_idx, n_parts_matched,
+       round(l_num / l_den, 6) AS laspeyres,
+       round(p_num / p_den, 6) AS paasche,
+       round(sqrt((l_num / l_den) * (p_num / p_den)), 6) AS fisher
+FROM agg
+ORDER BY month_idx
+"""
+
+
+def orders_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-ladder development factors over the cohort revenue
+    triangle — the actuarial RESERVING read on the same cohort × age
+    frame orders_cohort_ltv exports as curves: the volume-weighted
+    age-to-age factor f_k = Σ_c cum_{c,k+1} / Σ_c cum_{c,k} over
+    cohorts OBSERVED at both ages (max observable age M − c ≥ k+1,
+    M = last calendar month — the run-off-triangle eligibility rule),
+    plus the age-to-ultimate completion factor Π_{j≥k} f_j.
+
+    Exactness: the triangle is DENSIFIED on the cohort × age grid
+    (calendar²-bounded) with the monotone cumulative carried across
+    orderless months by a running max — so factors are ratios of
+    exact cent sums, ONE division each, exported unrounded; the
+    completion factor chains ln/exp over the ≤|ages| factor frame
+    (identical expression both engines) and rounds 6dp.  Plan: one
+    first-month agg + join-back (the cohort_ltv shuffle), one grid
+    densification against a broadcast cohort list, one cumulative
+    window, one per-age combinable reduce — every frame after the
+    first shuffle is calendar²-bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast(
+        "long"
+    )
+    om = o.select(
+        "o_custkey",
+        ym.alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = om.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    cells = (
+        om.join(first, "o_custkey")
+        .groupBy(F.col("m0").alias("cohort"), (F.col("m") - F.col("m0")).alias("k"))
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    mmax = om.agg(F.max("m").alias("mm"))
+    cohorts = cells.select("cohort").distinct().crossJoin(F.broadcast(mmax))
+    grid = cohorts.select(
+        "cohort",
+        F.explode(F.sequence(F.lit(0), F.col("mm") - F.col("cohort"))).alias(
+            "k"
+        ),
+        (F.col("mm") - F.col("cohort")).alias("max_age"),
+    )
+    dense = grid.join(cells, ["cohort", "k"], "left").select(
+        "cohort",
+        "k",
+        "max_age",
+        F.coalesce("rev", F.lit(0)).cast("long").alias("rev"),
+    )
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dense.select(
+        "cohort", "k", "max_age", F.sum("rev").over(wcum).alias("cum")
+    )
+    nxt = cum.select(
+        "cohort", (F.col("k") - 1).alias("k"), F.col("cum").alias("cum_next")
+    )
+    fac = (
+        cum.join(nxt, ["cohort", "k"])
+        .where(F.col("max_age") >= F.col("k") + 1)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cohorts"),
+            F.sum("cum").cast("long").alias("den_cents"),
+            F.sum("cum_next").cast("long").alias("num_cents"),
+        )
+        .select(
+            "k",
+            "n_cohorts",
+            "den_cents",
+            "num_cents",
+            (
+                F.col("num_cents").cast("double")
+                / F.col("den_cents").cast("double")
+            ).alias("factor"),
+        )
+    )
+    wtail = (
+        Window.orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        fac.withColumn(
+            "to_ultimate",
+            F.round(F.exp(F.sum(F.log("factor")).over(wtail)), 6),
+        )
+        .orderBy("k")
+    )
+
+
+_CHAIN_LADDER_SQL = """
+WITH om AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), fm AS (
+  SELECT o_custkey, min(m) AS m0 FROM om GROUP BY 1
+), cells AS (
+  SELECT fm.m0 AS cohort, om.m - fm.m0 AS k,
+         CAST(sum(om.cents) AS BIGINT) AS rev
+  FROM om JOIN fm ON om.o_custkey = fm.o_custkey
+  GROUP BY 1, 2
+), mm AS (
+  SELECT max(m) AS mm FROM om
+), grid AS (
+  SELECT c.cohort, CAST(gs.k AS BIGINT) AS k, mm.mm - c.cohort AS max_age
+  FROM (SELECT DISTINCT cohort FROM cells) c, mm,
+       LATERAL (SELECT unnest(generate_series(0, mm.mm - c.cohort)) AS k)
+         gs
+), dense AS (
+  SELECT g.cohort, g.k, g.max_age,
+         CAST(coalesce(cells.rev, 0) AS BIGINT) AS rev
+  FROM grid g LEFT JOIN cells
+    ON cells.cohort = g.cohort AND cells.k = g.k
+), cum AS (
+  SELECT cohort, k, max_age,
+         CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM dense
+), fac AS (
+  SELECT a.k, CAST(count(*) AS BIGINT) AS n_cohorts,
+         CAST(sum(a.cum) AS BIGINT) AS den_cents,
+         CAST(sum(b.cum) AS BIGINT) AS num_cents
+  FROM cum a JOIN cum b ON a.cohort = b.cohort AND b.k = a.k + 1
+  WHERE a.max_age >= a.k + 1
+  GROUP BY 1
+)
+SELECT k, n_cohorts, den_cents, num_cents,
+       CAST(num_cents AS DOUBLE) / CAST(den_cents AS DOUBLE) AS factor,
+       round(exp(sum(ln(CAST(num_cents AS DOUBLE)
+                        / CAST(den_cents AS DOUBLE)))
+                 OVER (ORDER BY k DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             6) AS to_ultimate
+FROM fac
+ORDER BY k
+"""
+
+
+def doc_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment near-duplicate pairs — the
+    subset detector the Jaccard family misses: a short document QUOTED
+    INSIDE a long one has tiny Jaccard (union is dominated by the long
+    doc) but containment |S(A)∩S(B)| / |S(A)| ≈ 1 for the smaller
+    shingle set A.  The curation use is exactly that case: embedded
+    quotes, boilerplate-wrapped reposts, chunk-of-other-doc leakage
+    (the split_leakage_audit sibling at doc granularity).
+
+    Word 3-shingles, DISTINCT per doc; candidates from the
+    shared-shingle inverted index (volume Σ_sh df² — the PPJoin
+    diversity contract, documented in operators/dedup.py: on
+    low-diversity corpora raise shingle_n, never drop high-df
+    shingles); containment = ONE exact-integer division (exact at
+    any size < 2^53, so both engines rank the identical double —
+    no rounding needed), A = the smaller shingle set (doc-id
+    tie-break).  Top-20 by (containment desc, doc_a, doc_b).  Plan:
+    one tokenization pass, one distinct-shingle shuffle, one
+    inverted-index self-join + pair-count agg, one broadcast size
+    attach, one WindowGroupLimit top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        ).alias("arr"),
+    ).where(F.size("arr") >= 3)
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("arr") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("arr"), i),
+                        F.element_at(F.col("arr"), i + 1),
+                        F.element_at(F.col("arr"), i + 2),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    p1 = sh.select(F.col("doc_id").alias("d1"), "s")
+    p2 = sh.select(F.col("doc_id").alias("d2"), "s")
+    inter = (
+        p1.join(p2, "s")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    wd = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("d1"),
+                                     F.col("sz").alias("sz1"))),
+            "d1",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("d2"),
+                                     F.col("sz").alias("sz2"))),
+            "d2",
+        )
+    )
+    small_first = F.col("sz1") <= F.col("sz2")
+    scored = wd.select(
+        F.when(small_first, F.col("d1")).otherwise(F.col("d2")).alias(
+            "doc_a"
+        ),
+        F.when(small_first, F.col("d2")).otherwise(F.col("d1")).alias(
+            "doc_b"
+        ),
+        F.when(small_first, F.col("sz1")).otherwise(F.col("sz2")).alias(
+            "size_a"
+        ),
+        F.when(small_first, F.col("sz2")).otherwise(F.col("sz1")).alias(
+            "size_b"
+        ),
+        F.col("inter").alias("n_shared"),
+        (F.col("inter").cast("double")
+         / F.when(small_first, F.col("sz1"))
+         .otherwise(F.col("sz2")).cast("double")).alias("containment"),
+    )
+    wtop = Window.orderBy(
+        F.col("containment").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+        .orderBy(F.col("containment").desc(), "doc_a", "doc_b")
+    )
+
+
+_DOC_CONTAINMENT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS arr
+  FROM documents
+), pos AS (
+  SELECT doc_id, arr, CAST(generate_subscripts(arr, 1) AS BIGINT) AS p
+  FROM toks WHERE len(arr) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id,
+         arr[p] || ' ' || arr[p + 1] || ' ' || arr[p + 2] AS s
+  FROM pos WHERE p <= len(arr) - 2
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT CASE WHEN s1.sz <= s2.sz THEN d1 ELSE d2 END AS doc_a,
+         CASE WHEN s1.sz <= s2.sz THEN d2 ELSE d1 END AS doc_b,
+         CASE WHEN s1.sz <= s2.sz THEN s1.sz ELSE s2.sz END AS size_a,
+         CASE WHEN s1.sz <= s2.sz THEN s2.sz ELSE s1.sz END AS size_b,
+         inter AS n_shared,
+         CAST(inter AS DOUBLE)
+           / CAST(least(s1.sz, s2.sz) AS DOUBLE) AS containment
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+)
+SELECT doc_a, doc_b, size_a, size_b, n_shared, containment
+FROM (SELECT *, row_number() OVER (ORDER BY containment DESC,
+                                   doc_a ASC, doc_b ASC) AS rn
+      FROM scored)
+WHERE rn <= 20
+ORDER BY containment DESC, doc_a, doc_b
+"""
+
+
+def lineitem_weibull_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of the order→ship delay per order priority via
+    median-rank regression — the PARAMETRIC survival companion to
+    customer_order_survival (Kaplan-Meier, nonparametric) and
+    orders_ship_delay (quantile SLA): plot ln(−ln(1−F_i)) against
+    ln(t_i) with Bernard's median-rank positions F_i = (i−0.3)/(n+0.4)
+    and read shape k off the OLS slope and scale λ = exp(x̄ − ȳ/k).
+    Shape < 1 ⇒ delays front-loaded (infant-mortality shipping),
+    > 1 ⇒ wear-out-style queue buildup.
+
+    Positive-lifetime subset (delay ≥ 1 day — the synthetic corpus
+    also ships before ordering; those rows are not lifetimes).  Ranks
+    are exact (row_number, (delay, orderkey, linenumber) total order;
+    tied delays may permute within a block but x is constant there,
+    so every OLS moment is assignment-invariant).  Moments are
+    order-dependent double sums of engine-identical terms → shape /
+    scale / r² round 6dp (the weibull quantities are ln-irrational;
+    the granger/welch discipline).  when()-gated for n < 2 or zero
+    x-variance.  Plan: one orderkey equi-join, one rank window per
+    priority (range-partitioned sort at scale), one combinable
+    moment agg over |priorities| groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    sday = F.floor(F.unix_timestamp(F.col("l_shipdate")) / F.lit(86400.0))
+    oday = F.floor(F.unix_timestamp(F.col("o_orderdate")) / F.lit(86400.0))
+    j = (
+        li.select(
+            "l_orderkey", "l_linenumber", sday.cast("long").alias("sd")
+        )
+        .join(
+            o.select(
+                "o_orderkey",
+                "o_orderpriority",
+                oday.cast("long").alias("od"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "o_orderpriority",
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("sd") - F.col("od")).alias("delay"),
+        )
+        .where(F.col("delay") >= 1)
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy(
+        "delay", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = j.select(
+        "o_orderpriority",
+        "delay",
+        F.row_number().over(wr).cast("long").alias("i"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    x = F.log(F.col("delay").cast("double"))
+    fr = (F.col("i").cast("double") - 0.3) / (F.col("n").cast("double") + 0.4)
+    yv = F.log(-F.log(1.0 - fr))
+    mom = ranked.select("o_orderpriority", "n", x.alias("x"), yv.alias("y")).groupBy(
+        "o_orderpriority", "n"
+    ).agg(
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    nd = F.col("n").cast("double")
+    vxn = nd * F.col("sx2") - F.col("sx") * F.col("sx")
+    vyn = nd * F.col("sy2") - F.col("sy") * F.col("sy")
+    cvn = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    shape = cvn / vxn
+    scale = F.exp(F.col("sx") / nd - (F.col("sy") / nd) / shape)
+    ok = (F.col("n") > 1) & (vxn > 0) & (vyn > 0)
+    return mom.select(
+        "o_orderpriority",
+        "n",
+        F.when(ok, F.round(shape, 6)).alias("weibull_shape"),
+        F.when(ok, F.round(scale, 6)).alias("weibull_scale_days"),
+        F.when(ok, F.round(cvn * cvn / (vxn * vyn), 6)).alias("r_squared"),
+    ).orderBy("o_orderpriority")
+
+
+_WEIBULL_DELAY_SQL = """
+WITH j AS (
+  SELECT o_orderpriority, l_orderkey, l_linenumber,
+         CAST(floor(epoch(l_shipdate) / 86400.0) AS BIGINT)
+           - CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT) AS delay
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), pos AS (
+  SELECT o_orderpriority, delay,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority
+              ORDER BY delay, l_orderkey, l_linenumber) AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM j WHERE delay >= 1
+), xy AS (
+  SELECT o_orderpriority, n,
+         ln(CAST(delay AS DOUBLE)) AS x,
+         ln(-ln(1.0 - (CAST(i AS DOUBLE) - 0.3)
+                      / (CAST(n AS DOUBLE) + 0.4))) AS y
+  FROM pos
+), mom AS (
+  SELECT o_orderpriority, n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sx2, sum(y * y) AS sy2
+  FROM xy GROUP BY 1, 2
+)
+SELECT o_orderpriority, n,
+       CASE WHEN n > 1 AND CAST(n AS DOUBLE) * sx2 - sx * sx > 0
+                 AND CAST(n AS DOUBLE) * sy2 - sy * sy > 0 THEN
+         round((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sx2 - sx * sx), 6)
+       END AS weibull_shape,
+       CASE WHEN n > 1 AND CAST(n AS DOUBLE) * sx2 - sx * sx > 0
+                 AND CAST(n AS DOUBLE) * sy2 - sy * sy > 0 THEN
+         round(exp(sx / CAST(n AS DOUBLE)
+                   - (sy / CAST(n AS DOUBLE))
+                     / ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sx2 - sx * sx))), 6)
+       END AS weibull_scale_days,
+       CASE WHEN n > 1 AND CAST(n AS DOUBLE) * sx2 - sx * sx > 0
+                 AND CAST(n AS DOUBLE) * sy2 - sy * sy > 0 THEN
+         round((CAST(n AS DOUBLE) * sxy - sx * sy)
+               * (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / ((CAST(n AS DOUBLE) * sx2 - sx * sx)
+                  * (CAST(n AS DOUBLE) * sy2 - sy * sy)), 6)
+       END AS r_squared
+FROM mom
+ORDER BY o_orderpriority
+"""
+
+
+def g13_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the part co-order graph — the
+    PREDICTION task next to the descriptive graph family (g3-g12):
+    which non-adjacent part pairs are most likely to be co-ordered
+    next, scoring candidate pairs by their common neighbors weighted
+    inversely by hub-ness, AA(u,v) = Σ_{w ∈ Γ(u)∩Γ(v)} 1/ln(deg w)?
+    Same edge construction as g9_assortativity (parts co-ordered in
+    ≥ 2 distinct orders; the brand graph is complete at every scale,
+    the part graph is where structure lives).
+
+    A wedge hub w has deg(w) ≥ 2 by construction, so ln(deg w) > 0 —
+    no division guard needed.  The score is an order-dependent sum of
+    ln-reciprocals → ROUNDED 6dp on both sides and ranked ON the
+    rounded value ((u, v) tie-break, the rank-on-rounded rule);
+    existing edges are removed by an anti-join before scoring.
+    Top-20.  Plan: pair fan-out bounded by lineitems-per-order²
+    (≤ 49/order), wedge fan-out Σ_w deg(w)² (the g6 wedge-join bound),
+    one broadcast degree attach, one anti-join, one WindowGroupLimit
+    top-k."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cb = li.select(
+        F.col("l_orderkey").alias("u"), F.col("l_partkey").alias("b")
+    ).distinct()
+    a = cb.select("u", F.col("b").alias("src"))
+    c = cb.select("u", F.col("b").alias("dst"))
+    und = (
+        a.join(c, "u")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .where(F.col("common") >= 2)
+        .select("src", "dst")
+    )
+    sym = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    h1 = sym.select(F.col("src").alias("w"), F.col("dst").alias("u2"))
+    h2 = sym.select(F.col("src").alias("w"), F.col("dst").alias("v2"))
+    wedges = (
+        h1.join(h2, "w")
+        .where(F.col("u2") < F.col("v2"))
+        .join(
+            deg.select(F.col("src").alias("w"), "degree"), "w"
+        )
+    )
+    cand = (
+        wedges.groupBy(F.col("u2").alias("u"), F.col("v2").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(1.0 / F.log(F.col("degree").cast("double"))).alias("aa"),
+        )
+        .join(
+            und.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+        .select(
+            "u", "v", "n_common", F.round(F.col("aa"), 6).alias("aa_score")
+        )
+    )
+    wtop = Window.orderBy(
+        F.col("aa_score").desc(), F.col("u").asc(), F.col("v").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+        .orderBy(F.col("aa_score").desc(), "u", "v")
+    )
+
+
+_ADAMIC_ADAR_SQL = """
+WITH cb AS (
+  SELECT DISTINCT l_orderkey AS u, l_partkey AS b FROM lineitem
+), und AS (
+  SELECT a.b AS src, c.b AS dst
+  FROM cb a JOIN cb c ON a.u = c.u AND a.b < c.b
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), sym AS (
+  SELECT src, dst FROM und
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM und
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY 1
+), cand AS (
+  SELECT h1.dst AS u, h2.dst AS v,
+         CAST(count(*) AS BIGINT) AS n_common,
+         round(sum(1.0 / ln(CAST(d.degree AS DOUBLE))), 6) AS aa_score
+  FROM sym h1
+  JOIN sym h2 ON h1.src = h2.src AND h1.dst < h2.dst
+  JOIN deg d ON d.src = h1.src
+  GROUP BY 1, 2
+), nonedge AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN und e ON e.src = c.u AND e.dst = c.v
+  WHERE e.src IS NULL
+)
+SELECT u, v, n_common, aa_score
+FROM (SELECT *, row_number() OVER (ORDER BY aa_score DESC,
+                                   u ASC, v ASC) AS rn
+      FROM nonedge)
+WHERE rn <= 20
+ORDER BY aa_score DESC, u, v
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry / driver contract
 # ---------------------------------------------------------------------------
@@ -21955,6 +22695,16 @@ ORDER BY event_type
 # generations old — _R7_FRONT rotates exactly those forward, oldest debt
 # first.  tools/check_correctness.py covers the full registry locally.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # r11 additions (the _R11_FRONT rebuild puts them at the window top):
+    "evt_tail_dependence": (evt_tail_dependence, _TAIL_DEP_SQL),
+    "part_price_index": (part_price_index, _PRICE_INDEX_SQL),
+    "orders_chain_ladder": (orders_chain_ladder, _CHAIN_LADDER_SQL),
+    "doc_shingle_containment": (
+        doc_shingle_containment,
+        _DOC_CONTAINMENT_SQL,
+    ),
+    "lineitem_weibull_delay": (lineitem_weibull_delay, _WEIBULL_DELAY_SQL),
+    "g13_adamic_adar": (g13_adamic_adar, _ADAMIC_ADAR_SQL),
     # r10 additions (the _R10_FRONT rebuild puts them at the window top):
     "evt_permutation_entropy": (evt_permutation_entropy, _PERM_ENTROPY_SQL),
     "evt_rqa_determinism": (evt_rqa_determinism, _RQA_SQL),
@@ -22645,6 +23395,76 @@ _REGISTRY = {
     for name in (
         *_R10_FRONT,
         *(k for k in _REGISTRY if k not in set(_R10_FRONT)),
+    )
+}
+
+# r11 window rotation (VERDICT r10 item 1, executed): this retires the
+# audit-freshness debt FOR GOOD — the 43 entries whose latest driver
+# audit is r5 (the last un-rotated cohort; recomputed from the ten
+# CORRECTNESS files) all take window slots, so additions are capped at
+# 6 (6 new + 1 r11-changed + 43 = 50).  After CORRECTNESS_r11, every
+# registry entry's latest driver audit is r6+.
+_R11_FRONT: list[str] = [
+    # r11-NEW queries go HERE (top), newest first, as they land (cap 6).
+    "evt_tail_dependence",
+    "part_price_index",
+    "orders_chain_ladder",
+    "doc_shingle_containment",
+    "lineitem_weibull_delay",
+    "g13_adamic_adar",
+    # r11-CHANGED (plan-affecting: the ANSI when()-gate on d_ks):
+    "doc_length_ks_drift",
+    # the 43 r5-audited entries (oldest remaining audit debt):
+    "skew_salted_join",
+    "lsh_banding_audit",
+    "ann_matryoshka_topk",
+    "text_gopher_repetition",
+    "evt_funnel",
+    "weighted_sample",
+    "ann_recall_audit",
+    "evt_psi_drift",
+    "q7_volume_shipping",
+    "source_overlap_matrix",
+    "text_compression_ratio",
+    "evt_gap_fill",
+    "evt_interarrival",
+    "a14_percentiles",
+    "j4_semi_join",
+    "j5_lookup_chain",
+    "q5_supplier_volume",
+    "w6_islands",
+    "f1_f2_norms",
+    "j7_nearest_centroid",
+    "j9_distance_matrix",
+    "j8_similarity_buckets",
+    "ann_topk",
+    "ann_topk_batch",
+    "ann_ivf_topk",
+    "emb_top_pairs",
+    "emb_near_dup_blocked",
+    "rp_bucket_hist",
+    "text_quality",
+    "dedup_exact_stats",
+    "text_langid",
+    "doc_quality_filter",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "evt_sessions",
+    "minhash_verified_dedup",
+    "dedup_canonical_groups",
+    "s11_upsert",
+    "prologue_report",
+    "m6_zscore_outliers",
+    "m7_percentile_outliers",
+    "m8_lof_outliers",
+    "m9_mahalanobis_outliers",
+]
+
+_REGISTRY = {
+    name: _REGISTRY[name]
+    for name in (
+        *_R11_FRONT,
+        *(k for k in _REGISTRY if k not in set(_R11_FRONT)),
     )
 }
 
