@@ -153,6 +153,9 @@ _NESTED_LOOP_OK = {
                                # onto the 1-row OLS-stats frame
     "evt_lag_correlation",     # 4-row lag frame broadcast onto the
                                # calendar-bounded daily series
+    "orders_chain_ladder",     # 1-row last-calendar-month frame
+                               # broadcast onto the cohort list for
+                               # the run-off grid bounds
     "evt_type_trend_ols",      # 1-row global-min-day frame broadcast
                                # onto the daily series
     "doc_lang_source_chi2",    # |langs|×|sources| literal-dimension
@@ -750,3 +753,59 @@ def test_loo_knn_cell_route_no_cartesian(spark):
     plan = _plan(m._loo_knn_ivf_cells(spark, emb, emb.count()))
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_skew_salted_join_runs_on_salted_keys(spark, sf_small):
+    """skew_salted_join: the small side must replicate via explode and
+    the join keys must include the salt — the hot-key spread is the
+    whole point (the oracle's plain join proves semantics)."""
+    plan = _plan(m.queries()["skew_salted_join"](spark, sf_small))
+    assert "explode" in plan.lower()
+    assert "_salt" in plan
+
+
+def test_tail_dependence_attaches_broadcast_no_cartesian(spark, sf_small):
+    """evt_tail_dependence: the pair frame is day-keyed equi-join only;
+    the n and threshold attaches are |types|²-row broadcasts."""
+    plan = _plan(m.queries()["evt_tail_dependence"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_price_index_base_basket_broadcasts(spark, sf_small):
+    """part_price_index: the base-month basket is a |parts|-row frame
+    — it must broadcast onto the (part, month) rollup, never shuffle
+    the rollup side."""
+    plan = _plan(m.queries()["part_price_index"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_topk_is_take_ordered(spark, sf_small):
+    """doc_shingle_containment: the GLOBAL top-20 must push the limit
+    under the rank window (LimitPushDownThroughWindow →
+    TakeOrderedAndProject — the global-window sibling of the
+    partitioned WindowGroupLimit), and the size attaches broadcast;
+    the only shuffling join is the inverted-index equi-join."""
+    plan = _plan(m.queries()["doc_shingle_containment"](spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_adamic_adar_topk_and_anti_join(spark, sf_small):
+    """g13_adamic_adar: candidates leave through a limit-pushed global
+    top-20 (TakeOrderedAndProject) and existing edges are removed by a
+    (left) anti join — never a post-collect filter."""
+    plan = _plan(m.queries()["g13_adamic_adar"](spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weibull_moments_keep_partial_aggregation(spark, sf_small):
+    """lineitem_weibull_delay: the OLS moment agg over the ranked frame
+    must keep map-side partial aggregation (combinable sums), and the
+    only join is the orderkey equi-join."""
+    plan = _plan(m.queries()["lineitem_weibull_delay"](spark, sf_small))
+    assert "partial_" in plan  # map-side partial agg of the moments
+    assert "CartesianProduct" not in plan

@@ -912,6 +912,51 @@ def main() -> None:
 
     stage("emd_domain_bound", _emd_domain_bound)
 
+    def _containment_join():
+        """doc_shingle_containment's candidate core: distinct word
+        3-shingles → inverted-index self-join → per-pair intersection
+        counts.  Candidate volume is Σ_sh df² (the PPJoin diversity
+        contract) — on the v3 Zipf-vocabulary corpus this must grow
+        ~linearly with docs, never doc²; a blowup here means the
+        shingle diversity collapsed (raise shingle_n, never drop
+        high-df shingles)."""
+        toks = docs.select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            ).alias("arr"),
+        ).where(F.size("arr") >= 3)
+        sh = (
+            toks.select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("arr") - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(F.col("arr"), i),
+                            F.element_at(F.col("arr"), i + 1),
+                            F.element_at(F.col("arr"), i + 2),
+                        ),
+                    )
+                ).alias("s"),
+            )
+            .distinct()
+        )
+        p1 = sh.select(F.col("doc_id").alias("d1"), "s")
+        p2 = sh.select(F.col("doc_id").alias("d2"), "s")
+        return (
+            p1.join(p2, "s")
+            .where(F.col("d1") < F.col("d2"))
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .where(F.col("inter") >= 2)
+            .count()
+        )
+
+    stage("containment_join", _containment_join)
+
     print(json.dumps(out))
     spark.stop()
 
