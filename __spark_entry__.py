@@ -21956,64 +21956,23 @@ def evt_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
     and λ̂_U = 2·n_joint/(n_exc1+n_exc2) (the symmetrized conditional
     estimator) is ONE exact-integer division, unrounded.  when()-gated
     for the no-exceedance corner (n=0 shared days ⇒ pair absent by the
-    inner join).  Plan: one (type, day) combinable agg, a day-keyed
-    pair join (|types|²/2 × days — calendar²-bounded, fact-size-
-    independent after the first shuffle), two rank windows on the pair
-    frame, one broadcast threshold attach, one combinable reduce."""
+    inner join).  Plan: one (type, day) combinable agg, then the
+    SHARED combine operators/timeseries.tail_dependence_from_daily
+    (also the streaming twin's snapshot read --
+    streaming/tail_dep_maintenance.py): a day-keyed pair join
+    (|types|^2/2 x days -- calendar^2-bounded, fact-size-independent
+    after the first shuffle), two rank windows on the pair frame, one
+    broadcast threshold attach, one combinable reduce."""
+    from vector_search_optimization_spark.operators.timeseries import (
+        tail_dependence_from_daily,
+    )
+
     e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
     daily = e.groupBy("event_type", day.alias("d")).agg(
-        F.round(F.sum("value") * 100).cast("long").alias("c")
+        F.round(F.sum("value") * 100).cast("long").alias("cents")
     )
-    a = daily.select(
-        F.col("event_type").alias("t1"), "d", F.col("c").alias("c1")
-    )
-    b = daily.select(
-        F.col("event_type").alias("t2"), "d", F.col("c").alias("c2")
-    )
-    pr = a.join(b, "d").where(F.col("t1") < F.col("t2"))
-    w1 = Window.partitionBy("t1", "t2").orderBy("c1", "d")
-    w2 = Window.partitionBy("t1", "t2").orderBy("c2", "d")
-    ranked = pr.withColumn("r1", F.row_number().over(w1)).withColumn(
-        "r2", F.row_number().over(w2)
-    )
-    nn = pr.groupBy("t1", "t2").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    pos = F.expr("(8 * n + 9) div 10")
-    thr = (
-        ranked.join(F.broadcast(nn), ["t1", "t2"])
-        .groupBy("t1", "t2", "n")
-        .agg(
-            F.max(F.when(F.col("r1") == pos, F.col("c1"))).alias("thr1"),
-            F.max(F.when(F.col("r2") == pos, F.col("c2"))).alias("thr2"),
-        )
-    )
-    exc1 = (F.col("c1") > F.col("thr1")).cast("long")
-    exc2 = (F.col("c2") > F.col("thr2")).cast("long")
-    agg = (
-        pr.join(F.broadcast(thr), ["t1", "t2"])
-        .groupBy("t1", "t2", "n", "thr1", "thr2")
-        .agg(
-            F.sum(exc1).cast("long").alias("n_exc1"),
-            F.sum(exc2).cast("long").alias("n_exc2"),
-            F.sum(exc1 * exc2).cast("long").alias("n_joint"),
-        )
-    )
-    return agg.select(
-        "t1",
-        "t2",
-        F.col("n").alias("n_days"),
-        F.col("thr1").alias("thr1_cents"),
-        F.col("thr2").alias("thr2_cents"),
-        "n_exc1",
-        "n_exc2",
-        "n_joint",
-        F.when(
-            (F.col("n_exc1") + F.col("n_exc2")) > 0,
-            2.0
-            * F.col("n_joint").cast("double")
-            / (F.col("n_exc1") + F.col("n_exc2")).cast("double"),
-        ).alias("lambda_u"),
-    ).orderBy("t1", "t2")
+    return tail_dependence_from_daily(daily)
 
 
 _TAIL_DEP_SQL = """

@@ -17,6 +17,7 @@ __all__ = [
     "runs_test_from_daily",
     "sax_motifs_from_daily",
     "seasonal_from_daily",
+    "tail_dependence_from_daily",
 ]
 
 
@@ -448,6 +449,82 @@ def runs_test_from_daily(
             (F.col("n_runs").cast("double") - e_runs) / F.sqrt(v_runs),
         ).alias("z_stat"),
     ).orderBy(group_col)
+
+
+def tail_dependence_from_daily(
+    daily: DataFrame,
+    group_col: str = "event_type",
+    day_col: str = "d",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Empirical upper-tail dependence λ_U for every group pair from a
+    (group, day, exact-cents) frame — the SHARED combine behind the
+    evt_tail_dependence batch query and
+    streaming/tail_dep_maintenance.py (the one-combine-two-paths
+    pattern).  Each side's 0.8 threshold is the exact type-1 order
+    statistic over the SHARED days (rank ceil(0.8n) = (8n+9) div 10,
+    (cents, day) tie-break), exceedance a strict integer compare,
+    λ̂_U = 2·n_joint/(n_exc1+n_exc2) ONE exact-int division UNROUNDED,
+    when()-gated.  NOTE for streaming: the state must be the DAILY
+    GRID, not folded exceedance counts — late data changes a day's
+    cents, which moves BOTH thresholds and can re-classify every
+    other day's exceedance flags.  Pair frame |groups|²/2 × days —
+    calendar²-bounded."""
+    from pyspark.sql import Window
+
+    a = daily.select(
+        F.col(group_col).alias("t1"),
+        F.col(day_col).alias("d"),
+        F.col(cents_col).alias("c1"),
+    )
+    b = daily.select(
+        F.col(group_col).alias("t2"),
+        F.col(day_col).alias("d"),
+        F.col(cents_col).alias("c2"),
+    )
+    pr = a.join(b, "d").where(F.col("t1") < F.col("t2"))
+    w1 = Window.partitionBy("t1", "t2").orderBy("c1", "d")
+    w2 = Window.partitionBy("t1", "t2").orderBy("c2", "d")
+    ranked = pr.withColumn("r1", F.row_number().over(w1)).withColumn(
+        "r2", F.row_number().over(w2)
+    )
+    nn = pr.groupBy("t1", "t2").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pos = F.expr("(8 * n + 9) div 10")
+    thr = (
+        ranked.join(F.broadcast(nn), ["t1", "t2"])
+        .groupBy("t1", "t2", "n")
+        .agg(
+            F.max(F.when(F.col("r1") == pos, F.col("c1"))).alias("thr1"),
+            F.max(F.when(F.col("r2") == pos, F.col("c2"))).alias("thr2"),
+        )
+    )
+    exc1 = (F.col("c1") > F.col("thr1")).cast("long")
+    exc2 = (F.col("c2") > F.col("thr2")).cast("long")
+    agg = (
+        pr.join(F.broadcast(thr), ["t1", "t2"])
+        .groupBy("t1", "t2", "n", "thr1", "thr2")
+        .agg(
+            F.sum(exc1).cast("long").alias("n_exc1"),
+            F.sum(exc2).cast("long").alias("n_exc2"),
+            F.sum(exc1 * exc2).cast("long").alias("n_joint"),
+        )
+    )
+    return agg.select(
+        "t1",
+        "t2",
+        F.col("n").alias("n_days"),
+        F.col("thr1").alias("thr1_cents"),
+        F.col("thr2").alias("thr2_cents"),
+        "n_exc1",
+        "n_exc2",
+        "n_joint",
+        F.when(
+            (F.col("n_exc1") + F.col("n_exc2")) > 0,
+            2.0
+            * F.col("n_joint").cast("double")
+            / (F.col("n_exc1") + F.col("n_exc2")).cast("double"),
+        ).alias("lambda_u"),
+    ).orderBy("t1", "t2")
 
 
 def isotonic_blocks(
