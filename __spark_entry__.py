@@ -18790,72 +18790,21 @@ def evt_spc_individuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2.66 = the d₂-derived individuals-chart constant, repr-exact
     literal both sides), and violations are exact counts of
     comparisons on those identical doubles. Plan: one combinable
-    daily agg → spine → one lag window + one moments agg on the
-    calendar-bounded grid."""
+    daily agg, then the SHARED combine
+    operators/timeseries.spc_from_daily (also the streaming twin's
+    snapshot read — streaming/spc_maintenance.py; the extraction is
+    pure code motion, executedPlan verified identical): spine → one
+    lag window + one moments agg on the calendar-bounded grid."""
+    from vector_search_optimization_spark.operators.timeseries import (
+        spc_from_daily,
+    )
+
     e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
     daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
         F.round(F.sum("value") * 100).cast("long").alias("cents")
     )
-    bounds = daily.groupBy("event_type").agg(
-        F.min("d").alias("lo"), F.max("d").alias("hi")
-    )
-    spine = bounds.select(
-        "event_type", F.explode(F.sequence("lo", "hi")).alias("d")
-    )
-    grid = spine.join(daily, ["event_type", "d"], "left").select(
-        "event_type", "d", F.coalesce("cents", F.lit(0)).alias("x")
-    )
-    wo = Window.partitionBy("event_type").orderBy("d")
-    mr = grid.select(
-        "event_type",
-        "x",
-        F.abs(F.col("x") - F.lag("x").over(wo)).cast("long").alias("mr"),
-    )
-    agg = mr.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("s"),
-        F.sum("mr").cast("long").alias("smr"),
-    )
-    center = F.col("s").cast("double") / F.col("n").cast("double")
-    mrbar = F.col("smr").cast("double") / (F.col("n") - 1).cast("double")
-    ucl = center + F.lit(2.66) * mrbar
-    lcl = center - F.lit(2.66) * mrbar
-    lim = agg.where(F.col("n") > 1).select(
-        "event_type", "n", "s", "smr",
-        center.alias("center_cents"),
-        mrbar.alias("mrbar_cents"),
-        ucl.alias("ucl_cents"),
-        lcl.alias("lcl_cents"),
-    )
-    viol = (
-        grid.join(F.broadcast(lim), "event_type")
-        .select(
-            "event_type",
-            F.when(
-                (F.col("x").cast("double") > F.col("ucl_cents"))
-                | (F.col("x").cast("double") < F.col("lcl_cents")),
-                1,
-            )
-            .otherwise(0)
-            .alias("v"),
-        )
-        .groupBy("event_type")
-        .agg(F.sum("v").cast("long").alias("n_violations"))
-    )
-    return (
-        lim.join(viol, "event_type")
-        .select(
-            "event_type",
-            F.col("n").alias("n_days"),
-            "center_cents",
-            "mrbar_cents",
-            "ucl_cents",
-            "lcl_cents",
-            "n_violations",
-        )
-        .orderBy("event_type")
-    )
+    return spc_from_daily(daily)
 
 
 _SPC_SQL = """

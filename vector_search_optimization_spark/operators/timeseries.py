@@ -17,6 +17,7 @@ __all__ = [
     "runs_test_from_daily",
     "sax_motifs_from_daily",
     "seasonal_from_daily",
+    "spc_from_daily",
     "tail_dependence_from_daily",
 ]
 
@@ -525,6 +526,93 @@ def tail_dependence_from_daily(
             / (F.col("n_exc1") + F.col("n_exc2")).cast("double"),
         ).alias("lambda_u"),
     ).orderBy("t1", "t2")
+
+
+def spc_from_daily(
+    daily: DataFrame,
+    group_col: str = "event_type",
+    day_col: str = "d",
+    cents_col: str = "cents",
+) -> DataFrame:
+    """Shewhart individuals/moving-range control chart from a
+    (group, day, exact-cents) frame — the SHARED combine behind the
+    evt_spc_individuals batch query and
+    streaming/spc_maintenance.py (the one-combine-two-paths pattern;
+    extracted as pure code motion, plan-identity verified).  Center =
+    S/n and MR̄ = ΣMR/(n−1) are single exact-integer divisions over
+    the zero-densified calendar spine, the ±2.66·MR̄ limits chain
+    bit-identical doubles, violations are exact counts.  NOTE for
+    streaming: the state must be the DAILY GRID, not folded
+    (center, MR̄, violation) stats — late data on ONE old day changes
+    its two adjacent moving ranges AND the center, which re-flags
+    every day of the group."""
+    from pyspark.sql import Window
+
+    d_col, c_col = F.col(day_col), F.col(cents_col)
+    base = daily.select(
+        F.col(group_col).alias("event_type"),
+        d_col.alias("d"),
+        c_col.alias("cents"),
+    )
+    bounds = base.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    grid = spine.join(base, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("cents", F.lit(0)).alias("x")
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    mr = grid.select(
+        "event_type",
+        "x",
+        F.abs(F.col("x") - F.lag("x").over(wo)).cast("long").alias("mr"),
+    )
+    agg = mr.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum("mr").cast("long").alias("smr"),
+    )
+    center = F.col("s").cast("double") / F.col("n").cast("double")
+    mrbar = F.col("smr").cast("double") / (F.col("n") - 1).cast("double")
+    ucl = center + F.lit(2.66) * mrbar
+    lcl = center - F.lit(2.66) * mrbar
+    lim = agg.where(F.col("n") > 1).select(
+        "event_type", "n", "s", "smr",
+        center.alias("center_cents"),
+        mrbar.alias("mrbar_cents"),
+        ucl.alias("ucl_cents"),
+        lcl.alias("lcl_cents"),
+    )
+    viol = (
+        grid.join(F.broadcast(lim), "event_type")
+        .select(
+            "event_type",
+            F.when(
+                (F.col("x").cast("double") > F.col("ucl_cents"))
+                | (F.col("x").cast("double") < F.col("lcl_cents")),
+                1,
+            )
+            .otherwise(0)
+            .alias("v"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("v").cast("long").alias("n_violations"))
+    )
+    return (
+        lim.join(viol, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "center_cents",
+            "mrbar_cents",
+            "ucl_cents",
+            "lcl_cents",
+            "n_violations",
+        )
+        .orderBy("event_type")
+    )
 
 
 def isotonic_blocks(
