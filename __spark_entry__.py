@@ -19224,60 +19224,23 @@ def evt_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     plateau days count as neither — documented, deterministic);
     expected exports as ONE exact-integer division (unrounded), z
     rounds 6dp (sqrt-derived irrational). Plan: one (type, day) count
-    shuffle, a calendar-bounded grid explode, one lag/lead window over
-    ≤|days| rows per type, one combinable agg."""
+    shuffle, then the SHARED combine
+    operators/timeseries.turning_points_from_daily (also the
+    streaming twin's snapshot read —
+    streaming/turning_points_maintenance.py; extraction is pure code
+    motion, executedPlan verified identical): a calendar-bounded grid
+    explode, one lag/lead window over ≤|days| rows per type, one
+    combinable agg."""
+    from vector_search_optimization_spark.operators.timeseries import (
+        turning_points_from_daily,
+    )
+
     e = load_table(spark, sf_dir, "events")
     day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400.0)).cast("long")
     daily = e.groupBy(F.col("event_type"), day.alias("d")).agg(
         F.count(F.lit(1)).cast("long").alias("x")
     )
-    span = daily.groupBy("event_type").agg(
-        F.min("d").alias("mn"), F.max("d").alias("mx")
-    )
-    grid = span.select(
-        "event_type", F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d")
-    )
-    dense = grid.join(daily, ["event_type", "d"], "left").select(
-        "event_type", "d", F.coalesce("x", F.lit(0).cast("long")).alias("x")
-    )
-    w = Window.partitionBy("event_type").orderBy("d")
-    tp = dense.select(
-        "event_type",
-        "x",
-        F.lag("x").over(w).alias("p"),
-        F.lead("x").over(w).alias("q"),
-    ).select(
-        "event_type",
-        F.when(
-            ((F.col("p") < F.col("x")) & (F.col("x") > F.col("q")))
-            | ((F.col("p") > F.col("x")) & (F.col("x") < F.col("q"))),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_tp"),
-    )
-    s = tp.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.sum("is_tp").cast("long").alias("n_turning"),
-    )
-    n = F.col("n_days").cast("double")
-    expected = F.lit(2.0) * (n - F.lit(2.0)) / F.lit(3.0)
-    variance = (F.lit(16.0) * n - F.lit(29.0)) / F.lit(90.0)
-    ok = F.col("n_days") >= 3
-    return s.select(
-        "event_type",
-        "n_days",
-        "n_turning",
-        F.when(ok, expected).alias("expected_turning"),
-        F.when(
-            ok & (variance > 0),
-            F.round(
-                (F.col("n_turning").cast("double") - expected)
-                / F.sqrt(variance),
-                6,
-            ),
-        ).alias("z_score"),
-    ).orderBy("event_type")
+    return turning_points_from_daily(daily)
 
 
 _TURNING_POINTS_SQL = """

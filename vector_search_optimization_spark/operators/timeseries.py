@@ -19,6 +19,7 @@ __all__ = [
     "seasonal_from_daily",
     "spc_from_daily",
     "tail_dependence_from_daily",
+    "turning_points_from_daily",
 ]
 
 
@@ -613,6 +614,81 @@ def spc_from_daily(
         )
         .orderBy("event_type")
     )
+
+
+def turning_points_from_daily(
+    daily: DataFrame,
+    group_col: str = "event_type",
+    day_col: str = "d",
+    count_col: str = "x",
+) -> DataFrame:
+    """Kendall-Stuart turning-point randomness test from a
+    (group, day, exact-count) frame — the SHARED combine behind the
+    evt_turning_points batch query and
+    streaming/turning_points_maintenance.py (the one-combine-two-paths
+    pattern; extracted as pure code motion, plan-identity verified).
+    Note the grid is a COUNT grid, not cents — the scaffold's
+    count-grid member.  Strict local peaks/troughs on the
+    zero-densified calendar spine vs E = 2(n−2)/3, V = (16n−29)/90;
+    tallies exact ints, expected ONE exact-int division UNROUNDED,
+    z 6dp.  NOTE for streaming: the state must be the DAILY GRID, not
+    a folded tally — late data changing ONE day's count can flip the
+    local-extremum status of BOTH its neighbors."""
+    from pyspark.sql import Window
+
+    base = daily.select(
+        F.col(group_col).alias("event_type"),
+        F.col(day_col).alias("d"),
+        F.col(count_col).alias("x"),
+    )
+    span = base.groupBy("event_type").agg(
+        F.min("d").alias("mn"), F.max("d").alias("mx")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("d"),
+    )
+    dense = grid.join(base, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("x", F.lit(0).cast("long")).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    tp = dense.select(
+        "event_type",
+        "x",
+        F.lag("x").over(w).alias("p"),
+        F.lead("x").over(w).alias("q"),
+    ).select(
+        "event_type",
+        F.when(
+            ((F.col("p") < F.col("x")) & (F.col("x") > F.col("q")))
+            | ((F.col("p") > F.col("x")) & (F.col("x") < F.col("q"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_tp"),
+    )
+    s = tp.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("is_tp").cast("long").alias("n_turning"),
+    )
+    n = F.col("n_days").cast("double")
+    expected = F.lit(2.0) * (n - F.lit(2.0)) / F.lit(3.0)
+    variance = (F.lit(16.0) * n - F.lit(29.0)) / F.lit(90.0)
+    ok = F.col("n_days") >= 3
+    return s.select(
+        "event_type",
+        "n_days",
+        "n_turning",
+        F.when(ok, expected).alias("expected_turning"),
+        F.when(
+            ok & (variance > 0),
+            F.round(
+                (F.col("n_turning").cast("double") - expected)
+                / F.sqrt(variance),
+                6,
+            ),
+        ).alias("z_score"),
+    ).orderBy("event_type")
 
 
 def isotonic_blocks(
