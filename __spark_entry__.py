@@ -28,7 +28,7 @@ from vector_search_optimization_spark.operators import timeseries as TS
 from vector_search_optimization_spark.operators import validation as DQV
 from vector_search_optimization_spark.operators import similarity as SIM
 from vector_search_optimization_spark.operators import vector_agg as VA
-from vector_search_optimization_spark.sources import load_table
+from vector_search_optimization_spark.sources import load_table, spread_scan
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -5798,6 +5798,9 @@ def s7_convert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f.write(text or "")
             yield pd.DataFrame({"n": [len(pdf)]})
 
+    # writer stage NOT spread (r11 A/B-probed): the txt write is pure
+    # file-create IO — 32 concurrent writers on one directory measured
+    # ~1s slower than the single sequential task; contrast s7_pdf below
     d.select("doc_id", "text").mapInPandas(_write_files, schema="n long").agg(
         F.sum("n")
     ).collect()
@@ -5854,9 +5857,11 @@ def s7_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f.write(CV.text_to_pdf(text or ""))
             yield pd.DataFrame({"n": [len(pdf)]})
 
-    d.select("doc_id", "text").mapInPandas(_write_files, schema="n long").agg(
-        F.sum("n")
-    ).collect()
+    # spread the writer stage: text_to_pdf (zlib deflate per doc) + 5000
+    # file writes would otherwise run in the scan's ONE task (guide §2.5)
+    spread_scan(d.select("doc_id", "text"), "doc_id").mapInPandas(
+        _write_files, schema="n long"
+    ).agg(F.sum("n")).collect()
     converted = CV.convert_documents(
         CV.read_binary_docs(spark, out_dir, glob="*.pdf")
     )
@@ -6564,7 +6569,10 @@ def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast vocab join + one combinable per-doc agg)."""
     from vector_search_optimization_spark.operators import lm_quality as LM
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     vocab = LM.train_unigram_lm(d)
     return (
         LM.unigram_surprisal(d, vocab)
@@ -8402,6 +8410,10 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_optimization_spark.operators import graph as GR
 
     d = load_table(spark, sf_dir, "documents")
+    # NOT spread/persisted (r11 A/B-probed both ways): the four cand
+    # consumers are INDEPENDENT single-task branch stages that already
+    # overlap within one job, so a persist serializes them on the cache
+    # materialization and measured ~1s SLOWER (3.1 -> 4.0 warm)
     toks = d.select(
         "doc_id",
         F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
@@ -9457,10 +9469,19 @@ def evt_ab_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_optimization_spark.operators import bootstrap as BS
 
     e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    tagged = e.select(
+    # spread BEFORE the ×64 replicate fan-out: the per-row cost is 64
+    # sha256+conv evaluations and the single-row-group scan would run
+    # them all in ONE task (measured 6.9 s warm at sf0.1; guide §2.5).
+    # The exchange moves only (event_id, bool, double) — metadata, not
+    # payload — and both consumers (CI replicates + point estimates)
+    # reuse the one exchange (ReusedExchange).
+    tagged = spread_scan(
+        e.select(
+            "event_id",
+            (F.col("user_id") % 2 == 0).alias("is_a"),
+            F.col("value").cast("double").alias("v"),
+        ),
         "event_id",
-        (F.col("user_id") % 2 == 0).alias("is_a"),
-        F.col("value").cast("double").alias("v"),
     )
     ci = BS.poisson_bootstrap_mean_diff(
         tagged, "event_id", "is_a", "v", n_boot=64, alpha=0.05
@@ -10120,15 +10141,25 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the proven date_format string form, whose fixed layout makes string
     min/max chronological)."""
     o = load_table(spark, sf_dir, "orders")
-    base = o.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias(
-            "price_cents"
+    # spread BEFORE the 7-way Expand + 25-aggregate partial pass: on the
+    # unsplittable single-row-group scan that whole map stage ran as ONE
+    # task (3.8 s warm at sf0.1; guide §2.5). Partial aggregation states
+    # (counts, distinct partials, min/max) merge associatively, so the
+    # result is unchanged.
+    base = spread_scan(
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "price_cents"
+            ),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "odate"
+            ),
+            "o_orderpriority",
         ),
-        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("odate"),
-        "o_orderpriority",
+        "o_orderkey",
     )
     cols = base.columns
     aggs = [F.count(F.lit(1)).alias("n_rows")]
@@ -10628,7 +10659,14 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_optimization_spark.operators import lm_quality as LM
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", LM.tokenize("text").alias("toks")).persist()
+    # spread before the persisted tokenization: the cache FILL otherwise
+    # runs on the unsplittable scan's one task (guide §2.5), and all
+    # three consumers then read a 1-partition cache
+    toks = (
+        spread_scan(d.select("doc_id", "text"), "doc_id")
+        .select("doc_id", LM.tokenize("text").alias("toks"))
+        .persist()
+    )
     vocab = LM.train_unigram_lm(toks, tokens_col="toks")
     bi = LM.train_bigram_lm(toks, tokens_col="toks")
     sc = LM.bigram_surprisal(toks, bi, vocab, tokens_col="toks")
@@ -15894,18 +15932,23 @@ def g9_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).persist()
     deg = sym.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
-    ed = (
+    # persist the degree-attached edge list: it feeds BOTH the global
+    # moment aggregate and the per-degree knn profile — without the
+    # handle the co-order pair fan-out + two degree joins run twice
+    edj = (
         sym.join(deg, "src")
         .join(
             deg.select(F.col("src").alias("dst"), F.col("degree").alias("deg_dst")),
             "dst",
         )
-        .select(F.col("degree").alias("x"), F.col("deg_dst").alias("yv"))
+        .select("src", "degree", "deg_dst")
+        .persist()
     )
+    ed = edj.select(F.col("degree").alias("x"), F.col("deg_dst").alias("yv"))
     gl = ed.agg(
         F.count(F.lit(1)).cast("long").alias("m"),
         F.sum("x").cast("long").alias("sx"),
@@ -15936,19 +15979,14 @@ def g9_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("assortativity_r"),
     )
     knn = (
-        sym.join(deg, "src")
-        .join(
-            deg.select(F.col("src").alias("dst"), F.col("degree").alias("deg_dst")),
-            "dst",
-        )
-        .groupBy(F.col("degree").alias("k"))
+        edj.groupBy(F.col("degree").alias("k"))
         .agg(
             F.countDistinct("src").cast("long").alias("n_nodes"),
             F.count(F.lit(1)).cast("long").alias("n_edges"),
             F.sum("deg_dst").cast("long").alias("sum_nbr_deg"),
         )
     )
-    return (
+    out = (
         knn.crossJoin(F.broadcast(glr))
         .select(
             "k",
@@ -15964,6 +16002,8 @@ def g9_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+    out._vso_caches = [sym, edj]
+    return out
 
 
 _ASSORT_SQL = """
@@ -19700,7 +19740,9 @@ def source_stylometry_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair join is 190×30, driver-free and constant at any corpus
     size."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    # spread before tokenize+explode: the persisted count frame's FILL
+    # otherwise runs on the unsplittable scan's one task (guide §2.5)
+    toks = spread_scan(d.select("source", "text"), "source", "text").select(
         "source",
         F.explode(
             F.filter(
@@ -21951,10 +21993,13 @@ def part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
     qty = F.round(F.col("l_quantity")).cast("long")
+    # persist: pm feeds THREE consumers (base-month scalar, base basket
+    # broadcast, current side) — without the handle the fact-table agg
+    # re-runs per consumer
     pm = li.groupBy(F.col("l_partkey").alias("pk"), m.alias("m")).agg(
         F.sum(cents).cast("long").alias("cents"),
         F.sum(qty).cast("long").alias("qty"),
-    )
+    ).persist()
     m0 = pm.agg(F.min("m").alias("m0"))
     base = (
         pm.join(F.broadcast(m0), pm["m"] == m0["m0"])
@@ -21982,13 +22027,15 @@ def part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lasp = F.col("l_num") / F.col("l_den")
     paas = F.col("p_num") / F.col("p_den")
-    return agg.select(
+    out = agg.select(
         F.col("m").alias("month_idx"),
         "n_parts_matched",
         F.round(lasp, 6).alias("laspeyres"),
         F.round(paas, 6).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
     ).orderBy("month_idx")
+    out._vso_caches = [pm]
+    return out
 
 
 _PRICE_INDEX_SQL = """
@@ -22079,9 +22126,11 @@ def orders_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("k")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # persist: cum feeds BOTH sides of the age/age+1 self-join — without
+    # the handle the whole densify+window chain runs twice
     cum = dense.select(
         "cohort", "k", "max_age", F.sum("rev").over(wcum).alias("cum")
-    )
+    ).persist()
     nxt = cum.select(
         "cohort", (F.col("k") - 1).alias("k"), F.col("cum").alias("cum_next")
     )
@@ -22109,13 +22158,15 @@ def orders_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy(F.col("k").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         fac.withColumn(
             "to_ultimate",
             F.round(F.exp(F.sum(F.log("factor")).over(wtail)), 6),
         )
         .orderBy("k")
     )
+    out._vso_caches = [cum]
+    return out
 
 
 _CHAIN_LADDER_SQL = """
@@ -22191,7 +22242,9 @@ def doc_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index self-join + pair-count agg, one broadcast size
     attach, one WindowGroupLimit top-k."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    # spread before tokenize+shingle-explode: that per-doc expression work
+    # would otherwise run in the unsplittable scan's ONE task (guide §2.5)
+    toks = spread_scan(d.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         F.filter(
             F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
@@ -22474,21 +22527,24 @@ def g13_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("common") >= 2)
         .select("src", "dst")
     )
+    # persist: und feeds sym (twice via the union) AND the final
+    # anti-join; sym feeds the degree agg and both wedge sides — without
+    # the handles the co-order pair fan-out re-runs per consumer
+    und = und.persist()
     sym = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).persist()
     deg = sym.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
-    h1 = sym.select(F.col("src").alias("w"), F.col("dst").alias("u2"))
+    # attach the hub degree BEFORE the wedge self-join: joining it after
+    # processes |wedges| = Σ deg(w)² rows, attaching first touches only
+    # |sym| rows (guide §3.3 — join on the small frame, then fan out)
+    h1 = sym.join(
+        deg, "src"
+    ).select(F.col("src").alias("w"), F.col("dst").alias("u2"), "degree")
     h2 = sym.select(F.col("src").alias("w"), F.col("dst").alias("v2"))
-    wedges = (
-        h1.join(h2, "w")
-        .where(F.col("u2") < F.col("v2"))
-        .join(
-            deg.select(F.col("src").alias("w"), "degree"), "w"
-        )
-    )
+    wedges = h1.join(h2, "w").where(F.col("u2") < F.col("v2"))
     cand = (
         wedges.groupBy(F.col("u2").alias("u"), F.col("v2").alias("v"))
         .agg(
@@ -22507,12 +22563,14 @@ def g13_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     wtop = Window.orderBy(
         F.col("aa_score").desc(), F.col("u").asc(), F.col("v").asc()
     )
-    return (
+    out = (
         cand.withColumn("rn", F.row_number().over(wtop))
         .where(F.col("rn") <= 20)
         .drop("rn")
         .orderBy(F.col("aa_score").desc(), "u", "v")
     )
+    out._vso_caches = [und, sym]
+    return out
 
 
 _ADAMIC_ADAR_SQL = """

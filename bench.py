@@ -108,18 +108,34 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
 
+    # r11 measurement fix (declared in OPTIMIZATION_r11.md): release each
+    # query's attached persist handles AFTER its timed write. Without
+    # this, two queries that persist an IDENTICAL subplan (e.g. the
+    # co-order graph's symmetrized edge list in g9/g13) share one
+    # CacheManager entry, so whichever runs first subsidizes the others
+    # and per-query numbers stop being self-contained. The unpersist
+    # runs OUTSIDE the timed region; old semantics are preserved in
+    # BENCH_LOCAL_r* history.
+    from vector_search_optimization_spark.operators.dedup import (
+        release_caches,
+    )
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
         t0 = time.time()
         try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             dt = float("nan")
+            df = None
         timings[name] = round(dt, 3)
         total += dt if dt == dt else 0.0
+        if df is not None:
+            release_caches(df)
 
     # steady-state supplement: re-run the slowest queries once warm.
     # Expression-heavy plans pay a multi-second ONE-TIME codegen/compile
@@ -149,10 +165,11 @@ def main() -> None:
 
     def _timed(name: str) -> float:
         t0 = time.time()
-        entrymod.queries()[name](spark, SF_DIR).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        return time.time() - t0
+        df = entrymod.queries()[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        release_caches(df)
+        return dt
 
     anchor = min(
         (n for n, v in timings.items() if v == v), key=lambda n: timings[n]

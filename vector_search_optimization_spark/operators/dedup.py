@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..functions import vector as V
+from ..sources.readers import spread_scan
 
 # --- cache lifecycle ---------------------------------------------------------
 
@@ -219,11 +220,15 @@ def minhash_signatures_kernel(
             yield pd.DataFrame({id_col: pdf[id_col], "signature": sigs})
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return (
-        df.where(F.col(text_col).isNotNull())
-        .select(id_col, text_col)
-        .mapInPandas(batches, schema=f"{id_col} {id_type}, signature array<long>")
-    )
+    # spread before the kernel: a single-row-group parquet scan is
+    # unsplittable, so without this the whole permute-min pass runs in
+    # ONE task (guide §2.5); no-op whenever the input already has
+    # >= default-parallelism partitions (any lake-scale scan, any
+    # post-shuffle frame)
+    return spread_scan(
+        df.where(F.col(text_col).isNotNull()).select(id_col, text_col),
+        id_col,
+    ).mapInPandas(batches, schema=f"{id_col} {id_type}, signature array<long>")
 
 
 def lsh_collision_probability(s: float, num_bands: int, rows_per_band: int) -> float:
@@ -556,9 +561,12 @@ def simhash_kernel(
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.where(F.col(text_col).isNotNull()).select(id_col, text_col).mapInPandas(
-        batches, schema=f"{id_col} {id_type}, simhash long"
-    )
+    # spread before the kernel (single-row-group scans are unsplittable —
+    # guide §2.5; no-op at lake scale / post-shuffle)
+    return spread_scan(
+        df.where(F.col(text_col).isNotNull()).select(id_col, text_col),
+        id_col,
+    ).mapInPandas(batches, schema=f"{id_col} {id_type}, simhash long")
 
 
 def hamming_distance(a, b):
@@ -668,11 +676,12 @@ def shingle_hash_rows(
                 gs.extend(h.tolist())
             yield pd.DataFrame({id_col: ids, "g": gs})
 
-    return (
-        df.where(F.col(text_col).isNotNull())
-        .select(id_col, text_col)
-        .mapInPandas(batches, schema=f"{id_col} {id_type}, g long")
-    )
+    # spread before the kernel (single-row-group scans are unsplittable —
+    # guide §2.5; no-op at lake scale / post-shuffle)
+    return spread_scan(
+        df.where(F.col(text_col).isNotNull()).select(id_col, text_col),
+        id_col,
+    ).mapInPandas(batches, schema=f"{id_col} {id_type}, g long")
 
 
 def ngram_jaccard_pairs(
@@ -1131,7 +1140,9 @@ def winnow_anchor_rows(
             yield pd.DataFrame({id_col: ids, "pos": poss, "gram": grams})
 
     id_type = dict(d.dtypes)[id_col]
-    return d.select(id_col, text_col).mapInPandas(
+    # spread before the winnow kernel (single-row-group scans are
+    # unsplittable — guide §2.5; no-op at lake scale / post-shuffle)
+    return spread_scan(d.select(id_col, text_col), id_col).mapInPandas(
         batches, schema=f"`{id_col}` {id_type}, pos long, gram string"
     )
 

@@ -10,6 +10,7 @@ drift fails loudly at plan time instead of silently at chart time.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,6 +33,28 @@ TESTDATA_TABLES = (
 )
 
 
+# footer-schema memo: (mtime_ns, size) -> inferred StructType per path.
+# METADATA ONLY (the catalog role a metastore plays on a real cluster) —
+# never rows, never results: every query still computes from the parquet
+# bytes. Keyed on the file's stat so a regenerated dataset re-probes the
+# footer (the ts-encoding-varies-between-rounds rule stays intact).
+# Motivation: schema inference re-reads the footer on EVERY
+# spark.read.parquet call — measured ~0.1-0.25 s per load_table, and a
+# full bench run makes ~500 such calls (optimization guide §1: measure
+# first; this was the largest constant in the suite).
+_SCHEMA_CACHE: dict[str, tuple[int, int, T.StructType]] = {}
+
+
+def _parquet_schema(spark: SparkSession, path: str) -> T.StructType:
+    st = os.stat(path)
+    hit = _SCHEMA_CACHE.get(path)
+    if hit is not None and hit[0] == st.st_mtime_ns and hit[1] == st.st_size:
+        return hit[2]
+    schema = spark.read.parquet(path).schema
+    _SCHEMA_CACHE[path] = (st.st_mtime_ns, st.st_size, schema)
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver test table (TESTDATA.md) as a DataFrame.
 
@@ -44,7 +67,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # both confs are dynamic — safe to pin on a caller-provided session
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # explicit (memoized) schema skips per-call footer inference; the
+    # probe itself stays dynamic per data generation (stat-keyed)
+    df = spark.read.schema(_parquet_schema(spark, path)).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division, NOT `/1000` + cast: the double round-trip is
         # off by 1µs for ~12% of arbitrary ns values (53-bit mantissa at
@@ -55,6 +81,82 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def spread_scan(df: DataFrame, *keys: str, target: int | None = None) -> DataFrame:
+    """Unsplittable-input remedy (optimization guide §2.5, "input skew:
+    one huge unsplittable file ... repartition immediately after the
+    read").
+
+    The driver tables are single-row-group parquet files, so a scan of
+    one CANNOT be byte-split: every map-side operator downstream runs
+    as ONE task no matter how many cores the session has. For queries
+    whose cost is per-row map compute BEFORE the first exchange (hash
+    fan-outs, shingling, converters, Expand aggregates, per-row file
+    writes) that one task serializes the whole stage — measured 6.9 s
+    warm on evt_ab_bootstrap's 64-sha256-per-row stage at sf0.1.
+
+    Redistributes to the session's default parallelism first: a keyed
+    hash exchange when ``keys`` are given (deterministic, no
+    sort-before-repartition), round-robin otherwise. No-op when the
+    scan already has at least that many splits — at lake scale a table
+    scan has ~bytes/128 MB tasks, so this helper never funnels a big
+    scan down to the core count; it is scale-adaptive, not a local[32]
+    constant. Do NOT use before an operator whose first step is itself
+    a shuffle (join/groupBy/distinct with cheap map work): that only
+    doubles the exchanges.
+    """
+    if df.isStreaming:  # partition introspection is batch-only
+        return df
+    spark = df.sparkSession
+    n = target or spark.sparkContext.defaultParallelism
+    if _scan_splits_at_least(df, n):
+        return df
+    if keys:
+        return df.repartition(n, *[F.col(k) for k in keys])
+    return df.repartition(n)
+
+
+def _scan_splits_at_least(df: DataFrame, n: int) -> bool:
+    """True when the frame's scan already yields >= n splits. Estimated
+    from the input-file byte total over maxPartitionBytes (a lower bound
+    on Spark's split count — it never packs more than maxPartitionBytes
+    into one split), which costs one cached file-listing instead of the
+    ~0.15 s full physical planning that ``df.rdd.getNumPartitions()``
+    pays. Falls back to the exact planner count when the frame has no
+    resolvable local input files (derived frames, non-file sources)."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001
+        files = []
+    total = 0
+    for uri in files:
+        if not uri.startswith("file:"):
+            total = -1
+            break
+        from urllib.parse import unquote, urlparse
+
+        try:
+            total += os.path.getsize(unquote(urlparse(uri).path))
+        except OSError:
+            total = -1
+            break
+    if files and total >= 0:
+        conf = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728b"
+        )
+        m = re.match(r"(\d+)([bkmg]?)", conf.lower())
+        mpb = int(m.group(1)) * {
+            "": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30
+        }[m.group(2)]
+        if -(-total // max(mpb, 1)) >= n:
+            return True
+        # small byte total, but the frame may already carry an exchange
+        # (inputFiles sees through one): consult the ANALYZED plan — no
+        # optimization pass, so this stays cheap — before adding another
+        plan = df._jdf.queryExecution().analyzed().toString()
+        return "Repartition" in plan or "Exchange" in plan
+    return df.rdd.getNumPartitions() >= n
 
 
 def read_chunks(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
