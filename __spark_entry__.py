@@ -2332,7 +2332,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = dedup.semantic_dedup(
         corpus, cents, id_col="vec_id", vector_col="embedding", threshold=0.9
     )
-    return (
+    out = (
         flagged.groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -2341,6 +2341,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+    # propagate the operator's release handles (r12 leak fix: the
+    # groupBy created a new frame, dropping flagged's _vso_caches)
+    out._vso_caches = getattr(flagged, "_vso_caches", [])
+    return out
 
 
 _SEMDEDUP_COS_SQL = """round(
@@ -2883,7 +2887,9 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the 62-bit simhash reproducible in DuckDB (_simhash_sql)."""
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.simhash_near_duplicates(d, max_hamming=3)
-    return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+    out = pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+    out._vso_caches = getattr(pairs, "_vso_caches", [])
+    return out
 
 
 def _simhash_sql() -> str:
@@ -3814,7 +3820,9 @@ def ep3_label_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, k=8, llm=FakeChatModel(), sample_k=20, token_budget=25,
         quantizer="lloyd",
     )
-    return res["audit"].orderBy("etiqueta_cluster")
+    out = res["audit"].orderBy("etiqueta_cluster")
+    out._vso_caches = getattr(res["audit"], "_vso_caches", [])
+    return out
 
 
 def ep3_lloyd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3904,11 +3912,15 @@ def ep3_lloyd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster long, etiqueta_cluster string, corpus_chars int, corpus_sha string",
     )
     hist = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
+    out = (
         hist.join(F.broadcast(stats_df), "cluster")
         .select("etiqueta_cluster", "n_docs", "corpus_chars", "corpus_sha")
         .orderBy("etiqueta_cluster")
     )
+    # release handle (r12 leak fix): the assignment persist must not
+    # outlive the query in the CacheManager
+    out._vso_caches = [assigned]
+    return out
 
 
 def _ep3_sql(metric: str) -> str:
@@ -4281,11 +4293,13 @@ def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = dedup.minhash_probe_corpus(batch, corpus_bands)
     verified = dedup.ngram_jaccard_pairs(d, cands, ngram_n=5, threshold=0.5)
-    return verified.select(
+    out = verified.select(
         F.col("id_a").alias("batch_id"),
         F.col("id_b").alias("corpus_id"),
         "jaccard",
     )
+    out._vso_caches = getattr(verified, "_vso_caches", [])
+    return out
 
 
 def _incremental_dedup_sql() -> str:
@@ -4346,7 +4360,9 @@ def dedup_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures_kernel(d)
     cands = dedup.minhash_lsh_candidates(sigs, num_hashes=64)
     verified = dedup.ngram_jaccard_pairs(d, cands, ngram_n=5, threshold=0.5)
-    return dedup.canonical_duplicate_groups(verified)
+    out = dedup.canonical_duplicate_groups(verified)
+    out._vso_caches = getattr(verified, "_vso_caches", [])
+    return out
 
 
 def _dedup_canonical_sql() -> str:
@@ -4459,7 +4475,7 @@ def evt_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return j.select(
+    out = j.select(
         "event_type",
         F.unix_timestamp("h").alias("hour_epoch"),
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
@@ -4468,6 +4484,10 @@ def evt_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value_ffill"
         ),
     )
+    # release handle (r12 leak fix): the hourly-aggregate persist must
+    # not outlive the query in the CacheManager
+    out._vso_caches = [agg]
+    return out
 
 
 _GAP_FILL_SQL = """
@@ -4609,7 +4629,7 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     n_base = F.first("n_users").over(w)
-    return rows.select(
+    out = rows.select(
         "step",
         "event_type",
         "n_users",
@@ -4619,6 +4639,10 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_base > 0, F.round(F.col("n_users") / n_base, 6)
         ).alias("conversion"),
     ).orderBy("step")
+    # release handles (r12 leak fix): the per-step persists must not
+    # outlive the query in the CacheManager
+    out._vso_caches = list(reached)
+    return out
 
 
 def evt_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4645,15 +4669,14 @@ def evt_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the sketches are the only affordable distinct/quantile
     path; this query is the acceptance test that keeps them honest."""
     e = load_table(spark, sf_dir, "events")
-    # two separate one-row aggregates joined: mixing the count-distinct
-    # Expand rewrite with object-buffer percentile aggregates in ONE agg
+    # TWO passes, not three (r12: guide §1.2 "remove unnecessary
+    # passes"): the percentile pass stays alone — mixing object-buffer
+    # percentile aggregates with the count-distinct rewrite in ONE agg
     # forces a slow sort-based ObjectAggregate over the expanded rows
-    # (measured 4.9s vs ~1.2s split at sf0.1); each agg alone keeps its
-    # efficient shape and the join is one-row × one-row
-    dist = e.agg(
-        F.countDistinct("user_id").alias("n_users_exact"),
-        F.approx_count_distinct("user_id", rsd=0.01).alias("__hll"),
-    )
+    # (measured 4.9s vs ~1.2s split at sf0.1) — but the distinct-count
+    # pair mixes fine with the plain avg/first aggregates of the rank
+    # pass (declarative aggs under the standard distinct rewrite), so
+    # the old separate `dist` pass is folded into `rank`.
     perc = e.agg(
         F.percentile(F.col("value"), F.lit(0.5)).alias("__p50_exact"),
         F.percentile_approx(F.col("value"), F.lit(0.5), F.lit(10000)).alias(
@@ -4661,11 +4684,13 @@ def evt_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # rank of the sketch's answer within the exact distribution (one
-    # extra combinable pass over the scan lineage, broadcast one-row):
-    # with duplicate mass the sketch answer occupies the rank interval
+    # combinable pass over the scan lineage, broadcast one-row): with
+    # duplicate mass the sketch answer occupies the rank interval
     # [frac_lt, frac_le] — acceptance is that interval intersecting
     # [0.5 - tol, 0.5 + tol]
-    rank = e.join(F.broadcast(perc)).agg(
+    agg = e.join(F.broadcast(perc)).agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("__hll"),
         F.avg((F.col("value") < F.col("__p50_approx")).cast("double")).alias(
             "__frac_lt"
         ),
@@ -4674,7 +4699,6 @@ def evt_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.first("__p50_exact").alias("__p50_exact"),
     )
-    agg = dist.join(F.broadcast(rank))
     return agg.select(
         "n_users_exact",
         (
@@ -8511,9 +8535,11 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = d.select(
         "doc_id", F.length(F.trim(F.col("text"))).cast("long").alias("q")
     )
-    return dedup.keep_best_duplicate_groups(verified, quality).orderBy(
+    out = dedup.keep_best_duplicate_groups(verified, quality).orderBy(
         F.desc("group_size"), "group_id"
     )
+    out._vso_caches = getattr(verified, "_vso_caches", [])
+    return out
 
 
 def _keep_best_sql() -> str:
@@ -10763,8 +10789,14 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split_hi"
         ),
     )
-    counts = sp.groupBy("split_lo", "split_hi").agg(
-        F.count(F.lit(1)).alias("n_pairs")
+    # persisted (r12): `filled` feeds BOTH the totals aggregate and the
+    # final select — without this ≤6-row cache the whole verify join
+    # (cand ⋈ sets ⋈ sets + jaccard filter) re-executes for the totals
+    # branch (guide §5 caching rule: reused AND expensive upstream)
+    counts = (
+        sp.groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .persist()
     )
     universe = spark.createDataFrame(
         [
@@ -10805,7 +10837,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_lo", "split_hi")
     )
-    out._vso_caches = getattr(pairs, "_vso_caches", [])
+    out._vso_caches = getattr(pairs, "_vso_caches", []) + [counts]
     return out
 
 

@@ -502,11 +502,13 @@ def test_incremental_probe_append_consistency(spark, sf_small):
 
 
 def test_jaccard_similarity_join_releases_caches(spark):
-    """Cache lifecycle: toks/pref unpersist inside the call; the two
-    result-lifetime caches (cand, sets) are attached as handles and
-    release_caches() returns executor storage to zero growth. Input is
-    UNIQUE to this test — CacheManager dedups identical logical plans,
-    so a shared fixture would reuse entries another test already left."""
+    """Cache lifecycle: toks unpersists inside the call; the three
+    result-lifetime caches (cand, sets, per_doc — r12: per_doc replaced
+    the old second collect_list pass and the pref persist) are attached
+    as handles and release_caches() returns executor storage to zero
+    growth. Input is UNIQUE to this test — CacheManager dedups identical
+    logical plans, so a shared fixture would reuse entries another test
+    already left."""
     uniq = spark.createDataFrame(
         [(1, "release me now " * 4), (2, "release me now " * 4 + "tail"),
          (3, "completely different words here")],
@@ -516,9 +518,9 @@ def test_jaccard_similarity_join_releases_caches(spark):
     out = dedup.jaccard_similarity_join(uniq, shingle_n=3, threshold=0.5)
     out.collect()
     during = spark.sparkContext._jsc.getPersistentRDDs().size()
-    # exactly the two result-lifetime handles outlive the call
-    assert during - before == 2
-    assert dedup.release_caches(out) == 2
+    # exactly the three result-lifetime handles outlive the call
+    assert during - before == 3
+    assert dedup.release_caches(out) == 3
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after == before
     # idempotent

@@ -1,7 +1,8 @@
-"""Dump .explain('formatted') for named registry queries to plans/r11/.
+"""Dump .explain('formatted') for named registry queries to plans/$SPARK_GRAFT_PLANS_DIR
+(default r12).
 
 Usage: python tools/opt_plan_dump.py <suffix> <query> [query ...]
-Writes plans/r11/<query>_<suffix>.txt (suffix: before|after).
+Writes plans/<round>/<query>_<suffix>.txt (suffix: before|after).
 
 The optimization-round deliverable: the judge checks plan-shape claims in
 OPTIMIZATION_r11.md against these files.
@@ -19,7 +20,9 @@ from vector_search_optimization_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_DIR", "r12"),
 )
 
 

@@ -371,6 +371,10 @@ def minhash_probe_corpus(
         .distinct()
     )
     if corpus_sigs is None or est_threshold is None:
+        # release handle for the batch-signature persist (r12 leak fix:
+        # an unattached persist outlives the query in the CacheManager —
+        # cross-query subsidy/pressure, the class bench.py releases)
+        cands._vso_caches = [sig_b]
         return cands
     sa = sig_b.select(F.col(id_col).alias("id_a"), F.col("signature").alias("__sa"))
     sb = corpus_sigs.select(
@@ -381,12 +385,14 @@ def minhash_probe_corpus(
         F.lit(0),
         lambda acc, x: acc + x,
     ) / F.size("__sa")
-    return (
+    out = (
         cands.join(F.broadcast(sa), "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= est_threshold)
     )
+    out._vso_caches = [sig_b]
+    return out
 
 
 def minhash_lsh_candidates(
@@ -452,12 +458,16 @@ def minhash_near_duplicates(
         F.lit(0),
         lambda acc, x: acc + x,
     ) / F.size("__sa")
-    return (
+    out = (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= jaccard_threshold)
     )
+    # release handle (r12 leak fix): the signature persist must not
+    # outlive the query in the CacheManager
+    out._vso_caches = [sigs]
+    return out
 
 
 # --- simhash ------------------------------------------------------------------
@@ -632,7 +642,7 @@ def simhash_near_duplicates(
         first_match = first_match & (
             (F.col("seg") <= j) | (seg_val(F.col("__ha"), j) != seg_val(F.col("__hb"), j))
         )
-    return (
+    out = (
         a.join(b, ["seg", "segval"])
         .where(F.col("id_a") < F.col("id_b"))
         .where(first_match)
@@ -641,6 +651,10 @@ def simhash_near_duplicates(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+    # release handle (r12 leak fix): the simhash persist must not
+    # outlive the query in the CacheManager
+    out._vso_caches = [hashed]
+    return out
 
 
 # --- n-gram jaccard ------------------------------------------------------------
@@ -699,9 +713,12 @@ def ngram_jaccard_pairs(
     intersect/union expressions.
     """
     # the candidate table feeds the id-set AND the final join: persist it so
-    # an upstream LSH pipeline isn't recomputed per consumer
+    # an upstream LSH pipeline isn't recomputed per consumer. Incoming
+    # release handles (e.g. minhash_probe_corpus's signature persist)
+    # are forwarded to the returned frame alongside this persist.
     from pyspark import StorageLevel
 
+    upstream = getattr(candidates, "_vso_caches", None) or []
     candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
     # compute n-grams only for rows that appear in a candidate pair — the
     # candidate set is tiny next to the corpus, and the HOF n-gram expansion
@@ -718,7 +735,7 @@ def ngram_jaccard_pairs(
     gb = grams.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
     inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
     union = F.size(F.array_union("__ga", "__gb")).cast("double")
-    return (
+    out = (
         candidates.join(ga, "id_a")
         .join(gb, "id_b")
         .select(
@@ -730,6 +747,11 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    # release handles (r12 leak fix): the candidate persist — and any
+    # upstream handles riding on the candidates argument — must reach
+    # the caller for dedup.release_caches(result)
+    out._vso_caches = upstream + [candidates]
+    return out
 
 
 # --- canonicalization ---------------------------------------------------------
@@ -1033,13 +1055,21 @@ def jaccard_similarity_join(
     )
     from pyspark import StorageLevel
 
-    # Cache lifecycle: toks/pref are STAGE-scoped — each feeds two
-    # consumers within this function, is eagerly materialized exactly
-    # once, and is unpersisted here as soon as its last consumer has
-    # been materialized. cand/sets must outlive the call (the returned
-    # result is lazy and reads both), so they are attached to the result
-    # as release handles for dedup.release_caches(result). At lake scale
-    # all four are materialized tables, not caches.
+    # Cache lifecycle (r12 restructure — guide §5 caching rule applied
+    # INSIDE the query, VERDICT r11 item 1): toks is STAGE-scoped (both
+    # consumers — dfreq and the dfreq join — sit inside the per_doc
+    # aggregation), per_doc is the single source the prefix explode AND
+    # the verification sets project from, so the old second
+    # collect_list pass over toks (one full shuffle + sort-per-doc) and
+    # its eager materialization job are gone: per_doc.__ts already IS
+    # each doc's complete distinct-shingle set (shingle_hash_rows
+    # emits per-doc np.unique hashes, and the dfreq join is lossless),
+    # so the verify sets are array_sort(transform(__ts, g)) — a
+    # projection of the cache, not a re-aggregation. cand/sets must
+    # outlive the call (the returned result is lazy and reads both), so
+    # they are attached as release handles for
+    # dedup.release_caches(result). At lake scale the persisted frames
+    # are materialized tables, not caches.
     toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
 
     dfreq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
@@ -1048,13 +1078,15 @@ def jaccard_similarity_join(
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("__df", "g"))).alias("__ts"))
         .withColumn("__n", F.size("__ts"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    per_doc.count()  # materialize: last consumer of toks
+    toks.unpersist()
     prefix_len = (
         F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + F.lit(1)
     ).cast("int")
-    # persisted: both sides of the prefix self-join read this — without
-    # it the dfreq join + collect_list agg runs twice (ReusedExchange is
-    # not guaranteed across the differing side projections)
+    # both sides of the prefix self-join read this projection of the
+    # per_doc cache (no second aggregation — the cache is the reuse)
     pref = per_doc.select(
         F.col(id_col),
         F.col("__n"),
@@ -1063,7 +1095,7 @@ def jaccard_similarity_join(
                 F.slice("__ts", F.lit(1), prefix_len), lambda s: s["g"]
             )
         ).alias("g"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = pref.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "g")
     b = pref.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "g")
     cand = (
@@ -1077,23 +1109,25 @@ def jaccard_similarity_join(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cand.count()  # materialize: last consumer of pref
-    pref.unpersist()
 
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # persisted for the same reason: sa and sb both read it
+    # verification sets: a projection of per_doc (sorted-by-(df,g)
+    # struct array -> numerically sorted hash array — identical to the
+    # old sort_array(collect_list(g)) because each (doc, g) is distinct)
     sets = (
-        toks.join(F.broadcast(cand_ids), id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("g")).alias("__s"))
+        per_doc.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.array_sort(
+                F.transform(F.col("__ts"), lambda s: s["g"])
+            ).alias("__s"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sets.count()  # materialize: last consumer of toks
-    toks.unpersist()
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
@@ -1108,7 +1142,7 @@ def jaccard_similarity_join(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    out._vso_caches = [cand, sets]
+    out._vso_caches = [cand, sets, per_doc]
     return out
 
 

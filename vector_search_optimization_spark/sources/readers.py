@@ -123,40 +123,92 @@ def _scan_splits_at_least(df: DataFrame, n: int) -> bool:
     on Spark's split count — it never packs more than maxPartitionBytes
     into one split), which costs one cached file-listing instead of the
     ~0.15 s full physical planning that ``df.rdd.getNumPartitions()``
-    pays. Falls back to the exact planner count when the frame has no
-    resolvable local input files (derived frames, non-file sources)."""
+    pays. A byte split of a parquet file only carries rows when it
+    covers a row-group start, so each file's contribution is capped at
+    its row-group count (stat-memoized footer probe — ADVICE r11: a
+    single-row-group file larger than n*maxPartitionBytes is exactly
+    the unsplittable pathology this helper exists to fix and must not
+    be counted as many splits). Falls back to the exact planner count
+    when the frame has no resolvable local input files (derived frames,
+    non-file sources); that fallback pays full physical planning, so
+    hot-loop callers should pass fresh scans, not derived frames."""
     try:
         files = df.inputFiles()
     except Exception:  # noqa: BLE001
         files = []
-    total = 0
+    paths: list[str] = []
     for uri in files:
         if not uri.startswith("file:"):
-            total = -1
+            paths = []
             break
         from urllib.parse import unquote, urlparse
 
-        try:
-            total += os.path.getsize(unquote(urlparse(uri).path))
-        except OSError:
-            total = -1
-            break
-    if files and total >= 0:
+        paths.append(unquote(urlparse(uri).path))
+    if paths:
         conf = df.sparkSession.conf.get(
             "spark.sql.files.maxPartitionBytes", "134217728b"
         )
         m = re.match(r"(\d+)([bkmg]?)", conf.lower())
-        mpb = int(m.group(1)) * {
-            "": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30
-        }[m.group(2)]
-        if -(-total // max(mpb, 1)) >= n:
-            return True
-        # small byte total, but the frame may already carry an exchange
-        # (inputFiles sees through one): consult the ANALYZED plan — no
-        # optimization pass, so this stays cheap — before adding another
+        mpb = max(
+            int(m.group(1))
+            * {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[
+                m.group(2)
+            ],
+            1,
+        )
+        splits = 0
+        try:
+            for p in paths:
+                byte_splits = -(-os.path.getsize(p) // mpb)
+                if byte_splits > 1:
+                    # only non-empty when a split covers a row-group
+                    # boundary: cap at the file's row-group count
+                    byte_splits = min(byte_splits, _parquet_row_groups(p))
+                splits += byte_splits
+                if splits >= n:
+                    return True
+        except OSError:
+            return df.rdd.getNumPartitions() >= n
+        # small split total, but the frame may already sit downstream of
+        # a shuffle-producing operator (inputFiles sees through them):
+        # consult the ANALYZED plan — no optimization pass, so this
+        # stays cheap. "Exchange" is physical-plan-only and can never
+        # appear here (ADVICE r11); match the logical nodes that always
+        # redistribute their output instead. Join is deliberately NOT
+        # matched: a broadcast join preserves the probe side's (possibly
+        # single-task) partitioning, and at analysis time the strategy
+        # is undecided — treating every Join as "already shuffled" would
+        # silently no-op spreads after broadcast semi-joins.
         plan = df._jdf.queryExecution().analyzed().toString()
-        return "Repartition" in plan or "Exchange" in plan
+        return bool(
+            re.search(
+                r"\b(Repartition|RepartitionByExpression|Rebalance"
+                r"|Aggregate|Window|Deduplicate)\b",
+                plan,
+            )
+        )
     return df.rdd.getNumPartitions() >= n
+
+
+# row-group count per local parquet file, stat-keyed like the schema
+# memo (a regenerated file re-probes); non-parquet inputs count as 1
+# unsplittable unit, the conservative answer for this estimator
+_ROW_GROUP_CACHE: dict[str, tuple[int, int, int]] = {}
+
+
+def _parquet_row_groups(path: str) -> int:
+    st = os.stat(path)
+    hit = _ROW_GROUP_CACHE.get(path)
+    if hit is not None and hit[0] == st.st_mtime_ns and hit[1] == st.st_size:
+        return hit[2]
+    try:
+        import pyarrow.parquet as pq
+
+        ng = max(int(pq.ParquetFile(path).metadata.num_row_groups), 1)
+    except Exception:  # noqa: BLE001 — non-parquet / unreadable footer
+        ng = 1
+    _ROW_GROUP_CACHE[path] = (st.st_mtime_ns, st.st_size, ng)
+    return ng
 
 
 def read_chunks(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
