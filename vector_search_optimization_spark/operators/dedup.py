@@ -722,14 +722,21 @@ def ngram_jaccard_pairs(
     candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
     # compute n-grams only for rows that appear in a candidate pair — the
     # candidate set is tiny next to the corpus, and the HOF n-gram expansion
-    # is the expensive part
+    # is the expensive part. r12: the n-gram expansion is an INTERPRETED
+    # higher-order expression over an unsplittable single-file scan
+    # (guide §2.5) — spread the scan BEFORE the broadcast semi-join
+    # (broadcast preserves the spread partitioning), and persist the
+    # expanded grams so the two join sides don't each re-expand.
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    grams = df.join(F.broadcast(cand_ids), id_col, "left_semi").select(
-        F.col(id_col), TX.char_ngrams(text_col, ngram_n).alias("__g")
+    grams = (
+        spread_scan(df.select(id_col, text_col), id_col)
+        .join(F.broadcast(cand_ids), id_col, "left_semi")
+        .select(F.col(id_col), TX.char_ngrams(text_col, ngram_n).alias("__g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("__g").alias("__ga"))
     gb = grams.select(F.col(id_col).alias("id_b"), F.col("__g").alias("__gb"))
@@ -747,10 +754,10 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    # release handles (r12 leak fix): the candidate persist — and any
-    # upstream handles riding on the candidates argument — must reach
-    # the caller for dedup.release_caches(result)
-    out._vso_caches = upstream + [candidates]
+    # release handles (r12 leak fix): the candidate and grams persists —
+    # and any upstream handles riding on the candidates argument — must
+    # reach the caller for dedup.release_caches(result)
+    out._vso_caches = upstream + [candidates, grams]
     return out
 
 
