@@ -8448,6 +8448,13 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("tok") >= 3)
         & ~F.col("tok").isin(*sorted(_STOPWORDS["en"]))
     )
+    # r12 probe, REVERTED: collapsing the three shifted joins into one
+    # explode-side join (1 shuffle pair instead of 3) measured
+    # consistently ~0.3s SLOWER warm (2.25-2.41 -> 2.56-3.03 across 3
+    # interleaved A/B rounds) — the 7 single-task branch evaluations
+    # fully overlap inside one job on an idle box while the exploded
+    # right side triples the shuffle rows (the r11 branch-overlap
+    # lesson, third confirmation).
     shifted = [
         cand.select(
             "doc_id", (F.col("pos") - k).alias("pos"),
@@ -9869,8 +9876,9 @@ def basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (order, brand) pass (persisted — it feeds the totals and
     the pair self-join; handle attached as _vso_caches), self-join on
     the order key (fan-out bounded by brands-per-order², not order
-    size), then two tiny broadcast-joined total frames. N is one
-    bounded driver scalar. All ratio exports are DERIVED from exact
+    size), then two tiny broadcast-joined total frames. N rides as a
+    1-row broadcast (r12: was a driver count — one whole extra job;
+    guide §5). All ratio exports are DERIVED from exact
     integer counts by single IEEE divisions (decimal-tie rule) —
     ordering is on the string keys, never the floats."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -9885,7 +9893,10 @@ def basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    n_baskets = bk.select("o").distinct().count()
+    # basket total as a 1-row broadcast instead of a driver count (r12:
+    # guide §5 "the driver should do almost no data work" — the eager
+    # count was a whole extra job; the crossJoin below is 1-row)
+    nb = bk.agg(F.countDistinct("o").alias("__nn"))
     tot = bk.groupBy(F.col("b")).agg(F.count(F.lit(1)).alias("n_item"))
     a = bk.select(F.col("o"), F.col("b").alias("antecedent"))
     c = bk.select(F.col("o"), F.col("b").alias("consequent"))
@@ -9905,6 +9916,7 @@ def basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         pairs.join(F.broadcast(ta), "antecedent")
         .join(F.broadcast(tc), "consequent")
+        .join(F.broadcast(nb))
         .select(
             "antecedent",
             "consequent",
@@ -9912,14 +9924,14 @@ def basket_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_antecedent",
             "n_consequent",
             (
-                F.col("n_ab").cast("double") / F.lit(float(n_baskets))
+                F.col("n_ab").cast("double") / F.col("__nn").cast("double")
             ).alias("support"),
             (
                 F.col("n_ab").cast("double")
                 / F.col("n_antecedent").cast("double")
             ).alias("confidence"),
             (
-                (F.col("n_ab") * F.lit(n_baskets)).cast("double")
+                (F.col("n_ab") * F.col("__nn")).cast("double")
                 / (F.col("n_antecedent") * F.col("n_consequent")).cast(
                     "double"
                 )
