@@ -2725,12 +2725,19 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup audit: total docs vs distinct canonical texts, and the
     row count surviving dedup_exact (must equal n_distinct)."""
     d = load_table(spark, sf_dir, "documents")
-    survivors = dedup.dedup_exact(d, "text", "doc_id").count()
+    # survivor total as a 1-row broadcast instead of a driver count
+    # (r12, guide §5: the eager count was a whole extra job)
+    surv = dedup.dedup_exact(d, "text", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_survivors")
+    )
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    return d.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct(norm).alias("n_distinct"),
-        F.lit(survivors).cast("long").alias("n_survivors"),
+    return (
+        d.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(norm).alias("n_distinct"),
+        )
+        .join(F.broadcast(surv))
+        .select("n_docs", "n_distinct", "n_survivors")
     )
 
 
@@ -23438,6 +23445,82 @@ _REGISTRY = {
     for name in (
         *_R11_FRONT,
         *(k for k in _REGISTRY if k not in set(_R11_FRONT)),
+    )
+}
+
+# r12 window rotation (optimization round — no additions; the CLAUDE.md
+# r11 rule: r12-changed first, then oldest-audit-first). 17 r12-changed
+# entries lead: 9 plan-affecting (the jaccard verify restructure + its
+# four ngram_jaccard_pairs callers, the sketch pass merge, the two
+# driver-count→broadcast folds, split-leakage counts persist) + 8 whose
+# only change is the cache-release handle attachment (identical result
+# plans; execution now unpersists). The remaining 33 slots take the
+# head of the r6-audited cohort (the oldest remaining audit debt — the
+# latest-audit histogram after CORRECTNESS_r11 is r6:48 r7:49 r8:48
+# r9:48 r10:49 r11:50) in registry order. In r13 rotate forward
+# anything r13-new/changed, then the r6-audited remainder
+# (j11_anti_join onward), then r7.
+_R12_FRONT: list[str] = [
+    # r12-CHANGED (plan-affecting):
+    "split_leakage_audit",
+    "ngram_jaccard_dedup",
+    "evt_sketch_audit",
+    "basket_brand_rules",
+    "dedup_exact_stats",
+    "minhash_verified_dedup",
+    "incremental_corpus_dedup",
+    "dedup_keep_best",
+    "dedup_canonical_groups",
+    # r12-CHANGED (cache-release handles only):
+    "evt_funnel",
+    "evt_gap_fill",
+    "emb_near_dup_blocked",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "ep3_lloyd_audit",
+    "ep3_label_pipeline",
+    "semantic_dedup",
+    # oldest audit debt (r6 cohort head, registry order):
+    "evt_bitmap_rollup",
+    "nb_lang_confusion",
+    "customer_rfm_segments",
+    "doc_ngram_novelty",
+    "source_token_kl",
+    "evt_anomaly_mad",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q12_late_shipment_priority",
+    "q14_promo_revenue",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "q22_idle_balance",
+    "mmr_diverse_topk",
+    "entity_resolution_clusters",
+    "scd2_orders_history",
+    "g5_triangle_count",
+    "evt_retention_cohorts",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "g3_pagerank",
+    "snapshot_diff_orders",
+    "evt_ks_drift",
+    "table_profile_orders",
+    "evt_cube",
+    "evt_trailing_window",
+    "text_hashing_features",
+    "j11_anti_join",
+]
+
+_REGISTRY = {
+    name: _REGISTRY[name]
+    for name in (
+        *_R12_FRONT,
+        *(k for k in _REGISTRY if k not in set(_R12_FRONT)),
     )
 }
 
